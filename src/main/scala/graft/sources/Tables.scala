@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated parquet tables (TESTDATA.md) plus the
+  * transit-domain views that project the star schema onto the reference's
+  * Route/Trip data model (reference: `src/main/java/classes/Route.java:4-9`,
+  * `src/main/java/classes/Trip.java:4-9`).
+  *
+  * Mapping (kept textually identical between the Spark `Column` form and the
+  * DuckDB SQL form so every query is oracle-checkable):
+  *   - `part`     -> routes: route_id = p_partkey, transport_type = f(p_partkey),
+  *                   capacity = p_size, operator = p_brand
+  *   - `lineitem` -> trips:  trip_id = l_orderkey_l_linenumber,
+  *                   route_id = l_partkey (FK), transport_type = f(l_partkey)
+  *                   (trips copy their route's type, mirroring
+  *                   `producers/TripsProducerCenario.java:59-65`),
+  *                   passenger_name = P_<l_suppkey>, ts = l_shipdate
+  *
+  * transport_type is a deterministic function of the route key, mirroring the
+  * reference's 5-value enum (`producers/RoutesProducer.java:31`).
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def part(spark: SparkSession, sfDir: String): DataFrame      = table(spark, sfDir, "part")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")
+  def events(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "events")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  private val TransportTypes = Seq("Bus", "Taxi", "Train", "Metro", "Scooter")
+
+  /** Deterministic transport type from a numeric route key. */
+  def transportTypeOf(key: Column): Column =
+    element_at(array(TransportTypes.map(lit): _*), (key % 5).cast("int") + 1)
+
+  /** Route dimension view (one row per route; keys unique, so "latest per
+    * key" == the row itself — see SURVEY.md §7.3 latest-value-per-key). */
+  def routes(spark: SparkSession, sfDir: String): DataFrame =
+    part(spark, sfDir).select(
+      col("p_partkey").cast("string").as("route_id"),
+      transportTypeOf(col("p_partkey")).as("transport_type"),
+      col("p_size").as("capacity"),
+      col("p_brand").as("operator"))
+
+  /** Trip fact view: one row = one passenger boarding
+    * (`streamFunctions/AveragePassengersPerTransportType.java:36-39`). */
+  def trips(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir).select(
+      concat(col("l_orderkey").cast("string"), lit("_"),
+             col("l_linenumber").cast("string")).as("trip_id"),
+      col("l_partkey").cast("string").as("route_id"),
+      transportTypeOf(col("l_partkey")).as("transport_type"),
+      concat(lit("P_"), col("l_suppkey").cast("string")).as("passenger_name"),
+      col("l_shipdate").as("ts"))
+
+  // ---- DuckDB-SQL equivalents of the views, for the oracle -----------------
+
+  def transportTypeSql(key: String): String =
+    s"CASE ($key % 5) WHEN 0 THEN 'Bus' WHEN 1 THEN 'Taxi' WHEN 2 THEN 'Train' " +
+      s"WHEN 3 THEN 'Metro' ELSE 'Scooter' END"
+
+  val routesSql: String =
+    "SELECT CAST(p_partkey AS VARCHAR) AS route_id, " +
+      transportTypeSql("p_partkey") + " AS transport_type, " +
+      "p_size AS capacity, p_brand AS operator FROM part"
+
+  val tripsSql: String =
+    "SELECT CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS trip_id, " +
+      "CAST(l_partkey AS VARCHAR) AS route_id, " +
+      transportTypeSql("l_partkey") + " AS transport_type, " +
+      "'P_' || CAST(l_suppkey AS VARCHAR) AS passenger_name, " +
+      "l_shipdate AS ts FROM lineitem"
+
+  /** Common oracle prologue: the two transit views as CTEs. */
+  val transitWith: String = s"WITH routes AS ($routesSql), trips AS ($tripsSql)"
+}

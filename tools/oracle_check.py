@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB over the sf parquet tables, load the engine's Verify output parquet,
+sort columns by name + sort rows, and compare values.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in order], out
+
+
+def values_equal(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    return str(a) == str(b)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    failures = 0
+    for name in sorted(oracle):
+        try:
+            rel = con.sql(oracle[name])
+            ocols = [c.lower() for c in rel.columns]
+            orows = rel.fetchall()
+            grel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            gcols = [c.lower() for c in grel.columns]
+            grows = grel.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: error {e}")
+            failures += 1
+            continue
+        if sorted(ocols) != sorted(gcols):
+            print(f"FAIL  {name}: schema oracle={sorted(ocols)} got={sorted(gcols)}")
+            failures += 1
+            continue
+        _, onorm = normalize(orows, ocols)
+        _, gnorm = normalize(grows, gcols)
+        if len(onorm) != len(gnorm):
+            print(f"FAIL  {name}: rows oracle={len(onorm)} got={len(gnorm)}")
+            failures += 1
+            continue
+        bad = None
+        exact = True
+        for ro, rg in zip(onorm, gnorm):
+            for vo, vg in zip(ro, rg):
+                if not values_equal(vo, vg):
+                    bad = (vo, vg)
+                    break
+                if str(vo) != str(vg):
+                    exact = False
+            if bad:
+                break
+        if bad:
+            print(f"FAIL  {name}: value oracle={bad[0]!r} got={bad[1]!r}")
+            failures += 1
+        else:
+            tag = "ok" if exact else "ok(~float)"
+            print(f"PASS  {name}: {len(gnorm)} rows {tag}")
+    print(f"\n{len(oracle) - failures}/{len(oracle)} queries pass")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
