@@ -35,9 +35,12 @@ object Tables {
 
   private val TransportTypes = Seq("Bus", "Taxi", "Train", "Metro", "Scooter")
 
-  /** Deterministic transport type from a numeric route key. */
+  /** Deterministic transport type from a numeric route key. `pmod` keeps the
+    * index in [0,5) for any sign; the DuckDB CASE in [[transportTypeSql]]
+    * matches only for non-negative keys (p_partkey/l_partkey are 1-based —
+    * positivity assumed, per ADVICE r1). */
   def transportTypeOf(key: Column): Column =
-    element_at(array(TransportTypes.map(lit): _*), (key % 5).cast("int") + 1)
+    element_at(array(TransportTypes.map(lit): _*), pmod(key, lit(5)).cast("int") + 1)
 
   /** Route dimension view (one row per route; keys unique, so "latest per
     * key" == the row itself — see SURVEY.md §7.3 latest-value-per-key). */

@@ -15,12 +15,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def _sort_key_val(x):
+    # Round floats for the SORT KEY ONLY: a sub-tolerance float discrepancy
+    # between Spark and DuckDB must not reorder near-tied rows before the
+    # positional tolerance-aware compare (ADVICE r1).
+    if isinstance(x, float):
+        return f"{x:.6g}"
+    return str(x)
+
+
 def normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(r[i] for i in order))
-    out.sort(key=lambda t: tuple(str(x) for x in t))
+    out.sort(key=lambda t: tuple(_sort_key_val(x) for x in t))
     return [cols[i] for i in order], out
 
 
