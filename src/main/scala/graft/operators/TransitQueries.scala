@@ -27,8 +27,8 @@ import graft.sources.Tables.transitWith
   */
 object TransitQueries {
 
-  private def routes(s: SparkSession, d: String) = Tables.routes(s, d)
-  private def trips(s: SparkSession, d: String)  = Tables.trips(s, d)
+  private def routesOf(s: SparkSession, d: String) = Tables.routes(s, d)
+  private def tripsOf(s: SparkSession, d: String)  = Tables.trips(s, d)
 
   private val zeroD = lit(0.0)
 
@@ -38,18 +38,24 @@ object TransitQueries {
     when(cap.isNull || cap === 0 || cnt.isNull, zeroD)
       .otherwise(cnt.cast("double") * 100 / cap)
 
+  // ==== DataFrame-core ======================================================
+  // Each query is a pure function of the `routes` / `trips` views (schema in
+  // graft.sources.Tables / graft.engine.Schemas). The same core serves the
+  // batch wrappers below, the Structured Streaming runner
+  // (graft.streaming.StreamingRunner), and hand-written-row unit tests.
+
   /** Q1 — total capacity per route (`AvailableSeatsPerRoute.java:36-42`;
     * despite the name, passengers are never subtracted). */
-  def q1SeatsPerRoute(s: SparkSession, d: String): DataFrame =
-    routes(s, d)
+  def q1(routes: DataFrame): DataFrame =
+    routes
       .filter(col("route_id").isNotNull)
       .groupBy("route_id")
       .agg(sum("capacity").as("total_capacity"))
 
   /** Q2 — avg passengers per route, per transport type = count(trips) /
     * count-distinct(route) (`AveragePassengersPerTransportType.java:37-58`). */
-  def q2AvgPassengersPerType(s: SparkSession, d: String): DataFrame =
-    trips(s, d)
+  def q2(trips: DataFrame): DataFrame =
+    trips
       .filter(col("transport_type").isNotNull && col("route_id").isNotNull)
       .groupBy("transport_type")
       .agg((count(lit(1)).cast("double") / countDistinct("route_id"))
@@ -59,8 +65,8 @@ object TransitQueries {
     * (`NamePassengerMostTrips.java:28-51`). Deterministic tiebreak: smallest
     * name. The count is also emitted (the reference computes then drops it,
     * `NamePassengerMostTrips.java:57-58`). */
-  def q3TopPassenger(s: SparkSession, d: String): DataFrame =
-    trips(s, d)
+  def q3(trips: DataFrame): DataFrame =
+    trips
       .filter(col("passenger_name").isNotNull)
       .groupBy("passenger_name")
       .agg(count(lit(1)).as("trip_count"))
@@ -69,10 +75,10 @@ object TransitQueries {
 
   /** Capacity-per-route LEFT JOIN trip-count-per-route → occupancy %
     * (`OccupancyPerRoute.java:43-66`). Shared by Q4/Q6. */
-  private def routeOccupancy(s: SparkSession, d: String): DataFrame = {
-    val cap = routes(s, d).groupBy("route_id", "transport_type")
+  def routeOccupancy(routes: DataFrame, trips: DataFrame): DataFrame = {
+    val cap = routes.groupBy("route_id", "transport_type")
       .agg(sum("capacity").as("cap"))
-    val pas = trips(s, d).filter(col("route_id").isNotNull)
+    val pas = trips.filter(col("route_id").isNotNull)
       .groupBy("route_id").agg(count(lit(1)).as("cnt"))
     cap.join(pas, Seq("route_id"), "left")
       .select(col("route_id"), col("transport_type"),
@@ -80,12 +86,12 @@ object TransitQueries {
   }
 
   /** Q4 — occupancy % per route (`OccupancyPerRoute.java:43-66`). */
-  def q4OccupancyPerRoute(s: SparkSession, d: String): DataFrame =
-    routeOccupancy(s, d).select("route_id", "occupancy_pct")
+  def q4(routes: DataFrame, trips: DataFrame): DataFrame =
+    routeOccupancy(routes, trips).select("route_id", "occupancy_pct")
 
   /** Q5 — trip (passenger) count per route (`PassengersPerRoute.java:37-40`). */
-  def q5PassengersPerRoute(s: SparkSession, d: String): DataFrame =
-    trips(s, d)
+  def q5(trips: DataFrame): DataFrame =
+    trips
       .filter(col("route_id").isNotNull)
       .groupBy("route_id")
       .agg(count(lit(1)).as("passenger_count"))
@@ -94,8 +100,8 @@ object TransitQueries {
     * (`RouteWithLeastOccupancyPerTransportType.java:34-85`). `min_by` over a
     * (occupancy, route_id) ordering struct: exact per-group argmin with
     * map-side partial aggregation, deterministic tiebreak. */
-  def q6LeastOccupiedRoutePerType(s: SparkSession, d: String): DataFrame =
-    routeOccupancy(s, d)
+  def q6(routes: DataFrame, trips: DataFrame): DataFrame =
+    routeOccupancy(routes, trips)
       .groupBy("transport_type")
       .agg(min_by(struct(col("route_id"), col("occupancy_pct")),
                   struct(col("occupancy_pct"), col("route_id"))).as("m"))
@@ -104,25 +110,25 @@ object TransitQueries {
 
   /** Q7 — global capacity sum (`TotalCapacityAvailable.java:35-57`; the
     * adder/subtractor pair collapses to one sum — SURVEY.md §7.3). */
-  def q7TotalCapacity(s: SparkSession, d: String): DataFrame =
-    routes(s, d).agg(sum("capacity").as("total_capacity"))
+  def q7(routes: DataFrame): DataFrame =
+    routes.agg(sum("capacity").as("total_capacity"))
 
   /** Q8 — global occupancy % (`TotalOccupancyPercentage.java:65-99`). */
-  def q8TotalOccupancyPct(s: SparkSession, d: String): DataFrame = {
-    val cap = routes(s, d).agg(sum("capacity").as("cap"))
-    val pas = trips(s, d).agg(count(lit(1)).as("cnt"))
+  def q8(routes: DataFrame, trips: DataFrame): DataFrame = {
+    val cap = routes.agg(sum("capacity").as("cap"))
+    val pas = trips.agg(count(lit(1)).as("cnt"))
     cap.crossJoin(pas)
       .select(occupancyPct(col("cnt"), col("cap")).as("total_occupancy_pct"))
   }
 
   /** Q9 — global trip count (`TotalPassengers.java:33-34`). */
-  def q9TotalPassengers(s: SparkSession, d: String): DataFrame =
-    trips(s, d).agg(count(lit(1)).as("total_passengers"))
+  def q9(trips: DataFrame): DataFrame =
+    trips.agg(count(lit(1)).as("total_passengers"))
 
   /** Q10 — transport type with most passengers, global argmax
     * (`TransportTypeMaxPassengers.java:27-52`). */
-  def q10TopTransportType(s: SparkSession, d: String): DataFrame =
-    trips(s, d)
+  def q10(trips: DataFrame): DataFrame =
+    trips
       .filter(col("transport_type").isNotNull)
       .groupBy("transport_type")
       .agg(count(lit(1)).as("max_passengers"))
@@ -132,8 +138,8 @@ object TransitQueries {
   /** Windowed trip counts per (1h tumbling window, transport type); window
     * start is epoch-aligned so it equals date_trunc('hour', ts)
     * (`TransportTypeMaxPassengersWindow.java:28-33`). */
-  private def windowedTypeCounts(s: SparkSession, d: String): DataFrame =
-    trips(s, d)
+  def windowedTypeCounts(trips: DataFrame): DataFrame =
+    trips
       .filter(col("transport_type").isNotNull && col("ts").isNotNull)
       .groupBy(window(col("ts"), "1 hour"), col("transport_type"))
       .agg(count(lit(1)).as("cnt"))
@@ -144,10 +150,10 @@ object TransitQueries {
     * (`TransportTypeMaxPassengersWindow.java:28-53`). Emits one row per
     * window (the reference collapses to a constant key, keeping only the
     * latest window — the windowed table is the faithful batch answer). */
-  def q11WindowTopType(s: SparkSession, d: String): DataFrame = {
+  def q11(trips: DataFrame): DataFrame = {
     val w = Window.partitionBy("window_start")
       .orderBy(col("cnt").desc, col("transport_type").asc)
-    windowedTypeCounts(s, d)
+    windowedTypeCounts(trips)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("window_start"), col("transport_type"),
@@ -159,12 +165,12 @@ object TransitQueries {
     * (`LeastOccupiedTransportTypeWindow.java:39-94`). Implements the
     * *intended* min; the reference's final fold keeps the latest value
     * instead (`:92`), documented divergence. */
-  def q12WindowLeastOccupiedType(s: SparkSession, d: String): DataFrame = {
-    val cap = routes(s, d).groupBy("transport_type")
+  def q12(routes: DataFrame, trips: DataFrame): DataFrame = {
+    val cap = routes.groupBy("transport_type")
       .agg(sum("capacity").as("cap"))
     val w = Window.partitionBy("window_start")
       .orderBy(col("occupancy_pct").asc, col("transport_type").asc)
-    windowedTypeCounts(s, d)
+    windowedTypeCounts(trips)
       .join(broadcast(cap), Seq("transport_type"), "left")
       .select(col("window_start"), col("transport_type"),
         occupancyPct(col("cnt"), col("cap")).as("occupancy_pct"))
@@ -177,10 +183,10 @@ object TransitQueries {
     * sum → occupancy %, global argmax (`MostOccupiedOperator.java:56-163`).
     * Implements the *intended* per-operator sum; the reference keeps the
     * last-updated route's count instead (`:109`), documented divergence. */
-  def q13MostOccupiedOperator(s: SparkSession, d: String): DataFrame = {
-    val rc = trips(s, d).filter(col("route_id").isNotNull)
+  def q13(routes: DataFrame, trips: DataFrame): DataFrame = {
+    val rc = trips.filter(col("route_id").isNotNull)
       .groupBy("route_id").agg(count(lit(1)).as("cnt"))
-    routes(s, d)
+    routes
       .join(rc, Seq("route_id"), "left")
       .groupBy("operator")
       .agg(sum(coalesce(col("cnt"), lit(0L))).as("pas"),
@@ -191,20 +197,25 @@ object TransitQueries {
       .limit(1)
   }
 
+  // ==== batch wrappers over the parquet views (driver contract) ============
+
+  def q4OccupancyPerRoute(s: SparkSession, d: String): DataFrame =
+    q4(routesOf(s, d), tripsOf(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_seats_per_route"            -> (q1SeatsPerRoute _),
-    "q2_avg_passengers_per_type"    -> (q2AvgPassengersPerType _),
-    "q3_top_passenger"              -> (q3TopPassenger _),
-    "q4_occupancy_per_route"        -> (q4OccupancyPerRoute _),
-    "q5_passengers_per_route"       -> (q5PassengersPerRoute _),
-    "q6_least_occupied_route_per_type" -> (q6LeastOccupiedRoutePerType _),
-    "q7_total_capacity"             -> (q7TotalCapacity _),
-    "q8_total_occupancy_pct"        -> (q8TotalOccupancyPct _),
-    "q9_total_passengers"           -> (q9TotalPassengers _),
-    "q10_top_transport_type"        -> (q10TopTransportType _),
-    "q11_window_top_type"           -> (q11WindowTopType _),
-    "q12_window_least_occupied_type" -> (q12WindowLeastOccupiedType _),
-    "q13_most_occupied_operator"    -> (q13MostOccupiedOperator _),
+    "q1_seats_per_route"            -> ((s, d) => q1(routesOf(s, d))),
+    "q2_avg_passengers_per_type"    -> ((s, d) => q2(tripsOf(s, d))),
+    "q3_top_passenger"              -> ((s, d) => q3(tripsOf(s, d))),
+    "q4_occupancy_per_route"        -> ((s, d) => q4(routesOf(s, d), tripsOf(s, d))),
+    "q5_passengers_per_route"       -> ((s, d) => q5(tripsOf(s, d))),
+    "q6_least_occupied_route_per_type" -> ((s, d) => q6(routesOf(s, d), tripsOf(s, d))),
+    "q7_total_capacity"             -> ((s, d) => q7(routesOf(s, d))),
+    "q8_total_occupancy_pct"        -> ((s, d) => q8(routesOf(s, d), tripsOf(s, d))),
+    "q9_total_passengers"           -> ((s, d) => q9(tripsOf(s, d))),
+    "q10_top_transport_type"        -> ((s, d) => q10(tripsOf(s, d))),
+    "q11_window_top_type"           -> ((s, d) => q11(tripsOf(s, d))),
+    "q12_window_least_occupied_type" -> ((s, d) => q12(routesOf(s, d), tripsOf(s, d))),
+    "q13_most_occupied_operator"    -> ((s, d) => q13(routesOf(s, d), tripsOf(s, d))),
   )
 
   // ---- DuckDB oracle SQL (same views, same arithmetic, same tiebreaks) -----
