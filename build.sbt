@@ -10,6 +10,9 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession; streaming suites mutate session-scoped
+// state (MemoryStream, query names) — run them sequentially.
+Test / parallelExecution := false
 run / fork := true
 // Forward the forked process's stdout verbatim (no `[info]` prefix) so the
 // driver can parse graft.Bench's single JSON line from the sbt output.

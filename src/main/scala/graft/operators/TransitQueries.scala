@@ -34,7 +34,7 @@ object TransitQueries {
 
   /** passengers/capacity*100 with the reference's null/zero guards
     * (`OccupancyPerRoute.java:62-63`). */
-  private def occupancyPct(cnt: Column, cap: Column): Column =
+  private[graft] def occupancyPct(cnt: Column, cap: Column): Column =
     when(cap.isNull || cap === 0 || cnt.isNull, zeroD)
       .otherwise(cnt.cast("double") * 100 / cap)
 
@@ -76,7 +76,8 @@ object TransitQueries {
   /** Capacity-per-route LEFT JOIN trip-count-per-route → occupancy %
     * (`OccupancyPerRoute.java:43-66`). Shared by Q4/Q6. */
   def routeOccupancy(routes: DataFrame, trips: DataFrame): DataFrame = {
-    val cap = routes.groupBy("route_id", "transport_type")
+    val cap = routes.filter(col("route_id").isNotNull)
+      .groupBy("route_id", "transport_type")
       .agg(sum("capacity").as("cap"))
     val pas = trips.filter(col("route_id").isNotNull)
       .groupBy("route_id").agg(count(lit(1)).as("cnt"))
@@ -109,13 +110,16 @@ object TransitQueries {
         col("m.occupancy_pct").as("occupancy_pct"))
 
   /** Q7 — global capacity sum (`TotalCapacityAvailable.java:35-57`; the
-    * adder/subtractor pair collapses to one sum — SURVEY.md §7.3). */
+    * adder/subtractor pair collapses to one sum — SURVEY.md §7.3). Null-key
+    * routes are dropped: the reference's first-level `groupBy(routeId)`
+    * silently drops null-key records (Kafka Streams repartition semantics). */
   def q7(routes: DataFrame): DataFrame =
-    routes.agg(sum("capacity").as("total_capacity"))
+    routes.filter(col("route_id").isNotNull).agg(sum("capacity").as("total_capacity"))
 
-  /** Q8 — global occupancy % (`TotalOccupancyPercentage.java:65-99`). */
+  /** Q8 — global occupancy % (`TotalOccupancyPercentage.java:65-99`; cap side
+    * groups by routeId first, dropping null keys like Q7). */
   def q8(routes: DataFrame, trips: DataFrame): DataFrame = {
-    val cap = routes.agg(sum("capacity").as("cap"))
+    val cap = routes.filter(col("route_id").isNotNull).agg(sum("capacity").as("cap"))
     val pas = trips.agg(count(lit(1)).as("cnt"))
     cap.crossJoin(pas)
       .select(occupancyPct(col("cnt"), col("cap")).as("total_occupancy_pct"))
@@ -166,7 +170,8 @@ object TransitQueries {
     * *intended* min; the reference's final fold keeps the latest value
     * instead (`:92`), documented divergence. */
   def q12(routes: DataFrame, trips: DataFrame): DataFrame = {
-    val cap = routes.groupBy("transport_type")
+    val cap = routes.filter(col("transport_type").isNotNull)
+      .groupBy("transport_type")
       .agg(sum("capacity").as("cap"))
     val w = Window.partitionBy("window_start")
       .orderBy(col("occupancy_pct").asc, col("transport_type").asc)
@@ -187,6 +192,7 @@ object TransitQueries {
     val rc = trips.filter(col("route_id").isNotNull)
       .groupBy("route_id").agg(count(lit(1)).as("cnt"))
     routes
+      .filter(col("route_id").isNotNull && col("operator").isNotNull)
       .join(rc, Seq("route_id"), "left")
       .groupBy("operator")
       .agg(sum(coalesce(col("cnt"), lit(0L))).as("pas"),
@@ -196,6 +202,13 @@ object TransitQueries {
       .orderBy(col("occupancy_pct").desc, col("operator").asc)
       .limit(1)
   }
+
+  /** Latest trip per route — the `KStream.toTable` upsert view
+    * (`MostOccupiedOperator.java:56-68`) exercised non-vacuously: lineitem
+    * has ~30 rows per l_partkey, so "latest" genuinely differs from any
+    * other pick. Total order per key: (ts, trip_id). */
+  def latestTripPerRoute(trips: DataFrame): DataFrame =
+    Upsert.latestPerKey(trips, Seq("route_id"), Seq("ts", "trip_id"))
 
   // ==== batch wrappers over the parquet views (driver contract) ============
 
@@ -216,6 +229,7 @@ object TransitQueries {
     "q11_window_top_type"           -> ((s, d) => q11(tripsOf(s, d))),
     "q12_window_least_occupied_type" -> ((s, d) => q12(routesOf(s, d), tripsOf(s, d))),
     "q13_most_occupied_operator"    -> ((s, d) => q13(routesOf(s, d), tripsOf(s, d))),
+    "latest_per_key"                -> ((s, d) => latestTripPerRoute(tripsOf(s, d))),
   )
 
   // ---- DuckDB oracle SQL (same views, same arithmetic, same tiebreaks) -----
@@ -242,7 +256,8 @@ object TransitQueries {
 
     "q4_occupancy_per_route" ->
       s"""$transitWith, cap AS (
-         |  SELECT route_id, SUM(capacity) AS cap FROM routes GROUP BY route_id),
+         |  SELECT route_id, SUM(capacity) AS cap FROM routes
+         |  WHERE route_id IS NOT NULL GROUP BY route_id),
          | pas AS (
          |  SELECT route_id, COUNT(*) AS cnt FROM trips
          |  WHERE route_id IS NOT NULL GROUP BY route_id)
@@ -256,7 +271,7 @@ object TransitQueries {
     "q6_least_occupied_route_per_type" ->
       s"""$transitWith, cap AS (
          |  SELECT route_id, transport_type, SUM(capacity) AS cap FROM routes
-         |  GROUP BY route_id, transport_type),
+         |  WHERE route_id IS NOT NULL GROUP BY route_id, transport_type),
          | pas AS (
          |  SELECT route_id, COUNT(*) AS cnt FROM trips
          |  WHERE route_id IS NOT NULL GROUP BY route_id),
@@ -270,11 +285,11 @@ object TransitQueries {
 
     "q7_total_capacity" ->
       s"""$transitWith SELECT CAST(SUM(capacity) AS BIGINT) AS total_capacity
-         | FROM routes""".stripMargin,
+         | FROM routes WHERE route_id IS NOT NULL""".stripMargin,
 
     "q8_total_occupancy_pct" ->
       s"""$transitWith SELECT $occCase AS total_occupancy_pct FROM (
-         |  SELECT (SELECT SUM(capacity) FROM routes) AS cap,
+         |  SELECT (SELECT SUM(capacity) FROM routes WHERE route_id IS NOT NULL) AS cap,
          |         (SELECT COUNT(*) FROM trips) AS cnt)""".stripMargin,
 
     "q9_total_passengers" ->
@@ -300,7 +315,7 @@ object TransitQueries {
     "q12_window_least_occupied_type" ->
       s"""$transitWith, cap AS (
          |  SELECT transport_type, SUM(capacity) AS cap FROM routes
-         |  GROUP BY transport_type),
+         |  WHERE transport_type IS NOT NULL GROUP BY transport_type),
          | wc AS (
          |  SELECT date_trunc('hour', ts) AS window_start, transport_type,
          |         COUNT(*) AS cnt
@@ -321,8 +336,15 @@ object TransitQueries {
          | agg AS (
          |  SELECT operator, SUM(COALESCE(rc.cnt, 0)) AS cnt, SUM(capacity) AS cap
          |  FROM routes LEFT JOIN rc ON routes.route_id = rc.route_id
+         |  WHERE routes.route_id IS NOT NULL AND operator IS NOT NULL
          |  GROUP BY operator)
          | SELECT operator, $occCase AS occupancy_pct FROM agg
          | ORDER BY occupancy_pct DESC, operator ASC LIMIT 1""".stripMargin,
+
+    "latest_per_key" ->
+      s"""$transitWith SELECT trip_id, route_id, transport_type, passenger_name, ts
+         | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY route_id
+         |   ORDER BY ts DESC, trip_id DESC) AS rn FROM trips)
+         | WHERE rn = 1""".stripMargin,
   )
 }

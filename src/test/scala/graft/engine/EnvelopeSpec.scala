@@ -1,0 +1,73 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Connect-envelope codec contract (`utils/KafkaSchemaTransformer.java:45-66`,
+  * `streamFunctions/AvailableSeatsPerRoute.java:47-61`): schema tags, payload
+  * round-trip, key extraction. */
+class EnvelopeSpec extends SparkSpec {
+
+  test("wire tags match the reference's int32/int64/double/string literals") {
+    Envelope.wireType(IntegerType) shouldBe "int32"
+    Envelope.wireType(LongType) shouldBe "int64"
+    Envelope.wireType(DoubleType) shouldBe "double"
+    Envelope.wireType(StringType) shouldBe "string"
+    an[IllegalArgumentException] should be thrownBy Envelope.wireType(TimestampType)
+  }
+
+  test("wrap emits {schema,payload} with the declared field list and key") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(("r1", 100L, 4.5)).toDF("route_id", "total", "pct")
+    val out = Envelope.wrap(df, "route_id", "capacity").collect()
+    out.length shouldBe 1
+    out(0).getString(0) shouldBe "r1"
+    val v = out(0).getString(1)
+    v should startWith ("""{"schema":{"type":"struct","fields":[""")
+    v should include ("""{"field":"total","type":"int64"}""")
+    v should include ("""{"field":"pct","type":"double"}""")
+    v should include (""""name":"capacity"""")
+    v should include (""""payload":{"total":100,"pct":4.5}""")
+  }
+
+  test("unwrap round-trips wrap and exposes the declared wire tags") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(("r1", 100L, 4.5), ("r2", 7L, 0.0)).toDF("route_id", "total", "pct")
+    val wrapped = Envelope.wrap(df, "route_id", "capacity")
+    val payload = StructType(Seq(
+      StructField("total", LongType), StructField("pct", DoubleType)))
+    val back = Envelope.unwrap(wrapped, payload)
+      .select(col("key").as("route_id"), col("total"), col("pct"))
+    assertSameRows(back, df)
+    val tags = Envelope.unwrap(wrapped, payload)
+      .select(explode(col("declared_fields")).as("f"))
+      .select("f.field", "f.type").distinct().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    tags shouldBe Map("total" -> "int64", "pct" -> "double")
+  }
+
+  test("decode parses the reference's camelCase wire JSON into the views") {
+    val sp = spark; import sp.implicits._
+    val raw = Seq(
+      """{"routeId":"r1","origin":"a","destination":"b","transportType":"Bus","capacity":42,"operator":"OpA"}""",
+      """not json at all""").toDF("value")
+    val out = Decode.routes(raw).collect()
+    out.length shouldBe 2
+    val ok = out.find(_.getString(0) == "r1").get
+    (ok.getString(3), ok.getInt(4), ok.getString(5)) shouldBe (("Bus", 42, "OpA"))
+    // malformed input nulls out (PERMISSIVE) instead of failing the stream
+    out.find(r => r.isNullAt(0)) should not be empty
+  }
+
+  test("decode keeps an event-time column when present (streaming source shape)") {
+    val sp = spark; import sp.implicits._
+    val raw = Seq((
+      """{"tripId":"t1","routeId":"r1","origin":"a","destination":"b","transportType":"Bus","passengerName":"P1"}""",
+      ts("2024-01-01 10:00:00"))).toDF("value", "ts")
+    val out = Decode.trips(raw).collect()(0)
+    out.getString(0) shouldBe "t1"
+    out.getTimestamp(6) shouldBe ts("2024-01-01 10:00:00")
+  }
+}
