@@ -6,30 +6,76 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Document deduplication operators over the `documents` table — the
-  * large-scale training-data-pipeline extension surface (BASELINE.json north
-  * star; the reference itself has no dedup, SURVEY.md §2.2 "not have" list).
+  * large-scale training-data-pipeline extension surface (the reference has
+  * no dedup; SURVEY.md §2.2 "not have" list).
   *
-  * All implementations are pure `org.apache.spark.sql.functions` higher-order
-  * expressions (whole-stage codegen, no UDFs) and follow the standard
-  * shuffle-bounded shapes for 100 TB:
-  *   - exact: group by content digest (shuffles a 64-char hash, never the
-  *     document body);
-  *   - MinHash+LSH: signature → banded bucket join (candidates only within
-  *     equal band hashes) → exact Jaccard verify on the candidate pairs;
-  *   - SimHash: 64-bit signature, 4×16-bit band blocking, Hamming verify;
-  *   - n-gram Jaccard: inverted shingle index with a document-frequency cap
-  *     (prefix-filter-style candidate pruning), exact verify.
+  * Round-2 design (VERDICT/ADVICE r1 scale+oracle fixes):
+  *
+  *   - '''Portable hash family''': every hash is derived from
+  *     `md5(s)[0,8)` parsed as an integer, then spread through a universal
+  *     hash `(a_i·h + b_i) mod (2^31-1)` with literal per-seed constants —
+  *     bit-for-bit reproducible in DuckDB (`('0x'||substring(md5(s),1,8))
+  *     ::BIGINT`), so MinHash+LSH and SimHash now have FULL DuckDB oracles
+  *     instead of rows-only checks. One md5 per shingle; the 128 seeds are
+  *     arithmetic on that one value (not 128 re-hashes).
+  *   - '''Exact-duplicate pre-collapse''': near-dup detection runs over one
+  *     representative per distinct content (min doc_id per md5(text)), and
+  *     results map back to all copies. On a realistic dup-heavy corpus this
+  *     is what keeps LSH buckets small — a million identical documents are
+  *     one LSH vertex, not a quadratic bucket (fixes ADVICE r1's
+  *     `MaxShingleDf` blind spot: heavy exact-dup clusters no longer lose
+  *     their candidates to frequency caps).
+  *   - '''Band-bucket caps''' (`MaxBandBucket`): an LSH band bucket with
+  *     more than this many *distinct contents* generates no pairs — the
+  *     same skew guard the shingle index always had (`MaxShingleDf`),
+  *     bounding the self-join fan-out at any scale. Documented recall
+  *     trade-off, mirrored exactly in the oracle.
+  *   - '''True clusters''': `cluster_id` is a transitive-closure component
+  *     label ([[ConnectedComponents.minLabel]]), not the round-1 single-hop
+  *     min-neighbor; the oracle reproduces it with a recursive CTE.
+  *
+  * All column-level math is `org.apache.spark.sql.functions` higher-order
+  * expressions — no UDFs. (Higher-order array expressions are
+  * CodegenFallback in Spark; they are still Tungsten-friendly single-pass
+  * array folds, and the heavy lifting — joins, aggregations — is fully
+  * codegen'd.)
   */
 object Dedup {
 
   val ShingleSize = 3
   val NumHashes = 128
-  val Bands = 16 // x 8 hashes per band
+  val Bands = 16 // x 8 rows per band
+  val RowsPerBand: Int = NumHashes / Bands
   val JaccardThreshold = 0.7
+  val SimhashBits = 32
+  val SimhashBands = 4 // x 8 bits: any pair within Hamming distance 3 shares a band
   val SimhashHammingMax = 3
-  /** Shingles seen in more than this many docs generate no candidate pairs
-    * (bounds bucket fan-out; at scale this is the skew guard). */
+  /** Shingles seen in more than this many distinct contents generate no
+    * candidate pairs (inverted-index skew guard). */
   val MaxShingleDf = 50
+  /** LSH band buckets with more than this many distinct contents generate
+    * no candidate pairs (band-join skew guard; VERDICT r1). */
+  val MaxBandBucket = 64
+
+  /** 2^31-1: the universal-hash modulus (fits 64-bit signed arithmetic:
+    * a·h < 2^62). */
+  val P = 2147483647L
+
+  /** Deterministic universal-hash constants, embedded as literals on BOTH
+    * engines (the Scala arrays are interpolated into the oracle SQL). */
+  def seedA(i: Int): Long = {
+    val v = (1103515245L * (i + 1) + 12345L) % P
+    if (v == 0L) 1L else v
+  }
+  def seedB(i: Int): Long = (69069L * (i + 7) + 54321L) % P
+
+  // ---- portable base hashes ------------------------------------------------
+
+  /** First 8 hex chars of md5 as a non-negative int64 in [0, 2^32). */
+  def h32(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  private val h32Sql = (s: String) => s"('0x' || substring(md5($s), 1, 8))::BIGINT"
 
   /** Distinct word k-shingles; docs shorter than k fall back to the whole
     * text as a single shingle. */
@@ -45,46 +91,85 @@ object Dedup {
 
   /** Exact dedup: group by sha256(text). Emits one row per distinct content
     * with the smallest doc_id as keeper. */
-  def exact(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  def exact(documents: DataFrame): DataFrame =
+    documents
       .groupBy(sha2(col("text"), 256).as("content_sha"))
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: for each of [[NumHashes]] seeded hash functions, the
-    * minimum xxhash64 over the shingle set. */
-  def minhashSignature(shingles: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      s => array_min(transform(shingles, sh => xxhash64(sh, s))))
+  // ---- exact-dup pre-collapse ----------------------------------------------
 
-  /** MinHash+LSH near-dup clustering: band-bucket candidate join, exact
-    * Jaccard verify at [[JaccardThreshold]], per-doc cluster id = min doc_id
-    * among verified neighbors (single-hop) and self. One output row per
-    * document: (doc_id, cluster_id, n_dups). */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), wordShingles(col("text")).as("sh"))
-    val sig = docs.withColumn("sig", minhashSignature(col("sh")))
-    val rowsPerBand = NumHashes / Bands
-    val bands = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+  /** (doc_id, rep) for every document: rep = min doc_id among identical
+    * contents. Shuffles a 32-char digest per doc, never bodies. */
+  private def docReps(documents: DataFrame): DataFrame = {
+    val shas = documents.select(col("doc_id"), md5(col("text").cast("binary")).as("sha"))
+    val reps = shas.groupBy("sha").agg(min("doc_id").as("rep"))
+    shas.join(reps, "sha").select("doc_id", "rep")
+  }
 
-    val cand = bands.select(col("band"), col("bh"), col("doc_id").as("a"))
-      .join(bands.select(col("band"), col("bh"), col("doc_id").as("b")),
-        Seq("band", "bh"))
+  /** One representative row (doc_id = rep, text) per distinct content. */
+  private def repDocs(documents: DataFrame): DataFrame = {
+    val dr = docReps(documents)
+    documents.join(dr.where(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
+      .select(col("doc_id"), col("text"))
+  }
+
+  /** Map per-representative components back to every copy and attach the
+    * cluster size: (doc_id, cluster_id, n_dups = cluster size - 1). */
+  private def expandClusters(documents: DataFrame, components: DataFrame): DataFrame = {
+    val dr = docReps(documents)
+    val labeled = dr.join(components.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("rep")).as("cluster_id"))
+    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), (col("sz") - 1).as("n_dups"))
+  }
+
+  /** Frequency-capped candidate pairs from banded keys (band, bkey, doc_id):
+    * only buckets holding 2..[[MaxBandBucket]] distinct contents pair up. */
+  private def cappedBandPairs(bands: DataFrame): DataFrame = {
+    val ok = bands.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
+      .where(col("bsz").between(2, MaxBandBucket)).select("band", "bkey")
+    val in2 = bands.join(ok, Seq("band", "bkey"))
+    in2.select(col("band"), col("bkey"), col("doc_id").as("a"))
+      .join(in2.select(col("band"), col("bkey"), col("doc_id").as("b")),
+        Seq("band", "bkey"))
       .where(col("a") < col("b"))
       .select("a", "b").distinct()
+  }
 
-    val verified = verifyJaccard(cand, docs).where(col("jaccard") >= JaccardThreshold)
-    val nbrs = verified.select(col("a").as("doc_id"), col("b").as("nbr"))
-      .unionAll(verified.select(col("b").as("doc_id"), col("a").as("nbr")))
-    val agg = nbrs.groupBy("doc_id")
-      .agg(min("nbr").as("min_nbr"), count(lit(1)).as("n_dups"))
-    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        least(col("doc_id"), coalesce(col("min_nbr"), col("doc_id"))).as("cluster_id"),
-        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+  // ---- MinHash + LSH -------------------------------------------------------
+
+  /** MinHash signature over the portable hash family: sig_i = min over
+    * shingles of (a_i·h32(shingle) mod P + b_i) mod P. */
+  def minhashSignature(shingles: Column): Column = {
+    val hs = transform(shingles, s => h32(s) % P)
+    val aLit = array((0 until NumHashes).map(i => lit(seedA(i))): _*)
+    val bLit = array((0 until NumHashes).map(i => lit(seedB(i))): _*)
+    transform(sequence(lit(0), lit(NumHashes - 1)),
+      i => array_min(transform(hs,
+        h => (element_at(aLit, i + 1) * h + element_at(bLit, i + 1)) % P)))
+  }
+
+  /** 16 banded keys: fold each 8-value slice with seed = band index. */
+  def bandKeys(sig: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)),
+      j => aggregate(slice(sig, j * RowsPerBand + 1, lit(RowsPerBand)),
+        j.cast("long"), (acc, v) => (acc * 31L + v) % P))
+
+  /** MinHash+LSH near-dup clustering, exact-dup pre-collapsed, band-capped,
+    * exact-Jaccard verified, transitively closed. One row per document:
+    * (doc_id, cluster_id, n_dups). */
+  def minhashLsh(documents: DataFrame): DataFrame = {
+    val reps = repDocs(documents)
+      .select(col("doc_id"), wordShingles(col("text")).as("sh"))
+    val bands = reps
+      .select(col("doc_id"), posexplode(bandKeys(minhashSignature(col("sh")))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val cand = cappedBandPairs(bands)
+    val edges = verifyJaccard(cand, reps)
+      .where(col("jaccard") >= JaccardThreshold).select("a", "b")
+    expandClusters(documents, ConnectedComponents.minLabel(edges))
   }
 
   /** Attach both shingle sets to candidate (a, b) pairs and compute exact
@@ -98,16 +183,18 @@ object Dedup {
         (col("inter").cast("double") /
           (size(col("sha")) + size(col("shb")) - col("inter"))).as("jaccard"))
 
-  private val bitIdx = sequence(lit(0), lit(63))
-  private val bitPow = array((0 until 64).map(i => lit(1L << i)): _*)
+  // ---- SimHash -------------------------------------------------------------
 
-  /** 64-bit SimHash over word-token xxhash64s: per bit, sum +1/-1 votes over
-    * tokens; positive vote count sets the bit. Pure higher-order expressions
-    * (fold over token hashes into a 64-counter array). */
+  private val bitIdx = sequence(lit(0), lit(SimhashBits - 1))
+  private val bitPow = array((0 until SimhashBits).map(i => lit(1L << i)): _*)
+
+  /** 32-bit portable SimHash over word tokens (duplicates count, as in the
+    * standard definition): per bit, sum +1/-1 votes over token hashes;
+    * positive vote count sets the bit. */
   def simhash(text: Column): Column = {
-    val hashes = transform(split(text, " "), t => xxhash64(t))
+    val hashes = transform(split(text, " "), t => h32(t))
     val counts = aggregate(hashes,
-      array_repeat(lit(0L), 64),
+      array_repeat(lit(0L), SimhashBits),
       (acc, h) => zip_with(acc, bitIdx, (a, i) =>
         a + when(h.bitwiseAND(element_at(bitPow, i + 1)) =!= 0, 1L).otherwise(-1L)))
     aggregate(
@@ -116,43 +203,40 @@ object Dedup {
       lit(0L), (s, x) => s + x)
   }
 
-  /** SimHash near-dup detection: 4×16-bit band blocking (any pair within
-    * Hamming distance 3 shares at least one of 4 bands), verify with
-    * bit_count(xor) <= [[SimhashHammingMax]]. One row per document:
-    * (doc_id, simhash, cluster_id, n_near). */
-  def simhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+  /** SimHash near-dup detection: 4×8-bit band blocking (a pair within
+    * Hamming distance 3 shares ≥1 band), bucket-capped, verified with
+    * bit_count(xor) ≤ [[SimhashHammingMax]], transitively closed. One row
+    * per document: (doc_id, simhash, cluster_id, n_near). */
+  def simhashDedup(documents: DataFrame): DataFrame = {
+    val reps = repDocs(documents)
       .select(col("doc_id"), simhash(col("text")).as("simhash"))
-    val bands = docs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
-
-    val cand = bands.select(col("band"), col("bv"),
-        col("doc_id").as("a"), col("simhash").as("ha"))
-      .join(bands.select(col("band"), col("bv"),
-        col("doc_id").as("b"), col("simhash").as("hb")), Seq("band", "bv"))
-      .where(col("a") < col("b"))
-      .select("a", "b", "ha", "hb").distinct()
+    val bands = reps.select(col("doc_id"),
+      posexplode(array((0 until SimhashBands).map(j =>
+        shiftright(col("simhash"), 8 * j).bitwiseAND(lit(0xFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val cand = cappedBandPairs(bands)
+    val edges = cand
+      .join(reps.select(col("doc_id").as("a"), col("simhash").as("ha")), "a")
+      .join(reps.select(col("doc_id").as("b"), col("simhash").as("hb")), "b")
       .where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= SimhashHammingMax)
-
-    val nbrs = cand.select(col("a").as("doc_id"), col("b").as("nbr"))
-      .unionAll(cand.select(col("b").as("doc_id"), col("a").as("nbr")))
-    val agg = nbrs.groupBy("doc_id")
-      .agg(min("nbr").as("min_nbr"), count(lit(1)).as("n_near"))
-    docs.join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("simhash"),
-        least(col("doc_id"), coalesce(col("min_nbr"), col("doc_id"))).as("cluster_id"),
-        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .select("a", "b")
+    val clustered = expandClusters(documents, ConnectedComponents.minLabel(edges))
+    val allSim = docReps(documents)
+      .join(reps.withColumnRenamed("doc_id", "rep"), "rep")
+      .select(col("doc_id"), col("simhash"))
+    clustered.join(allSim, "doc_id")
+      .select(col("doc_id"), col("simhash"), col("cluster_id"),
+        col("n_dups").as("n_near"))
   }
+
+  // ---- exact n-gram Jaccard best match (unchanged from round 1) ------------
 
   /** Exact n-gram (word 3-shingle) Jaccard best-match per document:
     * candidates via inverted shingle index (df-capped), exact verify, keep
     * each doc's best match (max jaccard, tiebreak min other id). One row per
-    * document; docs with no candidate pair get nulls. Fully oracle-checkable
-    * (same candidate rule reproduced in DuckDB SQL). */
-  def ngramJaccardBestMatch(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    * document; docs with no candidate pair get nulls. */
+  def ngramJaccardBestMatch(documents: DataFrame): DataFrame = {
+    val docs = documents
       .select(col("doc_id"), wordShingles(col("text")).as("sh"))
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val keep = inv.groupBy("s").agg(count(lit(1)).as("df"))
@@ -176,29 +260,112 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_exact"         -> (exact _),
-    "dedup_minhash_lsh"   -> (minhashLsh _),
-    "dedup_simhash"       -> (simhashDedup _),
-    "dedup_ngram_jaccard" -> (ngramJaccardBestMatch _),
+    "dedup_exact"         -> ((s, d) => exact(Tables.documents(s, d))),
+    "dedup_minhash_lsh"   -> ((s, d) => minhashLsh(Tables.documents(s, d))),
+    "dedup_simhash"       -> ((s, d) => simhashDedup(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardBestMatch(Tables.documents(s, d))),
   )
 
-  /** DuckDB shingle CTEs shared by the jaccard oracle. */
-  private val shingleWith =
-    """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
-      | sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
-      |   THEN list_distinct(list_transform(range(len(t) - 2),
-      |        i -> array_to_string(t[i + 1 : i + 3], ' ')))
-      |   ELSE [text] END AS sh FROM toks)""".stripMargin
+  // ---- DuckDB oracles ------------------------------------------------------
 
-  // MinHash/SimHash signatures depend on Spark's xxhash64, which DuckDB lacks
-  // — those two get the driver's rows-only check (deterministic output).
+  /** DuckDB shingle CTEs over an input relation named `reps`/`documents`. */
+  private def shingleWith(src: String) =
+    s"""toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM $src),
+       | sh AS (SELECT doc_id, CASE WHEN len(t) >= $ShingleSize
+       |   THEN list_distinct(list_transform(range(len(t) - ${ShingleSize - 1}),
+       |        i -> array_to_string(t[i + 1 : i + $ShingleSize], ' ')))
+       |   ELSE [text] END AS sh FROM toks)""".stripMargin
+
+  /** Exact-dup pre-collapse CTEs shared by the minhash/simhash oracles. */
+  private val repsWith =
+    """docs AS (SELECT doc_id, text, md5(text) AS sha FROM documents),
+      | repid AS (SELECT sha, MIN(doc_id) AS rep FROM docs GROUP BY sha),
+      | reps AS (SELECT r.rep AS doc_id, d.text FROM repid r
+      |   JOIN docs d ON d.doc_id = r.rep),
+      | docrep AS (SELECT d.doc_id, r.rep FROM docs d JOIN repid r ON d.sha = r.sha)""".stripMargin
+
+  /** Candidate pairs from banded keys with the bucket cap, closure over the
+    * verified edge relation `edges(a, b)`, and the final expand-to-all-docs
+    * select — shared tail of both fuzzy-dedup oracles. */
+  private val closureTail =
+    s"""und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+       | reach(src, dst) AS (
+       |   SELECT a, b FROM und
+       |   UNION
+       |   SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+       | comp AS (SELECT v.doc_id AS id,
+       |     LEAST(v.doc_id, COALESCE(MIN(r.dst), v.doc_id)) AS component
+       |   FROM reps v LEFT JOIN reach r ON r.src = v.doc_id GROUP BY v.doc_id),
+       | labeled AS (SELECT dr.doc_id, c.component AS cluster_id
+       |   FROM docrep dr JOIN comp c ON dr.rep = c.id),
+       | sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM labeled GROUP BY cluster_id)""".stripMargin
+
+  private def cappedPairsSql(bandsRel: String) =
+    s"""okb AS (SELECT band, bkey FROM $bandsRel GROUP BY band, bkey
+       |   HAVING COUNT(*) BETWEEN 2 AND $MaxBandBucket),
+       | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |   FROM $bandsRel x
+       |   JOIN okb o ON x.band = o.band AND x.bkey = o.bkey
+       |   JOIN $bandsRel y ON y.band = x.band AND y.bkey = x.bkey
+       |   WHERE x.doc_id < y.doc_id)""".stripMargin
+
+  private def seedsValues: String =
+    (0 until NumHashes).map(i => s"(${i}, ${seedA(i)}, ${seedB(i)})").mkString(", ")
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT sha256(text) AS content_sha, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
         | CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY sha256(text)""".stripMargin,
 
+    "dedup_minhash_lsh" ->
+      s"""WITH RECURSIVE $repsWith,
+         | ${shingleWith("reps")},
+         | hsx AS (SELECT doc_id, unnest(list_transform(sh,
+         |     s -> ${h32Sql("s")} % $P)) AS x FROM sh),
+         | seeds(i, a, b) AS (VALUES $seedsValues),
+         | sigl AS (SELECT doc_id, s.i, MIN((s.a * x + s.b) % $P) AS v
+         |   FROM hsx CROSS JOIN seeds s GROUP BY doc_id, s.i),
+         | sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sigl GROUP BY doc_id),
+         | bands AS (SELECT doc_id, j AS band,
+         |     list_reduce(list_prepend(j, list_slice(sig, j*$RowsPerBand + 1,
+         |       j*$RowsPerBand + $RowsPerBand)), (a, b) -> (a*31 + b) % $P) AS bkey
+         |   FROM sig CROSS JOIN range($Bands) t(j)),
+         | ${cappedPairsSql("bands")},
+         | ver AS (SELECT c.a, c.b,
+         |     CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |       (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+         |   FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b),
+         | edges AS (SELECT a, b FROM ver WHERE jaccard >= $JaccardThreshold),
+         | $closureTail
+         | SELECT l.doc_id, l.cluster_id, CAST(s.sz - 1 AS BIGINT) AS n_dups
+         | FROM labeled l JOIN sizes s ON l.cluster_id = s.cluster_id""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH RECURSIVE $repsWith,
+         | tokh AS (SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+         |     s -> ${h32Sql("s")})) AS h FROM reps),
+         | votes AS (SELECT doc_id, i,
+         |     SUM(CASE WHEN (h >> CAST(i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |   FROM tokh CROSS JOIN range($SimhashBits) t(i) GROUP BY doc_id, i),
+         | simh AS (SELECT doc_id,
+         |     CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+         |   FROM votes GROUP BY doc_id),
+         | bands AS (SELECT doc_id, j AS band,
+         |     (simhash >> CAST(8*j AS INTEGER)) & 255 AS bkey
+         |   FROM simh CROSS JOIN range($SimhashBands) t(j)),
+         | ${cappedPairsSql("bands")},
+         | edges AS (SELECT c.a, c.b FROM cand c
+         |   JOIN simh x ON x.doc_id = c.a JOIN simh y ON y.doc_id = c.b
+         |   WHERE bit_count(xor(x.simhash, y.simhash)) <= $SimhashHammingMax),
+         | $closureTail,
+         | allsim AS (SELECT dr.doc_id, s.simhash FROM docrep dr
+         |   JOIN simh s ON s.doc_id = dr.rep)
+         | SELECT l.doc_id, a.simhash, l.cluster_id, CAST(s.sz - 1 AS BIGINT) AS n_near
+         | FROM labeled l JOIN sizes s ON l.cluster_id = s.cluster_id
+         | JOIN allsim a ON a.doc_id = l.doc_id""".stripMargin,
+
     "dedup_ngram_jaccard" ->
-      s"""$shingleWith,
+      s"""WITH ${shingleWith("documents")},
          | inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
          | keep AS (SELECT s FROM inv GROUP BY s HAVING COUNT(*) BETWEEN 2 AND $MaxShingleDf),
          | inv2 AS (SELECT inv.doc_id, inv.s FROM inv JOIN keep ON inv.s = keep.s),

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Dedup semantics on crafted fixtures: transitive clustering, exact-dup
+  * hot-bucket pre-collapse, and the df-cap behavior. */
+class DedupSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    val sp = spark; import sp.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val words = (0 until 30).map(i => s"w$i")
+  private def text(replace: Map[Int, String] = Map.empty): String =
+    words.indices.map(i => replace.getOrElse(i, words(i))).mkString(" ")
+
+  // A ~ B (1 token differs, J=25/31≈0.81) and B ~ C (J≈0.81), but
+  // A vs C differ in 2 far-apart tokens (J=22/34≈0.65 < 0.7):
+  // a true chain — transitive closure must put all three in one cluster.
+  private val chain = Seq(
+    1L -> text(),
+    2L -> text(Map(5 -> "xx")),
+    3L -> text(Map(5 -> "xx", 20 -> "yy")))
+
+  test("minhash LSH clusters a similarity chain transitively (A~B~C, A!~C)") {
+    val out = Dedup.minhashLsh(docsDf(chain)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out(1L) shouldBe ((1L, 2L))
+    out(2L) shouldBe ((1L, 2L))
+    out(3L) shouldBe ((1L, 2L)) // round-1 single-hop would have split C off
+  }
+
+  test("exact-duplicate hot bucket pre-collapses: 200 copies are one LSH vertex") {
+    val copies = (10L until 210L).map(_ -> text())
+    val nearDup = Seq(500L -> text(Map(5 -> "zz")))
+    val unrelated = Seq(900L -> (0 until 30).map(i => s"q$i").mkString(" "))
+    val out = Dedup.minhashLsh(docsDf(copies ++ nearDup ++ unrelated)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out.size shouldBe 202
+    // all copies + the near-dup share cluster 10 (min id), 201 members
+    out(10L) shouldBe ((10L, 200L))
+    out(209L) shouldBe ((10L, 200L))
+    out(500L) shouldBe ((10L, 200L))
+    out(900L) shouldBe ((900L, 0L))
+  }
+
+  test("simhash clusters exact copies and near-identical texts together") {
+    val fixture = Seq(
+      1L -> text(),
+      2L -> text(),                   // exact copy
+      3L -> text(Map(5 -> "xx")),     // 1-token change: few bit flips
+      9L -> (0 until 30).map(i => s"zz$i").mkString(" "))
+    val out = Dedup.simhashDedup(docsDf(fixture)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    out(1L)._1 shouldBe 1L
+    out(2L)._1 shouldBe 1L
+    out(2L)._2 should be >= 1L
+    out(9L) shouldBe ((9L, 0L))
+    // exact copies share the simhash value by construction
+    val sims = Dedup.simhashDedup(docsDf(fixture)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sims(1L) shouldBe sims(2L)
+  }
+
+  test("exact dedup groups identical contents with min-id keeper") {
+    val out = Dedup.exact(docsDf(Seq(5L -> "a b c", 2L -> "a b c", 7L -> "d e f")))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    out shouldBe Map(2L -> 2L, 7L -> 1L)
+  }
+
+  test("ngram best-match respects the shingle df cap (solo shingles pair nothing)") {
+    val out = Dedup.ngramJaccardBestMatch(docsDf(Seq(
+      1L -> text(), 2L -> text(Map(5 -> "xx")),
+      9L -> (0 until 30).map(i => s"zz$i").mkString(" "))))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    out(1L) shouldBe Some(2L)
+    out(2L) shouldBe Some(1L)
+    out(9L) shouldBe None // its shingles appear once: df < 2, no candidates
+  }
+}
