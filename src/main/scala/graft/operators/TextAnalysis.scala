@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table — the LLM-pipeline
+  * family (language ID, quality scoring, token counting, fingerprinting).
+  * No counterpart in the reference; every operator is a pure column
+  * expression pipeline (single scan, no shuffle except the final write),
+  * and every computation is mirrored exactly in DuckDB SQL so all four are
+  * hash-match oracle-checked.
+  *
+  * 100 TB shape: all four are embarrassingly parallel map-only scans —
+  * partition-local, no shuffle, no state; they pipeline into whatever
+  * downstream filter/groupBy consumes the signals.
+  */
+object TextAnalysis {
+
+  /** Portable "BPE-ish" sub-token pattern: alnum runs or single
+    * non-alnum-non-space marks (identical semantics in Java regex and
+    * DuckDB's RE2). */
+  val SubtokenPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Small function-word profiles per language. Membership counting over
+    * lowercase whitespace tokens (duplicates count). Deterministic
+    * preference order on ties: en, de, es, fr, zh. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "is", "in", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "la", "que", "y", "en", "un", "es", "los"),
+    "fr" -> Seq("le", "la", "et", "un", "est", "dans", "que", "les"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "is", "in", "it", "that", "for", "on")
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  private def profileScore(toksCol: Column, words: Seq[String]): Column =
+    size(filter(toksCol, t => t.isin(words: _*)))
+
+  /** Token counting: chars, whitespace tokens, sub-tokens, mean token
+    * length. */
+  def tokenStats(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit(SubtokenPattern), lit(0)))
+        .cast("long").as("n_subtokens"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double") /
+        size(split(col("text"), " "))).as("avg_token_chars"))
+
+  /** Language ID by function-word profile argmax (tie order en<de<es<fr<zh,
+    * all-zero → 'und'). On the synthetic fixture the text is language-less
+    * word salad, so agreement with the `lang` column is not meaningful —
+    * the correctness gate is the exact DuckDB mirror of this computation. */
+  def langId(documents: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val scores = LangProfiles.map { case (l, ws) => l -> profileScore(t, ws) }
+    val m = greatest(scores.map(_._2): _*)
+    val pred = scores.foldLeft(when(m === 0, lit("und"))) {
+      case (acc, (l, s)) => acc.when(s === m, lit(l))
+    }
+    documents.select(
+      col("doc_id"),
+      pred.as("lang_pred"),
+      m.cast("long").as("best_score"))
+  }
+
+  /** Quality signals and a fixed-weight composite score. */
+  def quality(documents: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val nChars = length(col("text"))
+    val nPunct = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", ""))
+    val nTok = size(split(col("text"), " "))
+    val punctRatio = when(nChars === 0, lit(0.0))
+      .otherwise(nPunct.cast("double") / nChars)
+    val stopRatio = when(nTok === 0, lit(0.0))
+      .otherwise(profileScore(t, EnStopwords).cast("double") / nTok)
+    val lenScore = least(nChars.cast("double") / 500.0, lit(1.0))
+    documents.select(
+      col("doc_id"),
+      punctRatio.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"),
+      (stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.3 + lenScore * 0.4)
+        .as("quality_score"))
+  }
+
+  /** Content fingerprints over the portable hash family
+    * ([[Dedup.h32]]): whole-content hash of the whitespace-normalized
+    * lowercase text, plus the minimum shingle hash (MinHash with k=1 — a
+    * reordering-robust set fingerprint). */
+  def fingerprint(documents: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    documents.select(
+      col("doc_id"),
+      Dedup.h32(norm).as("content_fp"),
+      array_min(transform(Dedup.wordShingles(lower(col("text"))),
+        s => Dedup.h32(s))).as("min_shingle_fp"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> ((s, d) => tokenStats(Tables.documents(s, d))),
+    "text_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
+    "text_quality"     -> ((s, d) => quality(Tables.documents(s, d))),
+    "text_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
+  )
+
+  // ---- DuckDB mirrors ------------------------------------------------------
+
+  private def inList(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def scoreSql(l: String, words: Seq[String]) =
+    s"len(list_filter(t, x -> x IN ${inList(words)})) AS s_$l"
+
+  val oracleSql: Map[String, String] = Map(
+    "text_token_stats" ->
+      s"""SELECT doc_id,
+         | CAST(length(text) AS BIGINT) AS n_chars,
+         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         | CAST(len(regexp_extract_all(text, '$SubtokenPattern')) AS BIGINT) AS n_subtokens,
+         | CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+         |   / len(string_split(text, ' ')) AS avg_token_chars
+         | FROM documents""".stripMargin,
+
+    "text_lang_id" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         | sc AS (SELECT doc_id,
+         |   ${LangProfiles.map { case (l, ws) => scoreSql(l, ws) }.mkString(",\n |   ")}
+         |   FROM tk),
+         | mx AS (SELECT *, GREATEST(s_en, s_de, s_es, s_fr, s_zh) AS m FROM sc)
+         | SELECT doc_id,
+         |   CASE WHEN m = 0 THEN 'und'
+         |        WHEN s_en = m THEN 'en' WHEN s_de = m THEN 'de'
+         |        WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr'
+         |        ELSE 'zh' END AS lang_pred,
+         |   CAST(m AS BIGINT) AS best_score
+         | FROM mx""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH b AS (SELECT doc_id,
+         |   length(text) AS n_chars,
+         |   length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct,
+         |   len(string_split(text, ' ')) AS n_tok,
+         |   len(list_filter(string_split(lower(text), ' '),
+         |       x -> x IN ${inList(EnStopwords)})) AS n_stop
+         |  FROM documents),
+         | r AS (SELECT doc_id,
+         |   CASE WHEN n_chars = 0 THEN CAST(0 AS DOUBLE)
+         |        ELSE CAST(n_punct AS DOUBLE) / n_chars END AS punct_ratio,
+         |   CASE WHEN n_tok = 0 THEN CAST(0 AS DOUBLE)
+         |        ELSE CAST(n_stop AS DOUBLE) / n_tok END AS stopword_ratio,
+         |   LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_score
+         |  FROM b)
+         | SELECT doc_id, punct_ratio, stopword_ratio,
+         |   stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.3 + len_score * 0.4
+         |     AS quality_score
+         | FROM r""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH n AS (SELECT doc_id,
+         |   regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm,
+         |   string_split(lower(text), ' ') AS t, lower(text) AS lt
+         |  FROM documents),
+         | sh AS (SELECT doc_id, norm, CASE WHEN len(t) >= ${Dedup.ShingleSize}
+         |   THEN list_distinct(list_transform(range(len(t) - ${Dedup.ShingleSize - 1}),
+         |        i -> array_to_string(t[i + 1 : i + ${Dedup.ShingleSize}], ' ')))
+         |   ELSE [lt] END AS sh FROM n)
+         | SELECT doc_id,
+         |   ('0x' || substring(md5(norm), 1, 8))::BIGINT AS content_fp,
+         |   list_min(list_transform(sh,
+         |     s -> ('0x' || substring(md5(s), 1, 8))::BIGINT)) AS min_shingle_fp
+         | FROM sh""".stripMargin,
+  )
+}

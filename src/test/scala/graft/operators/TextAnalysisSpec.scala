@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val sp = spark; import sp.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("token stats: chars, whitespace tokens, sub-tokens, mean length") {
+    val r = TextAnalysis.tokenStats(docs(1L -> "Hello, world! x2")).collect()(0)
+    r.getLong(1) shouldBe 16L  // chars
+    r.getLong(2) shouldBe 3L   // "Hello,", "world!", "x2"
+    // sub-tokens: Hello , world ! x2 -> 5
+    r.getLong(3) shouldBe 5L
+    r.getDouble(4) shouldBe (14.0 / 3) +- 1e-12
+  }
+
+  test("lang id picks the profile with most function-word hits; tie order; und") {
+    val out = TextAnalysis.langId(docs(
+      1L -> "the cat sat on the mat and it is fine",
+      2L -> "der hund ist nicht mit der katze",
+      3L -> "qqq www eee")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    out(1L)._1 shouldBe "en"
+    out(2L)._1 shouldBe "de"
+    out(3L) shouldBe (("und", 0L))
+  }
+
+  test("quality: ratios and composite are bounded and exact on a known doc") {
+    // "a b!" -> chars 4, punct 1, tokens 2, stopwords 1 ("a")
+    val r = TextAnalysis.quality(docs(1L -> "a b!")).collect()(0)
+    r.getDouble(1) shouldBe 0.25 +- 1e-12
+    r.getDouble(2) shouldBe 0.5 +- 1e-12
+    r.getDouble(3) shouldBe (0.5 * 0.3 + 0.75 * 0.3 + (4.0 / 500) * 0.4) +- 1e-12
+  }
+
+  test("fingerprint: whitespace-insensitive content fp; reorder-robust shingle fp") {
+    val out = TextAnalysis.fingerprint(docs(
+      1L -> "Alpha  beta\tgamma delta epsilon",
+      2L -> "alpha beta gamma delta epsilon",
+      3L -> "totally different words here now")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out(1L)._1 shouldBe out(2L)._1 // normalization collapses case+whitespace
+    out(1L)._1 should not be out(3L)._1
+  }
+}
