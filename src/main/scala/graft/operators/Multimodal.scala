@@ -1,0 +1,114 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** One multimodal record: opaque media bytes + typed metadata. In a real
+  * corpus `payload` holds image/audio/video bytes; the fixture derives it
+  * deterministically from `documents.text` (UTF-8 bytes) so every operator
+  * stays DuckDB-oracle-checkable. */
+case class MultimodalRecord(doc_id: Long, modality: String, payload: Array[Byte])
+
+/** Decoder output: per-record media features. */
+case class DecodedFeatures(doc_id: Long, modality: String, payload_bytes: Long,
+                           width: Int, height: Int, n_frames: Int)
+
+/** Multimodal-column operators: treat media as opaque `binary` columns with
+  * typed metadata, per the large-scale training-pipeline brief.
+  *
+  * The decode step is a STUB — this container has no image/audio codecs —
+  * but the Spark-side plumbing is real and tested: a typed
+  * `Dataset[MultimodalRecord] → Dataset[DecodedFeatures]` stage over
+  * `mapPartitions`, with the decoder instantiated once per partition (the
+  * slot where a JNI/FFmpeg/codec handle lives in production; the Scala
+  * analog of `mapInPandas` batch processing). [[FakeDecoder]] derives
+  * features arithmetically from the payload bytes, so the whole pipeline is
+  * deterministic and the oracle reproduces it from the source text.
+  *
+  * 100 TB shape: both operators are partition-local map-only scans over the
+  * binary column — no shuffle; decode parallelism scales with input
+  * partitions, and the binary bytes never leave the executor that read
+  * them. */
+object Multimodal {
+
+  val Modalities: Seq[String] = Seq("image", "audio", "video")
+
+  /** Deterministic stand-in decoder. Per-record features derive from the
+    * md5 of the payload bytes — i.e. content-determined, like real
+    * dimensions, but computable by the oracle. A production decoder
+    * replaces `decode` only; the pipeline shape stays. */
+  final class FakeDecoder {
+    private val md = MessageDigest.getInstance("MD5") // per-partition handle
+    def decode(r: MultimodalRecord): DecodedFeatures = {
+      md.reset()
+      val hex = md.digest(r.payload).take(4).map(b => f"${b & 0xff}%02x").mkString
+      val h = java.lang.Long.parseLong(hex, 16)
+      DecodedFeatures(r.doc_id, r.modality, r.payload.length.toLong,
+        (h % 1920 + 1).toInt, (h % 1080 + 1).toInt,
+        r.payload.length / 100 + 1)
+    }
+  }
+
+  /** The multimodal view of `documents`: deterministic modality tag +
+    * UTF-8 payload bytes. */
+  def records(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      element_at(array(Modalities.map(lit): _*),
+        pmod(col("doc_id"), lit(3)).cast("int") + 1).as("modality"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** Pure column-expression stats over the binary payload: byte length,
+    * content digest, magic-byte prefix. */
+  def binaryStats(documents: DataFrame): DataFrame =
+    records(documents).select(
+      col("doc_id"), col("modality"),
+      length(col("payload")).cast("long").as("payload_bytes"),
+      sha2(col("payload"), 256).as("payload_sha"),
+      substring(hex(col("payload")), 1, 8).as("magic_hex"))
+
+  /** The typed decode stage: batch-shaped partition iteration, one decoder
+    * instance per partition. */
+  def decodeFeatures(ds: Dataset[MultimodalRecord]): Dataset[DecodedFeatures] =
+    ds.mapPartitions { it =>
+      val decoder = new FakeDecoder
+      it.map(decoder.decode)
+    }(Encoders.product[DecodedFeatures])
+
+  def recordsDs(documents: DataFrame): Dataset[MultimodalRecord] =
+    records(documents).as[MultimodalRecord](Encoders.product[MultimodalRecord])
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_stats" ->
+      ((s, d) => binaryStats(Tables.documents(s, d))),
+    "mm_decode_features" ->
+      ((s, d) => decodeFeatures(recordsDs(Tables.documents(s, d))).toDF()),
+  )
+
+  private val modalityCase =
+    "CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+  val oracleSql: Map[String, String] = Map(
+    "mm_binary_stats" ->
+      s"""SELECT doc_id, $modalityCase AS modality,
+         | CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+         | sha256(text) AS payload_sha,
+         | substring(hex(encode(text)), 1, 8) AS magic_hex
+         | FROM documents""".stripMargin,
+
+    "mm_decode_features" ->
+      s"""WITH h AS (SELECT doc_id,
+         |   ('0x' || substring(md5(text), 1, 8))::BIGINT AS h,
+         |   octet_length(encode(text)) AS nb FROM documents)
+         | SELECT doc_id, $modalityCase AS modality,
+         |  CAST(nb AS BIGINT) AS payload_bytes,
+         |  CAST(h % 1920 + 1 AS INTEGER) AS width,
+         |  CAST(h % 1080 + 1 AS INTEGER) AS height,
+         |  CAST(nb // 100 + 1 AS INTEGER) AS n_frames
+         | FROM h""".stripMargin,
+  )
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val sp = spark; import sp.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("binary stats: byte length, sha256, magic bytes of the payload") {
+    val r = Multimodal.binaryStats(docs(3L -> "abc")).collect()(0)
+    r.getString(1) shouldBe "image" // 3 % 3 = 0
+    r.getLong(2) shouldBe 3L
+    // sha256("abc") is a known vector
+    r.getString(3) shouldBe
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+    r.getString(4) shouldBe "616263" // 'a''b''c' in hex, only 3 bytes
+  }
+
+  test("decode stage runs per-partition and is content-deterministic") {
+    val input = docs(1L -> "hello world spark", 2L -> "hello world spark",
+      4L -> "something else entirely")
+    val out = Multimodal.decodeFeatures(
+      Multimodal.recordsDs(input.repartition(3))).collect()
+      .map(f => f.doc_id -> f).toMap
+    out.size shouldBe 3
+    // identical payloads decode identically, across partitions
+    (out(1L).width, out(1L).height, out(1L).n_frames) shouldBe
+      ((out(2L).width, out(2L).height, out(2L).n_frames))
+    out(1L).payload_bytes shouldBe 17L
+    out(1L).n_frames shouldBe 1
+    out(1L).width should (be >= 1 and be <= 1920)
+    out(1L).height should (be >= 1 and be <= 1080)
+    // different payload -> different features (content-determined)
+    (out(4L).width == out(1L).width && out(4L).height == out(1L).height) shouldBe false
+  }
+
+  test("modalities cycle deterministically by doc_id") {
+    val out = Multimodal.records(docs(0L -> "x", 1L -> "x", 2L -> "x")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out shouldBe Map(0L -> "image", 1L -> "audio", 2L -> "video")
+  }
+}
