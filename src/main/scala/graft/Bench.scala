@@ -31,7 +31,11 @@ object Bench {
     def runOnce(fn: (SparkSession, String) => DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // optional comma-separated filter for focused iteration, e.g.
+    // SPARK_GRAFT_ONLY=dedup_minhash_lsh
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     var errors = Vector.empty[String]
     names.foreach { n =>
       try runOnce(SparkEntry.queries(n))

@@ -56,6 +56,13 @@ object Dedup {
   /** LSH band buckets with more than this many distinct contents generate
     * no candidate pairs (band-join skew guard; VERDICT r1). */
   val MaxBandBucket = 64
+  /** Signature-agreement pre-filter: candidates whose MinHash signatures
+    * agree on fewer than this many of the 128 positions skip the exact
+    * verify (77/128 ≈ 0.60, ~2.5σ below the 0.7 threshold with 128
+    * hashes). Deterministic — both engines compute identical signatures —
+    * and it keeps the expensive shingle-set intersection off the
+    * medium-similarity candidate mass. */
+  val MinSigMatches = 77
 
   /** 2^31-1: the universal-hash modulus (fits 64-bit signed arithmetic:
     * a·h < 2^62). */
@@ -140,10 +147,15 @@ object Dedup {
 
   // ---- MinHash + LSH -------------------------------------------------------
 
-  /** MinHash signature over the portable hash family: sig_i = min over
-    * shingles of (a_i·h32(shingle) mod P + b_i) mod P. */
-  def minhashSignature(shingles: Column): Column = {
-    val hs = transform(shingles, s => h32(s) % P)
+  /** MinHash signature over PRE-HASHED shingles: sig_i = min over hs of
+    * (a_i·h + b_i) mod P.
+    *
+    * The base md5 hashes MUST be materialized before this expression (see
+    * [[minhashLsh]]): if the `h32` calls are inlined into the seed lambda
+    * (which CollapseProject happily does to a same-stage alias), the
+    * expression tree re-evaluates every shingle's md5 once per seed — a
+    * 128× blowup that took the sf0.1 bench from ~4s to 500s. */
+  def minhashSignature(hs: Column): Column = {
     val aLit = array((0 until NumHashes).map(i => lit(seedA(i))): _*)
     val bLit = array((0 until NumHashes).map(i => lit(seedB(i))): _*)
     transform(sequence(lit(0), lit(NumHashes - 1)),
@@ -161,13 +173,32 @@ object Dedup {
     * exact-Jaccard verified, transitively closed. One row per document:
     * (doc_id, cluster_id, n_dups). */
   def minhashLsh(documents: DataFrame): DataFrame = {
-    val reps = repDocs(documents)
+    // Materialization barriers (localCheckpoint) are deliberate stage
+    // boundaries, not caching sugar: (1) the md5 base hashes must not be
+    // inlined into the 128-seed signature lambda (128× re-evaluation);
+    // (2) the bands relation feeds three consumers in cappedBandPairs.
+    // Spark MLlib's MinHashLSH materializes its model stage the same way.
+    val hashed = repDocs(documents)
       .select(col("doc_id"), wordShingles(col("text")).as("sh"))
-    val bands = reps
-      .select(col("doc_id"), posexplode(bandKeys(minhashSignature(col("sh")))))
+      .withColumn("hs", transform(col("sh"), s => h32(s) % P))
+      .localCheckpoint(true)
+    val withSig = hashed
+      .select(col("doc_id"), col("sh"), minhashSignature(col("hs")).as("sig"))
+      .localCheckpoint(true)
+    val bands = withSig
+      .select(col("doc_id"), posexplode(bandKeys(col("sig"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      .localCheckpoint(true)
     val cand = cappedBandPairs(bands)
-    val edges = verifyJaccard(cand, reps)
+    // cheap signature-agreement estimate first, exact verify on survivors
+    val est = cand
+      .join(withSig.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
+      .join(withSig.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
+      .where(aggregate(zip_with(col("siga"), col("sigb"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v) >= MinSigMatches)
+      .select("a", "b")
+    val edges = verifyJaccard(est, withSig)
       .where(col("jaccard") >= JaccardThreshold).select("a", "b")
     expandClusters(documents, ConnectedComponents.minLabel(edges))
   }
@@ -208,8 +239,11 @@ object Dedup {
     * bit_count(xor) ≤ [[SimhashHammingMax]], transitively closed. One row
     * per document: (doc_id, simhash, cluster_id, n_near). */
   def simhashDedup(documents: DataFrame): DataFrame = {
+    // materialized once: the simhash fold feeds the band join (3 consumers)
+    // and both sides of the Hamming verify
     val reps = repDocs(documents)
       .select(col("doc_id"), simhash(col("text")).as("simhash"))
+      .localCheckpoint(true)
     val bands = reps.select(col("doc_id"),
       posexplode(array((0 until SimhashBands).map(j =>
         shiftright(col("simhash"), 8 * j).bitwiseAND(lit(0xFFL))): _*)))
@@ -331,10 +365,14 @@ object Dedup {
          |       j*$RowsPerBand + $RowsPerBand)), (a, b) -> (a*31 + b) % $P) AS bkey
          |   FROM sig CROSS JOIN range($Bands) t(j)),
          | ${cappedPairsSql("bands")},
+         | est AS (SELECT c.a, c.b FROM cand c
+         |   JOIN sig x ON x.doc_id = c.a JOIN sig y ON y.doc_id = c.b
+         |   WHERE len(list_filter(range(${NumHashes}),
+         |     i -> x.sig[i + 1] = y.sig[i + 1])) >= $MinSigMatches),
          | ver AS (SELECT c.a, c.b,
          |     CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
          |       (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
-         |   FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b),
+         |   FROM est c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b),
          | edges AS (SELECT a, b FROM ver WHERE jaccard >= $JaccardThreshold),
          | $closureTail
          | SELECT l.doc_id, l.cluster_id, CAST(s.sz - 1 AS BIGINT) AS n_dups
