@@ -368,7 +368,14 @@ final class TransitStreamingJob(spark: SparkSession, routes: DataFrame, trips: D
       .queryName("windowed_counts")
       .foreachBatch(processWindowBatch _)
       .start()
-    val union = taggedUnion.writeStream.outputMode("append")
+    // observe() is the reference's peek()/debug-tap analog (SURVEY §2.2):
+    // per-trigger input metrics surfaced through StreamingQueryProgress
+    // instead of side-effect printlns
+    val union = taggedUnion
+      .observe("graft_input",
+        count(lit(1)).as("events"),
+        count(col("route_id")).as("keyed_events"))
+      .writeStream.outputMode("append")
       .option("checkpointLocation", s"$checkpointRoot/union")
       .queryName("union_runner")
       .foreachBatch(processUnionBatch _)
