@@ -84,6 +84,16 @@ object Dedup {
 
   private val h32Sql = (s: String) => s"('0x' || substring(md5($s), 1, 8))::BIGINT"
 
+  /** Distinct hashed word k-shingles: the Jaccard domain for every fuzzy
+    * operator. Hashing the shingles to int64 before any join/intersect
+    * keeps the shuffles and set-intersections on fixed-width longs instead
+    * of strings — the standard large-scale dedup shape (hash collisions
+    * merely merge two shingles; with |shingles| ≪ 2^31 per doc the effect
+    * on Jaccard is negligible and, being deterministic, it is mirrored
+    * exactly by the oracle). */
+  def hashedShingles(text: Column): Column =
+    array_distinct(transform(wordShingles(text), s => h32(s) % P))
+
   /** Distinct word k-shingles; docs shorter than k fall back to the whole
     * text as a single shingle. */
   def wordShingles(text: Column): Column = {
@@ -179,11 +189,10 @@ object Dedup {
     // (2) the bands relation feeds three consumers in cappedBandPairs.
     // Spark MLlib's MinHashLSH materializes its model stage the same way.
     val hashed = repDocs(documents)
-      .select(col("doc_id"), wordShingles(col("text")).as("sh"))
-      .withColumn("hs", transform(col("sh"), s => h32(s) % P))
+      .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
       .localCheckpoint(true)
     val withSig = hashed
-      .select(col("doc_id"), col("sh"), minhashSignature(col("hs")).as("sig"))
+      .select(col("doc_id"), col("sh"), minhashSignature(col("sh")).as("sig"))
       .localCheckpoint(true)
     val bands = withSig
       .select(col("doc_id"), posexplode(bandKeys(col("sig"))))
@@ -271,7 +280,8 @@ object Dedup {
     * document; docs with no candidate pair get nulls. */
   def ngramJaccardBestMatch(documents: DataFrame): DataFrame = {
     val docs = documents
-      .select(col("doc_id"), wordShingles(col("text")).as("sh"))
+      .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
+      .localCheckpoint(true)
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val keep = inv.groupBy("s").agg(count(lit(1)).as("df"))
       .where(col("df").between(2, MaxShingleDf)).select("s")
@@ -354,8 +364,9 @@ object Dedup {
     "dedup_minhash_lsh" ->
       s"""WITH RECURSIVE $repsWith,
          | ${shingleWith("reps")},
-         | hsx AS (SELECT doc_id, unnest(list_transform(sh,
-         |     s -> ${h32Sql("s")} % $P)) AS x FROM sh),
+         | hsd AS (SELECT doc_id, list_distinct(list_transform(sh,
+         |     s -> ${h32Sql("s")} % $P)) AS sh FROM sh),
+         | hsx AS (SELECT doc_id, unnest(sh) AS x FROM hsd),
          | seeds(i, a, b) AS (VALUES $seedsValues),
          | sigl AS (SELECT doc_id, s.i, MIN((s.a * x + s.b) % $P) AS v
          |   FROM hsx CROSS JOIN seeds s GROUP BY doc_id, s.i),
@@ -372,7 +383,7 @@ object Dedup {
          | ver AS (SELECT c.a, c.b,
          |     CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
          |       (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
-         |   FROM est c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b),
+         |   FROM est c JOIN hsd sa ON sa.doc_id = c.a JOIN hsd sb ON sb.doc_id = c.b),
          | edges AS (SELECT a, b FROM ver WHERE jaccard >= $JaccardThreshold),
          | $closureTail
          | SELECT l.doc_id, l.cluster_id, CAST(s.sz - 1 AS BIGINT) AS n_dups
@@ -404,7 +415,9 @@ object Dedup {
 
     "dedup_ngram_jaccard" ->
       s"""WITH ${shingleWith("documents")},
-         | inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         | hsd AS (SELECT doc_id, list_distinct(list_transform(sh,
+         |     s -> ${h32Sql("s")} % $P)) AS sh FROM sh),
+         | inv AS (SELECT doc_id, unnest(sh) AS s FROM hsd),
          | keep AS (SELECT s FROM inv GROUP BY s HAVING COUNT(*) BETWEEN 2 AND $MaxShingleDf),
          | inv2 AS (SELECT inv.doc_id, inv.s FROM inv JOIN keep ON inv.s = keep.s),
          | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
@@ -412,7 +425,7 @@ object Dedup {
          | ver AS (SELECT c.a, c.b,
          |   CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
          |     (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
-         |   FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b),
+         |   FROM cand c JOIN hsd sa ON sa.doc_id = c.a JOIN hsd sb ON sb.doc_id = c.b),
          | nbrs AS (SELECT a AS doc_id, b AS other, jaccard FROM ver
          |   UNION ALL SELECT b, a, jaccard FROM ver),
          | best AS (SELECT doc_id, other, jaccard FROM (
