@@ -14,11 +14,17 @@ import org.apache.spark.sql.DataFrame
 object EnvelopeTransformer {
 
   /** Raw route-JSON `value` column → (key = routeId, value = Connect
-    * envelope). */
+    * envelope). Wire parity with `KafkaSchemaTransformer.java:45-66`
+    * (ADVICE r2): camelCase field names, schema name `Route`, and the key
+    * field kept in the payload (the reference passes `record.value()`
+    * verbatim). */
   def routes(raw: DataFrame): DataFrame =
-    Envelope.wrap(Decode.routes(raw).drop("ts"), "route_id", "routes")
+    Envelope.wrap(Decode.routes(raw).drop("ts"), "route_id", Some("Route"),
+      keepKeyInPayload = true, rename = Decode.viewToWire)
 
-  /** Same pass for trips. */
+  /** Same pass for trips (no counterpart in the reference — its transformer
+    * handles `Routes_topic` only; schema name `Trip` by symmetry). */
   def trips(raw: DataFrame): DataFrame =
-    Envelope.wrap(Decode.trips(raw).drop("ts"), "trip_id", "trips")
+    Envelope.wrap(Decode.trips(raw).drop("ts"), "trip_id", Some("Trip"),
+      keepKeyInPayload = true, rename = Decode.viewToWire)
 }

@@ -66,11 +66,15 @@ object Decode {
     StructField("transportType", StringType),
     StructField("passengerName", StringType)))
 
-  private val wireToView: Map[String, String] = Map(
+  private[engine] val wireToView: Map[String, String] = Map(
     "routeId" -> "route_id", "tripId" -> "trip_id",
     "transportType" -> "transport_type", "passengerName" -> "passenger_name",
     "origin" -> "origin", "destination" -> "destination",
     "capacity" -> "capacity", "operator" -> "operator")
+
+  /** View-name → wire-name (snake_case → the reference's camelCase), for
+    * re-encoding view frames back to the wire (`Envelope.wrap(rename = ...)`). */
+  val viewToWire: Map[String, String] = wireToView.map(_.swap)
 
   private def decode(df: DataFrame, schema: StructType): DataFrame = {
     val parsed = df.withColumn("_j", from_json(col("value").cast("string"), schema))

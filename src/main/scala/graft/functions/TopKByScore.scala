@@ -26,9 +26,12 @@ class TopKByScore(k: Int)
       (x.cosine_sim == y.cosine_sim && x.neighbor_id < y.neighbor_id)
 
   /** Insert into a best-first sorted buffer, trimmed to k (k is small;
-    * linear insertion beats heap constant-factors here). */
+    * linear insertion beats heap constant-factors here). A full buffer
+    * rejects anything that does not strictly beat its last element —
+    * including exact ties with it (ADVICE r2: a tie used to slip past the
+    * guard, find no insertion slot, and grow the buffer to k+1). */
   private def insert(buf: Seq[ScoredNeighbor], x: ScoredNeighbor): Seq[ScoredNeighbor] = {
-    if (buf.size >= k && beats(buf.last, x)) buf
+    if (buf.size >= k && !beats(x, buf.last)) buf
     else {
       val idx = buf.indexWhere(b => beats(x, b)) match {
         case -1 => buf.size

@@ -210,12 +210,16 @@ final class TransitStreamingJob(spark: SparkSession, routes: DataFrame, trips: D
     val touchedRoutes = r.select("route_id").unionByName(tR.select("route_id"))
       .where(col("route_id").isNotNull).distinct()
 
-    // q4: occupancy for touched routes only, upserted on route_id
+    // q4: occupancy for touched routes only, upserted on (route_id,
+    // transport_type) — the batch routeOccupancy grain (ADVICE r2: a route
+    // re-emitted under a different type keeps BOTH occupancy rows in batch
+    // q4; keying on route_id alone made the winner a nondeterministic
+    // equal-_gen max_by tiebreak)
     val occUpd = capPerRouteType.get.join(broadcast(touchedRoutes), Seq("route_id"))
       .join(cntPerRoute.get, Seq("route_id"), "left")
       .select(col("route_id"), col("transport_type"),
         TransitQueries.occupancyPct(col("cnt"), col("cap")).as("occupancy_pct"))
-    store.upsert("route_occupancy", occUpd, Seq("route_id"))
+    store.upsert("route_occupancy", occUpd, Seq("route_id", "transport_type"))
     store.put("q4_occupancy_per_route",
       store("route_occupancy").select("route_id", "occupancy_pct"))
 

@@ -18,24 +18,43 @@ class EnvelopeSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy Envelope.wireType(TimestampType)
   }
 
-  test("wrap emits {schema,payload} with the declared field list and key") {
+  test("per-query wrap: {schema,payload}, key excluded, no name/optional tags") {
     val sp = spark; import sp.implicits._
     val df = Seq(("r1", 100L, 4.5)).toDF("route_id", "total", "pct")
-    val out = Envelope.wrap(df, "route_id", "capacity").collect()
+    val out = Envelope.wrap(df, "route_id").collect()
     out.length shouldBe 1
     out(0).getString(0) shouldBe "r1"
     val v = out(0).getString(1)
+    // AvailableSeatsPerRoute.java:47-55 — per-query schemas carry type+fields
+    // only, and the payload excludes the record key
     v should startWith ("""{"schema":{"type":"struct","fields":[""")
     v should include ("""{"field":"total","type":"int64"}""")
     v should include ("""{"field":"pct","type":"double"}""")
-    v should include (""""name":"capacity"""")
+    (v should not).include(""""name":""")
+    (v should not).include(""""optional":""")
     v should include (""""payload":{"total":100,"pct":4.5}""")
+  }
+
+  test("transformer wrap: camelCase wire names, name tag, key kept in payload") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(("r1", "Bus", 42)).toDF("route_id", "transport_type", "capacity")
+    // KafkaSchemaTransformer.java:45-66 (ADVICE r2): schema is named Route
+    // with optional:false, fields use the wire's camelCase, and the payload
+    // is the record value verbatim — routeId included
+    val v = Envelope.wrap(df, "route_id", Some("Route"),
+      keepKeyInPayload = true, rename = Decode.viewToWire).collect()(0).getString(1)
+    v should include (""""optional":false,"name":"Route"""")
+    v should include ("""{"field":"routeId","type":"string"}""")
+    v should include ("""{"field":"transportType","type":"string"}""")
+    v should include ("""{"field":"capacity","type":"int32"}""")
+    v should include (""""payload":{"routeId":"r1","transportType":"Bus","capacity":42}""")
+    (v should not).include("route_id")
   }
 
   test("unwrap round-trips wrap and exposes the declared wire tags") {
     val sp = spark; import sp.implicits._
     val df = Seq(("r1", 100L, 4.5), ("r2", 7L, 0.0)).toDF("route_id", "total", "pct")
-    val wrapped = Envelope.wrap(df, "route_id", "capacity")
+    val wrapped = Envelope.wrap(df, "route_id")
     val payload = StructType(Seq(
       StructField("total", LongType), StructField("pct", DoubleType)))
     val back = Envelope.unwrap(wrapped, payload)

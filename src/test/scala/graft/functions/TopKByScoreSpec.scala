@@ -42,6 +42,18 @@ class TopKByScoreSpec extends SparkSpec {
     out.toSet shouldBe Set((20L, 1), (10L, 2))
   }
 
+  test("duplicate of the buffer's last element never grows a full buffer past k") {
+    val sp = spark; import sp.implicits._
+    // ADVICE r2: with a full buffer, a row exactly equal to buf.last used to
+    // find no insertion slot and emit a rank-(k+1) row
+    val scored = Seq((1L, 1L, 0.9), (1L, 2L, 0.5), (1L, 2L, 0.5), (1L, 3L, 0.5))
+      .toDF("query_id", "neighbor_id", "cosine_sim").coalesce(1)
+    val out = TopKByScore.perGroup(scored, 2).collect()
+    out.length shouldBe 2
+    out.map(_.getInt(2)).max shouldBe 2
+    out.map(r => (r.getLong(1), r.getInt(2))).toSet shouldBe Set((1L, 1), (2L, 2))
+  }
+
   test("aggregation plan is a partial/final ObjectHashAggregate, not a window sort") {
     val sp = spark; import sp.implicits._
     val scored = Seq((1L, 10L, 0.5)).toDF("query_id", "neighbor_id", "cosine_sim")

@@ -20,6 +20,17 @@ class TextAnalysisSpec extends SparkSpec {
     r.getDouble(4) shouldBe (14.0 / 3) +- 1e-12
   }
 
+  test("split keeps trailing/leading empty tokens, matching DuckDB string_split") {
+    // ADVICE r2 flagged a potential parity break on trailing whitespace.
+    // Spark 4's split(col, pattern) defaults to limit -1, which KEEPS
+    // trailing empties — the same as DuckDB's string_split('a b ', ' ') =
+    // ['a','b','']. This test pins the engine behavior the oracles rely on.
+    val out = TextAnalysis.tokenStats(docs(
+      1L -> "a b ", 2L -> " a b", 3L -> "a  b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L)
+  }
+
   test("lang id picks the profile with most function-word hits; tie order; und") {
     val out = TextAnalysis.langId(docs(
       1L -> "the cat sat on the mat and it is fine",

@@ -48,6 +48,36 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a batch with duplicate keys across partitions writes exactly one row per key") {
+    val sp = spark; import sp.implicits._
+    // ADVICE r2: same key in two partitions used to insert twice (separate
+    // transactions), with a nondeterministic survivor; writeBatch now
+    // compacts to one row per key (max payload wins) before writing
+    val df = Seq(("r1", 10L), ("r1", 30L), ("r1", 20L), ("r2", 5L))
+      .toDF("route_id", "total_capacity").repartition(4)
+    val sink = new JdbcUpsertSink(url, "q1_seats_dup", Seq("route_id"), df.schema)
+    sink.ensureTable()
+    sink.writeBatch(df, 0L)
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "q1_seats_dup").load()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    back shouldBe Map("r1" -> 30L, "r2" -> 5L)
+  }
+
+  test("auto-created table carries a PRIMARY KEY on the key columns") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(("r1", 1L)).toDF("route_id", "total_capacity")
+    val sink = new JdbcUpsertSink(url, "q1_seats_pk", Seq("route_id"), df.schema)
+    sink.ensureTable()
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getPrimaryKeys(null, null, "Q1_SEATS_PK")
+      val pkCols = Iterator.continually(rs).takeWhile(_.next())
+        .map(_.getString("COLUMN_NAME")).toSet
+      pkCols shouldBe Set("ROUTE_ID")
+    } finally conn.close()
+  }
+
   test("re-running a batch is idempotent (delete+insert per key)") {
     val sp = spark; import sp.implicits._
     val df = Seq(("r9", 7L)).toDF("route_id", "total_capacity")

@@ -101,7 +101,7 @@ class StreamingSemanticsSpec extends SparkSpec {
       routesIn.addData(Route("r1", "a", "b", "Bus", 100, "OpA", ts("2024-01-01 09:00:00")))
       processAll(queries)
       val wrapped = graft.engine.Envelope
-        .wrap(job.store("q1_seats_per_route"), "route_id", "q1").collect()
+        .wrap(job.store("q1_seats_per_route"), "route_id").collect()
       wrapped.length shouldBe 1
       wrapped(0).getString(0) shouldBe "r1"
       wrapped(0).getString(1) should include ("""{"field":"total_capacity","type":"int64"}""")
