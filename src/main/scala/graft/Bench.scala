@@ -24,6 +24,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // keep the 128-column MinHash signature aggregate inside whole-stage
+      // codegen (default maxFields=100 would drop that stage to the
+      // interpreted path)
+      .config("spark.sql.codegen.maxFields", "200")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -34,11 +34,13 @@ import graft.sources.Tables
   *     label ([[ConnectedComponents.minLabel]]), not the round-1 single-hop
   *     min-neighbor; the oracle reproduces it with a recursive CTE.
   *
-  * All column-level math is `org.apache.spark.sql.functions` higher-order
-  * expressions — no UDFs. (Higher-order array expressions are
-  * CodegenFallback in Spark; they are still Tungsten-friendly single-pass
-  * array folds, and the heavy lifting — joins, aggregations — is fully
-  * codegen'd.)
+  * All column-level math is `org.apache.spark.sql.functions` expressions —
+  * no UDFs. The hot per-row loops (MinHash signatures, SimHash votes) are
+  * explode + wide hash aggregates so they stay in codegen'd column
+  * arithmetic; higher-order array folds (CodegenFallback: interpreted)
+  * survive only where they touch candidate pairs, not the whole corpus
+  * (round-3 rework — the round-2 bench spent 125 of 142 s in single-
+  * partition interpreted folds).
   */
 object Dedup {
 
@@ -123,11 +125,14 @@ object Dedup {
     shas.join(reps, "sha").select("doc_id", "rep")
   }
 
-  /** One representative row (doc_id = rep, text) per distinct content. */
+  /** One representative row (doc_id = rep, text) per distinct content,
+    * spread to full parallelism — everything downstream is the CPU-heavy
+    * shingle/signature math ([[Tables.spread]]). */
   private def repDocs(documents: DataFrame): DataFrame = {
     val dr = docReps(documents)
-    documents.join(dr.where(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
-      .select(col("doc_id"), col("text"))
+    Tables.spread(
+      documents.join(dr.where(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
+        .select(col("doc_id"), col("text")))
   }
 
   /** Map per-representative components back to every copy and attach the
@@ -157,20 +162,26 @@ object Dedup {
 
   // ---- MinHash + LSH -------------------------------------------------------
 
-  /** MinHash signature over PRE-HASHED shingles: sig_i = min over hs of
-    * (a_i·h + b_i) mod P.
+  /** MinHash signatures for a (doc_id, sh) frame: sig_i = min over sh of
+    * (a_i·h + b_i) mod P, i in [0, [[NumHashes]]).
     *
-    * The base md5 hashes MUST be materialized before this expression (see
-    * [[minhashLsh]]): if the `h32` calls are inlined into the seed lambda
-    * (which CollapseProject happily does to a same-stage alias), the
-    * expression tree re-evaluates every shingle's md5 once per seed — a
-    * 128× blowup that took the sf0.1 bench from ~4s to 500s. */
-  def minhashSignature(hs: Column): Column = {
-    val aLit = array((0 until NumHashes).map(i => lit(seedA(i))): _*)
-    val bLit = array((0 until NumHashes).map(i => lit(seedB(i))): _*)
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      i => array_min(transform(hs,
-        h => (element_at(aLit, i + 1) * h + element_at(bLit, i + 1)) % P)))
+    * Shape: explode the pre-hashed shingles and run ONE hash aggregate with
+    * 128 `min` columns — every multiply-add-mod-min is plain codegen'd
+    * column arithmetic (a higher-order `transform`/`array_min` fold is
+    * CodegenFallback: interpreted, allocating an array per shingle×seed —
+    * the round-2 bench spent 89 of 142 s there). Map-side partial
+    * aggregation collapses each doc to a single 128-value row per input
+    * partition before the exchange, so the shuffle carries O(docs) rows, not
+    * O(docs × shingles) — the same plan MLlib's MinHashLSH avoids by
+    * UDF-ing, here kept declarative. The DuckDB oracle computes the same
+    * min-per-seed via unnest + GROUP BY. */
+  def minhashSignatures(hashed: DataFrame): DataFrame = {
+    val ex = hashed.select(col("doc_id"), explode(col("sh")).as("h"))
+    val aggs = (0 until NumHashes).map(i =>
+      min((lit(seedA(i)) * col("h") + lit(seedB(i))) % P).as(s"_s$i"))
+    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"_s$i")): _*).as("sig"))
   }
 
   /** 16 banded keys: fold each 8-value slice with seed = band index. */
@@ -184,15 +195,15 @@ object Dedup {
     * (doc_id, cluster_id, n_dups). */
   def minhashLsh(documents: DataFrame): DataFrame = {
     // Materialization barriers (localCheckpoint) are deliberate stage
-    // boundaries, not caching sugar: (1) the md5 base hashes must not be
-    // inlined into the 128-seed signature lambda (128× re-evaluation);
-    // (2) the bands relation feeds three consumers in cappedBandPairs.
-    // Spark MLlib's MinHashLSH materializes its model stage the same way.
+    // boundaries, not caching sugar: hashed/withSig/bands each feed
+    // multiple consumers (signature agg + both verify sides; the bands
+    // relation feeds three consumers in cappedBandPairs). Spark MLlib's
+    // MinHashLSH materializes its model stage the same way.
     val hashed = repDocs(documents)
       .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
       .localCheckpoint(true)
     val withSig = hashed
-      .select(col("doc_id"), col("sh"), minhashSignature(col("sh")).as("sig"))
+      .join(minhashSignatures(hashed), "doc_id")
       .localCheckpoint(true)
     val bands = withSig
       .select(col("doc_id"), posexplode(bandKeys(col("sig"))))
@@ -225,22 +236,24 @@ object Dedup {
 
   // ---- SimHash -------------------------------------------------------------
 
-  private val bitIdx = sequence(lit(0), lit(SimhashBits - 1))
-  private val bitPow = array((0 until SimhashBits).map(i => lit(1L << i)): _*)
-
-  /** 32-bit portable SimHash over word tokens (duplicates count, as in the
-    * standard definition): per bit, sum +1/-1 votes over token hashes;
-    * positive vote count sets the bit. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(split(text, " "), t => h32(t))
-    val counts = aggregate(hashes,
-      array_repeat(lit(0L), SimhashBits),
-      (acc, h) => zip_with(acc, bitIdx, (a, i) =>
-        a + when(h.bitwiseAND(element_at(bitPow, i + 1)) =!= 0, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(counts, bitIdx, (c, i) =>
-        when(c > 0, element_at(bitPow, i + 1)).otherwise(0L)),
-      lit(0L), (s, x) => s + x)
+  /** 32-bit portable SimHash for a (doc_id, text) frame (duplicates count,
+    * as in the standard definition): per bit, sum +1/-1 votes over token
+    * hashes; positive vote count sets the bit.
+    *
+    * Same codegen shape as [[minhashSignatures]]: explode tokens, one hash
+    * aggregate with 32 conditional sums, then assemble the bits — replacing
+    * the interpreted aggregate/zip_with fold (12 s of the round-2 bench).
+    * The DuckDB oracle mirrors it via unnest + GROUP BY votes. */
+  def simhashes(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), h32(col("t")).as("h"))
+    val aggs = (0 until SimhashBits).map(i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L)).as(s"_v$i"))
+    tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimhashBits).map(i =>
+          when(col(s"_v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup detection: 4×8-bit band blocking (a pair within
@@ -248,11 +261,9 @@ object Dedup {
     * bit_count(xor) ≤ [[SimhashHammingMax]], transitively closed. One row
     * per document: (doc_id, simhash, cluster_id, n_near). */
   def simhashDedup(documents: DataFrame): DataFrame = {
-    // materialized once: the simhash fold feeds the band join (3 consumers)
-    // and both sides of the Hamming verify
-    val reps = repDocs(documents)
-      .select(col("doc_id"), simhash(col("text")).as("simhash"))
-      .localCheckpoint(true)
+    // materialized once: the simhash aggregate feeds the band join
+    // (3 consumers) and both sides of the Hamming verify
+    val reps = simhashes(repDocs(documents)).localCheckpoint(true)
     val bands = reps.select(col("doc_id"),
       posexplode(array((0 until SimhashBands).map(j =>
         shiftright(col("simhash"), 8 * j).bitwiseAND(lit(0xFFL))): _*)))
@@ -279,7 +290,7 @@ object Dedup {
     * each doc's best match (max jaccard, tiebreak min other id). One row per
     * document; docs with no candidate pair get nulls. */
   def ngramJaccardBestMatch(documents: DataFrame): DataFrame = {
-    val docs = documents
+    val docs = Tables.spread(documents)
       .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
       .localCheckpoint(true)
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))

@@ -36,7 +36,7 @@ object Similarity {
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   private def vectors(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir)
+    Tables.spread(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", l2norm(col("v")))
 

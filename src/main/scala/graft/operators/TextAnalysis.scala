@@ -95,7 +95,10 @@ object TextAnalysis {
     * reordering-robust set fingerprint). */
   def fingerprint(documents: DataFrame): DataFrame = {
     val norm = regexp_replace(lower(col("text")), "\\s+", " ")
-    documents.select(
+    // spread: the per-shingle md5 chain below is the one text-analysis op
+    // heavy enough that a single-row-group scan bottlenecks it (Tables.spread
+    // is a no-op on an already-wide scan)
+    graft.sources.Tables.spread(documents).select(
       col("doc_id"),
       Dedup.h32(norm).as("content_fp"),
       array_min(transform(Dedup.wordShingles(lower(col("text"))),

@@ -26,6 +26,20 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Widen a narrow frame to the session's parallelism before a CPU-heavy
+    * per-row pipeline (hashing/shingling/vector math).
+    *
+    * Why: a parquet file with a single row group scans as ONE partition
+    * (row groups are the split unit), so everything until the first shuffle
+    * runs single-threaded — at sf0.1 this made MinHash 30x slower than its
+    * plan deserved. Guarded: when the scan is already at least as wide as
+    * the cluster (the 100 TB case — thousands of row groups), this is a
+    * no-op and adds no shuffle. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def part(spark: SparkSession, sfDir: String): DataFrame      = table(spark, sfDir, "part")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")
