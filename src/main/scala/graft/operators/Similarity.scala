@@ -115,9 +115,49 @@ object Similarity {
     "sim_ann_lsh_topk" -> (annLshTopK _),
   )
 
-  // ANN recall depends on the Spark-side hyperplane constants — rows-only
-  // check. The brute-force baseline is fully oracle-checked.
+  /** The 32 hyperplanes as '0'/'1' sign strings (bit d = plane component d
+    * is +1), interpolated into the ANN oracle as literals so DuckDB builds
+    * bit-identical signatures. */
+  private def planeBits(j: Int, dim: Int): String =
+    (0 until dim).map(d => if (planeSign(j, d) > 0) '1' else '0').mkString
+
+  private def planesValues(dim: Int): String =
+    (0 until SignatureBits).map(j => s"($j, '${planeBits(j, dim)}')").mkString(", ")
+
+  // Both similarity queries are fully oracle-checked: the ANN hyperplanes
+  // are deterministic literals on both engines, and dot products fold in
+  // identical element order (Spark sequential aggregate ≡ DuckDB
+  // list_dot_product), so the candidate sets match exactly.
   val oracleSql: Map[String, String] = Map(
+    "sim_ann_lsh_topk" ->
+      s"""WITH planes(j, s) AS (VALUES ${planesValues(64)}),
+         | pl AS (SELECT j, list_transform(range(64),
+         |     d -> CASE WHEN substring(s, CAST(d + 1 AS INTEGER), 1) = '1'
+         |          THEN 1.0 ELSE -1.0 END) AS p FROM planes),
+         | vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                         CAST(embedding AS DOUBLE[]))) AS nrm
+         |   FROM embeddings),
+         | bits AS (SELECT vec_id, j,
+         |     CASE WHEN list_dot_product(v, p) >= 0
+         |          THEN (1 << CAST(j % ${SignatureBits / BandsPerSignature} AS INTEGER))
+         |          ELSE 0 END AS bit
+         |   FROM vs CROSS JOIN pl),
+         | bands AS (SELECT vec_id,
+         |     CAST(j // ${SignatureBits / BandsPerSignature} AS INTEGER) AS band,
+         |     SUM(bit) AS bv
+         |   FROM bits GROUP BY 1, 2),
+         | cands AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |   FROM bands c JOIN bands q ON c.band = q.band AND c.bv = q.bv
+         |   WHERE q.vec_id < $NumQueryVectors AND c.vec_id <> q.vec_id),
+         | scored AS (SELECT query_id, neighbor_id,
+         |     list_dot_product(vc.v, vq.v) / (vc.nrm * vq.nrm) AS cosine_sim
+         |   FROM cands JOIN vs vc ON vc.vec_id = cands.neighbor_id
+         |   JOIN vs vq ON vq.vec_id = cands.query_id)
+         | SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim
+         | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM scored)
+         | WHERE rank <= $TopK""".stripMargin,
     "sim_cosine_topk" ->
       s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
