@@ -9,13 +9,17 @@ import graft.sources.Tables
   * float[64], label) — training-data-pipeline extension surface
   * (BASELINE.json north star; no counterpart in the reference).
   *
-  * Two paths:
+  * Four operators:
   *   - [[cosineTopK]]: exact brute-force top-k — the correctness baseline.
   *     The query side is tiny (fixed id set) and broadcast; the big side
   *     streams through one pass. O(Q·N) work but no shuffle of the corpus.
-  *   - [[annLshTopK]]: the 100 TB scale path — random-hyperplane (sign) LSH
+  *   - [[annLshTopK]]: a 100 TB scale path — random-hyperplane (sign) LSH
   *     with banded multi-probe: candidates only where a query and a corpus
   *     vector share a signature band, then exact cosine on candidates.
+  *   - [[ivfTopK]]: the other classic scale path — centroid assignment once,
+  *     probe the nearest NProbe lists per query.
+  *   - [[embeddingDedup]]: embedding-cosine near-duplicate clustering (the
+  *     vector-space member of the [[Dedup]] family).
   *
   * All vector math is `zip_with`/`aggregate` higher-order expressions over
   * array<double> — no UDFs. (Higher-order expressions are CodegenFallback
@@ -28,6 +32,30 @@ object Similarity {
   val NumQueryVectors = 10
   val SignatureBits = 32
   val BandsPerSignature = 8 // 8 bands x 4 bits: multi-probe for recall
+
+  // ---- embedding near-dup dedup parameters ----------------------------------
+  /** Cosine threshold for "near-duplicate". Calibrated to the synthetic
+    * corpus, whose vectors are near-orthogonal (max pairwise cosine ≈ 0.5-0.6
+    * — a production corpus dedups at ≥0.9, where the SAME band shape gets
+    * sharper, not weaker: band-agreement probability is (1-θ/π)^bits). */
+  val CosDupThreshold = 0.42
+  /** 10 bands × 6 sign bits (60 deterministic hyperplanes). 6-bit bands =
+    * 64 bucket values per band: wide enough that uniform data stays under
+    * [[MaxVecBucket]] (no quadratic blowup), narrow enough that a
+    * 0.42-cosine pair shares ≥1 band with p ≈ 0.75. */
+  val DedupPlanes = 60
+  val DedupBands = 10
+  /** A band bucket with more distinct vectors than this generates no pairs —
+    * the same skew guard as [[Dedup.MaxBandBucket]]: bounded join fan-out on
+    * any data distribution, recall traded for it (mirrored in the oracle). */
+  val MaxVecBucket = 64
+
+  // ---- IVF parameters --------------------------------------------------------
+  /** Deterministic stand-in for a trained codebook: the first
+    * [[NumCentroids]] corpus vectors by id. At scale the codebook comes from
+    * a k-means sample; everything downstream is unchanged. */
+  val NumCentroids = 16
+  val NProbe = 4
 
   /** Sequential-fold dot product (matches DuckDB list_dot_product order). */
   def dot(a: Column, b: Column): Column =
@@ -75,11 +103,14 @@ object Similarity {
   private def planeLit(j: Int, dim: Int): Column =
     array((0 until dim).map(d => lit(planeSign(j, d))): _*)
 
-  /** Signature bands: [[BandsPerSignature]] ints, each packing
-    * SignatureBits/BandsPerSignature sign bits of hyperplane projections. */
-  private def signatureBands(v: Column, dim: Int): Column = {
-    val bitsPerBand = SignatureBits / BandsPerSignature
-    array((0 until BandsPerSignature).map { b =>
+  /** Signature bands: `bands` ints, each packing `planes/bands` sign bits
+    * of hyperplane projections (plane j contributes bit j%bits of band
+    * j/bits). */
+  private def signatureBands(v: Column, dim: Int,
+                             planes: Int = SignatureBits,
+                             bands: Int = BandsPerSignature): Column = {
+    val bitsPerBand = planes / bands
+    array((0 until bands).map { b =>
       (0 until bitsPerBand).map { i =>
         val j = b * bitsPerBand + i
         when(dot(v, planeLit(j, dim)) >= 0, lit(1 << i)).otherwise(lit(0))
@@ -110,9 +141,87 @@ object Similarity {
     topKPerQuery(scored)
   }
 
+  /** Embedding-cosine near-dup clustering — the vector-space member of the
+    * dedup family (see [[Dedup]] for the text-space ones). Candidates via
+    * sign-LSH banding ([[DedupPlanes]]/[[DedupBands]], bucket-capped), exact
+    * cosine ≥ [[CosDupThreshold]] verify, transitive closure. One row per
+    * vector: (vec_id, cluster_id, n_dups); singletons cluster as themselves.
+    *
+    * 100 TB shape: the banded self-join shuffles (band, bucket, id) triples
+    * — never the vectors; the cosine verify touches candidate pairs only;
+    * [[MaxVecBucket]] bounds the fan-out on any distribution; components
+    * close in O(log n) rounds ([[ConnectedComponents.minLabel]]). */
+  def embeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = vectors(spark, sfDir)
+      .withColumn("bands", signatureBands(col("v"), 64, DedupPlanes, DedupBands))
+      .localCheckpoint(true) // feeds the band join, both verify sides, labeling
+    val banded = vs.select(col("vec_id"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    val ok = banded.groupBy("band", "bv").agg(count(lit(1)).as("n"))
+      .where(col("n").between(2, MaxVecBucket)).select("band", "bv")
+    val in2 = banded.join(ok, Seq("band", "bv"))
+    val cand = in2.select(col("band"), col("bv"), col("vec_id").as("a"))
+      .join(in2.select(col("band"), col("bv"), col("vec_id").as("b")),
+        Seq("band", "bv"))
+      .where(col("a") < col("b")).select("a", "b").distinct()
+    val edges = cand
+      .join(vs.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
+      .join(vs.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
+      .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= CosDupThreshold)
+      .select("a", "b")
+    val comp = ConnectedComponents.minLabel(edges).withColumnRenamed("id", "vec_id")
+    val labeled = vs.select("vec_id").join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster_id"))
+    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), (col("sz") - 1).as("n_dups"))
+  }
+
+  /** IVF (inverted-file) top-k — the other classic ANN scale path: assign
+    * every corpus vector to its nearest centroid once, then search only the
+    * [[NProbe]] centroid lists nearest each query. Same output shape as
+    * [[cosineTopK]]; recall < 1 by construction (bounded by probe
+    * coverage), deterministic, fully oracle-mirrored.
+    *
+    * 100 TB shape: assignment is one broadcast-centroids argmax scan;
+    * with the corpus written bucketed/partitioned by `cent_id` the probe
+    * join prunes to nprobe/nlist of the data per query batch. */
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = vectors(spark, sfDir).localCheckpoint(true)
+    val cents = vs.where(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = vs.join(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cs"))
+    // corpus → best centroid (max cosine, tiebreak min centroid id)
+    val assign = scored.groupBy("vec_id")
+      .agg(max_by(col("cent_id"),
+        struct(col("cs"), (-col("cent_id")).as("nc"))).as("cent_id"))
+    // query → NProbe best centroids (tiny: queries × centroids rows)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy(col("cs").desc, col("cent_id").asc)
+    val probes = scored.where(col("vec_id") < NumQueryVectors)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id"))
+    val cands = assign.join(broadcast(probes), Seq("cent_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val rescored = cands
+      .join(vs.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(broadcast(vs.where(col("vec_id") < NumQueryVectors)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))),
+        "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine_sim"))
+    topKPerQuery(rescored)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh_topk" -> (annLshTopK _),
+    "sim_ivf_topk" -> (ivfTopK _),
+    "dedup_embedding" -> (embeddingDedup _),
   )
 
   /** The 32 hyperplanes as '0'/'1' sign strings (bit d = plane component d
@@ -121,8 +230,29 @@ object Similarity {
   private def planeBits(j: Int, dim: Int): String =
     (0 until dim).map(d => if (planeSign(j, d) > 0) '1' else '0').mkString
 
-  private def planesValues(dim: Int): String =
-    (0 until SignatureBits).map(j => s"($j, '${planeBits(j, dim)}')").mkString(", ")
+  private def planesValues(nPlanes: Int, dim: Int): String =
+    (0 until nPlanes).map(j => s"($j, '${planeBits(j, dim)}')").mkString(", ")
+
+  /** Shared oracle CTE prologue: plane lists, normed vectors, banded
+    * signatures (`bitsPerBand`-bit packing, as [[signatureBands]]). */
+  private def bandsSqlWith(nPlanes: Int, bitsPerBand: Int): String =
+    s"""planes(j, s) AS (VALUES ${planesValues(nPlanes, 64)}),
+       | pl AS (SELECT j, list_transform(range(64),
+       |     d -> CASE WHEN substring(s, CAST(d + 1 AS INTEGER), 1) = '1'
+       |          THEN 1.0 ELSE -1.0 END) AS p FROM planes),
+       | vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                         CAST(embedding AS DOUBLE[]))) AS nrm
+       |   FROM embeddings),
+       | bits AS (SELECT vec_id, j,
+       |     CASE WHEN list_dot_product(v, p) >= 0
+       |          THEN (1 << CAST(j % $bitsPerBand AS INTEGER))
+       |          ELSE 0 END AS bit
+       |   FROM vs CROSS JOIN pl),
+       | bands AS (SELECT vec_id,
+       |     CAST(j // $bitsPerBand AS INTEGER) AS band,
+       |     SUM(bit) AS bv
+       |   FROM bits GROUP BY 1, 2)""".stripMargin
 
   // Both similarity queries are fully oracle-checked: the ANN hyperplanes
   // are deterministic literals on both engines, and dot products fold in
@@ -130,23 +260,7 @@ object Similarity {
   // list_dot_product), so the candidate sets match exactly.
   val oracleSql: Map[String, String] = Map(
     "sim_ann_lsh_topk" ->
-      s"""WITH planes(j, s) AS (VALUES ${planesValues(64)}),
-         | pl AS (SELECT j, list_transform(range(64),
-         |     d -> CASE WHEN substring(s, CAST(d + 1 AS INTEGER), 1) = '1'
-         |          THEN 1.0 ELSE -1.0 END) AS p FROM planes),
-         | vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-         |                         CAST(embedding AS DOUBLE[]))) AS nrm
-         |   FROM embeddings),
-         | bits AS (SELECT vec_id, j,
-         |     CASE WHEN list_dot_product(v, p) >= 0
-         |          THEN (1 << CAST(j % ${SignatureBits / BandsPerSignature} AS INTEGER))
-         |          ELSE 0 END AS bit
-         |   FROM vs CROSS JOIN pl),
-         | bands AS (SELECT vec_id,
-         |     CAST(j // ${SignatureBits / BandsPerSignature} AS INTEGER) AS band,
-         |     SUM(bit) AS bv
-         |   FROM bits GROUP BY 1, 2),
+      s"""WITH ${bandsSqlWith(SignatureBits, SignatureBits / BandsPerSignature)},
          | cands AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
          |   FROM bands c JOIN bands q ON c.band = q.band AND c.bv = q.bv
          |   WHERE q.vec_id < $NumQueryVectors AND c.vec_id <> q.vec_id),
@@ -157,6 +271,60 @@ object Similarity {
          | SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim
          | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM scored)
+         | WHERE rank <= $TopK""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH RECURSIVE ${bandsSqlWith(DedupPlanes, DedupPlanes / DedupBands)},
+         | okb AS (SELECT band, bv FROM bands GROUP BY band, bv
+         |   HAVING COUNT(*) BETWEEN 2 AND $MaxVecBucket),
+         | cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |   FROM bands x
+         |   JOIN okb o ON x.band = o.band AND x.bv = o.bv
+         |   JOIN bands y ON y.band = x.band AND y.bv = x.bv
+         |   WHERE x.vec_id < y.vec_id),
+         | edges AS (SELECT c.a, c.b FROM cand c
+         |   JOIN vs x ON x.vec_id = c.a JOIN vs y ON y.vec_id = c.b
+         |   WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= $CosDupThreshold),
+         | und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         | reach(src, dst) AS (
+         |   SELECT a, b FROM und
+         |   UNION
+         |   SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+         | comp AS (SELECT v.vec_id AS id,
+         |     LEAST(v.vec_id, COALESCE(MIN(r.dst), v.vec_id)) AS component
+         |   FROM vs v LEFT JOIN reach r ON r.src = v.vec_id GROUP BY v.vec_id),
+         | sizes AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+         | SELECT c.id AS vec_id, c.component AS cluster_id,
+         |   CAST(s.sz - 1 AS BIGINT) AS n_dups
+         | FROM comp c JOIN sizes s ON c.component = s.component""".stripMargin,
+
+    "sim_ivf_topk" ->
+      s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                         CAST(embedding AS DOUBLE[]))) AS nrm
+         |   FROM embeddings),
+         | cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM vs
+         |   WHERE vec_id < $NumCentroids),
+         | scored AS (SELECT vs.vec_id, cent_id,
+         |     list_dot_product(vs.v, cv) / (vs.nrm * cn) AS cs
+         |   FROM vs CROSS JOIN cents),
+         | assign AS (SELECT vec_id, cent_id FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY cs DESC, cent_id ASC) AS rn FROM scored) WHERE rn = 1),
+         | probes AS (SELECT vec_id AS query_id, cent_id FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY cs DESC, cent_id ASC) AS rn FROM scored
+         |   WHERE vec_id < $NumQueryVectors) WHERE rn <= $NProbe),
+         | cands AS (SELECT DISTINCT p.query_id, a.vec_id
+         |   FROM assign a JOIN probes p ON a.cent_id = p.cent_id
+         |   WHERE a.vec_id <> p.query_id),
+         | rescored AS (SELECT query_id, c.vec_id AS neighbor_id,
+         |     list_dot_product(x.v, q.v) / (x.nrm * q.nrm) AS cosine_sim
+         |   FROM cands c JOIN vs x ON x.vec_id = c.vec_id
+         |   JOIN vs q ON q.vec_id = c.query_id)
+         | SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim
+         | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM rescored)
          | WHERE rank <= $TopK""".stripMargin,
     "sim_cosine_topk" ->
       s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -29,4 +29,33 @@ class SimilaritySpec extends SparkSpec {
       sims shouldBe sims.sorted.reverse
     }
   }
+
+  test("IVF recall@5 vs exact cosine top-k is materially high") {
+    val exact = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    info(f"IVF recall@5 (nprobe=${Similarity.NProbe}) = $recall%.3f")
+    recall should be >= 0.3 // bounded by nprobe/nlist coverage
+  }
+
+  test("IVF candidates never exceed probe coverage and exclude the query itself") {
+    val rows = Similarity.ivfTopK(spark, sfDir).collect()
+    rows.foreach { r => r.getLong(1) should not be r.getLong(0) }
+    rows.groupBy(_.getLong(0)).values.foreach(_.length should be <= Similarity.TopK)
+  }
+
+  test("embedding near-dup dedup: clusters are symmetric, labeled by min id, sized") {
+    val out = Similarity.embeddingDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.length shouldBe 500 // one row per vector
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      cid shouldBe members.map(_._1).min // component label = min vec_id
+      members.foreach(_._3 shouldBe (members.size - 1).toLong) // n_dups
+    }
+    // calibrated threshold finds real structure on the fixture (non-vacuous)
+    out.count(_._3 > 0) should be > 0
+  }
 }
