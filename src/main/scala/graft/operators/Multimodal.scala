@@ -17,6 +17,11 @@ case class MultimodalRecord(doc_id: Long, modality: String, payload: Array[Byte]
 case class DecodedFeatures(doc_id: Long, modality: String, payload_bytes: Long,
                            width: Int, height: Int, n_frames: Int)
 
+/** Resize-stage output: original + target dims (aspect-preserving fit). */
+case class ResizedFeatures(doc_id: Long, modality: String,
+                           width: Int, height: Int,
+                           out_width: Int, out_height: Int)
+
 /** Multimodal-column operators: treat media as opaque `binary` columns with
   * typed metadata, per the large-scale training-pipeline brief.
   *
@@ -82,11 +87,60 @@ object Multimodal {
   def recordsDs(documents: DataFrame): Dataset[MultimodalRecord] =
     records(documents).as[MultimodalRecord](Encoders.product[MultimodalRecord])
 
+  /** Resize target box (the ubiquitous vision-model input side). */
+  val ResizeBox = 224
+
+  /** Aspect-preserving resize planning over decoded dims: fit (width,
+    * height) inside [[ResizeBox]]² without upscaling — `scale = min(1,
+    * box/max_side)`, floor semantics, min 1 px. The arithmetic IS the
+    * production resize contract; only the pixel transform itself is the
+    * stubbed decoder's job. Pure column math — stays in codegen, no
+    * shuffle. */
+  def resizePlan(decoded: DataFrame): DataFrame = {
+    val w = col("width").cast("long")
+    val h = col("height").cast("long")
+    val boxL = lit(ResizeBox.toLong)
+    val side = greatest(w, h)
+    val needs = side > boxL
+    decoded.select(
+      col("doc_id"), col("modality"), col("width"), col("height"),
+      when(needs, greatest(lit(1L), (w * boxL) / side)).otherwise(w)
+        .cast("int").as("out_width"),
+      when(needs, greatest(lit(1L), (h * boxL) / side)).otherwise(h)
+        .cast("int").as("out_height"))
+  }
+
+  /** Frames to sample per video (vision-LM ingestion default). */
+  val MaxSampledFrames = 8
+
+  /** Uniform frame sampling: for `video` records emit one row per sampled
+    * frame — frame_idx = floor(i·n_frames/k) for i in [0,k), k =
+    * min(n_frames, [[MaxSampledFrames]]); non-video records pass through
+    * with frame_idx 0 (the whole payload is the single "frame"). The
+    * explode is the row-generator shape a real frame extractor feeds;
+    * partition-local, no shuffle. */
+  def frameSample(decoded: DataFrame): DataFrame = {
+    val n = col("n_frames").cast("long")
+    val k = least(n, lit(MaxSampledFrames.toLong))
+    decoded
+      .withColumn("_idx",
+        when(col("modality") === "video",
+          // try_divide-free integer division: Column./ is double division
+          transform(sequence(lit(0L), k - 1), i => floor((i * n) / k).cast("long")))
+          .otherwise(array(lit(0L))))
+      .select(col("doc_id"), col("modality"), col("n_frames"),
+        explode(col("_idx")).as("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_stats" ->
       ((s, d) => binaryStats(Tables.documents(s, d))),
     "mm_decode_features" ->
       ((s, d) => decodeFeatures(recordsDs(Tables.documents(s, d))).toDF()),
+    "mm_resize_plan" ->
+      ((s, d) => resizePlan(decodeFeatures(recordsDs(Tables.documents(s, d))).toDF())),
+    "mm_frame_sample" ->
+      ((s, d) => frameSample(decodeFeatures(recordsDs(Tables.documents(s, d))).toDF())),
   )
 
   private val modalityCase =
@@ -110,5 +164,34 @@ object Multimodal {
          |  CAST(h % 1080 + 1 AS INTEGER) AS height,
          |  CAST(nb // 100 + 1 AS INTEGER) AS n_frames
          | FROM h""".stripMargin,
+
+    "mm_resize_plan" ->
+      s"""WITH h AS (SELECT doc_id,
+         |   ('0x' || substring(md5(text), 1, 8))::BIGINT AS h,
+         |   octet_length(encode(text)) AS nb FROM documents),
+         | d AS (SELECT doc_id, $modalityCase AS modality,
+         |   CAST(h % 1920 + 1 AS INTEGER) AS width,
+         |   CAST(h % 1080 + 1 AS INTEGER) AS height FROM h)
+         | SELECT doc_id, modality, width, height,
+         |  CAST(CASE WHEN GREATEST(width, height) > $ResizeBox
+         |    THEN GREATEST(1, (width * $ResizeBox) // GREATEST(width, height))
+         |    ELSE width END AS INTEGER) AS out_width,
+         |  CAST(CASE WHEN GREATEST(width, height) > $ResizeBox
+         |    THEN GREATEST(1, (height * $ResizeBox) // GREATEST(width, height))
+         |    ELSE height END AS INTEGER) AS out_height
+         | FROM d""".stripMargin,
+
+    "mm_frame_sample" ->
+      s"""WITH h AS (SELECT doc_id,
+         |   ('0x' || substring(md5(text), 1, 8))::BIGINT AS h,
+         |   octet_length(encode(text)) AS nb FROM documents),
+         | d AS (SELECT doc_id, $modalityCase AS modality,
+         |   CAST(nb // 100 + 1 AS INTEGER) AS n_frames FROM h)
+         | SELECT doc_id, modality, n_frames,
+         |  CAST(unnest(CASE WHEN modality = 'video'
+         |    THEN list_transform(range(LEAST(n_frames, $MaxSampledFrames)),
+         |      i -> (i * n_frames) // LEAST(n_frames, $MaxSampledFrames))
+         |    ELSE [0] END) AS BIGINT) AS frame_idx
+         | FROM d""".stripMargin,
   )
 }

@@ -105,11 +105,29 @@ object TextAnalysis {
         s => Dedup.h32(s))).as("min_shingle_fp"))
   }
 
+  /** Corpus n-gram table size. */
+  val TopNgrams = 100
+
+  /** Corpus-level n-gram document frequency: top [[TopNgrams]] lowercase
+    * word 3-shingles by the number of documents containing them
+    * (per-document distinct, as in [[Dedup.wordShingles]]).
+    *
+    * 100 TB shape: explode → count with map-side partial aggregation
+    * (shuffle carries one row per distinct gram per partition), top-N as
+    * TakeOrderedAndProject (per-partition heap, no global sort). */
+  def ngramFreq(documents: DataFrame): DataFrame =
+    graft.sources.Tables.spread(documents)
+      .select(explode(Dedup.wordShingles(lower(col("text")))).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("ngram").asc)
+      .limit(TopNgrams)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> ((s, d) => tokenStats(Tables.documents(s, d))),
     "text_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
     "text_quality"     -> ((s, d) => quality(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
+    "text_ngram_freq"  -> ((s, d) => ngramFreq(Tables.documents(s, d))),
   )
 
   // ---- DuckDB mirrors ------------------------------------------------------
@@ -163,6 +181,17 @@ object TextAnalysis {
          |   stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.3 + len_score * 0.4
          |     AS quality_score
          | FROM r""".stripMargin,
+
+    "text_ngram_freq" ->
+      s"""WITH toks AS (SELECT doc_id, lower(text) AS lt,
+         |   string_split(lower(text), ' ') AS t FROM documents),
+         | sh AS (SELECT doc_id, CASE WHEN len(t) >= ${Dedup.ShingleSize}
+         |   THEN list_distinct(list_transform(range(len(t) - ${Dedup.ShingleSize - 1}),
+         |        i -> array_to_string(t[i + 1 : i + ${Dedup.ShingleSize}], ' ')))
+         |   ELSE [lt] END AS sh FROM toks),
+         | g AS (SELECT unnest(sh) AS ngram FROM sh)
+         | SELECT ngram, CAST(COUNT(*) AS BIGINT) AS freq FROM g GROUP BY ngram
+         | ORDER BY freq DESC, ngram ASC LIMIT $TopNgrams""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH n AS (SELECT doc_id,

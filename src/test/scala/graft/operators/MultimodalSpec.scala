@@ -44,4 +44,37 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     out shouldBe Map(0L -> "image", 1L -> "audio", 2L -> "video")
   }
+
+  test("resize plan fits inside the box, preserves aspect, never upscales") {
+    val sp = spark; import sp.implicits._
+    val decoded = Seq(
+      (1L, "image", 10L, 1920, 1080, 1),  // downscale, landscape
+      (2L, "image", 10L, 100, 300, 1),    // downscale, portrait
+      (3L, "image", 10L, 200, 100, 1),    // already fits: untouched
+      (4L, "image", 10L, 100000, 1, 1))   // extreme aspect: floor to >= 1
+      .toDF("doc_id", "modality", "payload_bytes", "width", "height", "n_frames")
+    val out = Multimodal.resizePlan(decoded).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(4), r.getInt(5)))).toMap
+    out(1L) shouldBe ((224, 126))  // 1080*224/1920 = 126
+    out(2L) shouldBe ((74, 224))   // 100*224/300 = 74
+    out(3L) shouldBe ((200, 100))  // no upscaling
+    out(4L) shouldBe ((224, 1))    // min 1 px
+    out.values.foreach { case (w, h) =>
+      w should be >= 1; h should be >= 1
+    }
+  }
+
+  test("frame sampling: <=8 uniform frames for video, single frame otherwise") {
+    val sp = spark; import sp.implicits._
+    val decoded = Seq(
+      (1L, "video", 10L, 10, 10, 20),  // 20 frames -> 8 samples
+      (2L, "video", 10L, 10, 10, 3),   // 3 frames -> all 3
+      (3L, "audio", 10L, 10, 10, 99))  // non-video -> 1 row, frame 0
+      .toDF("doc_id", "modality", "payload_bytes", "width", "height", "n_frames")
+    val out = Multimodal.frameSample(decoded).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(3)).sorted.toSeq).toMap
+    out(1L) shouldBe Seq(0L, 2L, 5L, 7L, 10L, 12L, 15L, 17L) // floor(i*20/8)
+    out(2L) shouldBe Seq(0L, 1L, 2L)
+    out(3L) shouldBe Seq(0L)
+  }
 }

@@ -50,6 +50,17 @@ class TextAnalysisSpec extends SparkSpec {
     r.getDouble(3) shouldBe (0.5 * 0.3 + 0.75 * 0.3 + (4.0 / 500) * 0.4) +- 1e-12
   }
 
+  test("ngram freq counts document frequency (per-doc distinct), ordered desc") {
+    val out = TextAnalysis.ngramFreq(docs(
+      1L -> "a b c a b c",    // "a b c" twice in one doc -> counts once
+      2L -> "a b c d",
+      3L -> "x y z")).collect().map(r => (r.getString(0), r.getLong(1)))
+    out.head shouldBe (("a b c", 2L)) // docs 1 and 2, not 3 occurrences
+    out.toMap.apply("x y z") shouldBe 1L
+    // ordered by freq desc then gram asc
+    out.map(-_._2).toSeq shouldBe out.map(-_._2).toSeq.sorted
+  }
+
   test("fingerprint: whitespace-insensitive content fp; reorder-robust shingle fp") {
     val out = TextAnalysis.fingerprint(docs(
       1L -> "Alpha  beta\tgamma delta epsilon",
