@@ -28,6 +28,7 @@ object Bench {
       // codegen (default maxFields=100 would drop that stage to the
       // interpreted path)
       .config("spark.sql.codegen.maxFields", "200")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

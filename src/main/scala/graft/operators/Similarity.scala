@@ -57,9 +57,11 @@ object Similarity {
   val NumCentroids = 16
   val NProbe = 4
 
-  /** Sequential-fold dot product (matches DuckDB list_dot_product order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+  /** Sequential left-to-right dot product (matches DuckDB
+    * list_dot_product order) — a native codegen'd Catalyst expression
+    * ([[graft.functions.DotProduct]]), not an interpreted higher-order
+    * fold. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct.of(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
