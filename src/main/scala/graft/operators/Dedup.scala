@@ -148,8 +148,9 @@ object Dedup {
   }
 
   /** Frequency-capped candidate pairs from banded keys (band, bkey, doc_id):
-    * only buckets holding 2..[[MaxBandBucket]] distinct contents pair up. */
-  private def cappedBandPairs(bands: DataFrame): DataFrame = {
+    * only buckets holding 2..[[MaxBandBucket]] distinct contents pair up.
+    * Package-visible so the stress spec can assert the cap bound directly. */
+  private[operators] def cappedBandPairs(bands: DataFrame): DataFrame = {
     val ok = bands.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
       .where(col("bsz").between(2, MaxBandBucket)).select("band", "bkey")
     val in2 = bands.join(ok, Seq("band", "bkey"))

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan shape assertions over the real sf0.001 parquet tables —
+  * the properties that decide whether a plan survives a 100× scale-up:
+  * parquet filter pushdown, column pruning at the scan, map-side partial
+  * aggregation, broadcast (not shuffle) joins for dimension sides, top-1 as
+  * TakeOrderedAndProject, and no accidental cartesian products. A regression
+  * in any of these passes every value-equality test while ruining the 100 TB
+  * plan, so they are pinned here (VERDICT r1 "explain and iterate"). */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Execute (so AQE settles on its final plan), then render it. The AQE
+    * rendering appends the pre-adaptive "Initial Plan" — drop it so node
+    * counts reflect only the plan that actually ran. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  private def planOf(name: String): String =
+    finalPlan(SparkEntry.queries(name)(spark, sf))
+
+  private def countOf(plan: String, token: String): Int =
+    token.r.findAllIn(plan).length
+
+  test("q1: scan prunes to the two needed part columns and pushes the key filter") {
+    val p = planOf("q1_seats_per_route")
+    p should include("PushedFilters: [IsNotNull(p_partkey)]")
+    p should include("ReadSchema: struct<p_partkey:bigint,p_size:int>")
+    p should not include "p_name" // pruned: a scan reading all columns is wrong
+  }
+
+  test("q5: count per route is a two-phase hash aggregate (map-side partial)") {
+    val p = planOf("q5_passengers_per_route")
+    countOf(p, "HashAggregate") shouldBe 2
+    p should include("partial_count")
+    p should not include "CartesianProduct"
+  }
+
+  test("q4: the route-dimension join broadcasts; no shuffle-sort-merge join") {
+    val p = planOf("q4_occupancy_per_route")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("q3: global top-1 is TakeOrderedAndProject, not a full sort") {
+    val p = planOf("q3_top_passenger")
+    p should include("TakeOrderedAndProject")
+  }
+
+  test("q8: the scalar-scalar combine is a broadcast nested loop of two 1-row sides") {
+    val p = planOf("q8_total_occupancy_pct")
+    p should include("BroadcastNestedLoopJoin")
+    // both inputs are fully aggregated to one row before the join
+    countOf(p, "HashAggregate") should be >= 4
+  }
+
+  test("sim_cosine_topk: bounded top-k aggregation, no rank window over a global sort") {
+    val p = planOf("sim_cosine_topk")
+    p should not include "Window"
+    p should include("ObjectHashAggregate") // TopKByScore typed aggregator
+    p should include("BroadcastExchange")   // query side broadcast, corpus never shuffled
+  }
+
+  test("text_token_stats: pure narrow projection — no shuffle at all") {
+    val p = planOf("text_token_stats")
+    p should not include "Exchange hashpartitioning"
+  }
+
+  test("q11: windowed count pre-aggregates before the per-window rank") {
+    val p = planOf("q11_window_top_type")
+    countOf(p, "HashAggregate") should be >= 2
+    p should not include "CartesianProduct"
+  }
+}
