@@ -44,6 +44,26 @@ object Schemas {
       ts: Timestamp)
 }
 
+/** JSON wire encode — the producer side (`utils/JsonSerializer.java:16-22`:
+  * plain Jackson bean JSON, camelCase field names, record key = entity id,
+  * `producers/RoutesProducer.java:50`). Inverse of [[Decode]]; output is the
+  * raw (key, value, ts) frame [[graft.sources.StreamAdapters]] transports. */
+object Encode {
+
+  private def encode(df: DataFrame, keyCol: String): DataFrame = {
+    val wireCols = df.columns.filter(_ != "ts").toSeq
+      .map(c => col(c).as(Decode.viewToWire.getOrElse(c, c)))
+    df.select(col(keyCol).cast("string").as("key"),
+      to_json(struct(wireCols: _*)).as("value"), col("ts"))
+  }
+
+  /** Route view frame → raw wire frame keyed by routeId. */
+  def routesRaw(routes: DataFrame): DataFrame = encode(routes, "route_id")
+
+  /** Trip view frame → raw wire frame keyed by tripId. */
+  def tripsRaw(trips: DataFrame): DataFrame = encode(trips, "trip_id")
+}
+
 /** JSON wire decode (`utils/JsonDeserializer.java:21-27` → `from_json`). */
 object Decode {
 

@@ -104,6 +104,22 @@ final class TableStore(spark: SparkSession) {
   * trigger (the reference has the same property: its 13 topologies share no
   * barrier).
   */
+object TransitStreamingJob {
+  import graft.engine.Decode
+  import graft.sources.StreamAdapters
+  import graft.sources.StreamAdapters.TopicRef
+
+  /** The full reference ingress: subscribe to the two input topics
+    * (`Routes_topic`/`Trips_topic`, `MainStreamApp.java:22-34`), decode the
+    * JSON wire into the transit views, and assemble the 13-query job.
+    * Transport (Kafka vs JSON-lines directory) is resolved by the adapter. */
+  def fromTopics(spark: SparkSession, routesTopic: TopicRef,
+                 tripsTopic: TopicRef): TransitStreamingJob =
+    new TransitStreamingJob(spark,
+      Decode.routes(StreamAdapters.readStreamRaw(spark, routesTopic)),
+      Decode.trips(StreamAdapters.readStreamRaw(spark, tripsTopic)))
+}
+
 final class TransitStreamingJob(spark: SparkSession, routes: DataFrame, trips: DataFrame) {
 
   val store = new TableStore(spark)
