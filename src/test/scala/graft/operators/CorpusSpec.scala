@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Corpus pipeline semantics on crafted fixtures: reason priority
+  * (duplicate beats low_quality), keeper selection, and the determinism +
+  * stratification of the hash sample. */
+class CorpusSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String, String, String)]): DataFrame = {
+    val sp = spark; import sp.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+  }
+
+  // a high-quality text: long, stopword-rich, no punctuation
+  private val good = Seq.fill(60)("the cat sat on it and is of to that for").mkString(" ")
+  // a low-quality text: short and punctuation-heavy
+  private val bad = "@@@ ### !!! %%% &&&"
+
+  test("clean: duplicate beats low_quality; min doc_id is the keeper") {
+    val out = Corpus.clean(docsDf(Seq(
+      (5L, good, "en", "web"),
+      (2L, good, "en", "web"),   // same content: keeper (min id)
+      (7L, bad, "en", "web"),
+      (9L, bad, "en", "web")))) // duplicate of a low-quality text
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    out(2L) shouldBe ((true, "kept"))
+    out(5L) shouldBe ((false, "duplicate"))
+    out(7L) shouldBe ((false, "low_quality"))
+    out(9L) shouldBe ((false, "duplicate")) // NOT low_quality: dedup ranks first
+  }
+
+  test("clean emits exactly one row per document") {
+    val rows = (0L until 50L).map(i => (i, if (i % 3 == 0) good else s"$bad $i", "en", "web"))
+    val out = Corpus.clean(docsDf(rows))
+    out.count() shouldBe 50
+    out.select("doc_id").distinct().count() shouldBe 50
+  }
+
+  test("stratified sample is deterministic and respects per-stratum rates") {
+    val rows = (0L until 2000L).map(i =>
+      (i, s"text $i", if (i % 2 == 0) "en" else "zh", "web"))
+    val s1 = Corpus.sampleStratified(docsDf(rows)).collect().map(_.getLong(0)).sorted
+    val s2 = Corpus.sampleStratified(docsDf(rows)).collect().map(_.getLong(0)).sorted
+    s1 shouldBe s2 // no RNG state: same input, same sample
+
+    val byLang = Corpus.sampleStratified(docsDf(rows)).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // 1000 docs per stratum at 400‰ (en) and 600‰ (zh): binomial mean 400
+    // and 600, sd ≈ 15.5 — assert within ~4 sd
+    byLang("en").toDouble shouldBe 400.0 +- 65.0
+    byLang("zh").toDouble shouldBe 600.0 +- 65.0
+  }
+
+  test("unknown strata fall back to the default rate") {
+    val rows = (0L until 1000L).map(i => (i, s"t $i", "xx", "web"))
+    val n = Corpus.sampleStratified(docsDf(rows)).count()
+    // 100‰ of 1000: sd ≈ 9.5, assert within ~5 sd
+    n.toDouble shouldBe 100.0 +- 50.0
+  }
+}
