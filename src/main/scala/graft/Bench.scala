@@ -33,8 +33,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(fn: (SparkSession, String) => DataFrame): Unit =
+    def runOnce(fn: (SparkSession, String) => DataFrame): Unit = {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // release the query's localCheckpoint blocks: they are per-query
+      // scratch state, and letting 30+ queries' blocks accumulate turns
+      // the tail of the run into a GC grind (observed 3x inflation)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
 
     // optional comma-separated filter for focused iteration, e.g.
     // SPARK_GRAFT_ONLY=dedup_minhash_lsh
