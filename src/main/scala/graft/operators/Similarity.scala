@@ -219,10 +219,39 @@ object Similarity {
     topKPerQuery(rescored)
   }
 
+  /** Symmetric int8 quantization — the standard vector-compression stage
+    * before ANN at scale (4x smaller embeddings, SIMD-friendly distances):
+    * per-vector scale = 127 / max|v_i| (1.0 for the zero vector), q_i =
+    * round(v_i · scale) ∈ [-127, 127]. Output stays scalar for the oracle
+    * hash: the scale, the quantized L1 mass, a position-weighted checksum
+    * (pins every element), and the max dequantization error (≤ 0.5/scale
+    * by construction — asserted in the spec).
+    *
+    * 100 TB shape: map-only scan, no shuffle; rounding is half-away-from-
+    * zero on BOTH engines, so the oracle matches bit-for-bit. */
+  def quantizeInt8(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = Tables.spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val maxAbs = array_max(transform(col("v"), x => abs(x)))
+    val withScale = vs.withColumn("scale",
+      when(maxAbs === 0.0, lit(1.0)).otherwise(lit(127.0) / maxAbs))
+    val qv = transform(col("v"), x => round(x * col("scale")).cast("long"))
+    withScale.withColumn("qv", qv)
+      .select(
+        col("vec_id"), col("scale"),
+        aggregate(col("qv"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
+        aggregate(transform(col("qv"), (x, i) => (i + 1).cast("long") * x),
+          lit(0L), (a, x) => a + x).as("q_checksum"),
+        aggregate(zip_with(col("v"), col("qv"),
+            (x, q) => abs(x - q / col("scale"))),
+          lit(0.0), (a, e) => greatest(a, e)).as("max_abs_err"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh_topk" -> (annLshTopK _),
     "sim_ivf_topk" -> (ivfTopK _),
+    "sim_quantize_int8" -> (quantizeInt8 _),
     "dedup_embedding" -> (embeddingDedup _),
   )
 
@@ -261,6 +290,24 @@ object Similarity {
   // identical element order (Spark sequential aggregate ≡ DuckDB
   // list_dot_product), so the candidate sets match exactly.
   val oracleSql: Map[String, String] = Map(
+    "sim_quantize_int8" ->
+      s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         | m AS (SELECT vec_id, v,
+         |   list_max(list_transform(v, x -> abs(x))) AS ma FROM vs),
+         | s AS (SELECT vec_id, v,
+         |   CASE WHEN ma = 0 THEN CAST(1.0 AS DOUBLE)
+         |        ELSE 127.0 / ma END AS scale FROM m),
+         | q AS (SELECT vec_id, v, scale,
+         |   list_transform(v, x -> CAST(round(x * scale) AS BIGINT)) AS qv FROM s)
+         | SELECT vec_id, scale,
+         |   CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+         |   CAST(list_sum(list_transform(range(len(qv)),
+         |     i -> (i + 1) * qv[CAST(i + 1 AS INTEGER)])) AS BIGINT) AS q_checksum,
+         |   list_max(list_transform(range(len(qv)),
+         |     i -> abs(v[CAST(i + 1 AS INTEGER)]
+         |              - qv[CAST(i + 1 AS INTEGER)] / scale))) AS max_abs_err
+         | FROM q""".stripMargin,
+
     "sim_ann_lsh_topk" ->
       s"""WITH ${bandsSqlWith(SignatureBits, SignatureBits / BandsPerSignature)},
          | cands AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id

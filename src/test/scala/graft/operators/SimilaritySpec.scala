@@ -58,4 +58,18 @@ class SimilaritySpec extends SparkSpec {
     // calibrated threshold finds real structure on the fixture (non-vacuous)
     out.count(_._3 > 0) should be > 0
   }
+
+  test("int8 quantization: scale positive, error bounded by half a quantum") {
+    val rows = Similarity.quantizeInt8(spark, sfDir).collect()
+    rows.length shouldBe 500
+    rows.foreach { r =>
+      val (scale, l1, err) = (r.getDouble(1), r.getLong(2), r.getDouble(4))
+      scale should be > 0.0
+      // 64 dims, |q_i| <= 127 each
+      l1 should be <= 64L * 127L
+      l1 should be > 0L
+      // round() is off by at most half a quantum per element
+      err should be <= 0.5 / scale + 1e-12
+    }
+  }
 }
