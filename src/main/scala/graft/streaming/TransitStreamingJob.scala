@@ -43,6 +43,21 @@ final class TableStore(spark: SparkSession) {
   def apply(name: String): DataFrame = get(name).getOrElse(
     throw new NoSuchElementException(s"no result table '$name' yet"))
   def names: Seq[String] = tables.keys.toSeq.sorted
+
+  /** Consistent snapshot for persistence (keeps the `_gen` bookkeeping). */
+  private[streaming] def snapshot: Map[String, DataFrame] = tables.toMap
+
+  /** Restore a persisted table, advancing the generation counter past any
+    * persisted `_gen` so post-restart upserts keep winning ties. */
+  private[streaming] def restore(name: String, df: DataFrame): Unit = {
+    val d = ckpt(df)
+    tables(name) = d
+    if (d.columns.contains("_gen")) {
+      val m = Option(d.agg(max("_gen")).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      gen.updateAndGet(g => math.max(g, m)); ()
+    }
+  }
 }
 
 /** The 13 reference queries as ONE Structured Streaming application —
@@ -114,13 +129,17 @@ object TransitStreamingJob {
     * JSON wire into the transit views, and assemble the 13-query job.
     * Transport (Kafka vs JSON-lines directory) is resolved by the adapter. */
   def fromTopics(spark: SparkSession, routesTopic: TopicRef,
-                 tripsTopic: TopicRef): TransitStreamingJob =
+                 tripsTopic: TopicRef,
+                 stateDir: Option[String] = None): TransitStreamingJob =
     new TransitStreamingJob(spark,
       Decode.routes(StreamAdapters.readStreamRaw(spark, routesTopic)),
-      Decode.trips(StreamAdapters.readStreamRaw(spark, tripsTopic)))
+      Decode.trips(StreamAdapters.readStreamRaw(spark, tripsTopic)),
+      stateDir)
 }
 
-final class TransitStreamingJob(spark: SparkSession, routes: DataFrame, trips: DataFrame) {
+final class TransitStreamingJob(spark: SparkSession, routes: DataFrame,
+                                trips: DataFrame,
+                                stateDir: Option[String] = None) {
 
   val store = new TableStore(spark)
 
@@ -136,6 +155,94 @@ final class TransitStreamingJob(spark: SparkSession, routes: DataFrame, trips: D
   private var totalTrips: Option[DataFrame] = None      // 1 row: q8/q9
 
   private def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  // ---- durable state (the RocksDB + changelog-topic analog) ---------------
+  //
+  // With `stateDir` set, every union-runner trigger commits a VERSIONED
+  // parquet snapshot of the counter tables and the result store
+  // (`v<batchId>/{state,results}/<name>` + an atomically-moved `_committed`
+  // marker), and a replayed batch (foreachBatch is at-least-once) is
+  // detected by id and skipped — effectively-once state. The other
+  // handlers (native-agg upserts, finalized-window upserts) are idempotent
+  // by key, so replaying them against a restored snapshot is safe. At
+  // cluster scale the same protocol targets object storage / Delta; the
+  // snapshots are compact aggregates (bounded by key cardinality), never
+  // raw events — exactly what the reference's changelog topics carry.
+
+  /** (name, read, write) for every piece of incremental counter state. */
+  private def counterSlots: Seq[(String, () => Option[DataFrame], Option[DataFrame] => Unit)] =
+    Seq(
+      ("routesLatest", () => routesLatest, v => routesLatest = v),
+      ("capPerRouteType", () => capPerRouteType, v => capPerRouteType = v),
+      ("capPerType", () => capPerType, v => capPerType = v),
+      ("cntPerRoute", () => cntPerRoute, v => cntPerRoute = v),
+      ("cntPerType", () => cntPerType, v => cntPerType = v),
+      ("cntPerTypeRoute", () => cntPerTypeRoute, v => cntPerTypeRoute = v),
+      ("cntPerPassenger", () => cntPerPassenger, v => cntPerPassenger = v),
+      ("totalCap", () => totalCap, v => totalCap = v),
+      ("totalTrips", () => totalTrips, v => totalTrips = v))
+
+  /** Replay guard for the non-idempotent union runner (restored from the
+    * committed snapshot's metadata). */
+  private var lastUnionBatch: Option[Long] = None
+  /** Monotone commit version — every handler's trigger commits one. */
+  private var commitSeq: Long = -1L
+
+  private def subDirs(p: java.io.File): Seq[java.io.File] =
+    if (p.isDirectory) Option(p.listFiles).getOrElse(Array.empty).filter(_.isDirectory).toSeq
+    else Nil
+
+  // restore the last committed snapshot, if any
+  stateDir.foreach { d =>
+    val marker = new java.io.File(s"$d/_committed")
+    if (marker.isFile) {
+      val v = java.nio.file.Files.readString(marker.toPath).trim.toLong
+      commitSeq = v
+      val meta = new java.io.File(s"$d/v$v/_union_batch")
+      if (meta.isFile)
+        lastUnionBatch = Some(java.nio.file.Files.readString(meta.toPath).trim.toLong)
+      subDirs(new java.io.File(s"$d/v$v/results")).foreach(f =>
+        store.restore(f.getName, spark.read.parquet(f.getPath)))
+      val counters = subDirs(new java.io.File(s"$d/v$v/state"))
+        .map(f => f.getName -> ckpt(spark.read.parquet(f.getPath))).toMap
+      counterSlots.foreach { case (n, _, set) =>
+        counters.get(n).foreach(df => set(Some(df)))
+      }
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** Commit one version: all counter state + the result store under
+    * v<seq> with the union replay guard as metadata, then the marker
+    * (atomic move), then GC of older versions. Called (under the job
+    * monitor) at the end of EVERY handler's trigger, so the snapshot
+    * always includes the latest native-agg and window upserts too. */
+  private def commitState(): Unit = stateDir.foreach { d =>
+    commitSeq += 1
+    val base = s"$d/v$commitSeq"
+    counterSlots.foreach { case (n, get, _) =>
+      get().foreach(_.write.mode("overwrite").parquet(s"$base/state/$n"))
+    }
+    store.snapshot.foreach { case (n, df) =>
+      df.write.mode("overwrite").parquet(s"$base/results/$n")
+    }
+    new java.io.File(base).mkdirs() // ensure it exists even with no state yet
+    lastUnionBatch.foreach(id => java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/_union_batch"), id.toString))
+    val tmp = java.nio.file.Paths.get(s"$d/_committed.tmp")
+    java.nio.file.Files.writeString(tmp, commitSeq.toString)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$d/_committed"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    subDirs(new java.io.File(d))
+      .filter(f => f.getName.startsWith("v") &&
+        f.getName.drop(1).forall(_.isDigit) && f.getName.drop(1).toLong < commitSeq)
+      .foreach(deleteRecursively)
+  }
 
   /** state ∪ per-batch partial aggregate → re-aggregate: the map-side-combine
     * merge. `sums` are (column, is-count) pairs summed on merge. */
@@ -184,6 +291,9 @@ final class TransitStreamingJob(spark: SparkSession, routes: DataFrame, trips: D
   }
 
   private def processUnionBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+    // at-least-once replay of an already-committed batch: its effects are
+    // in the restored snapshot — folding it again would double-count
+    if (lastUnionBatch.exists(_ >= batchId)) return
     val b = batch.localCheckpoint(true)
     val r = b.filter(col("kind") === "route")
       .select("route_id", "transport_type", "capacity", "operator", "ts")
@@ -298,6 +408,9 @@ final class TransitStreamingJob(spark: SparkSession, routes: DataFrame, trips: D
 
     // the toTable state itself, queryable (latest_per_key operator surface)
     store.put("routes_latest", routesLatest.get.drop("_b"))
+
+    lastUnionBatch = Some(batchId)
+    commitState()
   }
 
   // ---- group 2: watermarked windowed counts (q11/q12) ---------------------
@@ -356,6 +469,7 @@ final class TransitStreamingJob(spark: SparkSession, routes: DataFrame, trips: D
       .select(col("window_start"), col("m.transport_type").as("transport_type"),
         col("m.occupancy_pct").as("occupancy_pct"))
     store.upsert("q12_window_least_occupied_type", q12Upd, Seq("window_start"))
+    commitState()
   }
 
   // ---- group 1: native update-mode single aggregations --------------------
@@ -380,7 +494,7 @@ final class TransitStreamingJob(spark: SparkSession, routes: DataFrame, trips: D
         .option("checkpointLocation", s"$checkpointRoot/$name")
         .queryName(name)
         .foreachBatch((b: DataFrame, _: Long) =>
-          synchronized { store.upsert(name, b, keys) })
+          synchronized { store.upsert(name, b, keys); commitState() })
         .start()
     }
     val windowed = windowedCounts.writeStream.outputMode("append")
