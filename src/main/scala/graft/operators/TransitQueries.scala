@@ -61,6 +61,19 @@ object TransitQueries {
       .agg((count(lit(1)).cast("double") / countDistinct("route_id"))
         .as("average_passengers"))
 
+  /** Q2, sketch variant — `approx_count_distinct` (HyperLogLog++) in place
+    * of the exact distinct: the 100 TB path when route cardinality per type
+    * is huge (SURVEY §7.3 "100 TB design rule"). Fixed-size sketch per
+    * group instead of a distinct-shuffle; ~2% standard error at the default
+    * rsd. Not oracle-registered (sketches are engine-specific); the spec
+    * bounds its deviation from exact [[q2]]. */
+  def q2Approx(trips: DataFrame): DataFrame =
+    trips
+      .filter(col("transport_type").isNotNull && col("route_id").isNotNull)
+      .groupBy("transport_type")
+      .agg((count(lit(1)).cast("double") / approx_count_distinct("route_id"))
+        .as("average_passengers"))
+
   /** Q3 — passenger with the most trips, global argmax
     * (`NamePassengerMostTrips.java:28-51`). Deterministic tiebreak: smallest
     * name. The count is also emitted (the reference computes then drops it,

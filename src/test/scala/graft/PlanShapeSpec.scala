@@ -77,4 +77,21 @@ class PlanShapeSpec extends SparkSpec {
     countOf(p, "HashAggregate") should be >= 2
     p should not include "CartesianProduct"
   }
+
+  test("sample_stratified: a pure scan-stage filter — no shuffle, no join") {
+    val p = planOf("sample_stratified")
+    p should not include "Exchange hashpartitioning"
+    p should not include "Join"
+  }
+
+  test("sim_quantize_int8: map-only scan, no shuffle") {
+    val p = planOf("sim_quantize_int8")
+    p should not include "Exchange hashpartitioning"
+  }
+
+  test("corpus_clean: digest-keyed shuffles only, dimension sides broadcast") {
+    val p = planOf("corpus_clean")
+    p should not include "CartesianProduct"
+    p should not include "SortMergeJoin" // tiny keeper map broadcasts at this SF
+  }
 }

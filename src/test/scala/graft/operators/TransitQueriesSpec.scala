@@ -110,4 +110,16 @@ class TransitQueriesSpec extends SparkSpec {
     r.length shouldBe 1
     r(0).getString(0) shouldBe "a2"
   }
+
+  test("q2 approx variant tracks the exact answer within sketch error") {
+    val trips = graft.sources.Tables.trips(spark, "/root/testdata/sf0.01")
+    val exact = TransitQueries.q2(trips).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = TransitQueries.q2Approx(trips).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    approx.keySet shouldBe exact.keySet
+    exact.foreach { case (k, v) =>
+      math.abs(approx(k) - v) / v should be < 0.1 // HLL++ default rsd ~2%
+    }
+  }
 }
