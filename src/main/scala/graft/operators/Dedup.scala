@@ -284,6 +284,67 @@ object Dedup {
         col("n_dups").as("n_near"))
   }
 
+  // ---- incremental MinHash (new batch vs indexed corpus) -------------------
+
+  /** The deterministic corpus/incoming split used by the registered query:
+    * doc_id ≡ 0 (mod 5) plays the "new batch" (~20%), the rest the
+    * already-indexed corpus. */
+  val IncomingMod = 5
+
+  /** Incremental near-dup: match a NEW batch of documents against an
+    * already-indexed corpus — the daily-ingestion path, where the batch is
+    * small and the corpus is the 100 TB side. The LSH band join is
+    * '''asymmetric''' (incoming × corpus, never corpus × corpus): work is
+    * O(batch) probes into the banded index, and the bucket cap bounds each
+    * probe's fan-out exactly as in [[minhashLsh]]. At scale the corpus
+    * bands/signatures are a precomputed, bucketed table; here both sides
+    * derive from one pass for the oracle's sake. No exact-dup pre-collapse
+    * (a production incoming batch is small; collapse is the batch
+    * variant's optimization). One row per incoming document:
+    * (doc_id, match_id, match_jaccard) — nulls when nothing in the corpus
+    * clears [[JaccardThreshold]]. */
+  def minhashLshIncremental(documents: DataFrame): DataFrame = {
+    val isIncoming = col("doc_id") % IncomingMod === 0
+    val hashed = Tables.spread(documents)
+      .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
+      .localCheckpoint(true)
+    val withSig = hashed
+      .join(minhashSignatures(hashed), "doc_id")
+      .localCheckpoint(true)
+    val bands = withSig
+      .select(col("doc_id"), posexplode(bandKeys(col("sig"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      .localCheckpoint(true)
+    val corpusBands = bands.where(!isIncoming)
+    val incomingBands = bands.where(isIncoming)
+    // cap on the CORPUS side: a probe into an over-full bucket returns no
+    // candidates (the skew guard; incoming side is per-doc bounded anyway)
+    val ok = corpusBands.groupBy("band", "bkey").agg(count(lit(1)).as("n"))
+      .where(col("n") <= MaxBandBucket).select("band", "bkey")
+    val cand = incomingBands.join(ok, Seq("band", "bkey"))
+      .select(col("band"), col("bkey"), col("doc_id").as("a"))
+      .join(corpusBands.select(col("band"), col("bkey"), col("doc_id").as("b")),
+        Seq("band", "bkey"))
+      .select("a", "b").distinct()
+    val est = cand
+      .join(withSig.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
+      .join(withSig.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
+      .where(aggregate(zip_with(col("siga"), col("sigb"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v) >= MinSigMatches)
+      .select("a", "b")
+    val hits = verifyJaccard(est, withSig)
+      .where(col("jaccard") >= JaccardThreshold)
+    val best = hits.groupBy("a")
+      .agg(max_by(struct(col("b"), col("jaccard")),
+                  struct(col("jaccard"), (-col("b")).as("nb"))).as("m"))
+      .withColumnRenamed("a", "doc_id")
+    documents.where(isIncoming).select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("m.b").as("match_id"),
+        col("m.jaccard").as("match_jaccard"))
+  }
+
   // ---- exact n-gram Jaccard best match (unchanged from round 1) ------------
 
   /** Exact n-gram (word 3-shingle) Jaccard best-match per document:
@@ -320,6 +381,7 @@ object Dedup {
     "dedup_minhash_lsh"   -> ((s, d) => minhashLsh(Tables.documents(s, d))),
     "dedup_simhash"       -> ((s, d) => simhashDedup(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardBestMatch(Tables.documents(s, d))),
+    "dedup_minhash_incremental" -> ((s, d) => minhashLshIncremental(Tables.documents(s, d))),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -424,6 +486,43 @@ object Dedup {
          | SELECT l.doc_id, a.simhash, l.cluster_id, CAST(s.sz - 1 AS BIGINT) AS n_near
          | FROM labeled l JOIN sizes s ON l.cluster_id = s.cluster_id
          | JOIN allsim a ON a.doc_id = l.doc_id""".stripMargin,
+
+    "dedup_minhash_incremental" ->
+      s"""WITH ${shingleWith("documents")},
+         | hsd AS (SELECT doc_id, list_distinct(list_transform(sh,
+         |     s -> ${h32Sql("s")} % $P)) AS sh FROM sh),
+         | hsx AS (SELECT doc_id, unnest(sh) AS x FROM hsd),
+         | seeds(i, a, b) AS (VALUES $seedsValues),
+         | sigl AS (SELECT doc_id, s.i, MIN((s.a * x + s.b) % $P) AS v
+         |   FROM hsx CROSS JOIN seeds s GROUP BY doc_id, s.i),
+         | sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sigl GROUP BY doc_id),
+         | bands AS (SELECT doc_id, j AS band,
+         |     list_reduce(list_prepend(j, list_slice(sig, j*$RowsPerBand + 1,
+         |       j*$RowsPerBand + $RowsPerBand)), (a, b) -> (a*31 + b) % $P) AS bkey
+         |   FROM sig CROSS JOIN range($Bands) t(j)),
+         | cb AS (SELECT * FROM bands WHERE doc_id % $IncomingMod <> 0),
+         | ib AS (SELECT * FROM bands WHERE doc_id % $IncomingMod = 0),
+         | okb AS (SELECT band, bkey FROM cb GROUP BY band, bkey
+         |   HAVING COUNT(*) <= $MaxBandBucket),
+         | cand AS (SELECT DISTINCT i.doc_id AS a, c.doc_id AS b
+         |   FROM ib i
+         |   JOIN okb o ON i.band = o.band AND i.bkey = o.bkey
+         |   JOIN cb c ON c.band = i.band AND c.bkey = i.bkey),
+         | est AS (SELECT c.a, c.b FROM cand c
+         |   JOIN sig x ON x.doc_id = c.a JOIN sig y ON y.doc_id = c.b
+         |   WHERE len(list_filter(range(${NumHashes}),
+         |     i -> x.sig[i + 1] = y.sig[i + 1])) >= $MinSigMatches),
+         | ver AS (SELECT c.a, c.b,
+         |     CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |       (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+         |   FROM est c JOIN hsd sa ON sa.doc_id = c.a JOIN hsd sb ON sb.doc_id = c.b),
+         | hits AS (SELECT a, b, jaccard FROM ver WHERE jaccard >= $JaccardThreshold),
+         | best AS (SELECT a AS doc_id, b AS match_id, jaccard AS match_jaccard FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY a
+         |     ORDER BY jaccard DESC, b ASC) AS rn FROM hits) WHERE rn = 1)
+         | SELECT d.doc_id, best.match_id, best.match_jaccard
+         | FROM (SELECT doc_id FROM documents WHERE doc_id % $IncomingMod = 0) d
+         | LEFT JOIN best ON d.doc_id = best.doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH ${shingleWith("documents")},

@@ -71,6 +71,22 @@ class DedupSpec extends SparkSpec {
     out shouldBe Map(2L -> 2L, 7L -> 1L)
   }
 
+  test("incremental minhash: incoming docs match the corpus, never each other") {
+    // incoming = doc_id % 5 == 0 → {5, 10}; corpus = {1, 2, 3}
+    val out = Dedup.minhashLshIncremental(docsDf(Seq(
+      1L -> text(Map(5 -> "xx")),                       // corpus near-dup (J≈0.81)
+      2L -> text(),                                     // corpus exact copy of 5
+      3L -> (0 until 30).map(i => s"c$i").mkString(" "), // unrelated corpus
+      5L -> text(),                                     // incoming: best match = 2 (J=1)
+      10L -> (0 until 30).map(i => s"q$i").mkString(" ")))) // incoming: no match
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    out.keySet shouldBe Set(5L, 10L) // one row per incoming doc only
+    out(5L)._1 shouldBe Some(2L)     // exact copy beats the near-dup
+    out(5L)._2 shouldBe Some(1.0)
+    out(10L) shouldBe ((None, None))
+  }
+
   test("ngram best-match respects the shingle df cap (solo shingles pair nothing)") {
     val out = Dedup.ngramJaccardBestMatch(docsDf(Seq(
       1L -> text(), 2L -> text(Map(5 -> "xx")),
