@@ -40,19 +40,15 @@ object Corpus {
     * Reason priority mirrors production pipelines: dedup before quality
     * (a duplicate is 'duplicate' even when it would also fail quality). */
   def clean(documents: DataFrame): DataFrame = {
-    val keeper = documents
-      .groupBy(md5(col("text").cast("binary")).as("_sha"))
-      .agg(min("doc_id").as("_keeper"))
-    val withKeeper = documents
-      .withColumn("_sha", md5(col("text").cast("binary")))
-      .join(keeper, "_sha")
+    // one digest convention, one implementation: Dedup's (doc_id, rep) map
+    val dr = Dedup.docReps(documents)
     val q = TextAnalysis.quality(documents).select(col("doc_id"), col("quality_score"))
-    withKeeper.join(q, "doc_id")
+    dr.join(q, "doc_id")
       .select(
         col("doc_id"),
-        (col("doc_id") === col("_keeper") &&
+        (col("doc_id") === col("rep") &&
           col("quality_score") >= QualityKeepThreshold).as("keep"),
-        when(col("doc_id") =!= col("_keeper"), lit("duplicate"))
+        when(col("doc_id") =!= col("rep"), lit("duplicate"))
           .when(col("quality_score") < QualityKeepThreshold, lit("low_quality"))
           .otherwise(lit("kept")).as("reason"))
   }
@@ -90,25 +86,15 @@ object Corpus {
     "corpus_clean" ->
       s"""WITH k AS (SELECT md5(text) AS sha, MIN(doc_id) AS keeper
          |   FROM documents GROUP BY md5(text)),
-         | q AS (SELECT doc_id,
-         |   CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE)
-         |     ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
-         |       / length(text) END AS pr,
-         |   CASE WHEN len(string_split(text, ' ')) = 0 THEN CAST(0 AS DOUBLE)
-         |     ELSE CAST(len(list_filter(string_split(lower(text), ' '),
-         |       x -> x IN ${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString("(", ", ", ")")}))
-         |       AS DOUBLE) / len(string_split(text, ' ')) END AS sr,
-         |   LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS ls
-         |  FROM documents),
-         | sc AS (SELECT doc_id, sr * 0.3 + (1.0 - pr) * 0.3 + ls * 0.4 AS score FROM q)
+         | ${TextAnalysis.qualityScoreSqlWith}
          | SELECT d.doc_id,
-         |   d.doc_id = k.keeper AND sc.score >= $QualityKeepThreshold AS keep,
+         |   d.doc_id = k.keeper AND sc.quality_score >= $QualityKeepThreshold AS keep,
          |   CASE WHEN d.doc_id <> k.keeper THEN 'duplicate'
-         |        WHEN sc.score < $QualityKeepThreshold THEN 'low_quality'
+         |        WHEN sc.quality_score < $QualityKeepThreshold THEN 'low_quality'
          |        ELSE 'kept' END AS reason
          | FROM documents d
          | JOIN k ON md5(d.text) = k.sha
-         | JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
+         | JOIN qscore sc ON sc.doc_id = d.doc_id""".stripMargin,
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents

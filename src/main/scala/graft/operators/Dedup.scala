@@ -118,8 +118,9 @@ object Dedup {
   // ---- exact-dup pre-collapse ----------------------------------------------
 
   /** (doc_id, rep) for every document: rep = min doc_id among identical
-    * contents. Shuffles a 32-char digest per doc, never bodies. */
-  private def docReps(documents: DataFrame): DataFrame = {
+    * contents. Shuffles a 32-char digest per doc, never bodies.
+    * Package-visible: [[Corpus.clean]] reuses the same digest convention. */
+  private[operators] def docReps(documents: DataFrame): DataFrame = {
     val shas = documents.select(col("doc_id"), md5(col("text").cast("binary")).as("sha"))
     val reps = shas.groupBy("sha").agg(min("doc_id").as("rep"))
     shas.join(reps, "sha").select("doc_id", "rep")
@@ -298,14 +299,23 @@ object Dedup {
     * O(batch) probes into the banded index, and the bucket cap bounds each
     * probe's fan-out exactly as in [[minhashLsh]]. At scale the corpus
     * bands/signatures are a precomputed, bucketed table; here both sides
-    * derive from one pass for the oracle's sake. No exact-dup pre-collapse
-    * (a production incoming batch is small; collapse is the batch
-    * variant's optimization). One row per incoming document:
-    * (doc_id, match_id, match_jaccard) — nulls when nothing in the corpus
-    * clears [[JaccardThreshold]]. */
+    * derive from one pass for the oracle's sake. The CORPUS side is
+    * exact-dup pre-collapsed (one representative per distinct content, as
+    * in [[minhashLsh]]) so a heavily-duplicated corpus document cannot cap
+    * out its own buckets and hide from incoming probes; `match_id` is
+    * therefore the min-doc_id representative of the matched content. The
+    * incoming side is not collapsed (incoming docs never pair with each
+    * other). One row per incoming document: (doc_id, match_id,
+    * match_jaccard) — nulls when nothing in the corpus clears
+    * [[JaccardThreshold]]. */
   def minhashLshIncremental(documents: DataFrame): DataFrame = {
     val isIncoming = col("doc_id") % IncomingMod === 0
-    val hashed = Tables.spread(documents)
+    val corpusReps = documents.where(!isIncoming)
+      .join(docReps(documents.where(!isIncoming))
+        .where(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
+    val base = corpusReps.select("doc_id", "text")
+      .unionByName(documents.where(isIncoming).select("doc_id", "text"))
+    val hashed = Tables.spread(base)
       .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
       .localCheckpoint(true)
     val withSig = hashed
@@ -488,7 +498,12 @@ object Dedup {
          | JOIN allsim a ON a.doc_id = l.doc_id""".stripMargin,
 
     "dedup_minhash_incremental" ->
-      s"""WITH ${shingleWith("documents")},
+      s"""WITH crep AS (SELECT md5(text) AS sha, MIN(doc_id) AS keeper
+         |   FROM documents WHERE doc_id % $IncomingMod <> 0 GROUP BY md5(text)),
+         | basedocs AS (SELECT doc_id, text FROM documents WHERE doc_id % $IncomingMod = 0
+         |   UNION ALL SELECT d.doc_id, d.text FROM documents d
+         |     JOIN crep ON d.doc_id = crep.keeper),
+         | ${shingleWith("basedocs")},
          | hsd AS (SELECT doc_id, list_distinct(list_transform(sh,
          |     s -> ${h32Sql("s")} % $P)) AS sh FROM sh),
          | hsx AS (SELECT doc_id, unnest(sh) AS x FROM hsd),

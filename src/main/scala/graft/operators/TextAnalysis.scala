@@ -138,6 +138,29 @@ object TextAnalysis {
   private def scoreSql(l: String, words: Seq[String]) =
     s"len(list_filter(t, x -> x IN ${inList(words)})) AS s_$l"
 
+  /** Quality-signal CTEs ending in relation
+    * `qscore(doc_id, punct_ratio, stopword_ratio, quality_score)` — the
+    * single SQL mirror of [[quality]], shared by the `text_quality` and
+    * `corpus_clean` oracles so the formula cannot drift between them. */
+  private[operators] def qualityScoreSqlWith: String =
+    s"""qb AS (SELECT doc_id,
+       |   length(text) AS n_chars,
+       |   length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct,
+       |   len(string_split(text, ' ')) AS n_tok,
+       |   len(list_filter(string_split(lower(text), ' '),
+       |       x -> x IN ${inList(EnStopwords)})) AS n_stop
+       |  FROM documents),
+       | qr AS (SELECT doc_id,
+       |   CASE WHEN n_chars = 0 THEN CAST(0 AS DOUBLE)
+       |        ELSE CAST(n_punct AS DOUBLE) / n_chars END AS punct_ratio,
+       |   CASE WHEN n_tok = 0 THEN CAST(0 AS DOUBLE)
+       |        ELSE CAST(n_stop AS DOUBLE) / n_tok END AS stopword_ratio,
+       |   LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_score
+       |  FROM qb),
+       | qscore AS (SELECT doc_id, punct_ratio, stopword_ratio,
+       |   stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.3 + len_score * 0.4
+       |     AS quality_score FROM qr)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "text_token_stats" ->
       s"""SELECT doc_id,
@@ -163,24 +186,9 @@ object TextAnalysis {
          | FROM mx""".stripMargin,
 
     "text_quality" ->
-      s"""WITH b AS (SELECT doc_id,
-         |   length(text) AS n_chars,
-         |   length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct,
-         |   len(string_split(text, ' ')) AS n_tok,
-         |   len(list_filter(string_split(lower(text), ' '),
-         |       x -> x IN ${inList(EnStopwords)})) AS n_stop
-         |  FROM documents),
-         | r AS (SELECT doc_id,
-         |   CASE WHEN n_chars = 0 THEN CAST(0 AS DOUBLE)
-         |        ELSE CAST(n_punct AS DOUBLE) / n_chars END AS punct_ratio,
-         |   CASE WHEN n_tok = 0 THEN CAST(0 AS DOUBLE)
-         |        ELSE CAST(n_stop AS DOUBLE) / n_tok END AS stopword_ratio,
-         |   LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_score
-         |  FROM b)
-         | SELECT doc_id, punct_ratio, stopword_ratio,
-         |   stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.3 + len_score * 0.4
-         |     AS quality_score
-         | FROM r""".stripMargin,
+      s"""WITH $qualityScoreSqlWith
+         | SELECT doc_id, punct_ratio, stopword_ratio, quality_score
+         | FROM qscore""".stripMargin,
 
     "text_ngram_freq" ->
       s"""WITH toks AS (SELECT doc_id, lower(text) AS lt,

@@ -64,14 +64,15 @@ object TransitQueries {
   /** Q2, sketch variant — `approx_count_distinct` (HyperLogLog++) in place
     * of the exact distinct: the 100 TB path when route cardinality per type
     * is huge (SURVEY §7.3 "100 TB design rule"). Fixed-size sketch per
-    * group instead of a distinct-shuffle; ~2% standard error at the default
-    * rsd. Not oracle-registered (sketches are engine-specific); the spec
-    * bounds its deviation from exact [[q2]]. */
+    * group instead of a distinct-shuffle; rsd pinned to 2% (Spark's
+    * default is 5%). Not oracle-registered (sketches are engine-specific);
+    * the spec bounds its deviation from exact [[q2]]. */
   def q2Approx(trips: DataFrame): DataFrame =
     trips
       .filter(col("transport_type").isNotNull && col("route_id").isNotNull)
       .groupBy("transport_type")
-      .agg((count(lit(1)).cast("double") / approx_count_distinct("route_id"))
+      .agg((count(lit(1)).cast("double") /
+          approx_count_distinct(col("route_id"), rsd = 0.02))
         .as("average_passengers"))
 
   /** Q3 — passenger with the most trips, global argmax

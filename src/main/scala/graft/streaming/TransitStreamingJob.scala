@@ -25,8 +25,15 @@ final class TableStore(spark: SparkSession) {
     * plan (the micro-batch analog of changelog compaction). */
   private def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
+  /** Mutation hook (set by the owning job to track dirty tables for the
+    * durable-state commits; not fired by [[restore]]). */
+  private[streaming] var onMutate: String => Unit = _ => ()
+
   /** Replace the whole table (for tiny global results like argmax rows). */
-  def put(name: String, df: DataFrame): Unit = tables(name) = ckpt(df)
+  def put(name: String, df: DataFrame): Unit = {
+    tables(name) = ckpt(df)
+    onMutate(name)
+  }
 
   /** MERGE `updates` into the named table on `keys`: new keys insert, known
     * keys take the update's values (latest generation wins). */
@@ -37,6 +44,7 @@ final class TableStore(spark: SparkSession) {
       case Some(prev) => Upsert.latestPerKey(prev.unionByName(tagged), keys, Seq("_gen"))
     }
     tables(name) = ckpt(merged)
+    onMutate(name)
   }
 
   def get(name: String): Option[DataFrame] = tables.get(name).map(_.drop("_gen"))
@@ -187,6 +195,14 @@ final class TransitStreamingJob(spark: SparkSession, routes: DataFrame,
   private var lastUnionBatch: Option[Long] = None
   /** Monotone commit version — every handler's trigger commits one. */
   private var commitSeq: Long = -1L
+  /** path ("state/<n>" | "results/<n>") → version dir holding its latest
+    * data. The per-version `_manifest` persists this map, so a commit only
+    * writes the tables its trigger actually touched — O(batch), not
+    * O(total state) — while restore still sees the full picture. */
+  private val tableVersions = scala.collection.mutable.Map.empty[String, Long]
+  /** paths mutated since the last commit */
+  private val dirty = scala.collection.mutable.Set.empty[String]
+  store.onMutate = n => dirty += s"results/$n"
 
   private def subDirs(p: java.io.File): Seq[java.io.File] =
     if (p.isDirectory) Option(p.listFiles).getOrElse(Array.empty).filter(_.isDirectory).toSeq
@@ -201,12 +217,20 @@ final class TransitStreamingJob(spark: SparkSession, routes: DataFrame,
       val meta = new java.io.File(s"$d/v$v/_union_batch")
       if (meta.isFile)
         lastUnionBatch = Some(java.nio.file.Files.readString(meta.toPath).trim.toLong)
-      subDirs(new java.io.File(s"$d/v$v/results")).foreach(f =>
-        store.restore(f.getName, spark.read.parquet(f.getPath)))
-      val counters = subDirs(new java.io.File(s"$d/v$v/state"))
-        .map(f => f.getName -> ckpt(spark.read.parquet(f.getPath))).toMap
-      counterSlots.foreach { case (n, _, set) =>
-        counters.get(n).foreach(df => set(Some(df)))
+      val mf = new java.io.File(s"$d/v$v/_manifest")
+      if (mf.isFile) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(mf.toPath).asScala
+          .filter(_.nonEmpty).foreach { line =>
+            val Array(p, ver) = line.split("\t")
+            tableVersions(p) = ver.toLong
+          }
+      }
+      tableVersions.foreach { case (p, ver) =>
+        val df = spark.read.parquet(s"$d/v$ver/$p")
+        if (p.startsWith("results/")) store.restore(p.stripPrefix("results/"), df)
+        else counterSlots.find(_._1 == p.stripPrefix("state/"))
+          .foreach(_._3(Some(ckpt(df))))
       }
     }
   }
@@ -216,21 +240,30 @@ final class TransitStreamingJob(spark: SparkSession, routes: DataFrame,
     f.delete(); ()
   }
 
-  /** Commit one version: all counter state + the result store under
-    * v<seq> with the union replay guard as metadata, then the marker
-    * (atomic move), then GC of older versions. Called (under the job
-    * monitor) at the end of EVERY handler's trigger, so the snapshot
-    * always includes the latest native-agg and window upserts too. */
+  /** Commit one version: the tables THIS trigger touched under v<seq>, a
+    * full `_manifest` (path → owning version), the union replay guard, then
+    * the marker (atomic move), then GC of versions no manifest entry
+    * references. Called (under the job monitor) at the end of every
+    * handler's trigger. Crash safety: a version dir left behind by a
+    * crashed attempt at this seq (marker never moved) is cleared before
+    * reuse, so stale partial files can never be marker-committed. */
   private def commitState(): Unit = stateDir.foreach { d =>
     commitSeq += 1
     val base = s"$d/v$commitSeq"
-    counterSlots.foreach { case (n, get, _) =>
-      get().foreach(_.write.mode("overwrite").parquet(s"$base/state/$n"))
+    deleteRecursively(new java.io.File(base))
+    dirty.toSeq.sorted.foreach { p =>
+      val df =
+        if (p.startsWith("results/")) store.snapshot.get(p.stripPrefix("results/"))
+        else counterSlots.find(_._1 == p.stripPrefix("state/")).flatMap(_._2())
+      df.foreach { frame =>
+        frame.write.mode("overwrite").parquet(s"$base/$p")
+        tableVersions(p) = commitSeq
+      }
     }
-    store.snapshot.foreach { case (n, df) =>
-      df.write.mode("overwrite").parquet(s"$base/results/$n")
-    }
-    new java.io.File(base).mkdirs() // ensure it exists even with no state yet
+    dirty.clear()
+    new java.io.File(base).mkdirs() // exists even if nothing was dirty
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$base/_manifest"),
+      tableVersions.toSeq.sorted.map { case (p, v) => s"$p\t$v" }.mkString("\n"))
     lastUnionBatch.foreach(id => java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$base/_union_batch"), id.toString))
     val tmp = java.nio.file.Paths.get(s"$d/_committed.tmp")
@@ -238,9 +271,13 @@ final class TransitStreamingJob(spark: SparkSession, routes: DataFrame,
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$d/_committed"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val referenced = tableVersions.values.toSet + commitSeq
     subDirs(new java.io.File(d))
-      .filter(f => f.getName.startsWith("v") &&
-        f.getName.drop(1).forall(_.isDigit) && f.getName.drop(1).toLong < commitSeq)
+      .filter { f =>
+        val n = f.getName
+        n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+          n.drop(1).toLong < commitSeq && !referenced(n.drop(1).toLong)
+      }
       .foreach(deleteRecursively)
   }
 
@@ -409,6 +446,10 @@ final class TransitStreamingJob(spark: SparkSession, routes: DataFrame,
     // the toTable state itself, queryable (latest_per_key operator surface)
     store.put("routes_latest", routesLatest.get.drop("_b"))
 
+    // every counter re-merged this batch is dirty for the commit
+    counterSlots.foreach { case (n, get, _) =>
+      if (get().nonEmpty) dirty += s"state/$n"
+    }
     lastUnionBatch = Some(batchId)
     commitState()
   }

@@ -87,6 +87,17 @@ class DedupSpec extends SparkSpec {
     out(10L) shouldBe ((None, None))
   }
 
+  test("incremental minhash: a heavily-duplicated corpus content still matches " +
+       "(pre-collapsed, no bucket cap-out)") {
+    // 70 identical corpus copies (> MaxBandBucket=64) + an incoming exact dup:
+    // without the corpus pre-collapse every band bucket would cap out and the
+    // incoming doc would silently get no match
+    val copies = (1L until 90L).filter(_ % 5 != 0).take(70).map(_ -> text())
+    val out = Dedup.minhashLshIncremental(docsDf(copies :+ (5L -> text())))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    out(5L) shouldBe Some(copies.map(_._1).min) // the min-id representative
+  }
+
   test("ngram best-match respects the shingle df cap (solo shingles pair nothing)") {
     val out = Dedup.ngramJaccardBestMatch(docsDf(Seq(
       1L -> text(), 2L -> text(Map(5 -> "xx")),

@@ -119,7 +119,7 @@ class TransitQueriesSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     approx.keySet shouldBe exact.keySet
     exact.foreach { case (k, v) =>
-      math.abs(approx(k) - v) / v should be < 0.1 // HLL++ default rsd ~2%
+      math.abs(approx(k) - v) / v should be < 0.1 // HLL++ at rsd=2%: ~5 sigma
     }
   }
 }
