@@ -73,9 +73,30 @@ object Corpus {
       .where(sampleHash(col("doc_id")) < rateFor(col("lang")))
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** Output shard count for [[shardPlan]] (a real corpus build picks
+    * shards ≈ corpus_bytes / target_shard_bytes). */
+  val NumShards = 32
+
+  /** Deterministic output-shard planning — the write-side stage of a
+    * corpus build: every document hashes to one of [[NumShards]] shards
+    * (salted portable hash, independent of the sampling hash), and the
+    * plan reports each shard's document count and byte mass so skew is
+    * visible before the expensive write. At scale the same expression
+    * feeds `repartitionByRange`/`partitionBy` for the actual write; the
+    * stats are one map-side-combined aggregation. */
+  def shardPlan(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        (Dedup.h32(concat(lit("shard:"), col("doc_id").cast("string"))) % NumShards)
+          .as("shard"),
+        col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean"      -> ((s, d) => clean(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => sampleStratified(Tables.documents(s, d))),
+    "shard_plan"        -> ((s, d) => shardPlan(Tables.documents(s, d))),
   )
 
   private def ratesCaseSql =
@@ -100,5 +121,12 @@ object Corpus {
       s"""SELECT doc_id, lang, source FROM documents
          | WHERE ('0x' || substring(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
          |   < (CASE $ratesCaseSql ELSE $DefaultRatePerMille END)""".stripMargin,
+
+    "shard_plan" ->
+      s"""SELECT ('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |     % $NumShards AS shard,
+         |   CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         | FROM documents GROUP BY 1""".stripMargin,
   )
 }

@@ -54,6 +54,19 @@ class CorpusSpec extends SparkSpec {
     byLang("zh").toDouble shouldBe 600.0 +- 65.0
   }
 
+  test("shard plan: every doc lands in exactly one shard, mass conserved, no hot shard") {
+    val sp = spark; import sp.implicits._
+    val docs = (0L until 3200L).map(i => (i, s"text $i", "en", "web", 100L + i % 7))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val plan = Corpus.shardPlan(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+    plan.map(_._1).distinct.length shouldBe Corpus.NumShards
+    plan.map(_._2._1).sum shouldBe 3200L                      // docs conserved
+    plan.map(_._2._2).sum shouldBe (0L until 3200L).map(100L + _ % 7).sum
+    // uniform hash: 100/shard expected, sd ~10 — no shard past ~5 sd
+    all(plan.map(_._2._1)) should (be >= 50L and be <= 150L)
+  }
+
   test("unknown strata fall back to the default rate") {
     val rows = (0L until 1000L).map(i => (i, s"t $i", "xx", "web"))
     val n = Corpus.sampleStratified(docsDf(rows)).count()
