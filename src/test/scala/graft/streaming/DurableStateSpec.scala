@@ -98,5 +98,23 @@ class DurableStateSpec extends SparkSpec {
             .select("route_id", "transport_type", "capacity", "operator", "ts"),
           Seq("route_id"), Seq("ts")))
     } finally q2s.foreach(_.stop())
+
+    // -- incarnation 3: restart with NO new data — restore must be
+    // idempotent across the manifest (tables spread over many versions)
+    val (job3, q3s) = startJob()
+    try {
+      val before = job3.store("q9_total_passengers").collect()(0).getLong(0)
+      processAll(q3s)
+      job3.store("q9_total_passengers").collect()(0).getLong(0) shouldBe before
+      assertSameRows(job3.store("q5_passengers_per_route"),
+        TransitQueries.q5(tripsDf(TransitFixture.trips ++ Seq(sentinel, sentinel2))))
+
+      // and one more increment still folds exactly once
+      StreamAdapters.writeBatchRaw(Encode.tripsRaw(tripsDf(Seq(
+        graft.engine.Schemas.Trip("t_extra", "r1", "a", "b", "Bus", "P9",
+          ts("2024-01-04 09:00:00"))))), ref("Trips_topic"))
+      processAll(q3s)
+      job3.store("q9_total_passengers").collect()(0).getLong(0) shouldBe before + 1
+    } finally q3s.foreach(_.stop())
   }
 }
