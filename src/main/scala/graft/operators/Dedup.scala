@@ -196,12 +196,23 @@ object Dedup {
     * exact-Jaccard verified, transitively closed. One row per document:
     * (doc_id, cluster_id, n_dups). */
   def minhashLsh(documents: DataFrame): DataFrame = {
-    // Materialization barriers (localCheckpoint) are deliberate stage
-    // boundaries, not caching sugar: hashed/withSig/bands each feed
-    // multiple consumers (signature agg + both verify sides; the bands
-    // relation feeds three consumers in cappedBandPairs). Spark MLlib's
-    // MinHashLSH materializes its model stage the same way.
-    val hashed = repDocs(documents)
+    val (withSig, bands) = signaturePipeline(repDocs(documents))
+    val cand = cappedBandPairs(bands)
+    val edges = verifyJaccard(sigAgreementFilter(cand, withSig), withSig)
+      .where(col("jaccard") >= JaccardThreshold).select("a", "b")
+    expandClusters(documents, ConnectedComponents.minLabel(edges))
+  }
+
+  /** Shingle-hash + signature + banded-key stages for a (doc_id, text)
+    * frame, shared by the batch and incremental operators so a tuning
+    * change cannot drift them apart. The localCheckpoints are deliberate
+    * stage boundaries, not caching sugar: each output feeds multiple
+    * consumers (the signature agg + both verify sides; the bands relation
+    * feeds three consumers in the candidate join). Spark MLlib's
+    * MinHashLSH materializes its model stage the same way.
+    * Returns (withSig = (doc_id, sh, sig), bands = (doc_id, band, bkey)). */
+  private def signaturePipeline(docs: DataFrame): (DataFrame, DataFrame) = {
+    val hashed = docs
       .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
       .localCheckpoint(true)
     val withSig = hashed
@@ -211,19 +222,21 @@ object Dedup {
       .select(col("doc_id"), posexplode(bandKeys(col("sig"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
       .localCheckpoint(true)
-    val cand = cappedBandPairs(bands)
-    // cheap signature-agreement estimate first, exact verify on survivors
-    val est = cand
+    (withSig, bands)
+  }
+
+  /** Cheap signature-agreement estimate over candidate (a, b) pairs: keep
+    * only pairs agreeing on ≥ [[MinSigMatches]] of the 128 positions, so
+    * the exact shingle-set verify never touches the medium-similarity
+    * candidate mass. */
+  private def sigAgreementFilter(cand: DataFrame, withSig: DataFrame): DataFrame =
+    cand
       .join(withSig.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
       .join(withSig.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
       .where(aggregate(zip_with(col("siga"), col("sigb"),
           (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v) >= MinSigMatches)
       .select("a", "b")
-    val edges = verifyJaccard(est, withSig)
-      .where(col("jaccard") >= JaccardThreshold).select("a", "b")
-    expandClusters(documents, ConnectedComponents.minLabel(edges))
-  }
 
   /** Attach both shingle sets to candidate (a, b) pairs and compute exact
     * Jaccard = |∩| / (|A| + |B| - |∩|). */
@@ -310,21 +323,11 @@ object Dedup {
     * [[JaccardThreshold]]. */
   def minhashLshIncremental(documents: DataFrame): DataFrame = {
     val isIncoming = col("doc_id") % IncomingMod === 0
-    val corpusReps = documents.where(!isIncoming)
-      .join(docReps(documents.where(!isIncoming))
-        .where(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
-    val base = corpusReps.select("doc_id", "text")
+    // corpus side through the same pre-collapse as the batch operator
+    // (repDocs: one representative row per distinct content)
+    val base = repDocs(documents.where(!isIncoming))
       .unionByName(documents.where(isIncoming).select("doc_id", "text"))
-    val hashed = Tables.spread(base)
-      .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
-      .localCheckpoint(true)
-    val withSig = hashed
-      .join(minhashSignatures(hashed), "doc_id")
-      .localCheckpoint(true)
-    val bands = withSig
-      .select(col("doc_id"), posexplode(bandKeys(col("sig"))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-      .localCheckpoint(true)
+    val (withSig, bands) = signaturePipeline(Tables.spread(base))
     val corpusBands = bands.where(!isIncoming)
     val incomingBands = bands.where(isIncoming)
     // cap on the CORPUS side: a probe into an over-full bucket returns no
@@ -336,14 +339,7 @@ object Dedup {
       .join(corpusBands.select(col("band"), col("bkey"), col("doc_id").as("b")),
         Seq("band", "bkey"))
       .select("a", "b").distinct()
-    val est = cand
-      .join(withSig.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
-      .join(withSig.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
-      .where(aggregate(zip_with(col("siga"), col("sigb"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v) >= MinSigMatches)
-      .select("a", "b")
-    val hits = verifyJaccard(est, withSig)
+    val hits = verifyJaccard(sigAgreementFilter(cand, withSig), withSig)
       .where(col("jaccard") >= JaccardThreshold)
     val best = hits.groupBy("a")
       .agg(max_by(struct(col("b"), col("jaccard")),
@@ -440,6 +436,36 @@ object Dedup {
   private def seedsValues: String =
     (0 until NumHashes).map(i => s"(${i}, ${seedA(i)}, ${seedB(i)})").mkString(", ")
 
+  /** MinHash CTE chain over the `sh` relation (from [[shingleWith]]):
+    * hashed shingle sets → per-seed minima → ordered signatures → banded
+    * keys. One SQL mirror of [[signaturePipeline]], shared by the batch
+    * and incremental oracles so they cannot drift. */
+  private def minhashBandsSqlWith: String =
+    s"""hsd AS (SELECT doc_id, list_distinct(list_transform(sh,
+       |     s -> ${h32Sql("s")} % $P)) AS sh FROM sh),
+       | hsx AS (SELECT doc_id, unnest(sh) AS x FROM hsd),
+       | seeds(i, a, b) AS (VALUES $seedsValues),
+       | sigl AS (SELECT doc_id, s.i, MIN((s.a * x + s.b) % $P) AS v
+       |   FROM hsx CROSS JOIN seeds s GROUP BY doc_id, s.i),
+       | sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sigl GROUP BY doc_id),
+       | bands AS (SELECT doc_id, j AS band,
+       |     list_reduce(list_prepend(j, list_slice(sig, j*$RowsPerBand + 1,
+       |       j*$RowsPerBand + $RowsPerBand)), (a, b) -> (a*31 + b) % $P) AS bkey
+       |   FROM sig CROSS JOIN range($Bands) t(j))""".stripMargin
+
+  /** Signature-agreement estimate + exact-Jaccard verify over the `cand`
+    * relation — the SQL mirror of [[sigAgreementFilter]] + [[verifyJaccard]],
+    * shared by both MinHash oracles. */
+  private def sigEstVerSqlWith: String =
+    s"""est AS (SELECT c.a, c.b FROM cand c
+       |   JOIN sig x ON x.doc_id = c.a JOIN sig y ON y.doc_id = c.b
+       |   WHERE len(list_filter(range(${NumHashes}),
+       |     i -> x.sig[i + 1] = y.sig[i + 1])) >= $MinSigMatches),
+       | ver AS (SELECT c.a, c.b,
+       |     CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |       (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+       |   FROM est c JOIN hsd sa ON sa.doc_id = c.a JOIN hsd sb ON sb.doc_id = c.b)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT sha256(text) AS content_sha, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
@@ -448,26 +474,9 @@ object Dedup {
     "dedup_minhash_lsh" ->
       s"""WITH RECURSIVE $repsWith,
          | ${shingleWith("reps")},
-         | hsd AS (SELECT doc_id, list_distinct(list_transform(sh,
-         |     s -> ${h32Sql("s")} % $P)) AS sh FROM sh),
-         | hsx AS (SELECT doc_id, unnest(sh) AS x FROM hsd),
-         | seeds(i, a, b) AS (VALUES $seedsValues),
-         | sigl AS (SELECT doc_id, s.i, MIN((s.a * x + s.b) % $P) AS v
-         |   FROM hsx CROSS JOIN seeds s GROUP BY doc_id, s.i),
-         | sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sigl GROUP BY doc_id),
-         | bands AS (SELECT doc_id, j AS band,
-         |     list_reduce(list_prepend(j, list_slice(sig, j*$RowsPerBand + 1,
-         |       j*$RowsPerBand + $RowsPerBand)), (a, b) -> (a*31 + b) % $P) AS bkey
-         |   FROM sig CROSS JOIN range($Bands) t(j)),
+         | $minhashBandsSqlWith,
          | ${cappedPairsSql("bands")},
-         | est AS (SELECT c.a, c.b FROM cand c
-         |   JOIN sig x ON x.doc_id = c.a JOIN sig y ON y.doc_id = c.b
-         |   WHERE len(list_filter(range(${NumHashes}),
-         |     i -> x.sig[i + 1] = y.sig[i + 1])) >= $MinSigMatches),
-         | ver AS (SELECT c.a, c.b,
-         |     CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-         |       (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
-         |   FROM est c JOIN hsd sa ON sa.doc_id = c.a JOIN hsd sb ON sb.doc_id = c.b),
+         | $sigEstVerSqlWith,
          | edges AS (SELECT a, b FROM ver WHERE jaccard >= $JaccardThreshold),
          | $closureTail
          | SELECT l.doc_id, l.cluster_id, CAST(s.sz - 1 AS BIGINT) AS n_dups
@@ -504,17 +513,7 @@ object Dedup {
          |   UNION ALL SELECT d.doc_id, d.text FROM documents d
          |     JOIN crep ON d.doc_id = crep.keeper),
          | ${shingleWith("basedocs")},
-         | hsd AS (SELECT doc_id, list_distinct(list_transform(sh,
-         |     s -> ${h32Sql("s")} % $P)) AS sh FROM sh),
-         | hsx AS (SELECT doc_id, unnest(sh) AS x FROM hsd),
-         | seeds(i, a, b) AS (VALUES $seedsValues),
-         | sigl AS (SELECT doc_id, s.i, MIN((s.a * x + s.b) % $P) AS v
-         |   FROM hsx CROSS JOIN seeds s GROUP BY doc_id, s.i),
-         | sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sigl GROUP BY doc_id),
-         | bands AS (SELECT doc_id, j AS band,
-         |     list_reduce(list_prepend(j, list_slice(sig, j*$RowsPerBand + 1,
-         |       j*$RowsPerBand + $RowsPerBand)), (a, b) -> (a*31 + b) % $P) AS bkey
-         |   FROM sig CROSS JOIN range($Bands) t(j)),
+         | $minhashBandsSqlWith,
          | cb AS (SELECT * FROM bands WHERE doc_id % $IncomingMod <> 0),
          | ib AS (SELECT * FROM bands WHERE doc_id % $IncomingMod = 0),
          | okb AS (SELECT band, bkey FROM cb GROUP BY band, bkey
@@ -523,14 +522,7 @@ object Dedup {
          |   FROM ib i
          |   JOIN okb o ON i.band = o.band AND i.bkey = o.bkey
          |   JOIN cb c ON c.band = i.band AND c.bkey = i.bkey),
-         | est AS (SELECT c.a, c.b FROM cand c
-         |   JOIN sig x ON x.doc_id = c.a JOIN sig y ON y.doc_id = c.b
-         |   WHERE len(list_filter(range(${NumHashes}),
-         |     i -> x.sig[i + 1] = y.sig[i + 1])) >= $MinSigMatches),
-         | ver AS (SELECT c.a, c.b,
-         |     CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-         |       (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
-         |   FROM est c JOIN hsd sa ON sa.doc_id = c.a JOIN hsd sb ON sb.doc_id = c.b),
+         | $sigEstVerSqlWith,
          | hits AS (SELECT a, b, jaccard FROM ver WHERE jaccard >= $JaccardThreshold),
          | best AS (SELECT a AS doc_id, b AS match_id, jaccard AS match_jaccard FROM (
          |   SELECT *, ROW_NUMBER() OVER (PARTITION BY a

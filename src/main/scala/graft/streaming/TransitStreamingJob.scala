@@ -218,14 +218,17 @@ final class TransitStreamingJob(spark: SparkSession, routes: DataFrame,
       if (meta.isFile)
         lastUnionBatch = Some(java.nio.file.Files.readString(meta.toPath).trim.toLong)
       val mf = new java.io.File(s"$d/v$v/_manifest")
-      if (mf.isFile) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.readAllLines(mf.toPath).asScala
-          .filter(_.nonEmpty).foreach { line =>
-            val Array(p, ver) = line.split("\t")
-            tableVersions(p) = ver.toLong
-          }
-      }
+      // a committed version without a manifest would restore NOTHING while
+      // the replay guard still suppresses refolding — silent total state
+      // loss; refuse instead
+      require(mf.isFile,
+        s"committed state at $d/v$v has no _manifest — refusing to restore blindly")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(mf.toPath).asScala
+        .filter(_.nonEmpty).foreach { line =>
+          val Array(p, ver) = line.split("\t")
+          tableVersions(p) = ver.toLong
+        }
       tableVersions.foreach { case (p, ver) =>
         val df = spark.read.parquet(s"$d/v$ver/$p")
         if (p.startsWith("results/")) store.restore(p.stripPrefix("results/"), df)
@@ -446,9 +449,16 @@ final class TransitStreamingJob(spark: SparkSession, routes: DataFrame,
     // the toTable state itself, queryable (latest_per_key operator surface)
     store.put("routes_latest", routesLatest.get.drop("_b"))
 
-    // every counter re-merged this batch is dirty for the commit
-    counterSlots.foreach { case (n, get, _) =>
-      if (get().nonEmpty) dirty += s"state/$n"
+    // only the counters whose input slice was non-empty changed content
+    // this batch (an empty-side merge rebuilds an identical table — the
+    // previously committed version stays valid, so skip rewriting it)
+    if (stateDir.nonEmpty) {
+      if (!r.isEmpty)
+        Seq("routesLatest", "capPerRouteType", "capPerType", "totalCap")
+          .foreach(n => dirty += s"state/$n")
+      if (!t.isEmpty)
+        Seq("cntPerRoute", "cntPerType", "cntPerTypeRoute", "cntPerPassenger",
+          "totalTrips").foreach(n => dirty += s"state/$n")
     }
     lastUnionBatch = Some(batchId)
     commitState()
