@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.TransitFixture
+import graft.engine.Encode
+import graft.sources.StreamAdapters
+
+/** The runner's wiring: arg parsing and one subscribe→run→publish cycle
+  * over the file transport. */
+class MainAppSpec extends SparkSpec {
+
+  test("parse: full flag set and rejection of unknown flags") {
+    val c = MainApp.parse(Array("--topics", "/t", "--bootstrap", "b:9092",
+      "--checkpoint", "/c", "--state", "/s", "--publish-every", "5"))
+    c shouldBe MainApp.Conf(Some("/t"), "b:9092", "/c", Some("/s"), 5L)
+    intercept[IllegalArgumentException](MainApp.parse(Array("--bogus", "x")))
+  }
+
+  test("wire runs the 13 queries from topics and publishes envelopes") {
+    val root = Files.createTempDirectory("graft-main-").toString
+    val conf = MainApp.Conf(topicsDir = Some(root),
+      checkpoint = s"$root/ckpt", stateDir = Some(s"$root/state"))
+    val ref = MainApp.topicRef(conf) _
+    Seq("Routes_topic", "Trips_topic")
+      .foreach(t => StreamAdapters.createTopicIfNotExists(ref(t)))
+    StreamAdapters.writeBatchRaw(
+      Encode.routesRaw(routesDf(TransitFixture.routes)), ref("Routes_topic"))
+    StreamAdapters.writeBatchRaw(
+      Encode.tripsRaw(tripsDf(TransitFixture.trips)), ref("Trips_topic"))
+
+    val (job, queries, publish) = MainApp.wire(spark, conf)
+    try {
+      queries.foreach(_.processAllAvailable())
+      publish()
+      val out = StreamAdapters.readBatchRaw(spark, ref("projeto3_total_passengers"))
+        .collect()
+      out.length shouldBe 1
+      out(0).getString(0) shouldBe "totalPassengers"
+      out(0).getString(1) should include(""""totalPassengers":9""")
+    } finally queries.foreach(_.stop())
+    job.store.names should contain("q13_most_occupied_operator")
+  }
+}
