@@ -1,25 +1,33 @@
 package graft
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.StreamingQuery
 
+import graft.sources.StreamAdapters
 import graft.sources.StreamAdapters.TopicRef
 import graft.streaming.{ResultPublisher, TransitStreamingJob}
 
 /** The production runner — `MainStreamApp.java:12-44` re-expressed: one
   * Spark application subscribing to `Routes_topic`/`Trips_topic`, running
   * all 13 queries continuously, and publishing every result to its
-  * `projeto3_*` topic in Connect-envelope form. Transport is the adapter's:
-  * Kafka when the connector is deployed, JSON-lines topic directories
-  * otherwise.
+  * `projeto3_*` topic in Connect-envelope form.
+  *
+  * Transport selection is the adapter's and is decided by the CLASSPATH:
+  * `format("kafka")` when the `spark-sql-kafka` connector jar is deployed,
+  * JSON-lines directories under `--topics` otherwise; `--bootstrap` only
+  * configures where the Kafka branch points.
   *
   * Usage:
   * {{{
   * sbt "runMain graft.MainApp --topics /data/topics \
   *      --checkpoint /data/ckpt --state /data/state --publish-every 10"
   * }}}
-  * `--bootstrap host:9092` switches the adapter to Kafka (connector
-  * required); `--state` enables durable restart-safe state (optional).
+  * `--state` enables durable restart-safe state; restarting over an
+  * existing checkpoint WITHOUT it is refused (sources would resume their
+  * committed offsets while every counter restarts empty — silently wrong
+  * results forever).
   */
 object MainApp {
 
@@ -30,8 +38,12 @@ object MainApp {
       stateDir: Option[String] = None,
       publishEverySec: Long = 10L)
 
-  def parse(args: Array[String]): Conf =
-    args.sliding(2, 2).foldLeft(Conf()) {
+  def parse(args: Array[String]): Conf = {
+    require(args.length % 2 == 0,
+      s"flags take one value each: ${args.mkString(" ")}")
+    val conf = args.sliding(2, 2).foldLeft(Conf()) {
+      case (_, Array(flag, v)) if v.startsWith("--") =>
+        throw new IllegalArgumentException(s"flag $flag is missing its value (got '$v')")
       case (c, Array("--topics", v))        => c.copy(topicsDir = Some(v))
       case (c, Array("--bootstrap", v))     => c.copy(bootstrap = v)
       case (c, Array("--checkpoint", v))    => c.copy(checkpoint = v)
@@ -40,19 +52,40 @@ object MainApp {
       case (_, other) =>
         throw new IllegalArgumentException(s"unknown arguments: ${other.mkString(" ")}")
     }
+    require(conf.publishEverySec > 0,
+      s"--publish-every must be positive, got ${conf.publishEverySec}")
+    conf
+  }
 
   def topicRef(conf: Conf)(topic: String): TopicRef =
     TopicRef(topic, bootstrap = conf.bootstrap, fallbackDir = conf.topicsDir)
 
-  /** Wire the whole app: subscribe → 13 queries → periodic envelope
-    * publish. Returns the job, its queries, and one publish step (testable
-    * without blocking). */
+  /** Wire the whole app: create the input topics (idempotent, as the
+    * reference runner does at startup), subscribe → 13 queries → one
+    * periodic-publish step that skips cycles where nothing changed.
+    * Returns the job, its queries, and the publish step (testable without
+    * blocking). */
   def wire(spark: SparkSession, conf: Conf): (TransitStreamingJob, Seq[StreamingQuery], () => Unit) = {
+    val ckptExists = new java.io.File(conf.checkpoint).exists()
+    require(conf.stateDir.nonEmpty || !ckptExists,
+      s"checkpoint ${conf.checkpoint} exists but no --state was given: sources " +
+        "would resume committed offsets over empty counters (wrong results); " +
+        "pass --state, or remove the checkpoint to reprocess from scratch")
     val ref = topicRef(conf) _
+    Seq("Routes_topic", "Trips_topic")
+      .foreach(t => StreamAdapters.createTopicIfNotExists(ref(t)))
     val job = TransitStreamingJob.fromTopics(
       spark, ref("Routes_topic"), ref("Trips_topic"), conf.stateDir)
     val queries = job.startAll(conf.checkpoint)
-    (job, queries, () => ResultPublisher.publishAll(job.store, ref))
+    var publishedAt = -1L
+    val publish = () => {
+      val m = job.store.mutationCount
+      if (m != publishedAt) {
+        ResultPublisher.publishAll(job.store, ref)
+        publishedAt = m
+      }
+    }
+    (job, queries, publish)
   }
 
   def main(args: Array[String]): Unit = {
@@ -65,14 +98,21 @@ object MainApp {
     spark.sparkContext.setLogLevel("WARN")
     val (_, queries, publish) = wire(spark, conf)
     val publisher = new Thread(() => {
-      while (queries.exists(_.isActive)) {
-        Thread.sleep(conf.publishEverySec * 1000L)
-        try publish()
-        catch { case e: Throwable => System.err.println(s"[publish] $e") }
-      }
+      try {
+        while (queries.exists(_.isActive)) {
+          Thread.sleep(conf.publishEverySec * 1000L)
+          try publish()
+          catch { case NonFatal(e) => e.printStackTrace() }
+        }
+      } catch { case _: InterruptedException => Thread.currentThread().interrupt() }
     }, "graft-publisher")
     publisher.setDaemon(true)
     publisher.start()
-    spark.streams.awaitAnyTermination()
+    try spark.streams.awaitAnyTermination()
+    finally {
+      // one query failing must not leave the others running headless
+      queries.foreach(q => try q.stop() catch { case NonFatal(_) => () })
+      publish() // final flush of the last maintained state
+    }
   }
 }

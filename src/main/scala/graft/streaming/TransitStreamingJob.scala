@@ -29,9 +29,15 @@ final class TableStore(spark: SparkSession) {
     * durable-state commits; not fired by [[restore]]). */
   private[streaming] var onMutate: String => Unit = _ => ()
 
+  private val mutations = new AtomicLong(0L)
+  /** Total put/upsert count — lets a periodic publisher skip cycles where
+    * nothing changed. */
+  def mutationCount: Long = mutations.get()
+
   /** Replace the whole table (for tiny global results like argmax rows). */
   def put(name: String, df: DataFrame): Unit = {
     tables(name) = ckpt(df)
+    mutations.incrementAndGet()
     onMutate(name)
   }
 
@@ -44,6 +50,7 @@ final class TableStore(spark: SparkSession) {
       case Some(prev) => Upsert.latestPerKey(prev.unionByName(tagged), keys, Seq("_gen"))
     }
     tables(name) = ckpt(merged)
+    mutations.incrementAndGet()
     onMutate(name)
   }
 

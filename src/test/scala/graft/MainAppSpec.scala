@@ -10,11 +10,27 @@ import graft.sources.StreamAdapters
   * over the file transport. */
 class MainAppSpec extends SparkSpec {
 
-  test("parse: full flag set and rejection of unknown flags") {
+  test("parse: full flag set and rejection of malformed command lines") {
     val c = MainApp.parse(Array("--topics", "/t", "--bootstrap", "b:9092",
       "--checkpoint", "/c", "--state", "/s", "--publish-every", "5"))
     c shouldBe MainApp.Conf(Some("/t"), "b:9092", "/c", Some("/s"), 5L)
     intercept[IllegalArgumentException](MainApp.parse(Array("--bogus", "x")))
+    // a flag missing its value must not swallow the next flag
+    intercept[IllegalArgumentException](
+      MainApp.parse(Array("--topics", "--checkpoint")))
+    intercept[IllegalArgumentException](MainApp.parse(Array("--topics")))
+    intercept[IllegalArgumentException](
+      MainApp.parse(Array("--publish-every", "0")))
+  }
+
+  test("wire refuses an existing checkpoint without durable state") {
+    val root = Files.createTempDirectory("graft-main-guard-").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/ckpt"))
+    val e = intercept[IllegalArgumentException] {
+      MainApp.wire(spark, MainApp.Conf(topicsDir = Some(root),
+        checkpoint = s"$root/ckpt"))
+    }
+    e.getMessage should include("--state")
   }
 
   test("wire runs the 13 queries from topics and publishes envelopes") {
@@ -38,6 +54,11 @@ class MainAppSpec extends SparkSpec {
       out.length shouldBe 1
       out(0).getString(0) shouldBe "totalPassengers"
       out(0).getString(1) should include(""""totalPassengers":9""")
+
+      // an idle cycle publishes nothing new (changed-only publishing)
+      publish()
+      StreamAdapters.readBatchRaw(spark, ref("projeto3_total_passengers"))
+        .count() shouldBe 1
     } finally queries.foreach(_.stop())
     job.store.names should contain("q13_most_occupied_operator")
   }
