@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpec
+
+/** Property-based invariants for the dedup and corpus families over
+  * randomized corpora with exact duplicates, near-duplicates, and
+  * unrelated documents:
+  *   - exact duplicates ALWAYS share a minhash cluster (the pre-collapse
+  *     guarantee — no cap or banding parameter can split them);
+  *   - cluster labels are the min member id and n_dups = size - 1;
+  *   - clean's ledger partitions the corpus (keep ⇔ reason = kept, one
+  *     keeper per content);
+  *   - the stratified sample is a subset and deterministic.
+  */
+class DedupPropertySpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    val sp = spark; import sp.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val vocabulary = (0 until 40).map(i => s"w$i")
+
+  /** A corpus: some base texts, each replicated 1..4 times under distinct
+    * ids, some with a 1-token mutation. */
+  private val genCorpus: Gen[Seq[(Long, String)]] = for {
+    nBases <- Gen.choose(2, 5)
+    specs <- Gen.listOfN(nBases, Gen.zip(
+      Gen.choose(0, 9),      // base variant: rotate vocabulary
+      Gen.choose(1, 4),      // exact copies
+      Gen.oneOf(true, false) // add a near-dup mutation too
+    ))
+  } yield {
+    var id = 0L
+    specs.zipWithIndex.flatMap { case ((rot, copies, addNear), i) =>
+      val base = (vocabulary.drop(rot) ++ vocabulary.take(rot))
+        .updated(5, s"base$i").mkString(" ")
+      val exact = (0 until copies).map { _ => id += 1; id -> base }
+      val near =
+        if (addNear) { id += 1; Seq(id -> base.replace("w20", s"mut$i")) }
+        else Nil
+      exact ++ near
+    }
+  }
+
+  private def run(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5).withWorkers(1), p)
+    withClue(res.status.toString)(res.passed shouldBe true)
+  }
+
+  test("minhash clusters: exact dups always together, labels minimal, sizes consistent") {
+    run(Prop.forAll(genCorpus) { corpus =>
+      val out = Dedup.minhashLsh(docsDf(corpus)).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val byText = corpus.groupBy(_._2).values
+      val exactTogether = byText.forall(g =>
+        g.map(x => out(x._1)._1).distinct.size == 1)
+      val byCluster = out.groupBy(_._2._1)
+      val labelsMinimal = byCluster.forall { case (cid, m) => m.keys.min == cid }
+      val sizes = byCluster.forall { case (_, m) =>
+        m.values.forall(_._2 == m.size - 1)
+      }
+      (Prop(exactTogether) :| "exact dups share a cluster") &&
+        (Prop(labelsMinimal) :| "cluster label = min member") &&
+        (Prop(sizes) :| "n_dups = size - 1") &&
+        (Prop(out.size == corpus.size) :| "one row per doc")
+    })
+  }
+
+  test("clean ledger: partitions the corpus, exactly one keeper per distinct content") {
+    run(Prop.forAll(genCorpus) { corpus =>
+      val sp = spark; import sp.implicits._
+      val df = corpus.map { case (id, t) => (id, t, "en", "web") }
+        .toDF("doc_id", "text", "lang", "source")
+      val out = Corpus.clean(df).collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+      val keepIffKept = out.values.forall { case (k, r) => k == (r == "kept") }
+      val byText = corpus.groupBy(_._2).values
+      val oneNonDupPerContent = byText.forall { g =>
+        val reasons = g.map(x => out(x._1)._2)
+        reasons.count(_ != "duplicate") == 1 &&
+          out(g.map(_._1).min)._2 != "duplicate" // the min id is the keeper
+      }
+      (Prop(keepIffKept) :| "keep ⇔ reason=kept (fixture is high-quality)") &&
+        (Prop(oneNonDupPerContent) :| "one keeper per content") &&
+        (Prop(out.size == corpus.size) :| "one ledger row per doc")
+    })
+  }
+
+  test("stratified sample: subset, deterministic, stratum-pure") {
+    run(Prop.forAll(Gen.choose(50, 300)) { n =>
+      val sp = spark; import sp.implicits._
+      val df = (0L until n.toLong)
+        .map(i => (i, s"t $i", if (i % 3 == 0) "en" else "de", "web"))
+        .toDF("doc_id", "text", "lang", "source")
+      val s1 = Corpus.sampleStratified(df).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val s2 = Corpus.sampleStratified(df).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      (Prop(s1 == s2) :| "deterministic") &&
+        (Prop(s1.forall { case (id, lang) =>
+          id < n && lang == (if (id % 3 == 0) "en" else "de")
+        }) :| "subset with original strata")
+    })
+  }
+}
