@@ -126,20 +126,20 @@ object Dedup {
     shas.join(reps, "sha").select("doc_id", "rep")
   }
 
-  /** One representative row (doc_id = rep, text) per distinct content,
-    * spread to full parallelism — everything downstream is the CPU-heavy
-    * shingle/signature math ([[Tables.spread]]). */
-  private def repDocs(documents: DataFrame): DataFrame = {
-    val dr = docReps(documents)
-    Tables.spread(
-      documents.join(dr.where(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
-        .select(col("doc_id"), col("text")))
-  }
+  /** One representative row (doc_id = rep, text) per distinct content.
+    * `dr` is the (doc_id, rep) map from [[docReps]] — computed once per
+    * query and shared with [[expandClusters]] (round 4: it was recomputed
+    * 2-3x per query, an md5 scan + two shuffles each time). The input is
+    * already spread to full parallelism at the scan ([[Tables.spread]] on
+    * the raw documents — spreading the join output instead forced AQE to
+    * materialize its stages just to read the partition count). */
+  private def repDocs(documents: DataFrame, dr: DataFrame): DataFrame =
+    documents.join(dr.where(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
+      .select(col("doc_id"), col("text"))
 
   /** Map per-representative components back to every copy and attach the
     * cluster size: (doc_id, cluster_id, n_dups = cluster size - 1). */
-  private def expandClusters(documents: DataFrame, components: DataFrame): DataFrame = {
-    val dr = docReps(documents)
+  private def expandClusters(dr: DataFrame, components: DataFrame): DataFrame = {
     val labeled = dr.join(components.withColumnRenamed("id", "rep"), Seq("rep"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("rep")).as("cluster_id"))
@@ -196,11 +196,13 @@ object Dedup {
     * exact-Jaccard verified, transitively closed. One row per document:
     * (doc_id, cluster_id, n_dups). */
   def minhashLsh(documents: DataFrame): DataFrame = {
-    val (withSig, bands) = signaturePipeline(repDocs(documents))
+    val docs = Tables.spread(documents)
+    val dr = docReps(docs).localCheckpoint(true)
+    val (withSig, bands) = signaturePipeline(repDocs(docs, dr))
     val cand = cappedBandPairs(bands)
     val edges = verifyJaccard(sigAgreementFilter(cand, withSig), withSig)
       .where(col("jaccard") >= JaccardThreshold).select("a", "b")
-    expandClusters(documents, ConnectedComponents.minLabel(edges))
+    expandClusters(dr, ConnectedComponents.minLabel(edges))
   }
 
   /** Shingle-hash + signature + banded-key stages for a (doc_id, text)
@@ -209,7 +211,11 @@ object Dedup {
     * stage boundaries, not caching sugar: each output feeds multiple
     * consumers (the signature agg + both verify sides; the bands relation
     * feeds three consumers in the candidate join). Spark MLlib's
-    * MinHashLSH materializes its model stage the same way.
+    * MinHashLSH materializes its model stage the same way. Eager
+    * checkpoints, NOT lazy `persist()`: a lazy cache lets the consumers
+    * inside one action race to compute the same subtree before the cache
+    * populates (measured round 4: lazy caching made the 4-consumer ngram
+    * pipeline 4x slower).
     * Returns (withSig = (doc_id, sh, sig), bands = (doc_id, band, bkey)). */
   private def signaturePipeline(docs: DataFrame): (DataFrame, DataFrame) = {
     val hashed = docs
@@ -276,9 +282,11 @@ object Dedup {
     * bit_count(xor) ≤ [[SimhashHammingMax]], transitively closed. One row
     * per document: (doc_id, simhash, cluster_id, n_near). */
   def simhashDedup(documents: DataFrame): DataFrame = {
-    // materialized once: the simhash aggregate feeds the band join
-    // (3 consumers) and both sides of the Hamming verify
-    val reps = simhashes(repDocs(documents)).localCheckpoint(true)
+    val docs = Tables.spread(documents)
+    val dr = docReps(docs).localCheckpoint(true)
+    // cached once: the simhash aggregate feeds the band join (3 consumers)
+    // and both sides of the Hamming verify
+    val reps = simhashes(repDocs(docs, dr)).localCheckpoint(true)
     val bands = reps.select(col("doc_id"),
       posexplode(array((0 until SimhashBands).map(j =>
         shiftright(col("simhash"), 8 * j).bitwiseAND(lit(0xFFL))): _*)))
@@ -289,8 +297,8 @@ object Dedup {
       .join(reps.select(col("doc_id").as("b"), col("simhash").as("hb")), "b")
       .where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= SimhashHammingMax)
       .select("a", "b")
-    val clustered = expandClusters(documents, ConnectedComponents.minLabel(edges))
-    val allSim = docReps(documents)
+    val clustered = expandClusters(dr, ConnectedComponents.minLabel(edges))
+    val allSim = dr
       .join(reps.withColumnRenamed("doc_id", "rep"), "rep")
       .select(col("doc_id"), col("simhash"))
     clustered.join(allSim, "doc_id")
@@ -323,11 +331,13 @@ object Dedup {
     * [[JaccardThreshold]]. */
   def minhashLshIncremental(documents: DataFrame): DataFrame = {
     val isIncoming = col("doc_id") % IncomingMod === 0
+    val docs = Tables.spread(documents)
     // corpus side through the same pre-collapse as the batch operator
     // (repDocs: one representative row per distinct content)
-    val base = repDocs(documents.where(!isIncoming))
-      .unionByName(documents.where(isIncoming).select("doc_id", "text"))
-    val (withSig, bands) = signaturePipeline(Tables.spread(base))
+    val corpus = docs.where(!isIncoming)
+    val base = repDocs(corpus, docReps(corpus))
+      .unionByName(docs.where(isIncoming).select("doc_id", "text"))
+    val (withSig, bands) = signaturePipeline(base)
     val corpusBands = bands.where(!isIncoming)
     val incomingBands = bands.where(isIncoming)
     // cap on the CORPUS side: a probe into an over-full bucket returns no
