@@ -73,6 +73,47 @@ object Corpus {
       .where(sampleHash(col("doc_id")) < rateFor(col("lang")))
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** Deterministic eval/train split for [[decontaminate]]: doc_id ≡
+    * [[EvalRem]] (mod [[EvalMod]]) plays the held-out benchmark set (~5%),
+    * the rest the training corpus. */
+  val EvalMod = 20
+  val EvalRem = 7
+
+  /** Decontamination n-gram size: much longer than [[Dedup.ShingleSize]] —
+    * an 8-word exact overlap is evidence of leakage, a 3-word one is noise.
+    * (GPT-3 used 13-gram overlap, Llama-family pipelines 8–10; any exact
+    * long-n-gram hit marks the training document.) */
+  val DecontShingleSize = 8
+
+  /** Benchmark decontamination — flag training documents that share any
+    * exact [[DecontShingleSize]]-word shingle with the held-out eval set.
+    * One row per TRAINING document: (doc_id, n_hit_shingles, contaminated).
+    *
+    * 100 TB shape: the eval side is benchmark data — megabytes, not
+    * terabytes — so its distinct shingle-hash set is `broadcast` and the
+    * corpus-side probe is a map-side hash join: the 100 TB side is scanned
+    * once, never shuffled on shingles. Only the (rare) hits reach the
+    * per-doc count, and the final left join's hit side is small enough to
+    * broadcast too. Same skew-free shape as [[Dedup.minhashLshIncremental]]
+    * probes, with the roles reversed. */
+  def decontaminate(documents: DataFrame): DataFrame = {
+    val isEval = col("doc_id") % EvalMod === EvalRem
+    def shingled(d: DataFrame): DataFrame =
+      d.select(col("doc_id"),
+        explode(Dedup.hashedShingles(col("text"), DecontShingleSize)).as("s"))
+    val evalSh = shingled(documents.where(isEval)).select("s").distinct()
+    val train = Tables.spread(documents.where(!isEval))
+    // per-doc shingle lists are already distinct, so count(rows) after the
+    // semi-ish join = number of distinct leaked shingles
+    val hits = shingled(train).join(broadcast(evalSh), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit_shingles"))
+    train.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_shingles"), lit(0L)).as("n_hit_shingles"),
+        (coalesce(col("n_hit_shingles"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Output shard count for [[shardPlan]] (a real corpus build picks
     * shards ≈ corpus_bytes / target_shard_bytes). */
   val NumShards = 32
@@ -97,6 +138,7 @@ object Corpus {
     "corpus_clean"      -> ((s, d) => clean(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => sampleStratified(Tables.documents(s, d))),
     "shard_plan"        -> ((s, d) => shardPlan(Tables.documents(s, d))),
+    "corpus_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
   )
 
   private def ratesCaseSql =
@@ -128,5 +170,23 @@ object Corpus {
          |   CAST(COUNT(*) AS BIGINT) AS n_docs,
          |   CAST(SUM(n_chars) AS BIGINT) AS total_chars
          | FROM documents GROUP BY 1""".stripMargin,
+
+    "corpus_decontaminate" ->
+      s"""WITH ev AS (SELECT doc_id, text FROM documents
+         |     WHERE doc_id % $EvalMod = $EvalRem),
+         | tr AS (SELECT doc_id, text FROM documents
+         |     WHERE doc_id % $EvalMod <> $EvalRem),
+         | ${Dedup.shingleWith("ev", DecontShingleSize, "etoks", "esh")},
+         | ${Dedup.shingleWith("tr", DecontShingleSize, "ttoks", "tsh")},
+         | evset AS (SELECT DISTINCT unnest(list_distinct(list_transform(sh,
+         |     s -> ${Dedup.h32SqlOf("s")} % ${Dedup.P}))) AS s FROM esh),
+         | trx AS (SELECT doc_id, unnest(list_distinct(list_transform(sh,
+         |     s -> ${Dedup.h32SqlOf("s")} % ${Dedup.P}))) AS s FROM tsh),
+         | hits AS (SELECT t.doc_id, COUNT(*) AS n FROM trx t
+         |   JOIN evset e ON t.s = e.s GROUP BY t.doc_id)
+         | SELECT tr.doc_id,
+         |   CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_hit_shingles,
+         |   COALESCE(hits.n, 0) > 0 AS contaminated
+         | FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id""".stripMargin,
   )
 }

@@ -84,7 +84,9 @@ object Dedup {
   def h32(s: Column): Column =
     conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
 
-  private val h32Sql = (s: String) => s"('0x' || substring(md5($s), 1, 8))::BIGINT"
+  /** DuckDB mirror of [[h32]]; package-visible for [[Corpus]]'s oracles. */
+  private[operators] def h32SqlOf(s: String) = s"('0x' || substring(md5($s), 1, 8))::BIGINT"
+  private val h32Sql = (s: String) => h32SqlOf(s)
 
   /** Distinct hashed word k-shingles: the Jaccard domain for every fuzzy
     * operator. Hashing the shingles to int64 before any join/intersect
@@ -93,18 +95,25 @@ object Dedup {
     * merely merge two shingles; with |shingles| ≪ 2^31 per doc the effect
     * on Jaccard is negligible and, being deterministic, it is mirrored
     * exactly by the oracle). */
-  def hashedShingles(text: Column): Column =
-    array_distinct(transform(wordShingles(text), s => h32(s) % P))
+  def hashedShingles(text: Column): Column = hashedShingles(text, ShingleSize)
+
+  /** Parametric variant (see [[wordShingles]]). */
+  def hashedShingles(text: Column, k: Int): Column =
+    array_distinct(transform(wordShingles(text, k), s => h32(s) % P))
 
   /** Distinct word k-shingles; docs shorter than k fall back to the whole
     * text as a single shingle. */
-  def wordShingles(text: Column): Column = {
+  def wordShingles(text: Column): Column = wordShingles(text, ShingleSize)
+
+  /** Parametric variant: [[Corpus.decontaminate]] uses longer shingles
+    * (accidental k-gram collisions must be rarer than for near-dup
+    * candidate generation). */
+  def wordShingles(text: Column, k: Int): Column = {
     val toks = split(text, " ")
-    when(size(toks) >= ShingleSize,
+    when(size(toks) >= k,
       array_distinct(transform(
-        sequence(lit(0), size(toks) - ShingleSize),
-        i => concat_ws(" ",
-          get(toks, i), get(toks, i + 1), get(toks, i + 2)))))
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(j => get(toks, i + j)): _*))))
       .otherwise(array(text))
   }
 
@@ -402,13 +411,17 @@ object Dedup {
 
   // ---- DuckDB oracles ------------------------------------------------------
 
-  /** DuckDB shingle CTEs over an input relation named `reps`/`documents`. */
-  private def shingleWith(src: String) =
-    s"""toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM $src),
-       | sh AS (SELECT doc_id, CASE WHEN len(t) >= $ShingleSize
-       |   THEN list_distinct(list_transform(range(len(t) - ${ShingleSize - 1}),
-       |        i -> array_to_string(t[i + 1 : i + $ShingleSize], ' ')))
-       |   ELSE [text] END AS sh FROM toks)""".stripMargin
+  /** DuckDB shingle CTEs over an input relation named `reps`/`documents` —
+    * the SQL mirror of [[wordShingles]]. Package-visible with parametric k
+    * and relation names so [[Corpus.decontaminate]]'s oracle reuses the
+    * same shingle definition at its longer k. */
+  private[operators] def shingleWith(src: String, k: Int = ShingleSize,
+                                     toksRel: String = "toks", shRel: String = "sh") =
+    s"""$toksRel AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM $src),
+       | $shRel AS (SELECT doc_id, CASE WHEN len(t) >= $k
+       |   THEN list_distinct(list_transform(range(len(t) - ${k - 1}),
+       |        i -> array_to_string(t[i + 1 : i + $k], ' ')))
+       |   ELSE [text] END AS sh FROM $toksRel)""".stripMargin
 
   /** Exact-dup pre-collapse CTEs shared by the minhash/simhash oracles. */
   private val repsWith =

@@ -73,4 +73,29 @@ class CorpusSpec extends SparkSpec {
     // 100‰ of 1000: sd ≈ 9.5, assert within ~5 sd
     n.toDouble shouldBe 100.0 +- 50.0
   }
+
+  test("decontaminate: flags training docs sharing an 8-gram with the eval split") {
+    val evalWords = (1 to 20).map(i => s"e$i")
+    // doc 7 is eval (7 % 20 == 7); doc 1 lifts words 5..12 verbatim
+    // (one exact 8-gram); doc 2 shares nothing 8 words long
+    val leaked = Seq("x1", "x2") ++ evalWords.slice(4, 12) ++ Seq("x3")
+    val out = Corpus.decontaminate(docsDf(Seq(
+      (7L, evalWords.mkString(" "), "en", "web"),
+      (1L, leaked.mkString(" "), "en", "web"),
+      (2L, (1 to 15).map(i => s"z$i").mkString(" "), "en", "web"))))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    out.keySet shouldBe Set(1L, 2L) // eval docs are not reported
+    out(1L) shouldBe ((1L, true))
+    out(2L) shouldBe ((0L, false))
+  }
+
+  test("decontaminate: a train doc overlapping a longer span yields multiple hit shingles") {
+    val evalWords = (1 to 30).map(i => s"e$i")
+    // words 3..14 lifted: twelve tokens contain 12-8+1 = 5 distinct 8-grams
+    val out = Corpus.decontaminate(docsDf(Seq(
+      (7L, evalWords.mkString(" "), "en", "web"),
+      (1L, evalWords.slice(2, 14).mkString(" "), "en", "web"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(1L) shouldBe 5L
+  }
 }
