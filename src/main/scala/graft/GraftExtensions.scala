@@ -4,15 +4,18 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, MinHashSignatures, SimHash60}
 
 /** Session extensions for the engine's native expressions — wire with
   * `spark.sql.extensions=graft.GraftExtensions` (or pass to
   * `SparkSession.builder.withExtensions`) and the functions become first-
   * class SQL, usable from `spark.sql(...)` alongside the builtins. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.minhashFunction)
+    ext.injectFunction(GraftExtensions.simhashFunction)
+  }
 }
 
 object GraftExtensions {
@@ -21,4 +24,16 @@ object GraftExtensions {
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)))
+
+  /** `graft_minhash_sig(array<long>) -> array<long>` ([[MinHashSignatures]]). */
+  val minhashFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignatures].getName, "graft_minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSignatures(exprs.head))
+
+  /** `graft_simhash60(array<string>) -> long` ([[SimHash60]]). */
+  val simhashFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
+      (exprs: Seq[Expression]) => SimHash60(exprs.head))
 }

@@ -1,0 +1,204 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The portable hash family shared by the dedup sketches and their DuckDB
+  * oracles — the single source of truth for the universal-hash constants
+  * (graft.operators.Dedup delegates here; the oracle SQL interpolates the
+  * same literals). */
+object MinHashSeeds {
+  /** 2^31-1: the universal-hash modulus (fits 64-bit signed arithmetic:
+    * a·h < 2^62). */
+  val P = 2147483647L
+
+  def a(i: Int): Long = {
+    val v = (1103515245L * (i + 1) + 12345L) % P
+    if (v == 0L) 1L else v
+  }
+  def b(i: Int): Long = (69069L * (i + 7) + 54321L) % P
+
+  /** First 8 hex chars of md5 as a non-negative int64 in [0, 2^32) — the
+    * row-at-a-time mirror of Dedup.h32 (= first 4 digest bytes, big-endian
+    * unsigned). */
+  def h32(s: UTF8String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes)
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) | ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+  }
+
+  /** First 15 hex chars of md5 as a non-negative int64 in [0, 2^60) — the
+    * first 8 digest bytes big-endian, dropped low nibble. DuckDB mirror:
+    * `('0x' || substring(md5(s), 1, 15))::BIGINT`. */
+  def h60(s: UTF8String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+}
+
+/** Native MinHash signature: `array<long>` hashed shingles → the
+  * [[MinHashSignatures.NumHashes]]-element signature
+  * sig_i = min over h of (a_i·h + b_i) mod P.
+  *
+  * Why an Expression and not explode + a 128-column min aggregate (the
+  * round-3 shape): the aggregate formulation shuffles one 128-value row per
+  * document and burns a hash-aggregate over O(docs × shingles) exploded
+  * rows; signatures are per-row pure functions, so the right plan is a
+  * map-only projection — no exchange at ANY scale, and whole-stage codegen
+  * keeps the multiply-add-mod-min loop tight (the interpreted higher-order
+  * `transform`/`aggregate` fold this replaced in round 2 was 15× slower).
+  * Bit-for-bit the same values, so the DuckDB oracle (unnest + GROUP BY
+  * min) is unchanged.
+  */
+case class MinHashSignatures(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<long>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(v: Any): Any = {
+    val sh = v.asInstanceOf[ArrayData]
+    val out = MinHashSignatures.emptySig()
+    var j = 0
+    val n = sh.numElements()
+    while (j < n) {
+      MinHashSignatures.mix(out, sh.getLong(j))
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("sig")
+      val j = ctx.freshName("j")
+      s"""
+         |long[] $out = graft.functions.MinHashSignatures.emptySig();
+         |for (int $j = 0; $j < $a.numElements(); $j++) {
+         |  graft.functions.MinHashSignatures.mix($out, $a.getLong($j));
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatures =
+    copy(child = newChild)
+}
+
+object MinHashSignatures {
+  val NumHashes = 128
+
+  private val SA: Array[Long] = Array.tabulate(NumHashes)(MinHashSeeds.a)
+  private val SB: Array[Long] = Array.tabulate(NumHashes)(MinHashSeeds.b)
+
+  /** All-MaxValue seed buffer (an empty shingle set keeps it — upstream
+    * guarantees ≥1 shingle per doc). Static so generated code can call it. */
+  def emptySig(): Array[Long] = {
+    val out = new Array[Long](NumHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    out
+  }
+
+  /** Fold one shingle hash into the signature buffer (called from both the
+    * interpreted eval and the generated code). */
+  def mix(out: Array[Long], h: Long): Unit = {
+    var i = 0
+    while (i < NumHashes) {
+      val x = (SA(i) * h + SB(i)) % MinHashSeeds.P
+      if (x < out(i)) out(i) = x
+      i += 1
+    }
+  }
+
+  /** Column-DSL entry point. */
+  def of(hashedShingles: Column): Column =
+    bridge.column(MinHashSignatures(bridge.expression(hashedShingles)))
+}
+
+/** Native 60-bit SimHash: `array<string>` tokens → long. Per token,
+  * h = h60(md5) and each of the 60 bit positions votes +1/-1 by the bit of
+  * h; positive vote totals set the result bit. Duplicates count, as in the
+  * standard definition.
+  *
+  * 60 bits, not the round-3 32: with 4 bands the per-band key widens from
+  * 8 to 15 bits — 32768 buckets per band instead of 256, so the banded
+  * self-join stops drowning in false-positive candidates (256 buckets
+  * saturate the [[graft.operators.Dedup.MaxBandBucket]] cap already at
+  * ~16k distinct contents; 15-bit bands push that 128× further out while
+  * keeping the pigeonhole guarantee: ≤3 flipped bits cannot touch all 4
+  * bands). 60 and not 64 because the portable hash is md5 hex parsed as a
+  * signed BIGINT on BOTH engines — 15 hex chars (60 bits) is the widest
+  * value that stays positive in DuckDB.
+  *
+  * Replaces explode + 32 conditional sums (one shuffled row per doc, heavy
+  * hash aggregate) with a map-only projection — same motivation and same
+  * oracle-parity argument as [[MinHashSignatures]]. The md5 per token is
+  * inherent (it IS the portable hash both engines share); this just stops
+  * paying an exchange to fold 32 bits per document.
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash60"
+
+  override def nullSafeEval(v: Any): Any =
+    SimHash60.ofTokens(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SimHash60.ofTokens($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+object SimHash60 {
+  val Bits = 60
+
+  /** Shared by eval and generated code. */
+  def ofTokens(tokens: ArrayData): Long = {
+    val votes = new Array[Int](Bits)
+    val n = tokens.numElements()
+    var j = 0
+    while (j < n) {
+      val h = MinHashSeeds.h60(tokens.getUTF8String(j))
+      var i = 0
+      while (i < Bits) {
+        if (((h >> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var res = 0L
+    var i = 0
+    while (i < Bits) {
+      if (votes(i) > 0) res |= 1L << i
+      i += 1
+    }
+    res
+  }
+
+  /** Column-DSL entry point. */
+  def of(tokens: Column): Column =
+    bridge.column(SimHash60(bridge.expression(tokens)))
+}

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{MinHashSeeds, MinHashSignatures, SimHash60}
 import graft.sources.Tables
 
 /** Document deduplication operators over the `documents` table — the
@@ -34,23 +35,25 @@ import graft.sources.Tables
   *     label ([[ConnectedComponents.minLabel]]), not the round-1 single-hop
   *     min-neighbor; the oracle reproduces it with a recursive CTE.
   *
-  * All column-level math is `org.apache.spark.sql.functions` expressions —
-  * no UDFs. The hot per-row loops (MinHash signatures, SimHash votes) are
-  * explode + wide hash aggregates so they stay in codegen'd column
-  * arithmetic; higher-order array folds (CodegenFallback: interpreted)
-  * survive only where they touch candidate pairs, not the whole corpus
-  * (round-3 rework — the round-2 bench spent 125 of 142 s in single-
-  * partition interpreted folds).
+  * All column-level math is `org.apache.spark.sql.functions` expressions
+  * or native codegen'd Catalyst expressions — no UDFs. The hot per-row
+  * loops (MinHash signatures, SimHash votes) are map-only projections
+  * through [[MinHashSignatures]]/[[SimHash60]] (round 4; the round-3
+  * explode + wide-hash-aggregate shape paid an exchange per doc for a pure
+  * per-row function). Higher-order array folds (CodegenFallback:
+  * interpreted) survive only where they touch candidate pairs, not the
+  * whole corpus.
   */
 object Dedup {
 
   val ShingleSize = 3
-  val NumHashes = 128
+  val NumHashes: Int = MinHashSignatures.NumHashes // 128
   val Bands = 16 // x 8 rows per band
   val RowsPerBand: Int = NumHashes / Bands
   val JaccardThreshold = 0.7
-  val SimhashBits = 32
-  val SimhashBands = 4 // x 8 bits: any pair within Hamming distance 3 shares a band
+  val SimhashBits: Int = SimHash60.Bits // 60
+  val SimhashBands = 4 // any pair within Hamming distance 3 shares >= 1 band
+  val SimhashBandBits: Int = SimhashBits / SimhashBands // 15 -> 32768 buckets/band
   val SimhashHammingMax = 3
   /** Shingles seen in more than this many distinct contents generate no
     * candidate pairs (inverted-index skew guard). */
@@ -67,16 +70,14 @@ object Dedup {
   val MinSigMatches = 77
 
   /** 2^31-1: the universal-hash modulus (fits 64-bit signed arithmetic:
-    * a·h < 2^62). */
-  val P = 2147483647L
+    * a·h < 2^62). Source of truth: [[MinHashSeeds]], shared with
+    * the native signature expression. */
+  val P: Long = MinHashSeeds.P
 
   /** Deterministic universal-hash constants, embedded as literals on BOTH
     * engines (the Scala arrays are interpolated into the oracle SQL). */
-  def seedA(i: Int): Long = {
-    val v = (1103515245L * (i + 1) + 12345L) % P
-    if (v == 0L) 1L else v
-  }
-  def seedB(i: Int): Long = (69069L * (i + 7) + 54321L) % P
+  def seedA(i: Int): Long = MinHashSeeds.a(i)
+  def seedB(i: Int): Long = MinHashSeeds.b(i)
 
   // ---- portable base hashes ------------------------------------------------
 
@@ -87,6 +88,9 @@ object Dedup {
   /** DuckDB mirror of [[h32]]; package-visible for [[Corpus]]'s oracles. */
   private[operators] def h32SqlOf(s: String) = s"('0x' || substring(md5($s), 1, 8))::BIGINT"
   private val h32Sql = (s: String) => h32SqlOf(s)
+
+  /** DuckDB mirror of [[MinHashSeeds.h60]] (15 hex chars → [0, 2^60)). */
+  private def h60Sql(s: String) = s"('0x' || substring(md5($s), 1, 15))::BIGINT"
 
   /** Distinct hashed word k-shingles: the Jaccard domain for every fuzzy
     * operator. Hashing the shingles to int64 before any join/intersect
@@ -176,24 +180,17 @@ object Dedup {
   /** MinHash signatures for a (doc_id, sh) frame: sig_i = min over sh of
     * (a_i·h + b_i) mod P, i in [0, [[NumHashes]]).
     *
-    * Shape: explode the pre-hashed shingles and run ONE hash aggregate with
-    * 128 `min` columns — every multiply-add-mod-min is plain codegen'd
-    * column arithmetic (a higher-order `transform`/`array_min` fold is
-    * CodegenFallback: interpreted, allocating an array per shingle×seed —
-    * the round-2 bench spent 89 of 142 s there). Map-side partial
-    * aggregation collapses each doc to a single 128-value row per input
-    * partition before the exchange, so the shuffle carries O(docs) rows, not
-    * O(docs × shingles) — the same plan MLlib's MinHashLSH avoids by
-    * UDF-ing, here kept declarative. The DuckDB oracle computes the same
-    * min-per-seed via unnest + GROUP BY. */
-  def minhashSignatures(hashed: DataFrame): DataFrame = {
-    val ex = hashed.select(col("doc_id"), explode(col("sh")).as("h"))
-    val aggs = (0 until NumHashes).map(i =>
-      min((lit(seedA(i)) * col("h") + lit(seedB(i))) % P).as(s"_s$i"))
-    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"_s$i")): _*).as("sig"))
-  }
+    * Round-4 shape: a map-only projection through the native
+    * [[MinHashSignatures]] expression (whole-stage codegen'd
+    * multiply-add-mod-min loop). The round-3 explode + 128-column min
+    * aggregate still paid an exchange carrying one 128-value row per doc
+    * plus a hash aggregate over O(docs × shingles) exploded rows;
+    * signatures are per-row pure functions, so the right plan at any scale
+    * is no exchange at all. Values are bit-for-bit identical — the DuckDB
+    * oracle (unnest + GROUP BY min) is unchanged. */
+  def minhashSignatures(hashed: DataFrame): DataFrame =
+    hashed.select(col("doc_id"),
+      MinHashSignatures.of(col("sh")).as("sig"))
 
   /** 16 banded keys: fold each 8-value slice with seed = band index. */
   def bandKeys(sig: Column): Column =
@@ -227,11 +224,12 @@ object Dedup {
     * pipeline 4x slower).
     * Returns (withSig = (doc_id, sh, sig), bands = (doc_id, band, bkey)). */
   private def signaturePipeline(docs: DataFrame): (DataFrame, DataFrame) = {
-    val hashed = docs
+    // shingles + signature in ONE map-only projection (round 4: the
+    // signature aggregate + join-back this replaces was two shuffles and a
+    // second checkpoint)
+    val withSig = docs
       .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
-      .localCheckpoint(true)
-    val withSig = hashed
-      .join(minhashSignatures(hashed), "doc_id")
+      .withColumn("sig", MinHashSignatures.of(col("sh")))
       .localCheckpoint(true)
     val bands = withSig
       .select(col("doc_id"), posexplode(bandKeys(col("sig"))))
@@ -266,27 +264,20 @@ object Dedup {
 
   // ---- SimHash -------------------------------------------------------------
 
-  /** 32-bit portable SimHash for a (doc_id, text) frame (duplicates count,
+  /** 60-bit portable SimHash for a (doc_id, text) frame (duplicates count,
     * as in the standard definition): per bit, sum +1/-1 votes over token
     * hashes; positive vote count sets the bit.
     *
-    * Same codegen shape as [[minhashSignatures]]: explode tokens, one hash
-    * aggregate with 32 conditional sums, then assemble the bits — replacing
-    * the interpreted aggregate/zip_with fold (12 s of the round-2 bench).
-    * The DuckDB oracle mirrors it via unnest + GROUP BY votes. */
-  def simhashes(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .select(col("doc_id"), h32(col("t")).as("h"))
-    val aggs = (0 until SimhashBits).map(i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L)).as(s"_v$i"))
-    tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        (0 until SimhashBits).map(i =>
-          when(col(s"_v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
+    * Round-4 shape: map-only through the native [[SimHash32]]
+    * expression — same rationale as [[minhashSignatures]] (the round-3
+    * explode + 32 conditional sums shuffled one row per doc and aggregated
+    * O(docs × tokens) exploded rows for a per-row pure function). The
+    * DuckDB oracle (unnest + GROUP BY votes) is unchanged. */
+  def simhashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      SimHash60.of(split(col("text"), " ")).as("simhash"))
 
-  /** SimHash near-dup detection: 4×8-bit band blocking (a pair within
+  /** SimHash near-dup detection: 4×15-bit band blocking (a pair within
     * Hamming distance 3 shares ≥1 band), bucket-capped, verified with
     * bit_count(xor) ≤ [[SimhashHammingMax]], transitively closed. One row
     * per document: (doc_id, simhash, cluster_id, n_near). */
@@ -298,7 +289,8 @@ object Dedup {
     val reps = simhashes(repDocs(docs, dr)).localCheckpoint(true)
     val bands = reps.select(col("doc_id"),
       posexplode(array((0 until SimhashBands).map(j =>
-        shiftright(col("simhash"), 8 * j).bitwiseAND(lit(0xFFL))): _*)))
+        shiftright(col("simhash"), SimhashBandBits * j)
+          .bitwiseAND(lit((1L << SimhashBandBits) - 1))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     val cand = cappedBandPairs(bands)
     val edges = cand
@@ -508,7 +500,7 @@ object Dedup {
     "dedup_simhash" ->
       s"""WITH RECURSIVE $repsWith,
          | tokh AS (SELECT doc_id, unnest(list_transform(string_split(text, ' '),
-         |     s -> ${h32Sql("s")})) AS h FROM reps),
+         |     s -> ${h60Sql("s")})) AS h FROM reps),
          | votes AS (SELECT doc_id, i,
          |     SUM(CASE WHEN (h >> CAST(i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
          |   FROM tokh CROSS JOIN range($SimhashBits) t(i) GROUP BY doc_id, i),
@@ -516,7 +508,7 @@ object Dedup {
          |     CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
          |   FROM votes GROUP BY doc_id),
          | bands AS (SELECT doc_id, j AS band,
-         |     (simhash >> CAST(8*j AS INTEGER)) & 255 AS bkey
+         |     (simhash >> CAST($SimhashBandBits*j AS INTEGER)) & ${(1L << SimhashBandBits) - 1} AS bkey
          |   FROM simh CROSS JOIN range($SimhashBands) t(j)),
          | ${cappedPairsSql("bands")},
          | edges AS (SELECT c.a, c.b FROM cand c
