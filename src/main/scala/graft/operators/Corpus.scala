@@ -134,11 +134,43 @@ object Corpus {
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
 
+  /** Training-sequence token budget for [[packPlan]] (a real pipeline uses
+    * the model context length, e.g. 2048/4096/8192). */
+  val SeqTokenBudget = 256
+
+  /** Sequence-packing plan — the write-side stage that turns a cleaned
+    * corpus into fixed-budget training sequences by the standard
+    * concat-and-chunk rule: within a shard, documents concatenate in
+    * doc_id order and sequence k covers token positions
+    * [k·B, (k+1)·B); a document belongs to the sequence its first token
+    * lands in. One row per document:
+    * (doc_id, shard, seq_id, tok_offset ∈ [0, B)).
+    *
+    * 100 TB shape: the only non-map work is a running sum per shard — a
+    * window partitioned by the [[NumShards]]-way hash shard, so parallelism
+    * = shard count (a real build sizes shards ∝ corpus bytes, keeping each
+    * window's partition bounded); no global sort, no driver state. */
+  def packPlan(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val shard = (Dedup.h32(concat(lit("shard:"), col("doc_id").cast("string")))
+      % NumShards).as("shard")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.spread(documents)
+      .select(col("doc_id"), shard, nTok.as("n_tok"))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"),
+        (col("cum_before") / SeqTokenBudget).cast("long").as("seq_id"),
+        (col("cum_before") % SeqTokenBudget).as("tok_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean"      -> ((s, d) => clean(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => sampleStratified(Tables.documents(s, d))),
     "shard_plan"        -> ((s, d) => shardPlan(Tables.documents(s, d))),
     "corpus_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
+    "corpus_pack_plan"  -> ((s, d) => packPlan(Tables.documents(s, d))),
   )
 
   private def ratesCaseSql =
@@ -188,5 +220,20 @@ object Corpus {
          |   CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_hit_shingles,
          |   COALESCE(hits.n, 0) > 0 AS contaminated
          | FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id""".stripMargin,
+
+    "corpus_pack_plan" ->
+      s"""WITH d AS (SELECT doc_id,
+         |     ('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |       % $NumShards AS shard,
+         |     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |   FROM documents),
+         | c AS (SELECT doc_id, shard,
+         |     COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |   FROM d)
+         | SELECT doc_id, shard,
+         |   cum_before // $SeqTokenBudget AS seq_id,
+         |   cum_before % $SeqTokenBudget AS tok_offset
+         | FROM c""".stripMargin,
   )
 }

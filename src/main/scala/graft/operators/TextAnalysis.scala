@@ -122,7 +122,60 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("ngram").asc)
       .limit(TopNgrams)
 
+  /** Repetition thresholds (Gopher-rule shaped: Rae et al. 2021 §A1.1 use
+    * per-signal cutoffs like top-2-gram fraction and duplicate-line
+    * fraction; the exact values are corpus-tuned). */
+  val TopBigramFracMax = 0.18
+  val DupTrigramFracMax = 0.30
+  /** Docs shorter than this are never flagged repetitive: with n bigrams
+    * the top-bigram fraction is ≥ 1/n even for all-distinct text, so the
+    * 0.18 cutoff is meaningless under ~10 tokens. */
+  val MinRepetitionTokens = 10
+
+  /** Within-document repetition signals — the Gopher-style quality gate
+    * that catches boilerplate and degenerate generations exact/near dedup
+    * cannot (repetition INSIDE one document):
+    *
+    *   - `dup_token_frac`: fraction of token instances beyond each token's
+    *     first occurrence,
+    *   - `top_bigram_frac`: occurrences of the most frequent word 2-gram
+    *     over all 2-gram instances,
+    *   - `dup_trigram_frac`: fraction of 3-gram instances whose gram occurs
+    *     more than once in the document,
+    *   - `repetitive`: either fraction past its threshold.
+    *
+    * 100 TB shape: map-only scan, all signals are per-row array folds (the
+    * per-row cost is O(n_tok²) with n_tok ≤ a few thousand after any sane
+    * length gate — constant per document, embarrassingly parallel). */
+  def repetition(documents: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val n = size(t)
+    def grams(k: Int): Column =
+      when(n >= k, transform(sequence(lit(0), n - k),
+        i => concat_ws(" ", (0 until k).map(j => get(t, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+    val bg = grams(2)
+    val tg = grams(3)
+    val dupTokFrac = when(n === 0, lit(0.0))
+      .otherwise((n - size(array_distinct(t))).cast("double") / n)
+    val topBigramFrac = when(size(bg) === 0, lit(0.0))
+      .otherwise(array_max(transform(array_distinct(bg),
+        g => size(filter(bg, x => x === g)))).cast("double") / size(bg))
+    val dupTrigramFrac = when(size(tg) === 0, lit(0.0))
+      .otherwise(size(filter(tg,
+        g => size(filter(tg, x => x === g)) >= 2)).cast("double") / size(tg))
+    Tables.spread(documents).select(
+      col("doc_id"),
+      dupTokFrac.as("dup_token_frac"),
+      topBigramFrac.as("top_bigram_frac"),
+      dupTrigramFrac.as("dup_trigram_frac"),
+      (n >= MinRepetitionTokens &&
+        (topBigramFrac > TopBigramFracMax || dupTrigramFrac > DupTrigramFracMax))
+        .as("repetitive"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition"  -> ((s, d) => repetition(Tables.documents(s, d))),
     "text_token_stats" -> ((s, d) => tokenStats(Tables.documents(s, d))),
     "text_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
     "text_quality"     -> ((s, d) => quality(Tables.documents(s, d))),
@@ -162,6 +215,37 @@ object TextAnalysis {
        |     AS quality_score FROM qr)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "text_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         | g AS (SELECT doc_id, t,
+         |   CASE WHEN len(t) >= 2 THEN list_transform(range(len(t) - 1),
+         |     i -> array_to_string(t[i + 1 : i + 2], ' ')) ELSE [] END AS bg,
+         |   CASE WHEN len(t) >= 3 THEN list_transform(range(len(t) - 2),
+         |     i -> array_to_string(t[i + 1 : i + 3], ' ')) ELSE [] END AS tg
+         |  FROM tk)
+         | SELECT doc_id,
+         |   CASE WHEN len(t) = 0 THEN CAST(0 AS DOUBLE)
+         |     ELSE CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t) END
+         |     AS dup_token_frac,
+         |   CASE WHEN len(bg) = 0 THEN CAST(0 AS DOUBLE)
+         |     ELSE CAST(list_max(list_transform(list_distinct(bg),
+         |       g2 -> len(list_filter(bg, x -> x = g2)))) AS DOUBLE) / len(bg) END
+         |     AS top_bigram_frac,
+         |   CASE WHEN len(tg) = 0 THEN CAST(0 AS DOUBLE)
+         |     ELSE CAST(len(list_filter(tg,
+         |       g3 -> len(list_filter(tg, x -> x = g3)) >= 2)) AS DOUBLE) / len(tg) END
+         |     AS dup_trigram_frac,
+         |   len(t) >= $MinRepetitionTokens AND (
+         |   (CASE WHEN len(bg) = 0 THEN CAST(0 AS DOUBLE)
+         |     ELSE CAST(list_max(list_transform(list_distinct(bg),
+         |       g2 -> len(list_filter(bg, x -> x = g2)))) AS DOUBLE) / len(bg) END
+         |       > $TopBigramFracMax)
+         |   OR (CASE WHEN len(tg) = 0 THEN CAST(0 AS DOUBLE)
+         |     ELSE CAST(len(list_filter(tg,
+         |       g3 -> len(list_filter(tg, x -> x = g3)) >= 2)) AS DOUBLE) / len(tg) END
+         |       > $DupTrigramFracMax)) AS repetitive
+         | FROM g""".stripMargin,
+
     "text_token_stats" ->
       s"""SELECT doc_id,
          | CAST(length(text) AS BIGINT) AS n_chars,

@@ -74,6 +74,29 @@ class CorpusSpec extends SparkSpec {
     n.toDouble shouldBe 100.0 +- 50.0
   }
 
+  test("pack plan: concat-and-chunk invariants hold per shard") {
+    val sp = spark; import sp.implicits._
+    // 10 tokens per doc, budget 256: within a shard, doc i starts at 10*i
+    val docs = (0L until 400L).map(i => (i, (1 to 10).map(j => s"w$j").mkString(" "), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Corpus.packPlan(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.length shouldBe 400
+    all(out.map(_._4)) should be < Corpus.SeqTokenBudget.toLong // offset bounded
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._1)
+      // first doc of every shard opens sequence 0 at offset 0
+      ordered.head._3 shouldBe 0L
+      ordered.head._4 shouldBe 0L
+      // reconstruct: position of doc n = 10 * (rank within shard)
+      ordered.zipWithIndex.foreach { case ((_, _, seq, off), idx) =>
+        val cum = 10L * idx
+        seq shouldBe cum / Corpus.SeqTokenBudget
+        off shouldBe cum % Corpus.SeqTokenBudget
+      }
+    }
+  }
+
   test("decontaminate: flags training docs sharing an 8-gram with the eval split") {
     val evalWords = (1 to 20).map(i => s"e$i")
     // doc 7 is eval (7 % 20 == 7); doc 1 lifts words 5..12 verbatim

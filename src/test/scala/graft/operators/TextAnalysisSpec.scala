@@ -61,6 +61,22 @@ class TextAnalysisSpec extends SparkSpec {
     out.map(-_._2).toSeq shouldBe out.map(-_._2).toSeq.sorted
   }
 
+  test("repetition: degenerate text trips the gate, varied/short text does not") {
+    val spam = Seq.fill(12)("spam").mkString(" ")
+    val varied = (1 to 12).map(i => s"w$i").mkString(" ")
+    val out = TextAnalysis.repetition(docs(
+      1L -> spam,
+      2L -> varied,
+      3L -> "spam spam spam spam spam", // degenerate but under MinRepetitionTokens
+      4L -> "ab"))                      // single token: no grams at all
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    out(1L) shouldBe ((11.0 / 12.0, 1.0, 1.0, true)) // all grams identical
+    out(2L) shouldBe ((0.0, 1.0 / 11.0, 0.0, false)) // top bigram = the 1/n floor
+    out(3L) shouldBe ((0.8, 1.0, 1.0, false))        // length guard holds fire
+    out(4L) shouldBe ((0.0, 0.0, 0.0, false))
+  }
+
   test("fingerprint: whitespace-insensitive content fp; reorder-robust shingle fp") {
     val out = TextAnalysis.fingerprint(docs(
       1L -> "Alpha  beta\tgamma delta epsilon",
