@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashSignatures, SimHash60}
+import graft.functions.{DotProduct, MinHashSignatures, RepetitionStats, SimHash60}
 
 /** Session extensions for the engine's native expressions — wire with
   * `spark.sql.extensions=graft.GraftExtensions` (or pass to
@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.minhashFunction)
     ext.injectFunction(GraftExtensions.simhashFunction)
+    ext.injectFunction(GraftExtensions.repetitionFunction)
   }
 }
 
@@ -36,4 +37,10 @@ object GraftExtensions {
     (FunctionIdentifier("graft_simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
       (exprs: Seq[Expression]) => SimHash60(exprs.head))
+
+  /** `graft_repetition_stats(array<string>) -> struct` ([[RepetitionStats]]). */
+  val repetitionFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "graft_repetition_stats"),
+      (exprs: Seq[Expression]) => RepetitionStats(exprs.head))
 }

@@ -4,11 +4,12 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The portable hash family shared by the dedup sketches and their DuckDB
@@ -128,6 +129,96 @@ object MinHashSignatures {
   /** Column-DSL entry point. */
   def of(hashedShingles: Column): Column =
     bridge.column(MinHashSignatures(bridge.expression(hashedShingles)))
+}
+
+/** Native within-document repetition statistics: `array<string>` tokens →
+  * struct(dup_token_frac, top_bigram_frac, dup_trigram_frac).
+  *
+  *   - dup_token_frac: fraction of token instances beyond each token's
+  *     first occurrence,
+  *   - top_bigram_frac: occurrences of the most frequent word 2-gram over
+  *     all 2-gram instances (0 when fewer than 2 tokens),
+  *   - dup_trigram_frac: fraction of 3-gram instances whose gram occurs
+  *     more than once (0 when fewer than 3 tokens).
+  *
+  * One O(n) hash-counting pass per document. The declarative formulation
+  * (nested `filter`/`transform` higher-order folds) is CodegenFallback AND
+  * re-evaluates the gram-array subtree once per outer lambda element —
+  * O(n²) interpreted string construction per row (measured: 41 s of a 89 s
+  * sf0.1 bench for 5000 docs). The DuckDB oracle keeps its relational
+  * list-ops form — only the VALUES must match, not the algorithm.
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $other")
+  }
+  override def dataType: DataType = RepetitionStats.Out
+  override def prettyName: String = "graft_repetition_stats"
+
+  override def nullSafeEval(v: Any): Any =
+    RepetitionStats.ofTokens(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.RepetitionStats.ofTokens($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  val Out: StructType = StructType(Seq(
+    StructField("dup_token_frac", DoubleType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = false),
+    StructField("dup_trigram_frac", DoubleType, nullable = false)))
+
+  /** Shared by eval and generated code. */
+  def ofTokens(tokens: ArrayData): InternalRow = {
+    val n = tokens.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) { toks(i) = tokens.getUTF8String(i).toString; i += 1 }
+
+    val distinctToks = new java.util.HashSet[String]()
+    i = 0
+    while (i < n) { distinctToks.add(toks(i)); i += 1 }
+    val dupTokFrac =
+      if (n == 0) 0.0 else (n - distinctToks.size).toDouble / n
+
+    def gramCounts(k: Int): java.util.HashMap[String, Int] = {
+      val m = new java.util.HashMap[String, Int]()
+      var j = 0
+      while (j <= n - k) {
+        val sb = new java.lang.StringBuilder(toks(j))
+        var d = 1
+        while (d < k) { sb.append(' ').append(toks(j + d)); d += 1 }
+        m.merge(sb.toString, 1, Integer.sum _)
+        j += 1
+      }
+      m
+    }
+
+    val bg = gramCounts(2)
+    var topBg = 0
+    var nBg = 0
+    bg.values.forEach { c => nBg += c; if (c > topBg) topBg = c }
+    val topBigramFrac = if (nBg == 0) 0.0 else topBg.toDouble / nBg
+
+    val tg = gramCounts(3)
+    var dupTg = 0
+    var nTg = 0
+    tg.values.forEach { c => nTg += c; if (c >= 2) dupTg += c }
+    val dupTrigramFrac = if (nTg == 0) 0.0 else dupTg.toDouble / nTg
+
+    new GenericInternalRow(Array[Any](dupTokFrac, topBigramFrac, dupTrigramFrac))
+  }
+
+  /** Column-DSL entry point. */
+  def of(tokens: Column): Column =
+    bridge.column(RepetitionStats(bridge.expression(tokens)))
 }
 
 /** Native 60-bit SimHash: `array<string>` tokens → long. Per token,

@@ -144,35 +144,23 @@ object TextAnalysis {
     *     more than once in the document,
     *   - `repetitive`: either fraction past its threshold.
     *
-    * 100 TB shape: map-only scan, all signals are per-row array folds (the
-    * per-row cost is O(n_tok²) with n_tok ≤ a few thousand after any sane
-    * length gate — constant per document, embarrassingly parallel). */
-  def repetition(documents: DataFrame): DataFrame = {
-    val t = split(col("text"), " ")
-    val n = size(t)
-    def grams(k: Int): Column =
-      when(n >= k, transform(sequence(lit(0), n - k),
-        i => concat_ws(" ", (0 until k).map(j => get(t, i + j)): _*)))
-        .otherwise(array().cast("array<string>"))
-    val bg = grams(2)
-    val tg = grams(3)
-    val dupTokFrac = when(n === 0, lit(0.0))
-      .otherwise((n - size(array_distinct(t))).cast("double") / n)
-    val topBigramFrac = when(size(bg) === 0, lit(0.0))
-      .otherwise(array_max(transform(array_distinct(bg),
-        g => size(filter(bg, x => x === g)))).cast("double") / size(bg))
-    val dupTrigramFrac = when(size(tg) === 0, lit(0.0))
-      .otherwise(size(filter(tg,
-        g => size(filter(tg, x => x === g)) >= 2)).cast("double") / size(tg))
-    Tables.spread(documents).select(
-      col("doc_id"),
-      dupTokFrac.as("dup_token_frac"),
-      topBigramFrac.as("top_bigram_frac"),
-      dupTrigramFrac.as("dup_trigram_frac"),
-      (n >= MinRepetitionTokens &&
-        (topBigramFrac > TopBigramFracMax || dupTrigramFrac > DupTrigramFracMax))
-        .as("repetitive"))
-  }
+    * 100 TB shape: map-only scan; the three fractions come from ONE O(n)
+    * hash-counting pass per document ([[graft.functions.RepetitionStats]],
+    * a native expression — the declarative nested-higher-order version
+    * re-evaluated the gram arrays per lambda element: O(n²) interpreted
+    * string builds, 41 s of the sf0.1 bench). */
+  def repetition(documents: DataFrame): DataFrame =
+    Tables.spread(documents)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"),
+        graft.functions.RepetitionStats.of(split(col("text"), " ")).as("r"))
+      .select(
+        col("doc_id"),
+        col("r.dup_token_frac").as("dup_token_frac"),
+        col("r.top_bigram_frac").as("top_bigram_frac"),
+        col("r.dup_trigram_frac").as("dup_trigram_frac"),
+        (col("n") >= MinRepetitionTokens &&
+          (col("r.top_bigram_frac") > TopBigramFracMax ||
+            col("r.dup_trigram_frac") > DupTrigramFracMax)).as("repetitive"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition"  -> ((s, d) => repetition(Tables.documents(s, d))),
