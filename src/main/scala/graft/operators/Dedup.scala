@@ -206,7 +206,7 @@ object Dedup {
     val dr = docReps(docs).localCheckpoint(true)
     val (withSig, bands) = signaturePipeline(repDocs(docs, dr))
     val cand = cappedBandPairs(bands)
-    val edges = verifyJaccard(sigAgreementFilter(cand, withSig), withSig)
+    val edges = verifyCandidates(cand, withSig)
       .where(col("jaccard") >= JaccardThreshold).select("a", "b")
     expandClusters(dr, ConnectedComponents.minLabel(edges))
   }
@@ -238,18 +238,29 @@ object Dedup {
     (withSig, bands)
   }
 
-  /** Cheap signature-agreement estimate over candidate (a, b) pairs: keep
-    * only pairs agreeing on ≥ [[MinSigMatches]] of the 128 positions, so
-    * the exact shingle-set verify never touches the medium-similarity
-    * candidate mass. */
-  private def sigAgreementFilter(cand: DataFrame, withSig: DataFrame): DataFrame =
+  /** Signature-agreement pre-filter + exact-Jaccard verify over candidate
+    * (a, b) pairs, fused into ONE pass: each side of `withSig` is joined
+    * once carrying (sig, sh) together, the agreement predicate (≥
+    * [[MinSigMatches]] of 128 positions) runs before the shingle-set
+    * intersection ever evaluates, and survivors get exact jaccard in the
+    * same stage. Round 4: the split formulation joined `withSig` four
+    * times per query (sig-only pair, then sh-only pair) — two extra
+    * shuffle joins to save ~1.4× payload bytes on the one retained join,
+    * a bad trade at every scale. Output: (a, b, jaccard) for agreeing
+    * pairs only. */
+  private def verifyCandidates(cand: DataFrame, withSig: DataFrame): DataFrame =
     cand
-      .join(withSig.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
-      .join(withSig.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
+      .join(withSig.select(col("doc_id").as("a"),
+        col("sig").as("siga"), col("sh").as("sha")), "a")
+      .join(withSig.select(col("doc_id").as("b"),
+        col("sig").as("sigb"), col("sh").as("shb")), "b")
       .where(aggregate(zip_with(col("siga"), col("sigb"),
           (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v) >= MinSigMatches)
-      .select("a", "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter"))).as("jaccard"))
 
   /** Attach both shingle sets to candidate (a, b) pairs and compute exact
     * Jaccard = |∩| / (|A| + |B| - |∩|). */
@@ -350,7 +361,7 @@ object Dedup {
       .join(corpusBands.select(col("band"), col("bkey"), col("doc_id").as("b")),
         Seq("band", "bkey"))
       .select("a", "b").distinct()
-    val hits = verifyJaccard(sigAgreementFilter(cand, withSig), withSig)
+    val hits = verifyCandidates(cand, withSig)
       .where(col("jaccard") >= JaccardThreshold)
     val best = hits.groupBy("a")
       .agg(max_by(struct(col("b"), col("jaccard")),
@@ -469,7 +480,7 @@ object Dedup {
        |   FROM sig CROSS JOIN range($Bands) t(j))""".stripMargin
 
   /** Signature-agreement estimate + exact-Jaccard verify over the `cand`
-    * relation — the SQL mirror of [[sigAgreementFilter]] + [[verifyJaccard]],
+    * relation — the SQL mirror of [[verifyCandidates]],
     * shared by both MinHash oracles. */
   private def sigEstVerSqlWith: String =
     s"""est AS (SELECT c.a, c.b FROM cand c
