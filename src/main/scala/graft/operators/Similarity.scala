@@ -180,6 +180,22 @@ object Similarity {
       .select(col("vec_id"), col("cluster_id"), (col("sz") - 1).as("n_dups"))
   }
 
+  /** Measured recall@k of [[annLshTopK]] against the exact [[cosineTopK]]
+    * — the quality metric an ANN index ships with (recall < 1 by
+    * construction; this makes the loss a first-class, oracle-checked
+    * number instead of a docstring claim). One row per query:
+    * (query_id, recall_at_k). */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = cosineTopK(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+    val ann = annLshTopK(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(ann, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / TopK).as("recall_at_k"))
+  }
+
   /** IVF (inverted-file) top-k — the other classic ANN scale path: assign
     * every corpus vector to its nearest centroid once, then search only the
     * [[NProbe]] centroid lists nearest each query. Same output shape as
@@ -250,6 +266,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh_topk" -> (annLshTopK _),
+    "sim_ann_recall" -> (annRecall _),
     "sim_ivf_topk" -> (ivfTopK _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "dedup_embedding" -> (embeddingDedup _),
@@ -346,6 +363,48 @@ object Similarity {
          | SELECT c.id AS vec_id, c.component AS cluster_id,
          |   CAST(s.sz - 1 AS BIGINT) AS n_dups
          | FROM comp c JOIN sizes s ON c.component = s.component""".stripMargin,
+
+    // the recall oracle nests the two already-verified oracles verbatim as
+    // CTE subqueries (their inner WITHs scope locally), so the metric
+    // cannot drift from the results it measures
+    "sim_ann_recall" ->
+      s"""WITH exact_tk AS (
+         |   SELECT query_id, neighbor_id FROM (
+         |     WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                               CAST(embedding AS DOUBLE[]))) AS nrm
+         |       FROM embeddings),
+         |     q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM vs
+         |       WHERE vec_id < $NumQueryVectors),
+         |     scored AS (SELECT q.query_id, vs.vec_id AS neighbor_id,
+         |       list_dot_product(vs.v, q.qv) / (vs.nrm * q.qn) AS cosine_sim
+         |       FROM vs CROSS JOIN q WHERE vs.vec_id <> q.query_id)
+         |     SELECT query_id, neighbor_id FROM (SELECT *,
+         |       ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM scored)
+         |     WHERE rank <= $TopK)),
+         | ann_tk AS (
+         |   SELECT query_id, neighbor_id FROM (
+         |     WITH ${bandsSqlWith(SignatureBits, SignatureBits / BandsPerSignature)},
+         |     cands AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |       FROM bands c JOIN bands q ON c.band = q.band AND c.bv = q.bv
+         |       WHERE q.vec_id < $NumQueryVectors AND c.vec_id <> q.vec_id),
+         |     scored AS (SELECT query_id, neighbor_id,
+         |         list_dot_product(vc.v, vq.v) / (vc.nrm * vq.nrm) AS cosine_sim
+         |       FROM cands JOIN vs vc ON vc.vec_id = cands.neighbor_id
+         |       JOIN vs vq ON vq.vec_id = cands.query_id)
+         |     SELECT query_id, neighbor_id FROM (SELECT *,
+         |       ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM scored)
+         |     WHERE rank <= $TopK)),
+         | hits AS (SELECT e.query_id, COUNT(*) AS n FROM exact_tk e
+         |   JOIN ann_tk a ON a.query_id = e.query_id
+         |     AND a.neighbor_id = e.neighbor_id
+         |   GROUP BY e.query_id)
+         | SELECT q.query_id,
+         |   CAST(COALESCE(hits.n, 0) AS DOUBLE) / $TopK AS recall_at_k
+         | FROM (SELECT DISTINCT query_id FROM exact_tk) q
+         | LEFT JOIN hits ON q.query_id = hits.query_id""".stripMargin,
 
     "sim_ivf_topk" ->
       s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -59,6 +59,21 @@ class SimilaritySpec extends SparkSpec {
     out.count(_._3 > 0) should be > 0
   }
 
+  test("ann recall: one row per query, recall in [0,1] and equal to the measured overlap") {
+    val recall = Similarity.annRecall(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    recall.keySet shouldBe (0L until Similarity.NumQueryVectors.toLong).toSet
+    val exact = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annLshTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    recall.foreach { case (q, rec) =>
+      rec should (be >= 0.0 and be <= 1.0)
+      val overlap = exact.count(p => p._1 == q && ann.contains(p))
+      rec shouldBe overlap.toDouble / Similarity.TopK
+    }
+  }
+
   test("int8 quantization: scale positive, error bounded by half a quantum") {
     val rows = Similarity.quantizeInt8(spark, sfDir).collect()
     rows.length shouldBe 500
