@@ -223,18 +223,20 @@ object Dedup {
     * populates (measured round 4: lazy caching made the 4-consumer ngram
     * pipeline 4x slower).
     * Returns (withSig = (doc_id, sh, sig), bands = (doc_id, band, bkey)). */
-  private def signaturePipeline(docs: DataFrame): (DataFrame, DataFrame) = {
+  private def signaturePipeline(docs: DataFrame,
+                                eager: Boolean = true): (DataFrame, DataFrame) = {
     // shingles + signature in ONE map-only projection (round 4: the
     // signature aggregate + join-back this replaces was two shuffles and a
-    // second checkpoint)
-    val withSig = docs
+    // second checkpoint). `eager = false` skips the checkpoints — right for
+    // small probe batches (streaming micro-batches), where recomputing a
+    // map-only projection per consumer is cheaper than materializing it.
+    def stage(df: DataFrame) = if (eager) df.localCheckpoint(true) else df
+    val withSig = stage(docs
       .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
-      .withColumn("sig", MinHashSignatures.of(col("sh")))
-      .localCheckpoint(true)
-    val bands = withSig
+      .withColumn("sig", MinHashSignatures.of(col("sh"))))
+    val bands = stage(withSig
       .select(col("doc_id"), posexplode(bandKeys(col("sig"))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-      .localCheckpoint(true)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey"))
     (withSig, bands)
   }
 
@@ -249,10 +251,17 @@ object Dedup {
     * a bad trade at every scale. Output: (a, b, jaccard) for agreeing
     * pairs only. */
   private def verifyCandidates(cand: DataFrame, withSig: DataFrame): DataFrame =
+    verifyCandidates(cand, withSig, withSig)
+
+  /** Two-sided variant: `a` ids resolve in `aSide`, `b` ids in `bSide`
+    * (the incremental probe joins incoming signatures against the corpus
+    * index). */
+  private def verifyCandidates(cand: DataFrame, aSide: DataFrame,
+                               bSide: DataFrame): DataFrame =
     cand
-      .join(withSig.select(col("doc_id").as("a"),
+      .join(aSide.select(col("doc_id").as("a"),
         col("sig").as("siga"), col("sh").as("sha")), "a")
-      .join(withSig.select(col("doc_id").as("b"),
+      .join(bSide.select(col("doc_id").as("b"),
         col("sig").as("sigb"), col("sh").as("shb")), "b")
       .where(aggregate(zip_with(col("siga"), col("sigb"),
           (x, y) => when(x === y, 1).otherwise(0)),
@@ -279,7 +288,7 @@ object Dedup {
     * as in the standard definition): per bit, sum +1/-1 votes over token
     * hashes; positive vote count sets the bit.
     *
-    * Round-4 shape: map-only through the native [[SimHash32]]
+    * Round-4 shape: map-only through the native [[SimHash60]]
     * expression — same rationale as [[minhashSignatures]] (the round-3
     * explode + 32 conditional sums shuffled one row per doc and aggregated
     * O(docs × tokens) exploded rows for a per-row pure function). The
@@ -325,49 +334,67 @@ object Dedup {
     * already-indexed corpus. */
   val IncomingMod = 5
 
-  /** Incremental near-dup: match a NEW batch of documents against an
-    * already-indexed corpus — the daily-ingestion path, where the batch is
-    * small and the corpus is the 100 TB side. The LSH band join is
-    * '''asymmetric''' (incoming × corpus, never corpus × corpus): work is
-    * O(batch) probes into the banded index, and the bucket cap bounds each
-    * probe's fan-out exactly as in [[minhashLsh]]. At scale the corpus
-    * bands/signatures are a precomputed, bucketed table; here both sides
-    * derive from one pass for the oracle's sake. The CORPUS side is
-    * exact-dup pre-collapsed (one representative per distinct content, as
-    * in [[minhashLsh]]) so a heavily-duplicated corpus document cannot cap
-    * out its own buckets and hide from incoming probes; `match_id` is
-    * therefore the min-doc_id representative of the matched content. The
-    * incoming side is not collapsed (incoming docs never pair with each
-    * other). One row per incoming document: (doc_id, match_id,
-    * match_jaccard) — nulls when nothing in the corpus clears
-    * [[JaccardThreshold]]. */
+  /** The registered incremental-dedup query: split the documents table by
+    * [[IncomingMod]], index the corpus side, probe the incoming side —
+    * exactly [[buildIndex]] + [[probeIndex]], which is also the streaming
+    * ingestion path ([[graft.streaming.StreamingDedup]] probes the same
+    * index per micro-batch), so the DuckDB oracle checks both. */
   def minhashLshIncremental(documents: DataFrame): DataFrame = {
     val isIncoming = col("doc_id") % IncomingMod === 0
     val docs = Tables.spread(documents)
-    // corpus side through the same pre-collapse as the batch operator
-    // (repDocs: one representative row per distinct content)
-    val corpus = docs.where(!isIncoming)
-    val base = repDocs(corpus, docReps(corpus))
-      .unionByName(docs.where(isIncoming).select("doc_id", "text"))
-    val (withSig, bands) = signaturePipeline(base)
-    val corpusBands = bands.where(!isIncoming)
-    val incomingBands = bands.where(isIncoming)
-    // cap on the CORPUS side: a probe into an over-full bucket returns no
-    // candidates (the skew guard; incoming side is per-doc bounded anyway)
-    val ok = corpusBands.groupBy("band", "bkey").agg(count(lit(1)).as("n"))
+    probeIndex(buildIndex(docs.where(!isIncoming)), docs.where(isIncoming))
+  }
+
+  /** A prebuilt MinHash LSH index over a corpus: checkpointed signatures,
+    * banded keys, and the under-cap bucket set — the "100 TB side" of
+    * incremental dedup, built ONCE and probed by any number of batch or
+    * streaming ingests ([[probeIndex]],
+    * [[graft.streaming.StreamingDedup]]). At scale these three frames are
+    * persisted tables bucketed by (band, bkey). */
+  final case class MinHashIndex(withSig: DataFrame, bands: DataFrame,
+                                okBuckets: DataFrame)
+
+  /** Build the [[MinHashIndex]]: exact-dup pre-collapse (one
+    * representative per distinct content, so a heavily-duplicated corpus
+    * document cannot cap out its own buckets and hide from probes), then
+    * the shared signature pipeline, then the bucket-cap set (buckets
+    * holding more than [[MaxBandBucket]] contents answer no probes — the
+    * skew guard). */
+  def buildIndex(corpus: DataFrame): MinHashIndex = {
+    val reps = repDocs(corpus, docReps(corpus))
+    val (withSig, bands) = signaturePipeline(reps)
+    val ok = bands.groupBy("band", "bkey").agg(count(lit(1)).as("n"))
       .where(col("n") <= MaxBandBucket).select("band", "bkey")
-    val cand = incomingBands.join(ok, Seq("band", "bkey"))
+      .localCheckpoint(true)
+    MinHashIndex(withSig, bands, ok)
+  }
+
+  /** Probe a NEW batch of documents against an indexed corpus — the
+    * ingestion path, where the batch is small and the corpus is the 100 TB
+    * side. The LSH band join is asymmetric (incoming x corpus, never
+    * corpus x corpus): work is O(batch) probes into the banded index. The
+    * incoming side is not collapsed (incoming docs never pair with each
+    * other); `match_id` is the min-doc_id representative of the matched
+    * corpus content. One row per incoming document: (doc_id, match_id,
+    * match_jaccard) — nulls when nothing in the corpus clears
+    * [[JaccardThreshold]]. Streaming-safe: the incoming frame's signature
+    * stage is uncached map-only work, so this runs unchanged inside a
+    * foreachBatch micro-batch. */
+  def probeIndex(index: MinHashIndex, incoming: DataFrame): DataFrame = {
+    val inc = incoming.select("doc_id", "text")
+    val (incSig, incBands) = signaturePipeline(inc, eager = false)
+    val cand = incBands.join(index.okBuckets, Seq("band", "bkey"))
       .select(col("band"), col("bkey"), col("doc_id").as("a"))
-      .join(corpusBands.select(col("band"), col("bkey"), col("doc_id").as("b")),
+      .join(index.bands.select(col("band"), col("bkey"), col("doc_id").as("b")),
         Seq("band", "bkey"))
       .select("a", "b").distinct()
-    val hits = verifyCandidates(cand, withSig)
+    val hits = verifyCandidates(cand, incSig, index.withSig)
       .where(col("jaccard") >= JaccardThreshold)
     val best = hits.groupBy("a")
       .agg(max_by(struct(col("b"), col("jaccard")),
                   struct(col("jaccard"), (-col("b")).as("nb"))).as("m"))
       .withColumnRenamed("a", "doc_id")
-    documents.where(isIncoming).select("doc_id")
+    inc.select("doc_id")
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("m.b").as("match_id"),
         col("m.jaccard").as("match_jaccard"))
