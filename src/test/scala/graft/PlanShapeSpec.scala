@@ -94,4 +94,27 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "CartesianProduct"
     p should not include "SortMergeJoin" // tiny keeper map broadcasts at this SF
   }
+
+  test("text_repetition: one native projection — no shuffle, no fallback folds") {
+    val p = planOf("text_repetition")
+    p should not include "Exchange hashpartitioning"
+    p should include("graft_repetition_stats")
+    // the O(n^2) higher-order formulation this replaced showed up as
+    // ArrayFilter/ArrayTransform fallback nodes
+    p should not include "array_filter"
+  }
+
+  test("corpus_decontaminate: eval shingle set broadcasts; corpus side never shuffles on shingles") {
+    val p = planOf("corpus_decontaminate")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("corpus_pack_plan: exactly one exchange — the per-shard window partitioning") {
+    val p = planOf("corpus_pack_plan")
+    countOf(p, "Exchange hashpartitioning") shouldBe 1
+    p should include("Window")
+    p should not include "Exchange rangepartitioning" // no global sort
+  }
 }
