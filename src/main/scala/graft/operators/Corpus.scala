@@ -134,6 +134,45 @@ object Corpus {
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
 
+  /** Declared target mixture for [[mixPlan]] (shares of training tokens
+    * per language; a real pipeline tunes these against eval loss).
+    * Languages absent from the map get weight 0 — excluded from the mix. */
+  val TargetMix: Seq[(String, Double)] =
+    Seq("en" -> 0.35, "zh" -> 0.20, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15)
+
+  /** Upsampling cap for [[mixPlan]]: a stratum is never repeated more than
+    * this many times (unbounded upsampling of a tiny stratum degrades to
+    * memorization). */
+  val MaxUpsample = 5.0
+
+  /** Corpus-mixing plan — the domain-weighting stage: measure the corpus's
+    * actual token composition per language and emit the sampling weight
+    * that moves it to [[TargetMix]] (weight = target_share / actual_share,
+    * capped at [[MaxUpsample]]; a weight < 1 downsamples, > 1 repeats).
+    * One row per language present in the corpus:
+    * (lang, n_docs, n_tokens, token_share, target_share, weight).
+    *
+    * 100 TB shape: one map-side-combined aggregation to ≤ #languages rows;
+    * the share normalization is a single-partition window over that tiny
+    * aggregate — driver-sized data, never the corpus. */
+  def mixPlan(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perLang = documents
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val share = col("n_tokens").cast("double") /
+      sum("n_tokens").over(Window.partitionBy())
+    val target = TargetMix.foldLeft(lit(0.0)) {
+      case (acc, (l, t)) => when(col("lang") === l, lit(t)).otherwise(acc)
+    }
+    perLang.select(
+      col("lang"), col("n_docs"), col("n_tokens"),
+      share.as("token_share"),
+      target.as("target_share"),
+      least(target / share, lit(MaxUpsample)).as("weight"))
+  }
+
   /** Training-sequence token budget for [[packPlan]] (a real pipeline uses
     * the model context length, e.g. 2048/4096/8192). */
   val SeqTokenBudget = 256
@@ -171,6 +210,7 @@ object Corpus {
     "shard_plan"        -> ((s, d) => shardPlan(Tables.documents(s, d))),
     "corpus_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "corpus_pack_plan"  -> ((s, d) => packPlan(Tables.documents(s, d))),
+    "corpus_mix_plan"   -> ((s, d) => mixPlan(Tables.documents(s, d))),
   )
 
   private def ratesCaseSql =
@@ -235,5 +275,19 @@ object Corpus {
          |   cum_before // $SeqTokenBudget AS seq_id,
          |   cum_before % $SeqTokenBudget AS tok_offset
          | FROM c""".stripMargin,
+
+    "corpus_mix_plan" ->
+      s"""WITH pl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |     CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |   FROM documents GROUP BY lang),
+         | sh AS (SELECT *, CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()
+         |     AS token_share FROM pl)
+         | SELECT lang, n_docs, n_tokens, token_share,
+         |   ${TargetMix.map { case (l, t) => s"WHEN lang = '$l' THEN $t" }
+              .mkString("CASE ", " ", " ELSE CAST(0 AS DOUBLE) END")} AS target_share,
+         |   LEAST((${TargetMix.map { case (l, t) => s"WHEN lang = '$l' THEN $t" }
+              .mkString("CASE ", " ", " ELSE CAST(0 AS DOUBLE) END")}) / token_share,
+         |     $MaxUpsample) AS weight
+         | FROM sh""".stripMargin,
   )
 }

@@ -74,6 +74,36 @@ class CorpusSpec extends SparkSpec {
     n.toDouble shouldBe 100.0 +- 50.0
   }
 
+  test("mix plan: shares sum to 1, weights move toward the target and cap") {
+    val sp = spark; import sp.implicits._
+    // en: 900 docs x 10 tokens; zh: 100 x 10; xx: 10 x 10 (not in target)
+    val docs = ((0 until 900).map(i => (i.toLong, "a b c d e f g h i j", "en", "w")) ++
+      (900 until 1000).map(i => (i.toLong, "a b c d e f g h i j", "zh", "w")) ++
+      (1000 until 1010).map(i => (i.toLong, "a b c d e f g h i j", "xx", "w")))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Corpus.mixPlan(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3), r.getDouble(5)))).toMap
+    out.values.map(_._2).sum shouldBe 1.0 +- 1e-12 // shares partition the corpus
+    out("en")._1 shouldBe 9000L
+    // en is over-represented (89%) vs target 35% -> downweighted
+    out("en")._3 shouldBe (0.35 / out("en")._2) +- 1e-12
+    out("en")._3 should be < 1.0
+    // zh under-represented (10%) vs 20% -> upweighted
+    out("zh")._3 should be > 1.0
+    // xx absent from the target mix -> weight 0 (dropped)
+    out("xx")._3 shouldBe 0.0
+  }
+
+  test("mix plan: a tiny stratum's upsampling is capped") {
+    val sp = spark; import sp.implicits._
+    val docs = ((0 until 999).map(i => (i.toLong, "a b", "en", "w")) :+
+      (999L, "a b", "zh", "w")).toDF("doc_id", "text", "lang", "source")
+    val zh = Corpus.mixPlan(docs).collect()
+      .find(_.getString(0) == "zh").get
+    // raw weight would be 0.2/0.001 = 200; capped at MaxUpsample
+    zh.getDouble(5) shouldBe Corpus.MaxUpsample
+  }
+
   test("pack plan: concat-and-chunk invariants hold per shard") {
     val sp = spark; import sp.implicits._
     // 10 tokens per doc, budget 256: within a shard, doc i starts at 10*i
