@@ -31,24 +31,30 @@ object Corpus {
     Seq("en" -> 400, "de" -> 800, "es" -> 800, "fr" -> 800, "zh" -> 600)
   val DefaultRatePerMille = 100
 
-  /** Cleaning pipeline: exact-duplicate drop (keep the min-doc_id copy)
-    * then quality gate, composing [[Dedup]]'s digest grouping with
-    * [[TextAnalysis.quality]]. One row per document:
-    * (doc_id, keep, reason ∈ kept|duplicate|low_quality) — the keep/drop
-    * ledger a corpus build audits.
+  /** Cleaning pipeline: exact-duplicate drop (keep the min-doc_id copy),
+    * then the within-document repetition gate, then the quality gate —
+    * composing [[Dedup]]'s digest grouping with
+    * [[TextAnalysis.repetition]] and [[TextAnalysis.quality]]. One row per
+    * document: (doc_id, keep, reason ∈
+    * kept|duplicate|repetitive|low_quality) — the keep/drop ledger a
+    * corpus build audits.
     *
-    * Reason priority mirrors production pipelines: dedup before quality
-    * (a duplicate is 'duplicate' even when it would also fail quality). */
+    * Reason priority mirrors production pipelines: dedup first (a
+    * duplicate is 'duplicate' even when it would also fail the content
+    * gates), then repetition (cheap, catches degenerate text), then
+    * quality. */
   def clean(documents: DataFrame): DataFrame = {
     // one digest convention, one implementation: Dedup's (doc_id, rep) map
     val dr = Dedup.docReps(documents)
     val q = TextAnalysis.quality(documents).select(col("doc_id"), col("quality_score"))
-    dr.join(q, "doc_id")
+    val rep = TextAnalysis.repetition(documents).select(col("doc_id"), col("repetitive"))
+    dr.join(rep, "doc_id").join(q, "doc_id")
       .select(
         col("doc_id"),
-        (col("doc_id") === col("rep") &&
+        (col("doc_id") === col("rep") && !col("repetitive") &&
           col("quality_score") >= QualityKeepThreshold).as("keep"),
         when(col("doc_id") =!= col("rep"), lit("duplicate"))
+          .when(col("repetitive"), lit("repetitive"))
           .when(col("quality_score") < QualityKeepThreshold, lit("low_quality"))
           .otherwise(lit("kept")).as("reason"))
   }
@@ -221,15 +227,19 @@ object Corpus {
     "corpus_clean" ->
       s"""WITH k AS (SELECT md5(text) AS sha, MIN(doc_id) AS keeper
          |   FROM documents GROUP BY md5(text)),
-         | ${TextAnalysis.qualityScoreSqlWith}
+         | ${TextAnalysis.qualityScoreSqlWith},
+         | ${TextAnalysis.repetitionSqlWith}
          | SELECT d.doc_id,
-         |   d.doc_id = k.keeper AND sc.quality_score >= $QualityKeepThreshold AS keep,
+         |   d.doc_id = k.keeper AND NOT rr.repetitive
+         |     AND sc.quality_score >= $QualityKeepThreshold AS keep,
          |   CASE WHEN d.doc_id <> k.keeper THEN 'duplicate'
+         |        WHEN rr.repetitive THEN 'repetitive'
          |        WHEN sc.quality_score < $QualityKeepThreshold THEN 'low_quality'
          |        ELSE 'kept' END AS reason
          | FROM documents d
          | JOIN k ON md5(d.text) = k.sha
-         | JOIN qscore sc ON sc.doc_id = d.doc_id""".stripMargin,
+         | JOIN qscore sc ON sc.doc_id = d.doc_id
+         | JOIN rrep rr ON rr.doc_id = d.doc_id""".stripMargin,
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents

@@ -202,37 +202,44 @@ object TextAnalysis {
        |   stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.3 + len_score * 0.4
        |     AS quality_score FROM qr)""".stripMargin
 
+  /** Repetition-signal CTEs ending in relation
+    * `rrep(doc_id, dup_token_frac, top_bigram_frac, dup_trigram_frac,
+    * repetitive)` — the single SQL mirror of [[repetition]], shared by the
+    * `text_repetition` and `corpus_clean` oracles so the formula cannot
+    * drift between them (same pattern as [[qualityScoreSqlWith]]). */
+  private[operators] def repetitionSqlWith: String = {
+    val topBgFrac =
+      """CASE WHEN len(bg) = 0 THEN CAST(0 AS DOUBLE)
+        |     ELSE CAST(list_max(list_transform(list_distinct(bg),
+        |       g2 -> len(list_filter(bg, x -> x = g2)))) AS DOUBLE) / len(bg) END""".stripMargin
+    val dupTgFrac =
+      """CASE WHEN len(tg) = 0 THEN CAST(0 AS DOUBLE)
+        |     ELSE CAST(len(list_filter(tg,
+        |       g3 -> len(list_filter(tg, x -> x = g3)) >= 2)) AS DOUBLE) / len(tg) END""".stripMargin
+    s"""rtk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       | rg AS (SELECT doc_id, t,
+       |   CASE WHEN len(t) >= 2 THEN list_transform(range(len(t) - 1),
+       |     i -> array_to_string(t[i + 1 : i + 2], ' ')) ELSE [] END AS bg,
+       |   CASE WHEN len(t) >= 3 THEN list_transform(range(len(t) - 2),
+       |     i -> array_to_string(t[i + 1 : i + 3], ' ')) ELSE [] END AS tg
+       |  FROM rtk),
+       | rrep AS (SELECT doc_id,
+       |   CASE WHEN len(t) = 0 THEN CAST(0 AS DOUBLE)
+       |     ELSE CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t) END
+       |     AS dup_token_frac,
+       |   $topBgFrac AS top_bigram_frac,
+       |   $dupTgFrac AS dup_trigram_frac,
+       |   len(t) >= $MinRepetitionTokens AND (($topBgFrac > $TopBigramFracMax)
+       |     OR ($dupTgFrac > $DupTrigramFracMax)) AS repetitive
+       |  FROM rg)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "text_repetition" ->
-      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         | g AS (SELECT doc_id, t,
-         |   CASE WHEN len(t) >= 2 THEN list_transform(range(len(t) - 1),
-         |     i -> array_to_string(t[i + 1 : i + 2], ' ')) ELSE [] END AS bg,
-         |   CASE WHEN len(t) >= 3 THEN list_transform(range(len(t) - 2),
-         |     i -> array_to_string(t[i + 1 : i + 3], ' ')) ELSE [] END AS tg
-         |  FROM tk)
-         | SELECT doc_id,
-         |   CASE WHEN len(t) = 0 THEN CAST(0 AS DOUBLE)
-         |     ELSE CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t) END
-         |     AS dup_token_frac,
-         |   CASE WHEN len(bg) = 0 THEN CAST(0 AS DOUBLE)
-         |     ELSE CAST(list_max(list_transform(list_distinct(bg),
-         |       g2 -> len(list_filter(bg, x -> x = g2)))) AS DOUBLE) / len(bg) END
-         |     AS top_bigram_frac,
-         |   CASE WHEN len(tg) = 0 THEN CAST(0 AS DOUBLE)
-         |     ELSE CAST(len(list_filter(tg,
-         |       g3 -> len(list_filter(tg, x -> x = g3)) >= 2)) AS DOUBLE) / len(tg) END
-         |     AS dup_trigram_frac,
-         |   len(t) >= $MinRepetitionTokens AND (
-         |   (CASE WHEN len(bg) = 0 THEN CAST(0 AS DOUBLE)
-         |     ELSE CAST(list_max(list_transform(list_distinct(bg),
-         |       g2 -> len(list_filter(bg, x -> x = g2)))) AS DOUBLE) / len(bg) END
-         |       > $TopBigramFracMax)
-         |   OR (CASE WHEN len(tg) = 0 THEN CAST(0 AS DOUBLE)
-         |     ELSE CAST(len(list_filter(tg,
-         |       g3 -> len(list_filter(tg, x -> x = g3)) >= 2)) AS DOUBLE) / len(tg) END
-         |       > $DupTrigramFracMax)) AS repetitive
-         | FROM g""".stripMargin,
+      s"""WITH $repetitionSqlWith
+         | SELECT doc_id, dup_token_frac, top_bigram_frac, dup_trigram_frac,
+         |   repetitive
+         | FROM rrep""".stripMargin,
 
     "text_token_stats" ->
       s"""SELECT doc_id,

@@ -14,10 +14,16 @@ class CorpusSpec extends SparkSpec {
     rows.toDF("doc_id", "text", "lang", "source")
   }
 
-  // a high-quality text: long, stopword-rich, no punctuation
-  private val good = Seq.fill(60)("the cat sat on it and is of to that for").mkString(" ")
+  // a high-quality text: long, stopword-rich, no punctuation, varied
+  // (stopword/unique-word alternation keeps every bigram distinct so the
+  // repetition gate stays quiet)
+  private val stops = Vector("the", "a", "of", "to", "and", "is")
+  private val good =
+    (1 to 60).flatMap(i => Seq(stops(i % stops.size), s"u$i")).mkString(" ")
   // a low-quality text: short and punctuation-heavy
   private val bad = "@@@ ### !!! %%% &&&"
+  // degenerate repetition: long enough for the gate, one bigram dominates
+  private val loopy = Seq.fill(40)("spam").mkString(" ")
 
   test("clean: duplicate beats low_quality; min doc_id is the keeper") {
     val out = Corpus.clean(docsDf(Seq(
@@ -30,6 +36,17 @@ class CorpusSpec extends SparkSpec {
     out(5L) shouldBe ((false, "duplicate"))
     out(7L) shouldBe ((false, "low_quality"))
     out(9L) shouldBe ((false, "duplicate")) // NOT low_quality: dedup ranks first
+  }
+
+  test("clean: repetitive ranks below duplicate, above low_quality") {
+    val out = Corpus.clean(docsDf(Seq(
+      (1L, loopy, "en", "web"),    // repetitive keeper
+      (2L, loopy, "en", "web"),    // duplicate of a repetitive text
+      (3L, good, "en", "web"))))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    out(1L) shouldBe ((false, "repetitive")) // keeper, but gated
+    out(2L) shouldBe ((false, "duplicate"))  // dedup still ranks first
+    out(3L) shouldBe ((true, "kept"))
   }
 
   test("clean emits exactly one row per document") {
