@@ -65,6 +65,10 @@ object Corpus {
   private def sampleHash(docId: Column): Column =
     Dedup.h32(concat(lit("smp:"), docId.cast("string"))) % 1000
 
+  /** The sampling predicate, reusable by [[sampleStratified]] and the
+    * composed [[endToEnd]] pipeline. */
+  private def sampleKeep: Column = sampleHash(col("doc_id")) < rateFor(col("lang"))
+
   private def rateFor(lang: Column): Column =
     SampleRatesPerMille.foldLeft(lit(DefaultRatePerMille)) {
       case (acc, (l, r)) => when(lang === l, lit(r)).otherwise(acc)
@@ -76,7 +80,7 @@ object Corpus {
     * a pure filter — at scale it prunes at the scan. */
   def sampleStratified(documents: DataFrame): DataFrame =
     documents
-      .where(sampleHash(col("doc_id")) < rateFor(col("lang")))
+      .where(sampleKeep)
       .select(col("doc_id"), col("lang"), col("source"))
 
   /** Deterministic eval/train split for [[decontaminate]]: doc_id ≡
@@ -210,6 +214,21 @@ object Corpus {
         (col("cum_before") % SeqTokenBudget).as("tok_offset"))
   }
 
+  /** The composed corpus build, end to end: [[clean]] (dedup → repetition
+    * → quality) keeps survivors, the stratified sample thins them, and
+    * [[packPlan]] assigns the remainder to training sequences — one
+    * registered query proving the stages compose with consistent
+    * semantics (the pack plan's running sums are computed over exactly
+    * the post-filter population, not the raw corpus).
+    *
+    * 100 TB shape: the gates are scan-stage filters plus the digest
+    * shuffle [[clean]] already costs; the pack window still partitions by
+    * shard. No stage materializes the dropped rows. */
+  def endToEnd(documents: DataFrame): DataFrame = {
+    val kept = clean(documents).where(col("keep")).select("doc_id")
+    packPlan(documents.join(kept, "doc_id").where(sampleKeep))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean"      -> ((s, d) => clean(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => sampleStratified(Tables.documents(s, d))),
@@ -217,6 +236,7 @@ object Corpus {
     "corpus_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "corpus_pack_plan"  -> ((s, d) => packPlan(Tables.documents(s, d))),
     "corpus_mix_plan"   -> ((s, d) => mixPlan(Tables.documents(s, d))),
+    "corpus_e2e"        -> ((s, d) => endToEnd(Tables.documents(s, d))),
   )
 
   private def ratesCaseSql =
@@ -281,6 +301,34 @@ object Corpus {
          |     COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
          |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
          |   FROM d)
+         | SELECT doc_id, shard,
+         |   cum_before // $SeqTokenBudget AS seq_id,
+         |   cum_before % $SeqTokenBudget AS tok_offset
+         | FROM c""".stripMargin,
+
+    "corpus_e2e" ->
+      s"""WITH k AS (SELECT md5(text) AS sha, MIN(doc_id) AS keeper
+         |   FROM documents GROUP BY md5(text)),
+         | ${TextAnalysis.qualityScoreSqlWith},
+         | ${TextAnalysis.repetitionSqlWith},
+         | kept AS (SELECT d.doc_id, d.text, d.lang FROM documents d
+         |   JOIN k ON md5(d.text) = k.sha
+         |   JOIN qscore sc ON sc.doc_id = d.doc_id
+         |   JOIN rrep rr ON rr.doc_id = d.doc_id
+         |   WHERE d.doc_id = k.keeper AND NOT rr.repetitive
+         |     AND sc.quality_score >= $QualityKeepThreshold),
+         | samp AS (SELECT doc_id, text FROM kept
+         |   WHERE ('0x' || substring(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |       % 1000 < (CASE $ratesCaseSql ELSE $DefaultRatePerMille END)),
+         | d2 AS (SELECT doc_id,
+         |     ('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |       % $NumShards AS shard,
+         |     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |   FROM samp),
+         | c AS (SELECT doc_id, shard,
+         |     COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |   FROM d2)
          | SELECT doc_id, shard,
          |   cum_before // $SeqTokenBudget AS seq_id,
          |   cum_before % $SeqTokenBudget AS tok_offset

@@ -144,6 +144,21 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("end-to-end build: packs exactly the cleaned-and-sampled survivors") {
+    val sp = spark; import sp.implicits._
+    val docs = ((0 until 300).map(i => (i.toLong, good + s" u$i", "en", "web")) ++
+      (300 until 350).map(i => (i.toLong, bad, "en", "web")))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Corpus.endToEnd(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val kept = Corpus.clean(docs).where("keep").collect().map(_.getLong(0)).toSet
+    val sampled = Corpus.sampleStratified(docs).collect().map(_.getLong(0)).toSet
+    out.map(_._1).toSet shouldBe (kept intersect sampled)
+    all(out.map(_._4)) should be < Corpus.SeqTokenBudget.toLong
+    // low-quality dups never reach the pack stage
+    out.map(_._1).toSet.intersect((300L until 350L).toSet) shouldBe empty
+  }
+
   test("decontaminate: flags training docs sharing an 8-gram with the eval split") {
     val evalWords = (1 to 20).map(i => s"e$i")
     // doc 7 is eval (7 % 20 == 7); doc 1 lifts words 5..12 verbatim
