@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis, TransitQueries}
+import graft.operators.{Corpus, Dedup, Events, Multimodal, Similarity, TextAnalysis, TransitQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,11 +14,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TransitQueries.queries ++ Dedup.queries ++ Similarity.queries ++
-      TextAnalysis.queries ++ Multimodal.queries ++ Corpus.queries
+      TextAnalysis.queries ++ Multimodal.queries ++ Corpus.queries ++
+      Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     TransitQueries.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
-      TextAnalysis.oracleSql ++ Multimodal.oracleSql ++ Corpus.oracleSql
+      TextAnalysis.oracleSql ++ Multimodal.oracleSql ++ Corpus.oracleSql ++
+      Events.oracleSql
 }

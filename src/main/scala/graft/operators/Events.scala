@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Behavioral-event operators over the `events` table (event_id, ts,
+  * user_id, event_type, value, props-JSON) — the clickstream/session
+  * family a general analytics engine ships and the reference lacks
+  * entirely (SURVEY §2.2 "not have": no session windows, no lag/lead, no
+  * funnels; Spark provides all of it declaratively).
+  *
+  * 100 TB shape: every operator partitions by user_id — sessions and
+  * funnels are per-user computations, so the one shuffle is
+  * hash(user_id) and each window sees only that user's events (bounded:
+  * event-per-user is the natural skew unit; a pathological power user is
+  * one partition-internal sort, not a cluster hotspot). The props
+  * extraction is a map-only scan. */
+object Events {
+
+  /** Session gap: a new session starts after this much user inactivity. */
+  val SessionGapMinutes = 120
+
+  /** The gap in epoch-microseconds. `ts` arrives as int64 NANOS
+    * ([[Tables.events]]) and is floored to µs first: DuckDB's parquet
+    * reader truncates TIMESTAMP(NANOS) to µs TIMESTAMP, so µs is the
+    * finest resolution BOTH engines agree on exactly — all time
+    * arithmetic is then exact integer math (`ts div 1000` here ≡
+    * `epoch_us(ts)` there). */
+  val SessionGapMicros: Long = SessionGapMinutes * 60L * 1000L * 1000L
+
+  /** Project the raw nanos to the shared µs resolution. */
+  private def usEvents(events: DataFrame): DataFrame =
+    events.withColumn("ts", expr("ts div 1000"))
+
+  private val byUserTime = Window.partitionBy("user_id")
+    .orderBy(col("ts"), col("event_id"))
+
+  /** Gap-based sessionization: one row per event with its (user-local)
+    * session number and whether it opened the session. Deterministic
+    * ordering tiebreak on event_id. */
+  def sessionize(events: DataFrame): DataFrame = {
+    val prev = lag(col("ts"), 1).over(byUserTime)
+    val isStart = prev.isNull || col("ts") > prev + lit(SessionGapMicros)
+    usEvents(events)
+      .withColumn("is_session_start", isStart)
+      .withColumn("session_seq",
+        sum(col("is_session_start").cast("long")).over(byUserTime))
+      .select(col("event_id"), col("user_id"), col("session_seq"),
+        col("is_session_start"))
+  }
+
+  /** Per-session rollup over [[sessionize]]: event count, error count,
+    * value mass, duration in (fractional) seconds. */
+  def sessionStats(events: DataFrame): DataFrame =
+    sessionize(events)
+      .join(usEvents(events).select("event_id", "ts", "event_type", "value"),
+        "event_id")
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+        sum("value").as("total_value"),
+        ((max("ts") - min("ts")).cast("double") / lit(1e6)).as("duration_sec"))
+
+  /** The funnel stages, in order. */
+  val FunnelStages: Seq[String] = Seq("signup", "view", "click", "purchase")
+
+  /** First-touch ordered funnel: a user reaches stage k iff the FIRST
+    * occurrence of each stage so far is strictly later than the previous
+    * stage's first occurrence (the standard strict-order funnel). Output:
+    * one row per stage (stage_idx, stage, n_users).
+    *
+    * Shape: one groupBy(user) collapsing to 4 first-occurrence
+    * timestamps, then a tiny per-user stage computation — the corpus
+    * never shuffles twice. */
+  def funnel(events: DataFrame): DataFrame = {
+    val stageFirsts = FunnelStages.map(s =>
+      min(when(col("event_type") === s, col("ts"))).as(s"t_$s"))
+    val firsts = usEvents(events)
+      .groupBy("user_id")
+      .agg(stageFirsts.head, stageFirsts.tail: _*)
+    // stagesReached = largest k with t_1 < t_2 < ... < t_k (all non-null)
+    val reached = FunnelStages.zipWithIndex.drop(1).foldLeft(
+      when(col(s"t_${FunnelStages.head}").isNotNull, 1).otherwise(0)) {
+      case (acc, (s, i)) =>
+        when(acc === i &&
+          col(s"t_$s") > col(s"t_${FunnelStages(i - 1)}"), i + 1).otherwise(acc)
+    }
+    val perUser = firsts.select(col("user_id"), reached.as("stages_reached"))
+    val sp = events.sparkSession
+    import sp.implicits._
+    val stages = FunnelStages.zipWithIndex
+      .map { case (s, i) => (i + 1, s) }
+      .toDF("stage_idx", "stage")
+    stages.join(perUser, col("stages_reached") >= col("stage_idx"), "left")
+      .groupBy("stage_idx", "stage")
+      .agg(count(col("user_id")).as("n_users"))
+  }
+
+  /** Typed extraction from the JSON props column — the schema-on-read
+    * path (map-only; at scale this is the pattern for sparse telemetry
+    * attributes that don't earn a physical column). */
+  def propsExtract(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_sessionize"    -> ((s, d) => sessionize(Tables.events(s, d))),
+    "events_session_stats" -> ((s, d) => sessionStats(Tables.events(s, d))),
+    "events_funnel"        -> ((s, d) => funnel(Tables.events(s, d))),
+    "events_props_extract" -> ((s, d) => propsExtract(Tables.events(s, d))),
+  )
+
+  /** Shared sessionization CTE ending in relation
+    * `sess(event_id, user_id, session_seq, is_session_start)`. */
+  private def sessSqlWith =
+    s"""ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts, event_type, value
+       |   FROM events),
+       | marked AS (SELECT event_id, user_id, ts, event_type, value,
+       |   (LAG(ts) OVER w IS NULL OR
+       |    ts > LAG(ts) OVER w + ${SessionGapMicros}::BIGINT)
+       |     AS is_session_start
+       |   FROM ev
+       |   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       | sess AS (SELECT event_id, user_id, ts, event_type, value,
+       |   is_session_start,
+       |   SUM(CASE WHEN is_session_start THEN 1 ELSE 0 END)
+       |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+       |   FROM marked)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "events_sessionize" ->
+      s"""WITH $sessSqlWith
+         | SELECT event_id, user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         |   is_session_start
+         | FROM sess""".stripMargin,
+
+    "events_session_stats" ->
+      s"""WITH $sessSqlWith
+         | SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         |   CAST(COUNT(*) AS BIGINT) AS n_events,
+         |   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS n_errors,
+         |   SUM(value) AS total_value,
+         |   CAST(MAX(ts) - MIN(ts) AS DOUBLE) / 1000000 AS duration_sec
+         | FROM sess GROUP BY user_id, session_seq""".stripMargin,
+
+    "events_funnel" ->
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
+         | firsts AS (SELECT user_id,
+         |   ${FunnelStages.map(s =>
+              s"MIN(CASE WHEN event_type = '$s' THEN ts END) AS t_$s")
+              .mkString(",\n |   ")}
+         |   FROM ev GROUP BY user_id),
+         | per_user AS (SELECT user_id,
+         |   CASE WHEN t_signup IS NULL THEN 0
+         |        WHEN t_view IS NULL OR t_view <= t_signup THEN 1
+         |        WHEN t_click IS NULL OR t_click <= t_view THEN 2
+         |        WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 3
+         |        ELSE 4 END AS stages_reached
+         |   FROM firsts),
+         | stages(stage_idx, stage) AS (VALUES
+         |   ${FunnelStages.zipWithIndex
+              .map { case (s, i) => s"(${i + 1}, '$s')" }.mkString(", ")})
+         | SELECT s.stage_idx, s.stage,
+         |   CAST(COUNT(p.user_id) AS BIGINT) AS n_users
+         | FROM stages s LEFT JOIN per_user p ON p.stages_reached >= s.stage_idx
+         | GROUP BY s.stage_idx, s.stage""".stripMargin,
+
+    "events_props_extract" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        | FROM events""".stripMargin,
+  )
+}

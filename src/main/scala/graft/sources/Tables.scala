@@ -43,7 +43,18 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = table(spark, sfDir, "part")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")
-  def events(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "events")
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects by default; `nanosAsLong` reads the column as int64
+    * epoch-nanoseconds instead. That is the PREFERRED representation
+    * here: the Events operators do exact integer nanosecond arithmetic,
+    * bit-identical to the DuckDB oracle's `epoch_ns(ts)` (a
+    * timestamp-typed path would round to microseconds on one engine and
+    * not the other). The flag only affects NANOS fields — no other table
+    * has one. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Sessionization, funnel, and props-extraction semantics on crafted
+  * event streams (ts in epoch-NANOS, as [[graft.sources.Tables.events]]
+  * delivers). */
+class EventsSpec extends SparkSpec {
+
+  private def ns(minutes: Long): Long = minutes * 60L * 1000000000L
+
+  private def eventsDf(rows: Seq[(Long, Long, Long, String, Double, String)]): DataFrame = {
+    val sp = spark; import sp.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("sessionize: a gap beyond the threshold opens a new session") {
+    val out = Events.sessionize(eventsDf(Seq(
+      (1L, ns(0), 7L, "view", 1.0, "{}"),
+      (2L, ns(60), 7L, "click", 1.0, "{}"),     // 60min < 120min gap: same session
+      (3L, ns(300), 7L, "view", 1.0, "{}"),     // 240min gap: new session
+      (4L, ns(10), 8L, "view", 1.0, "{}"))))    // other user: own numbering
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    out(1L) shouldBe ((1L, true))
+    out(2L) shouldBe ((1L, false))
+    out(3L) shouldBe ((2L, true))
+    out(4L) shouldBe ((1L, true))
+  }
+
+  test("session stats: counts, errors, value mass, duration from the session span") {
+    val out = Events.sessionStats(eventsDf(Seq(
+      (1L, ns(0), 7L, "view", 1.5, "{}"),
+      (2L, ns(30), 7L, "error", 2.5, "{}"),
+      (3L, ns(90), 7L, "click", 4.0, "{}"),
+      (4L, ns(600), 7L, "view", 9.0, "{}"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    out((7L, 1L)) shouldBe ((3L, 1L, 8.0, 90 * 60.0))
+    out((7L, 2L)) shouldBe ((1L, 0L, 9.0, 0.0))
+  }
+
+  test("funnel: strict first-occurrence ordering decides the reached stage") {
+    val rows =
+      // user 1: full ordered funnel
+      Seq((1L, ns(0), 1L, "signup", 0.0, "{}"), (2L, ns(1), 1L, "view", 0.0, "{}"),
+        (3L, ns(2), 1L, "click", 0.0, "{}"), (4L, ns(3), 1L, "purchase", 0.0, "{}")) ++
+      // user 2: first purchase BEFORE first click — the click ordering
+      // holds (view@1 < click@3) but purchase@2 <= click@3 fails: stage 3
+      Seq((5L, ns(0), 2L, "signup", 0.0, "{}"), (6L, ns(1), 2L, "view", 0.0, "{}"),
+        (7L, ns(2), 2L, "purchase", 0.0, "{}"), (8L, ns(3), 2L, "click", 0.0, "{}")) ++
+      // user 3: never signed up: reaches nothing
+      Seq((9L, ns(0), 3L, "view", 0.0, "{}"))
+    val out = Events.funnel(eventsDf(rows)).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    out("signup") shouldBe 2L   // users 1 and 2
+    out("view") shouldBe 2L
+    out("click") shouldBe 2L
+    out("purchase") shouldBe 1L // only user 1 completes in order
+  }
+
+  test("props extract: typed value from the JSON column, null on absence") {
+    val out = Events.propsExtract(eventsDf(Seq(
+      (1L, ns(0), 1L, "view", 0.0, """{"k": 42}"""),
+      (2L, ns(1), 1L, "view", 0.0, """{"other": 1}"""))))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    out(1L) shouldBe Some(42L)
+    out(2L) shouldBe None
+  }
+}
