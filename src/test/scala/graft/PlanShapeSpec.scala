@@ -111,6 +111,20 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("events_sessionize: one exchange — the per-user window; no global sort") {
+    val p = planOf("events_sessionize")
+    countOf(p, "Exchange hashpartitioning") shouldBe 1
+    p should include("Window")
+    p should not include "Exchange rangepartitioning"
+  }
+
+  test("events_funnel: one corpus shuffle into partial-agg firsts, stage table broadcast") {
+    val p = planOf("events_funnel")
+    p should include("partial_min") // map-side combine before the user shuffle
+    p should include("BroadcastNestedLoopJoin") // 4-row stage table, theta join
+    p should not include "SortMergeJoin"
+  }
+
   test("corpus_pack_plan: exactly one exchange — the per-shard window partitioning") {
     val p = planOf("corpus_pack_plan")
     countOf(p, "Exchange hashpartitioning") shouldBe 1
