@@ -108,7 +108,39 @@ object Events {
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("long").as("k"))
 
+  /** Quantile probes for [[valueQuantiles]]. */
+  val QuantileProbes: Seq[Double] = Seq(0.5, 0.95, 0.99)
+
+  /** Exact per-type value percentiles (linear interpolation — the same
+    * definition as DuckDB's `quantile_cont`, so the oracle matches to
+    * float tolerance). At 100 TB the swap-in is `approx_percentile`
+    * (t-digest, mergeable, no per-group sort); exact is right here
+    * because the oracle must be deterministic. */
+  def valueQuantiles(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(percentile(col("value"),
+        array(QuantileProbes.map(lit): _*)).as("q"))
+      .select(col("event_type"),
+        col("q").getItem(0).as("p50"),
+        col("q").getItem(1).as("p95"),
+        col("q").getItem(2).as("p99"))
+
+  /** Microseconds per day (for the portable integer day index). */
+  private val UsPerDay = 86400L * 1000L * 1000L
+
+  /** Daily × event-type counts with ROLLUP subtotals — the
+    * multi-dimensional aggregation surface (per (day, type), per day, and
+    * grand total in ONE pass; Catalyst expands the grouping sets into a
+    * single shuffle). Day = epoch-µs integer division, portable. */
+  def dailyRollup(events: DataFrame): DataFrame =
+    usEvents(events)
+      .select(expr(s"ts div $UsPerDay").as("day_idx"), col("event_type"))
+      .rollup("day_idx", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_value_quantiles" -> ((s, d) => valueQuantiles(Tables.events(s, d))),
+    "events_daily_rollup"    -> ((s, d) => dailyRollup(Tables.events(s, d))),
     "events_sessionize"    -> ((s, d) => sessionize(Tables.events(s, d))),
     "events_session_stats" -> ((s, d) => sessionStats(Tables.events(s, d))),
     "events_funnel"        -> ((s, d) => funnel(Tables.events(s, d))),
@@ -133,6 +165,19 @@ object Events {
        |   FROM marked)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "events_value_quantiles" ->
+      s"""SELECT event_type,
+         | quantile_cont(value, 0.5) AS p50,
+         | quantile_cont(value, 0.95) AS p95,
+         | quantile_cont(value, 0.99) AS p99
+         | FROM events GROUP BY event_type""".stripMargin,
+
+    "events_daily_rollup" ->
+      s"""WITH ev AS (SELECT epoch_us(ts) // $UsPerDay AS day_idx, event_type
+         |   FROM events)
+         | SELECT day_idx, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+         | FROM ev GROUP BY ROLLUP (day_idx, event_type)""".stripMargin,
+
     "events_sessionize" ->
       s"""WITH $sessSqlWith
          | SELECT event_id, user_id, CAST(session_seq AS BIGINT) AS session_seq,

@@ -60,6 +60,30 @@ class EventsSpec extends SparkSpec {
     out("purchase") shouldBe 1L // only user 1 completes in order
   }
 
+  test("value quantiles: interpolated exact percentiles per type") {
+    // values 1..5 for 'view': p50 = 3.0, p95 = 4.8, p99 = 4.96
+    val rows = (1 to 5).map(i => (i.toLong, ns(i), 1L, "view", i.toDouble, "{}"))
+    val out = Events.valueQuantiles(eventsDf(rows)).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    out("view")._1 shouldBe 3.0
+    out("view")._2 shouldBe 4.8 +- 1e-12
+    out("view")._3 shouldBe 4.96 +- 1e-12
+  }
+
+  test("daily rollup: per-cell, per-day, and grand-total rows in one pass") {
+    val day = 24L * 60
+    val rows = Seq(
+      (1L, ns(1), 1L, "view", 0.0, "{}"),
+      (2L, ns(2), 1L, "click", 0.0, "{}"),
+      (3L, ns(day + 1), 1L, "view", 0.0, "{}"))
+    val out = Events.dailyRollup(eventsDf(rows)).collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1))) -> r.getLong(2)).toMap
+    out((Some(0L), Some("view"))) shouldBe 1L // fixture ts counts from epoch
+    out((Some(0L), None)) shouldBe 2L         // day-0 subtotal
+    out((Some(1L), None)) shouldBe 1L
+    out((None, None)) shouldBe 3L             // grand total
+  }
+
   test("props extract: typed value from the JSON column, null on absence") {
     val out = Events.propsExtract(eventsDf(Seq(
       (1L, ns(0), 1L, "view", 0.0, """{"k": 42}"""),
