@@ -138,7 +138,28 @@ object Events {
       .rollup("day_idx", "event_type")
       .agg(count(lit(1)).as("n_events"))
 
+  /** AS-OF join — the operator the builder brief names as a canonical
+    * Spark gap, here as the standard scale-correct composition: instead
+    * of a per-row backward probe (quadratic or index-dependent), union
+    * the two sides and carry the right side forward with
+    * `last(_, ignoreNulls) OVER (user, time)` — one shuffle on the join
+    * key, one partition-local sort, O(n) per user. Concretely: every
+    * purchase event is paired with the same user's most recent prior (or
+    * simultaneous) click value; purchases with no prior click keep null.
+    * Output: (event_id, user_id, asof_click_value). */
+  def asofClickValue(events: DataFrame): DataFrame = {
+    val tagged = usEvents(events).select(
+      col("event_id"), col("user_id"), col("ts"), col("event_type"),
+      when(col("event_type") === "click", col("value")).as("click_value"))
+    tagged
+      .withColumn("asof_click_value",
+        last(col("click_value"), ignoreNulls = true).over(byUserTime))
+      .where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "asof_click_value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_asof_click"      -> ((s, d) => asofClickValue(Tables.events(s, d))),
     "events_value_quantiles" -> ((s, d) => valueQuantiles(Tables.events(s, d))),
     "events_daily_rollup"    -> ((s, d) => dailyRollup(Tables.events(s, d))),
     "events_sessionize"    -> ((s, d) => sessionize(Tables.events(s, d))),
@@ -165,6 +186,17 @@ object Events {
        |   FROM marked)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "events_asof_click" ->
+      s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts, event_type,
+         |     CASE WHEN event_type = 'click' THEN value END AS click_value
+         |   FROM events),
+         | w AS (SELECT event_id, user_id, event_type,
+         |     LAST_VALUE(click_value IGNORE NULLS) OVER (
+         |       PARTITION BY user_id ORDER BY ts, event_id) AS asof_click_value
+         |   FROM ev)
+         | SELECT event_id, user_id, asof_click_value
+         | FROM w WHERE event_type = 'purchase'""".stripMargin,
+
     "events_value_quantiles" ->
       s"""SELECT event_type,
          | quantile_cont(value, 0.5) AS p50,

@@ -84,6 +84,19 @@ class EventsSpec extends SparkSpec {
     out((None, None)) shouldBe 3L             // grand total
   }
 
+  test("as-of join: each purchase carries the most recent prior click value") {
+    val out = Events.asofClickValue(eventsDf(Seq(
+      (1L, ns(0), 7L, "click", 10.0, "{}"),
+      (2L, ns(5), 7L, "purchase", 99.0, "{}"),  // sees click@0 -> 10.0
+      (3L, ns(6), 7L, "click", 20.0, "{}"),
+      (4L, ns(7), 7L, "purchase", 99.0, "{}"),  // sees click@6 -> 20.0
+      (5L, ns(1), 8L, "purchase", 99.0, "{}"))))// user 8: no click -> null
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    out(2L) shouldBe Some(10.0)
+    out(4L) shouldBe Some(20.0)
+    out(5L) shouldBe None
+  }
+
   test("props extract: typed value from the JSON column, null on absence") {
     val out = Events.propsExtract(eventsDf(Seq(
       (1L, ns(0), 1L, "view", 0.0, """{"k": 42}"""),
