@@ -234,9 +234,12 @@ object Dedup {
     val withSig = stage(docs
       .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
       .withColumn("sig", MinHashSignatures.of(col("sh"))))
-    val bands = stage(withSig
+    // bands is NOT checkpointed: it is a map-only posexplode over the
+    // checkpointed withSig, so its three consumers recompute a cheap
+    // projection instead of paying a materialization job
+    val bands = withSig
       .select(col("doc_id"), posexplode(bandKeys(col("sig"))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey"))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     (withSig, bands)
   }
 
