@@ -48,6 +48,15 @@ object ProfileDedup {
     time("simhash full")(noop(Dedup.simhashDedup(docs)))
     time("ngram full")(noop(Dedup.ngramJaccardBestMatch(docs)))
     time("embedding full")(noop(Similarity.embeddingDedup(spark, sf)))
+
+    // scale sweep: 50 -> 500 -> 5000 docs. Sub-quadratic scaling evidence:
+    // wall time should grow far slower than the 100x/10000x a quadratic
+    // candidate join would show (band caps + pre-collapse bound the pairs).
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { s =>
+      val d = Tables.documents(spark, s"/root/testdata/$s")
+      time(s"scale minhash $s")(noop(Dedup.minhashLsh(d)))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
     spark.stop()
   }
 }
