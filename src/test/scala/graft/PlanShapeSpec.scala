@@ -125,6 +125,13 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "SortMergeJoin"
   }
 
+  test("events_daily_rollup: grouping sets expand once, aggregate two-phase, one shuffle") {
+    val p = planOf("events_daily_rollup")
+    p should include("Expand")
+    countOf(p, "HashAggregate") shouldBe 2 // partial + final, no re-aggregation per set
+    countOf(p, "Exchange hashpartitioning") shouldBe 1
+  }
+
   test("corpus_pack_plan: exactly one exchange — the per-shard window partitioning") {
     val p = planOf("corpus_pack_plan")
     countOf(p, "Exchange hashpartitioning") shouldBe 1
