@@ -409,10 +409,16 @@ object Dedup {
     * candidates via inverted shingle index (df-capped), exact verify, keep
     * each doc's best match (max jaccard, tiebreak min other id). One row per
     * document; docs with no candidate pair get nulls. */
-  def ngramJaccardBestMatch(documents: DataFrame): DataFrame = {
-    val docs = Tables.spread(documents)
-      .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
-      .localCheckpoint(true)
+  def ngramJaccardBestMatch(documents: DataFrame): DataFrame =
+    bestMatchBySets(Tables.spread(documents)
+      .select(col("doc_id"), hashedShingles(col("text")).as("sh")))
+
+  /** The inverted-index best-match core over any (doc_id, sh: array<long>)
+    * set frame — shared by the text n-gram operator above and
+    * [[Multimodal.blockDedup]] (binary block hashes): df-capped index,
+    * exact set-Jaccard verify, per-doc best (max jaccard, min other id). */
+  private[operators] def bestMatchBySets(setsFrame: DataFrame): DataFrame = {
+    val docs = setsFrame.localCheckpoint(true)
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val keep = inv.groupBy("s").agg(count(lit(1)).as("df"))
       .where(col("df").between(2, MaxShingleDf)).select("s")

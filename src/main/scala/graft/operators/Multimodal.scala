@@ -132,7 +132,35 @@ object Multimodal {
         explode(col("_idx")).as("frame_idx"))
   }
 
+  /** Block size for [[blockDedup]], in hex chars (16 bytes per block). */
+  val BlockHexChars = 32
+
+  /** Per-record distinct block-hash set: the payload's hex splits into
+    * fixed [[BlockHexChars]]-char blocks, each hashed with the portable
+    * [[Dedup.h32]] family. */
+  def blockHashes(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val hx = hex(payload)
+    array_distinct(transform(
+      sequence(lit(0), ceil(length(hx).cast("double") / BlockHexChars).cast("int") - 1),
+      i => Dedup.h32(hx.substr(i * BlockHexChars + 1, lit(BlockHexChars))) % Dedup.P))
+  }
+
+  /** Binary near-dup best match — the multimodal member of the dedup
+    * family (ssdeep-style block matching): records sharing ≥2..df-capped
+    * content blocks become candidates, verified by exact block-set
+    * Jaccard, keeping each record's best match. Catches
+    * shifted-by-whole-blocks and partially-overwritten payloads that
+    * sha256 equality misses, without decoding anything. Shares
+    * [[Dedup.bestMatchBySets]] (df-capped inverted index — the same
+    * bounded-fan-out scale shape as text n-gram dedup). */
+  def blockDedup(documents: DataFrame): DataFrame =
+    Dedup.bestMatchBySets(
+      records(Tables.spread(documents))
+        .select(col("doc_id"), blockHashes(col("payload")).as("sh")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_block_dedup" ->
+      ((s, d) => blockDedup(Tables.documents(s, d))),
     "mm_binary_stats" ->
       ((s, d) => binaryStats(Tables.documents(s, d))),
     "mm_decode_features" ->
@@ -147,6 +175,32 @@ object Multimodal {
     "CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 
   val oracleSql: Map[String, String] = Map(
+    "mm_block_dedup" ->
+      s"""WITH hx AS (SELECT doc_id, hex(encode(text)) AS x FROM documents),
+         | bl AS (SELECT doc_id, list_distinct(list_transform(
+         |     range(CAST(ceil(CAST(len(x) AS DOUBLE) / $BlockHexChars) AS INTEGER)),
+         |     i -> ('0x' || substring(md5(substring(x,
+         |       CAST(i * $BlockHexChars + 1 AS INTEGER), $BlockHexChars)), 1, 8))::BIGINT
+         |       % ${Dedup.P})) AS sh FROM hx),
+         | inv AS (SELECT doc_id, unnest(sh) AS s FROM bl),
+         | keep AS (SELECT s FROM inv GROUP BY s
+         |   HAVING COUNT(*) BETWEEN 2 AND ${Dedup.MaxShingleDf}),
+         | inv2 AS (SELECT inv.doc_id, inv.s FROM inv JOIN keep ON inv.s = keep.s),
+         | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |   FROM inv2 x JOIN inv2 y ON x.s = y.s AND x.doc_id < y.doc_id),
+         | ver AS (SELECT c.a, c.b,
+         |   CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |     (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+         |   FROM cand c JOIN bl sa ON sa.doc_id = c.a JOIN bl sb ON sb.doc_id = c.b),
+         | nbrs AS (SELECT a AS doc_id, b AS other, jaccard FROM ver
+         |   UNION ALL SELECT b, a, jaccard FROM ver),
+         | best AS (SELECT doc_id, other, jaccard FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |     ORDER BY jaccard DESC, other ASC) AS rn FROM nbrs) WHERE rn = 1)
+         | SELECT d.doc_id, best.other AS best_match, best.jaccard AS best_jaccard
+         | FROM (SELECT doc_id FROM documents) d
+         | LEFT JOIN best ON d.doc_id = best.doc_id""".stripMargin,
+
     "mm_binary_stats" ->
       s"""SELECT doc_id, $modalityCase AS modality,
          | CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,

@@ -64,6 +64,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("block dedup: payloads sharing most 16-byte blocks match; disjoint ones do not") {
+    val sp = spark; import sp.implicits._
+    // 16-byte-aligned building blocks so shifts stay block-aligned
+    def blk(c: Char) = c.toString * 16
+    val base = (0 until 8).map(i => blk(('a' + i).toChar)).mkString
+    val mutated = blk('z') + base.drop(16)       // 7 of 8 blocks shared
+    val disjoint = (0 until 8).map(i => blk(('q' + i).toChar)).mkString
+    val docs = Seq(
+      (1L, base, "en", "w"), (2L, mutated, "en", "w"), (3L, disjoint, "en", "w"),
+      // a second disjoint pair so doc 3's blocks can pass the df >= 2 gate
+      (4L, disjoint, "en", "w"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Multimodal.blockDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    out(1L)._1 shouldBe Some(2L)
+    out(1L)._2.get.asInstanceOf[Double] shouldBe (7.0 / 9.0) +- 1e-12
+    out(3L)._1 shouldBe Some(4L) // exact copy: jaccard 1.0
+    out(3L)._2 shouldBe Some(1.0)
+  }
+
   test("frame sampling: <=8 uniform frames for video, single frame otherwise") {
     val sp = spark; import sp.implicits._
     val decoded = Seq(
