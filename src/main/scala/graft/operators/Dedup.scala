@@ -10,7 +10,7 @@ import graft.sources.Tables
   * large-scale training-data-pipeline extension surface (the reference has
   * no dedup; SURVEY.md §2.2 "not have" list).
   *
-  * Round-2 design (VERDICT/ADVICE r1 scale+oracle fixes):
+  * Core design (rounds 2-4):
   *
   *   - '''Portable hash family''': every hash is derived from
   *     `md5(s)[0,8)` parsed as an integer, then spread through a universal
