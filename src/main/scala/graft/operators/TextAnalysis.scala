@@ -70,24 +70,34 @@ object TextAnalysis {
       m.cast("long").as("best_score"))
   }
 
-  /** Quality signals and a fixed-weight composite score. */
-  def quality(documents: DataFrame): DataFrame = {
-    val t = toks(col("text"))
+  /** The quality signal columns over `text` — exposed individually so
+    * streaming pipelines can compose them join-free
+    * ([[graft.streaming.StreamingCorpusGate]]). */
+  def punctRatioCol: Column = {
     val nChars = length(col("text"))
     val nPunct = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", ""))
+    when(nChars === 0, lit(0.0)).otherwise(nPunct.cast("double") / nChars)
+  }
+
+  def stopwordRatioCol: Column = {
     val nTok = size(split(col("text"), " "))
-    val punctRatio = when(nChars === 0, lit(0.0))
-      .otherwise(nPunct.cast("double") / nChars)
-    val stopRatio = when(nTok === 0, lit(0.0))
-      .otherwise(profileScore(t, EnStopwords).cast("double") / nTok)
-    val lenScore = least(nChars.cast("double") / 500.0, lit(1.0))
+    when(nTok === 0, lit(0.0))
+      .otherwise(profileScore(toks(col("text")), EnStopwords).cast("double") / nTok)
+  }
+
+  /** The fixed-weight composite score as ONE expression over `text`. */
+  def qualityScoreCol: Column = {
+    val lenScore = least(length(col("text")).cast("double") / 500.0, lit(1.0))
+    stopwordRatioCol * 0.3 + (lit(1.0) - punctRatioCol) * 0.3 + lenScore * 0.4
+  }
+
+  /** Quality signals and a fixed-weight composite score. */
+  def quality(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
-      punctRatio.as("punct_ratio"),
-      stopRatio.as("stopword_ratio"),
-      (stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.3 + lenScore * 0.4)
-        .as("quality_score"))
-  }
+      punctRatioCol.as("punct_ratio"),
+      stopwordRatioCol.as("stopword_ratio"),
+      qualityScoreCol.as("quality_score"))
 
   /** Content fingerprints over the portable hash family
     * ([[Dedup.h32]]): whole-content hash of the whitespace-normalized
@@ -161,6 +171,16 @@ object TextAnalysis {
         (col("n") >= MinRepetitionTokens &&
           (col("r.top_bigram_frac") > TopBigramFracMax ||
             col("r.dup_trigram_frac") > DupTrigramFracMax)).as("repetitive"))
+
+  /** The repetition gate as ONE expression over `text` (identical
+    * semantics to [[repetition]]'s `repetitive` column; identical
+    * subtrees are eliminated by codegen subexpression elimination). */
+  def repetitiveCol: Column = {
+    val r = graft.functions.RepetitionStats.of(split(col("text"), " "))
+    size(split(col("text"), " ")) >= MinRepetitionTokens &&
+      (r.getField("top_bigram_frac") > TopBigramFracMax ||
+        r.getField("dup_trigram_frac") > DupTrigramFracMax)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition"  -> ((s, d) => repetition(Tables.documents(s, d))),
