@@ -419,16 +419,7 @@ object Dedup {
     * exact set-Jaccard verify, per-doc best (max jaccard, min other id). */
   private[operators] def bestMatchBySets(setsFrame: DataFrame): DataFrame = {
     val docs = setsFrame.localCheckpoint(true)
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val keep = inv.groupBy("s").agg(count(lit(1)).as("df"))
-      .where(col("df").between(2, MaxShingleDf)).select("s")
-    val inv2 = inv.join(keep, "s")
-    val cand = inv2.select(col("s"), col("doc_id").as("a"))
-      .join(inv2.select(col("s"), col("doc_id").as("b")), "s")
-      .where(col("a") < col("b"))
-      .select("a", "b").distinct()
-
-    val ver = verifyJaccard(cand, docs)
+    val ver = verifyJaccard(dfCappedCandidates(docs), docs)
     val nbrs = ver.select(col("a").as("doc_id"), col("b").as("other"), col("jaccard"))
       .unionAll(ver.select(col("b").as("doc_id"), col("a").as("other"), col("jaccard")))
     val best = nbrs.groupBy("doc_id")
@@ -440,12 +431,58 @@ object Dedup {
       .select("doc_id", "best_match", "best_jaccard")
   }
 
+  /** Candidate (a, b) pairs from a (doc_id, sh) set frame via the
+    * df-capped inverted index — the bounded-fan-out candidate core shared
+    * by the Jaccard and containment best-match operators. */
+  private def dfCappedCandidates(docs: DataFrame): DataFrame = {
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val keep = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, MaxShingleDf)).select("s")
+    val inv2 = inv.join(keep, "s")
+    inv2.select(col("s"), col("doc_id").as("a"))
+      .join(inv2.select(col("s"), col("doc_id").as("b")), "s")
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Asymmetric CONTAINMENT best match: per document, the candidate whose
+    * shingle overlap covers the largest fraction of THIS document's set —
+    * containment(A in B) = |A∩B| / |A|. Symmetric Jaccard misses
+    * excerpt/quotation relationships (a paragraph lifted into a much
+    * longer document scores near-zero Jaccard but containment ≈ 1 for the
+    * excerpt), which is exactly the leakage shape decontamination and
+    * license-compliance sweeps look for. Same df-capped candidate core
+    * and scale shape as [[ngramJaccardBestMatch]]; one row per document:
+    * (doc_id, best_match, best_containment). */
+  def containmentBestMatch(documents: DataFrame): DataFrame = {
+    val docs = Tables.spread(documents)
+      .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
+      .localCheckpoint(true)
+    val ver = dfCappedCandidates(docs)
+      .join(docs.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(docs.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / size(col("sha"))).as("c_ab"),
+        (col("inter").cast("double") / size(col("shb"))).as("c_ba"))
+    val nbrs = ver.select(col("a").as("doc_id"), col("b").as("other"), col("c_ab").as("c"))
+      .unionAll(ver.select(col("b").as("doc_id"), col("a").as("other"), col("c_ba").as("c")))
+    val best = nbrs.groupBy("doc_id")
+      .agg(max_by(struct(col("other"), col("c")),
+                  struct(col("c"), (-col("other")).as("nother"))).as("m"))
+      .select(col("doc_id"), col("m.other").as("best_match"),
+        col("m.c").as("best_containment"))
+    docs.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select("doc_id", "best_match", "best_containment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> ((s, d) => exact(Tables.documents(s, d))),
     "dedup_minhash_lsh"   -> ((s, d) => minhashLsh(Tables.documents(s, d))),
     "dedup_simhash"       -> ((s, d) => simhashDedup(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardBestMatch(Tables.documents(s, d))),
     "dedup_minhash_incremental" -> ((s, d) => minhashLshIncremental(Tables.documents(s, d))),
+    "dedup_containment"   -> ((s, d) => containmentBestMatch(Tables.documents(s, d))),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -591,6 +628,28 @@ object Dedup {
          |     ORDER BY jaccard DESC, b ASC) AS rn FROM hits) WHERE rn = 1)
          | SELECT d.doc_id, best.match_id, best.match_jaccard
          | FROM (SELECT doc_id FROM documents WHERE doc_id % $IncomingMod = 0) d
+         | LEFT JOIN best ON d.doc_id = best.doc_id""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH ${shingleWith("documents")},
+         | hsd AS (SELECT doc_id, list_distinct(list_transform(sh,
+         |     s -> ${h32Sql("s")} % $P)) AS sh FROM sh),
+         | inv AS (SELECT doc_id, unnest(sh) AS s FROM hsd),
+         | keep AS (SELECT s FROM inv GROUP BY s HAVING COUNT(*) BETWEEN 2 AND $MaxShingleDf),
+         | inv2 AS (SELECT inv.doc_id, inv.s FROM inv JOIN keep ON inv.s = keep.s),
+         | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |   FROM inv2 x JOIN inv2 y ON x.s = y.s AND x.doc_id < y.doc_id),
+         | ver AS (SELECT c.a, c.b,
+         |   CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sa.sh) AS c_ab,
+         |   CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sb.sh) AS c_ba
+         |   FROM cand c JOIN hsd sa ON sa.doc_id = c.a JOIN hsd sb ON sb.doc_id = c.b),
+         | nbrs AS (SELECT a AS doc_id, b AS other, c_ab AS c FROM ver
+         |   UNION ALL SELECT b, a, c_ba FROM ver),
+         | best AS (SELECT doc_id, other, c FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |     ORDER BY c DESC, other ASC) AS rn FROM nbrs) WHERE rn = 1)
+         | SELECT d.doc_id, best.other AS best_match, best.c AS best_containment
+         | FROM (SELECT doc_id FROM documents) d
          | LEFT JOIN best ON d.doc_id = best.doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->

@@ -107,4 +107,22 @@ class DedupSpec extends SparkSpec {
     out(2L) shouldBe Some(1L)
     out(9L) shouldBe None // its shingles appear once: df < 2, no candidates
   }
+
+  test("containment: an excerpt scores 1.0 against its source while Jaccard stays low") {
+    val source = (1 to 40).map(i => s"w$i").mkString(" ")        // 38 shingles
+    val excerpt = (10 to 19).map(i => s"w$i").mkString(" ")      // 8, all in source
+    val out = Dedup.containmentBestMatch(docsDf(Seq(
+      1L -> source, 2L -> excerpt,
+      9L -> (0 until 30).map(i => s"qq$i").mkString(" "))))
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    out(2L)._1 shouldBe Some(1L)
+    out(2L)._2.get.asInstanceOf[Double] shouldBe 1.0           // fully contained
+    out(1L)._2.get.asInstanceOf[Double] shouldBe (8.0 / 38.0) +- 1e-12
+    out(9L) shouldBe ((None, None))
+    // the symmetric measure would have been 8/38 for BOTH directions —
+    // the excerpt relationship is only visible asymmetrically
+    val jac = Dedup.ngramJaccardBestMatch(docsDf(Seq(1L -> source, 2L -> excerpt)))
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    jac(2L).get.asInstanceOf[Double] shouldBe (8.0 / 38.0) +- 1e-12
+  }
 }
