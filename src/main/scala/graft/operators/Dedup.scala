@@ -321,13 +321,19 @@ object Dedup {
       .join(reps.select(col("doc_id").as("b"), col("simhash").as("hb")), "b")
       .where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= SimhashHammingMax)
       .select("a", "b")
-    val clustered = expandClusters(dr, ConnectedComponents.minLabel(edges))
-    val allSim = dr
+    // fused expansion: label + simhash attach in one rep-keyed join chain
+    // (the generic expandClusters + separate allSim join paid one more
+    // doc_id-keyed shuffle join for the same result)
+    val comp = ConnectedComponents.minLabel(edges).withColumnRenamed("id", "rep")
+    val labeled = dr
+      .join(comp, Seq("rep"), "left")
       .join(reps.withColumnRenamed("doc_id", "rep"), "rep")
-      .select(col("doc_id"), col("simhash"))
-    clustered.join(allSim, "doc_id")
+      .select(col("doc_id"), col("simhash"),
+        coalesce(col("component"), col("rep")).as("cluster_id"))
+    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    labeled.join(sizes, "cluster_id")
       .select(col("doc_id"), col("simhash"), col("cluster_id"),
-        col("n_dups").as("n_near"))
+        (col("sz") - 1).as("n_near"))
   }
 
   // ---- incremental MinHash (new batch vs indexed corpus) -------------------

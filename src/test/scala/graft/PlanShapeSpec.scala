@@ -125,6 +125,13 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "SortMergeJoin"
   }
 
+  test("events_asof_click: one exchange (the per-user window); no extra join shuffle") {
+    val p = planOf("events_asof_click")
+    countOf(p, "Exchange hashpartitioning") shouldBe 1
+    p should include("Window")
+    p should not include "Join" // carry-forward composition, not a join
+  }
+
   test("events_daily_rollup: grouping sets expand once, aggregate two-phase, one shuffle") {
     val p = planOf("events_daily_rollup")
     p should include("Expand")
