@@ -302,8 +302,8 @@ object Corpus {
          |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
          |   FROM d)
          | SELECT doc_id, shard,
-         |   cum_before // $SeqTokenBudget AS seq_id,
-         |   cum_before % $SeqTokenBudget AS tok_offset
+         |   CAST(cum_before // $SeqTokenBudget AS BIGINT) AS seq_id,
+         |   CAST(cum_before % $SeqTokenBudget AS BIGINT) AS tok_offset
          | FROM c""".stripMargin,
 
     "corpus_e2e" ->
@@ -330,8 +330,8 @@ object Corpus {
          |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
          |   FROM d2)
          | SELECT doc_id, shard,
-         |   cum_before // $SeqTokenBudget AS seq_id,
-         |   cum_before % $SeqTokenBudget AS tok_offset
+         |   CAST(cum_before // $SeqTokenBudget AS BIGINT) AS seq_id,
+         |   CAST(cum_before % $SeqTokenBudget AS BIGINT) AS tok_offset
          | FROM c""".stripMargin,
 
     "corpus_mix_plan" ->

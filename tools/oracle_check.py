@@ -59,12 +59,24 @@ def main():
         try:
             rel = con.sql(oracle[name])
             ocols = [c.lower() for c in rel.columns]
+            otypes = [str(t) for t in rel.types]
             orows = rel.fetchall()
             grel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             gcols = [c.lower() for c in grel.columns]
             grows = grel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: error {e}")
+            failures += 1
+            continue
+        # The driver's hash compare is type-sensitive in ways fetchall() hides
+        # (DuckDB SUM(BIGINT) → HUGEINT hashes differently from the engine's
+        # int64 even when every value is equal — broke corpus_pack_plan r04).
+        # Fail loudly on oracle output types the engine can never emit.
+        bad_types = [(c, t) for c, t in zip(ocols, otypes)
+                     if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")]
+        if bad_types:
+            print(f"FAIL  {name}: oracle emits non-engine types {bad_types} "
+                  f"(add CAST(... AS BIGINT/DOUBLE) in the oracle SQL)")
             failures += 1
             continue
         if sorted(ocols) != sorted(gcols):
