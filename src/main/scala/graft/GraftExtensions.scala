@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashSignatures, RepetitionStats, SimHash60}
+import graft.functions.{DotProduct, HashedShingles, MinHashSignatures, RepetitionStats, SimHash60}
 
 /** Session extensions for the engine's native expressions — wire with
   * `spark.sql.extensions=graft.GraftExtensions` (or pass to
@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashFunction)
     ext.injectFunction(GraftExtensions.simhashFunction)
     ext.injectFunction(GraftExtensions.repetitionFunction)
+    ext.injectFunction(GraftExtensions.shinglesFunction)
   }
 }
 
@@ -43,4 +44,12 @@ object GraftExtensions {
     (FunctionIdentifier("graft_repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "graft_repetition_stats"),
       (exprs: Seq[Expression]) => RepetitionStats(exprs.head))
+
+  /** `graft_hashed_shingles(string, k) -> array<long>` ([[HashedShingles]]).
+    * k must be a foldable int literal. */
+  val shinglesFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_hashed_shingles"),
+      new ExpressionInfo(classOf[HashedShingles].getName, "graft_hashed_shingles"),
+      (exprs: Seq[Expression]) =>
+        HashedShingles(exprs.head, exprs(1).eval().asInstanceOf[Int]))
 }

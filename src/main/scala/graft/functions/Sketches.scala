@@ -131,6 +131,85 @@ object MinHashSignatures {
     bridge.column(MinHashSignatures(bridge.expression(hashedShingles)))
 }
 
+/** Native hashed word k-shingles: string → `array<long>` of distinct
+  * `h32(shingle) mod P` values — the Jaccard domain every fuzzy dedup
+  * operator (MinHash, n-gram Jaccard, containment, decontamination)
+  * consumes.
+  *
+  * Why an Expression and not the declarative
+  * `array_distinct(transform(wordShingles(text), s => h32(s) % P))`: the
+  * nested higher-order-function tree is CodegenFallback — every shingle
+  * pays an interpreted `concat_ws` + string→binary cast + hex-string md5 +
+  * base-conversion chain, and the lambda machinery allocates per element.
+  * Shingling is a per-row pure function, so it belongs in one codegen'd
+  * call: split once, one `MessageDigest` per row, digest bytes → long
+  * directly (no hex round-trip). Bit-for-bit the same values as the
+  * declarative form — split on single spaces keeping empties (Java
+  * `split(" ", -1)` ≡ Spark `split(text, " ")`), shingles joined with one
+  * space, first-occurrence-ordered distinct — so every DuckDB oracle is
+  * unchanged.
+  *
+  * Docs shorter than k tokens fall back to the whole text as a single
+  * shingle (same as the declarative form's `otherwise(array(text))`).
+  */
+case class HashedShingles(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hashed_shingles"
+
+  override def nullSafeEval(v: Any): Any =
+    HashedShingles.ofText(v.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HashedShingles.ofText($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShingles =
+    copy(child = newChild)
+}
+
+object HashedShingles {
+
+  /** Shared by eval and generated code: tokenize, shingle, hash, distinct. */
+  def ofText(text: UTF8String, k: Int): ArrayData = {
+    val md = MessageDigest.getInstance("MD5")
+    def h32mod(bytes: Array[Byte]): Long = {
+      val d = md.digest(bytes)
+      val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      h % MinHashSeeds.P
+    }
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < k)
+      return UnsafeArrayData.fromPrimitiveArray(Array(h32mod(text.getBytes)))
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      sb.append(toks(i))
+      var d = 1
+      while (d < k) { sb.append(' ').append(toks(i + d)); d += 1 }
+      seen.add(h32mod(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Column-DSL entry point. */
+  def of(text: Column, k: Int): Column =
+    bridge.column(HashedShingles(bridge.expression(text), k))
+}
+
 /** Native within-document repetition statistics: `array<string>` tokens →
   * struct(dup_token_frac, top_bigram_frac, dup_trigram_frac).
   *

@@ -101,9 +101,12 @@ object Dedup {
     * exactly by the oracle). */
   def hashedShingles(text: Column): Column = hashedShingles(text, ShingleSize)
 
-  /** Parametric variant (see [[wordShingles]]). */
+  /** Parametric variant (see [[wordShingles]]). Round 6: one native
+    * codegen'd call ([[graft.functions.HashedShingles]]) instead of the
+    * interpreted `array_distinct(transform(wordShingles, h32 % P))` HOF
+    * tree — identical values, so every oracle below is unchanged. */
   def hashedShingles(text: Column, k: Int): Column =
-    array_distinct(transform(wordShingles(text, k), s => h32(s) % P))
+    graft.functions.HashedShingles.of(text, k)
 
   /** Distinct word k-shingles; docs shorter than k fall back to the whole
     * text as a single shingle. */

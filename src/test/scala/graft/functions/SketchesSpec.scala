@@ -94,6 +94,31 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("graft_hashed_shingles matches the declarative HOF formulation exactly") {
+    val sp = spark; import sp.implicits._
+    // the declarative form the native expression replaced — and the form
+    // every DuckDB oracle mirrors: split(" "), k-gram concat_ws(" "),
+    // distinct strings, h32 % P, distinct hashes, first-occurrence order
+    def declarative(text: org.apache.spark.sql.Column, k: Int) =
+      array_distinct(transform(graft.operators.Dedup.wordShingles(text, k),
+        s => graft.operators.Dedup.h32(s) % MinHashSeeds.P))
+    val vocab = Vector("spark", "row", "batch", "", "ümlaut", "中文", "x")
+    val texts = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    } ++ Seq("", " ", "  ", "one", "one two", "a  b c", "tail space ")
+    for (k <- Seq(1, 3, 8)) {
+      val df = sp.createDataset(texts).toDF("text")
+      val got = df.select(HashedShingles.of(col("text"), k)).collect()
+        .map(_.getSeq[Long](0))
+      val exp = df.select(declarative(col("text"), k)).collect()
+        .map(_.getSeq[Long](0))
+      got.zip(exp).zip(texts).foreach { case ((g, e), t) =>
+        withClue(s"k=$k text=${t.take(40)}: ") { g shouldBe e }
+      }
+    }
+  }
+
   test("the expressions are SQL-registered via GraftExtensions") {
     val sp = spark
     // injectFunction-based registration happens at session build; register

@@ -63,6 +63,7 @@ def main():
             orows = rel.fetchall()
             grel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             gcols = [c.lower() for c in grel.columns]
+            gtypes = {c: str(t) for c, t in zip(gcols, grel.types)}
             grows = grel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: error {e}")
@@ -71,9 +72,12 @@ def main():
         # The driver's hash compare is type-sensitive in ways fetchall() hides
         # (DuckDB SUM(BIGINT) → HUGEINT hashes differently from the engine's
         # int64 even when every value is equal — broke corpus_pack_plan r04).
-        # Fail loudly on oracle output types the engine can never emit.
+        # HUGEINT the engine can never emit → hard fail. DECIMAL it CAN
+        # (Spark DecimalType), so only fail when the engine column isn't the
+        # same decimal type (ADVICE r5).
         bad_types = [(c, t) for c, t in zip(ocols, otypes)
-                     if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")]
+                     if t in ("HUGEINT", "UHUGEINT")
+                     or (t.startswith("DECIMAL") and gtypes.get(c) != t)]
         if bad_types:
             print(f"FAIL  {name}: oracle emits non-engine types {bad_types} "
                   f"(add CAST(... AS BIGINT/DOUBLE) in the oracle SQL)")
