@@ -180,6 +180,57 @@ object Similarity {
       .select(col("vec_id"), col("cluster_id"), (col("sz") - 1).as("n_dups"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster embeddings around a codebook, then mark as duplicate every
+    * vector whose cosine to a LOWER-id member of its own cluster clears
+    * [[CosDupThreshold]] — the deterministic keep-lowest-id policy.
+    * Structurally distinct from [[embeddingDedup]]: clustering-blocked
+    * (candidates never cross clusters) and policy-labeled (keep / dup_of),
+    * not transitively closed — the two published shapes of embedding-space
+    * dedup.
+    *
+    * Codebook: the first [[NumCentroids]] corpus vectors by id (the same
+    * deterministic stand-in as [[ivfTopK]]; at scale a k-means sample with
+    * nlist = O(√N), which keeps cluster size, pair fan-out, and partition
+    * count balanced — O(√N) members per cluster → O(N) total pair work).
+    *
+    * One row per vector: (vec_id, cent_id, dup_of, dup_cos, keep) —
+    * dup_of/dup_cos are the best (max-cosine, tiebreak min-id) lower-id
+    * near-dup, null for kept vectors.
+    *
+    * 100 TB shape: assignment is one broadcast-codebook scan whose argmax
+    * shuffles only (vec_id, cent_id, cs) triples — never vectors; the
+    * vectors attach once via the members join; the within-cluster
+    * self-join shuffles on cent_id. */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = vectors(spark, sfDir).localCheckpoint(true)
+    val cents = vs.where(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val assign = vs.join(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cs"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"),
+        struct(col("cs"), (-col("cent_id")).as("nc"))).as("cent_id"))
+    val members = assign.join(vs, "vec_id")
+    val pairs = members.select(col("cent_id"), col("vec_id").as("a"),
+        col("v").as("va"), col("nrm").as("na"))
+      .join(members.select(col("cent_id"), col("vec_id").as("b"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("cent_id"))
+      .where(col("b") < col("a"))
+      .select(col("a"), col("b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= CosDupThreshold)
+    val best = pairs.groupBy("a")
+      .agg(max_by(struct(col("b"), col("cos")),
+        struct(col("cos"), (-col("b")).as("nb"))).as("m"))
+      .select(col("a").as("vec_id"), col("m.b").as("dup_of"), col("m.cos").as("dup_cos"))
+    members.select("vec_id", "cent_id")
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"), col("dup_of"), col("dup_cos"),
+        col("dup_of").isNull.as("keep"))
+  }
+
   /** Measured recall@k of [[annLshTopK]] against the exact [[cosineTopK]]
     * — the quality metric an ANN index ships with (recall < 1 by
     * construction; this makes the loss a first-class, oracle-checked
@@ -270,6 +321,7 @@ object Similarity {
     "sim_ivf_topk" -> (ivfTopK _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "dedup_embedding" -> (embeddingDedup _),
+    "dedup_semantic" -> (semanticDedup _),
   )
 
   /** The 32 hyperplanes as '0'/'1' sign strings (bit d = plane component d
@@ -434,6 +486,33 @@ object Similarity {
          | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM rescored)
          | WHERE rank <= $TopK""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                         CAST(embedding AS DOUBLE[]))) AS nrm
+         |   FROM embeddings),
+         | cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM vs
+         |   WHERE vec_id < $NumCentroids),
+         | scored AS (SELECT vs.vec_id, cent_id,
+         |     list_dot_product(vs.v, cv) / (vs.nrm * cn) AS cs
+         |   FROM vs CROSS JOIN cents),
+         | assign AS (SELECT vec_id, cent_id FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY cs DESC, cent_id ASC) AS rn FROM scored) WHERE rn = 1),
+         | members AS (SELECT a.vec_id, a.cent_id, vs.v, vs.nrm
+         |   FROM assign a JOIN vs ON vs.vec_id = a.vec_id),
+         | pairs AS (SELECT x.vec_id AS a, y.vec_id AS b,
+         |     list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+         |   FROM members x JOIN members y
+         |     ON x.cent_id = y.cent_id AND y.vec_id < x.vec_id),
+         | hits AS (SELECT * FROM pairs WHERE cos >= $CosDupThreshold),
+         | best AS (SELECT a AS vec_id, b AS dup_of, cos AS dup_cos FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY a
+         |     ORDER BY cos DESC, b ASC) AS rn FROM hits) WHERE rn = 1)
+         | SELECT m.vec_id, m.cent_id, best.dup_of, best.dup_cos,
+         |   best.dup_of IS NULL AS keep
+         | FROM members m LEFT JOIN best ON best.vec_id = m.vec_id""".stripMargin,
+
     "sim_cosine_topk" ->
       s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

@@ -182,7 +182,43 @@ object TextAnalysis {
         r.getField("dup_trigram_frac") > DupTrigramFracMax)
   }
 
+  /** Per-document keyword count for [[topTerms]]. */
+  val TopTermsPerDoc = 5
+
+  /** Per-document top-[[TopTermsPerDoc]] salient terms — the tf-idf stage
+    * of a corpus analysis. Salience = tf · (N / df): term frequency scaled
+    * by inverse document frequency WITHOUT the customary log — one IEEE
+    * division of exact integers is bit-identical across engines, while
+    * `ln` differs in last-ulp between libm implementations and would break
+    * the hash-match oracle on near-ties. The ranking is monotone in the
+    * conventional tf·idf for fixed tf, and the exact (tf, df, salience)
+    * triple is emitted so a consumer can re-weight.
+    *
+    * 100 TB shape: two map-side-combined aggregations (doc×term, then
+    * term), a broadcast of the corpus-size scalar, and a per-doc top-k
+    * window whose partition key (doc_id) has corpus cardinality — no
+    * skewed/driver-sized partitions anywhere. */
+  def topTerms(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.spread(documents)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("salience",
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("salience").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopTermsPerDoc)
+      .select(col("doc_id"), col("term"), col("rank"), col("tf"), col("df"),
+        col("salience"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_top_terms"   -> ((s, d) => topTerms(Tables.documents(s, d))),
     "text_repetition"  -> ((s, d) => repetition(Tables.documents(s, d))),
     "text_token_stats" -> ((s, d) => tokenStats(Tables.documents(s, d))),
     "text_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
@@ -255,6 +291,21 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "text_top_terms" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |   FROM documents),
+         | tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+         | dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         | n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         | SELECT doc_id, term, CAST(rank AS INTEGER) AS rank,
+         |   CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, salience
+         | FROM (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         |     CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS salience,
+         |     ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+         |       ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df DESC,
+         |                tf.term ASC) AS rank
+         |   FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+         | WHERE rank <= $TopTermsPerDoc""".stripMargin,
     "text_repetition" ->
       s"""WITH $repetitionSqlWith
          | SELECT doc_id, dup_token_frac, top_bigram_frac, dup_trigram_frac,

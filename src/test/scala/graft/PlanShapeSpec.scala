@@ -145,4 +145,19 @@ class PlanShapeSpec extends SparkSpec {
     p should include("Window")
     p should not include "Exchange rangepartitioning" // no global sort
   }
+
+  test("dedup_semantic: codebook broadcasts; no sort-merge join, no cartesian") {
+    val p = planOf("dedup_semantic")
+    p should include("BroadcastExchange") // the 16-centroid codebook
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("text_top_terms: two-phase aggregates, corpus-size scalar broadcasts, per-doc window") {
+    val p = planOf("text_top_terms")
+    p should include("partial_count")     // map-side combine on doc×term and term
+    p should include("BroadcastNestedLoopJoin") // the 1-row n_docs side
+    // the top-k window partitions by doc_id (corpus cardinality), never global
+    p should include("Exchange hashpartitioning")
+  }
 }

@@ -74,6 +74,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup: centroid argmax, keep-lowest-id policy, best lower-id match") {
+    val out = Similarity.semanticDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getBoolean(4)))).toMap
+    // independent reference: recompute assignment + policy from raw vectors
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Long, b: Long): Double =
+      dot(vecs(a), vecs(b)) /
+        (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b))))
+    val cents = vecs.keys.filter(_ < Similarity.NumCentroids)
+    val assign = vecs.keys.map(v => v -> cents.maxBy(c => (cos(v, c), -c))).toMap
+    out.size shouldBe vecs.size
+    out.foreach { case (v, (cid, dupOf, dupCos, keep)) =>
+      cid shouldBe assign(v)
+      val lower = vecs.keys.filter(u =>
+        u < v && assign(u) == cid && cos(v, u) >= Similarity.CosDupThreshold)
+      if (lower.isEmpty) { keep shouldBe true; dupOf shouldBe None }
+      else {
+        keep shouldBe false
+        val best = lower.maxBy(u => (cos(v, u), -u))
+        dupOf shouldBe Some(best)
+        dupCos.get shouldBe cos(v, best) +- 1e-12
+      }
+    }
+    info(s"${out.count(!_._2._4)} duplicates of ${out.size} vectors")
+  }
+
   test("int8 quantization: scale positive, error bounded by half a quantum") {
     val rows = Similarity.quantizeInt8(spark, sfDir).collect()
     rows.length shouldBe 500

@@ -31,6 +31,29 @@ class TextAnalysisSpec extends SparkSpec {
     out shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L)
   }
 
+  test("top terms: per-doc top-5 by tf·(N/df), ties broken by term asc") {
+    val out = TextAnalysis.topTerms(docs(
+      1L -> "apple apple banana cherry",
+      2L -> "banana cherry cherry dates eggs figs grape",
+      3L -> "apple zebra zebra zebra")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val byDoc = out.groupBy(_._1)
+    // doc 1 has only 3 distinct terms: apple (tf2 df2 -> 3.0) then
+    // banana/cherry (1.5 each, term order)
+    byDoc(1L).sortBy(_._3).map(t => (t._2, t._6)).toSeq shouldBe
+      Seq(("apple", 3.0), ("banana", 1.5), ("cherry", 1.5))
+    // doc 2: five terms tie at salience 3.0 (cherry tf2·3/2, the four
+    // singletons tf1·3/1) — term-asc tiebreak fills all 5 slots, banana
+    // (1.5) drops
+    byDoc(2L).sortBy(_._3).map(_._2).toSeq shouldBe
+      Seq("cherry", "dates", "eggs", "figs", "grape")
+    // doc 3: zebra tf3 df1 -> 9.0 dominates its own doc
+    byDoc(3L).sortBy(_._3).map(t => (t._2, t._6)).toSeq shouldBe
+      Seq(("zebra", 9.0), ("apple", 1.5))
+    all(out.map(_._3)) should be <= TextAnalysis.TopTermsPerDoc
+  }
+
   test("lang id picks the profile with most function-word hits; tie order; und") {
     val out = TextAnalysis.langId(docs(
       1L -> "the cat sat on the mat and it is fine",
