@@ -138,6 +138,35 @@ object Events {
       .rollup("day_idx", "event_type")
       .agg(count(lit(1)).as("n_events"))
 
+  /** Daily cohort retention — the classic activation curve: users cohort
+    * by their FIRST active day; for every (cohort_day, day_offset) cell,
+    * how many of that cohort were active `offset` days after joining,
+    * and what fraction of the cohort that is. Output: (cohort_day,
+    * day_offset, n_active, cohort_size, retention); offset 0 is the
+    * cohort itself (retention 1.0).
+    *
+    * 100 TB shape: the corpus collapses to distinct (user, day) pairs in
+    * one map-side-combined aggregation, cohorts are a per-user min (same
+    * shuffle key), the activity matrix is a second aggregation over the
+    * already-tiny distinct-day frame, and cohort sizes (≤ #days rows)
+    * broadcast into the final join. The raw event stream is never
+    * shuffled twice. Day boundaries are exact integer division of
+    * epoch-µs on both engines. */
+  def retention(events: DataFrame): DataFrame = {
+    val days = usEvents(events)
+      .select(col("user_id"), expr(s"ts div $UsPerDay").as("day"))
+      .distinct()
+    val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
+    days.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+  }
+
   /** AS-OF join — the operator the builder brief names as a canonical
     * Spark gap, here as the standard scale-correct composition: instead
     * of a per-row backward probe (quadratic or index-dependent), union
@@ -162,6 +191,7 @@ object Events {
     "events_asof_click"      -> ((s, d) => asofClickValue(Tables.events(s, d))),
     "events_value_quantiles" -> ((s, d) => valueQuantiles(Tables.events(s, d))),
     "events_daily_rollup"    -> ((s, d) => dailyRollup(Tables.events(s, d))),
+    "events_retention"       -> ((s, d) => retention(Tables.events(s, d))),
     "events_sessionize"    -> ((s, d) => sessionize(Tables.events(s, d))),
     "events_session_stats" -> ((s, d) => sessionStats(Tables.events(s, d))),
     "events_funnel"        -> ((s, d) => funnel(Tables.events(s, d))),
@@ -186,6 +216,22 @@ object Events {
        |   FROM marked)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "events_retention" ->
+      s"""WITH days AS (SELECT DISTINCT user_id,
+         |     epoch_us(ts) // ${UsPerDay}::BIGINT AS day FROM events),
+         | cohort AS (SELECT user_id, MIN(day) AS cohort_day
+         |   FROM days GROUP BY 1),
+         | sizes AS (SELECT cohort_day, COUNT(*) AS cohort_size
+         |   FROM cohort GROUP BY 1),
+         | act AS (SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+         |     COUNT(DISTINCT d.user_id) AS n_active
+         |   FROM days d JOIN cohort c USING (user_id) GROUP BY 1, 2)
+         | SELECT a.cohort_day, a.day_offset,
+         |   CAST(a.n_active AS BIGINT) AS n_active,
+         |   CAST(s.cohort_size AS BIGINT) AS cohort_size,
+         |   CAST(a.n_active AS DOUBLE) / s.cohort_size AS retention
+         | FROM act a JOIN sizes s USING (cohort_day)""".stripMargin,
+
     "events_asof_click" ->
       s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts, event_type,
          |     CASE WHEN event_type = 'click' THEN value END AS click_value

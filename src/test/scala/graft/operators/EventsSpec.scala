@@ -29,6 +29,26 @@ class EventsSpec extends SparkSpec {
     out(4L) shouldBe ((1L, true))
   }
 
+  test("retention: users cohort by first active day; offsets count distinct actives") {
+    def dns(day: Long, minutes: Long = 0): Long = day * 86400L * 1000000000L + ns(minutes)
+    val out = Events.retention(eventsDf(Seq(
+      (1L, dns(0), 1L, "view", 0.0, "{}"),
+      (2L, dns(0, 30), 1L, "view", 0.0, "{}"), // same user+day: one active
+      (3L, dns(1), 1L, "view", 0.0, "{}"),
+      (4L, dns(3), 1L, "view", 0.0, "{}"),
+      (5L, dns(0), 2L, "view", 0.0, "{}"),
+      (6L, dns(2), 2L, "view", 0.0, "{}"),
+      (7L, dns(1), 3L, "view", 0.0, "{}")))) // joins a day later: own cohort
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    out((0L, 0L)) shouldBe ((2L, 2L, 1.0))
+    out((0L, 1L)) shouldBe ((1L, 2L, 0.5))
+    out((0L, 2L)) shouldBe ((1L, 2L, 0.5))
+    out((0L, 3L)) shouldBe ((1L, 2L, 0.5))
+    out((1L, 0L)) shouldBe ((1L, 1L, 1.0))
+    out.size shouldBe 5
+  }
+
   test("session stats: counts, errors, value mass, duration from the session span") {
     val out = Events.sessionStats(eventsDf(Seq(
       (1L, ns(0), 7L, "view", 1.5, "{}"),
