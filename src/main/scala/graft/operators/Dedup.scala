@@ -236,12 +236,17 @@ object Dedup {
     def stage(df: DataFrame) = if (eager) df.localCheckpoint(true) else df
     val withSig = stage(docs
       .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
-      .withColumn("sig", MinHashSignatures.of(col("sh"))))
-    // bands is NOT checkpointed: it is a map-only posexplode over the
-    // checkpointed withSig, so its three consumers recompute a cheap
-    // projection instead of paying a materialization job
+      .withColumn("sig", MinHashSignatures.of(col("sh")))
+      // band keys ride inside the checkpoint: the fold over signature
+      // slices is an interpreted higher-order expression, and the bands
+      // relation has three consumers — materializing 16 longs per doc once
+      // beats re-interpreting the fold in every consumer stage (measured
+      // round 6: the recomputing consumers each burned ~150 ms/task of
+      // executor time on 150-row partitions)
+      .withColumn("bandkeys", bandKeys(col("sig"))))
+    // bands stays un-checkpointed: now a pure posexplode of a stored array
     val bands = withSig
-      .select(col("doc_id"), posexplode(bandKeys(col("sig"))))
+      .select(col("doc_id"), posexplode(col("bandkeys")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     (withSig, bands)
   }
