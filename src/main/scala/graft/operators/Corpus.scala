@@ -214,6 +214,40 @@ object Corpus {
         (col("cum_before") % SeqTokenBudget).as("tok_offset"))
   }
 
+  /** Chunk width in tokens for [[chunkPlan]] (a real pipeline uses the
+    * embedding-model context length, e.g. 512). */
+  val ChunkTokens = 64
+
+  /** Chunk stride: consecutive chunks start this many tokens apart, so
+    * each overlaps the next by [[ChunkTokens]] − [[ChunkStride]] tokens
+    * (overlap preserves context across chunk boundaries for retrieval). */
+  val ChunkStride = 48
+
+  /** Per-document chunking with overlap — the retrieval/embedding prep
+    * stage that cuts every document into fixed-width token windows:
+    * chunk i covers [i·stride, i·stride + width) ∩ [0, n_tok), and the
+    * final chunk is the first one whose window reaches the end of the
+    * document. One row per chunk: (doc_id, chunk_idx, tok_start,
+    * tok_len).
+    *
+    * 100 TB shape: a map-only projection + generator — the chunk index
+    * list is computed per row and exploded in the same stage; no shuffle,
+    * no state, pipelines straight into a downstream embed/write. */
+  def chunkPlan(documents: DataFrame): DataFrame = {
+    val nTok = size(split(col("text"), " ")).cast("long")
+    // integer ceil((n_tok - width) / stride); 0 when one chunk suffices
+    val lastIdx = when(nTok <= ChunkTokens, lit(0L))
+      .otherwise(expr(s"(cast(size(split(text, ' ')) as bigint)" +
+        s" - $ChunkTokens + $ChunkStride - 1) div $ChunkStride"))
+    documents
+      .select(col("doc_id"), nTok.as("n_tok"),
+        posexplode(sequence(lit(0L), lastIdx)))
+      .select(col("doc_id"), col("col").as("chunk_idx"),
+        (col("col") * ChunkStride).as("tok_start"),
+        least(lit(ChunkTokens.toLong), col("n_tok") - col("col") * ChunkStride)
+          .as("tok_len"))
+  }
+
   /** The composed corpus build, end to end: [[clean]] (dedup → repetition
     * → quality) keeps survivors, the stratified sample thins them, and
     * [[packPlan]] assigns the remainder to training sequences — one
@@ -235,6 +269,7 @@ object Corpus {
     "shard_plan"        -> ((s, d) => shardPlan(Tables.documents(s, d))),
     "corpus_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "corpus_pack_plan"  -> ((s, d) => packPlan(Tables.documents(s, d))),
+    "corpus_chunk_plan" -> ((s, d) => chunkPlan(Tables.documents(s, d))),
     "corpus_mix_plan"   -> ((s, d) => mixPlan(Tables.documents(s, d))),
     "corpus_e2e"        -> ((s, d) => endToEnd(Tables.documents(s, d))),
   )
@@ -304,6 +339,21 @@ object Corpus {
          | SELECT doc_id, shard,
          |   CAST(cum_before // $SeqTokenBudget AS BIGINT) AS seq_id,
          |   CAST(cum_before % $SeqTokenBudget AS BIGINT) AS tok_offset
+         | FROM c""".stripMargin,
+
+    "corpus_chunk_plan" ->
+      s"""WITH d AS (SELECT doc_id,
+         |     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |   FROM documents),
+         | c AS (SELECT doc_id, n_tok, unnest(range(0,
+         |     CASE WHEN n_tok <= $ChunkTokens THEN 1
+         |          ELSE (n_tok - $ChunkTokens + $ChunkStride - 1) // $ChunkStride + 1
+         |     END)) AS chunk_idx
+         |   FROM d)
+         | SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |   CAST(chunk_idx * $ChunkStride AS BIGINT) AS tok_start,
+         |   CAST(LEAST($ChunkTokens, n_tok - chunk_idx * $ChunkStride) AS BIGINT)
+         |     AS tok_len
          | FROM c""".stripMargin,
 
     "corpus_e2e" ->

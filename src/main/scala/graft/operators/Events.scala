@@ -167,6 +167,39 @@ object Events {
         (col("n_active").cast("double") / col("cohort_size")).as("retention"))
   }
 
+  /** Z-score threshold for [[dailyAnomaly]]. */
+  val AnomalyZMax = 3.0
+
+  /** Daily-volume anomaly detection — the monitoring query every event
+    * pipeline runs: per (event_type, day), the day's event count scored
+    * against that type's own daily distribution (z-score over all days;
+    * |z| > [[AnomalyZMax]] flags the cell). Mean/variance come from exact
+    * integer sums (count, Σcnt, Σcnt²), so only the final divisions and
+    * sqrt are floating-point. Output: (event_type, day, n_events,
+    * mean_daily, z, anomalous).
+    *
+    * 100 TB shape: the corpus collapses to (type, day) grain in one
+    * map-side-combined aggregation; the per-type moment frame is ≤ #types
+    * rows and broadcasts back into the daily frame — the raw stream is
+    * shuffled once and never sorted. */
+  def dailyAnomaly(events: DataFrame): DataFrame = {
+    val daily = usEvents(events)
+      .select(col("event_type"), expr(s"ts div $UsPerDay").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy("event_type").agg(
+      count(lit(1)).as("n_days"),
+      sum("n_events").as("sum_cnt"),
+      sum(col("n_events") * col("n_events")).as("sum_sq"))
+    val mean = col("sum_cnt").cast("double") / col("n_days")
+    val variance = col("sum_sq").cast("double") / col("n_days") - mean * mean
+    val z = when(variance > 0,
+      (col("n_events").cast("double") - mean) / sqrt(variance))
+      .otherwise(lit(0.0))
+    daily.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("day"), col("n_events"),
+        mean.as("mean_daily"), z.as("z"), (abs(z) > AnomalyZMax).as("anomalous"))
+  }
+
   /** AS-OF join — the operator the builder brief names as a canonical
     * Spark gap, here as the standard scale-correct composition: instead
     * of a per-row backward probe (quadratic or index-dependent), union
@@ -191,6 +224,7 @@ object Events {
     "events_asof_click"      -> ((s, d) => asofClickValue(Tables.events(s, d))),
     "events_value_quantiles" -> ((s, d) => valueQuantiles(Tables.events(s, d))),
     "events_daily_rollup"    -> ((s, d) => dailyRollup(Tables.events(s, d))),
+    "events_anomaly"         -> ((s, d) => dailyAnomaly(Tables.events(s, d))),
     "events_retention"       -> ((s, d) => retention(Tables.events(s, d))),
     "events_sessionize"    -> ((s, d) => sessionize(Tables.events(s, d))),
     "events_session_stats" -> ((s, d) => sessionStats(Tables.events(s, d))),
@@ -231,6 +265,30 @@ object Events {
          |   CAST(s.cohort_size AS BIGINT) AS cohort_size,
          |   CAST(a.n_active AS DOUBLE) / s.cohort_size AS retention
          | FROM act a JOIN sizes s USING (cohort_day)""".stripMargin,
+
+    "events_anomaly" ->
+      s"""WITH daily AS (SELECT event_type, epoch_us(ts) // $UsPerDay AS day,
+         |     CAST(COUNT(*) AS BIGINT) AS n_events
+         |   FROM events GROUP BY 1, 2),
+         | stats AS (SELECT event_type, COUNT(*) AS n_days,
+         |     CAST(SUM(n_events) AS BIGINT) AS sum_cnt,
+         |     CAST(SUM(n_events * n_events) AS BIGINT) AS sum_sq
+         |   FROM daily GROUP BY 1),
+         | j AS (SELECT d.event_type, d.day, d.n_events,
+         |     CAST(s.sum_cnt AS DOUBLE) / s.n_days AS mean_daily,
+         |     CAST(s.sum_sq AS DOUBLE) / s.n_days
+         |       - (CAST(s.sum_cnt AS DOUBLE) / s.n_days)
+         |         * (CAST(s.sum_cnt AS DOUBLE) / s.n_days) AS variance
+         |   FROM daily d JOIN stats s USING (event_type))
+         | SELECT event_type, day, n_events, mean_daily,
+         |   CASE WHEN variance > 0
+         |        THEN (CAST(n_events AS DOUBLE) - mean_daily) / sqrt(variance)
+         |        ELSE CAST(0 AS DOUBLE) END AS z,
+         |   CASE WHEN variance > 0
+         |        THEN abs((CAST(n_events AS DOUBLE) - mean_daily) / sqrt(variance))
+         |             > $AnomalyZMax
+         |        ELSE FALSE END AS anomalous
+         | FROM j""".stripMargin,
 
     "events_asof_click" ->
       s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts, event_type,

@@ -217,7 +217,53 @@ object TextAnalysis {
         col("salience"))
   }
 
+  /** Terms entering the Zipf fit (the distribution head; the tail of a
+    * real corpus is hapax-dominated noise that a log-log fit shouldn't
+    * see). */
+  val ZipfTerms = 1000
+
+  /** Corpus Zipf fit — the macro-statistic that sanity-checks a corpus
+    * build: least-squares slope/intercept/R² of ln(freq) on ln(rank) over
+    * the top-[[ZipfTerms]] terms (natural text slopes ≈ −1; a synthetic
+    * or template-heavy corpus shows a flat or kinked fit). One output row:
+    * (n_terms, n_fit, slope, intercept, r2).
+    *
+    * 100 TB shape: term frequencies are one map-side-combined
+    * aggregation; the head extraction is TakeOrderedAndProject
+    * (per-partition heaps, no global sort); the regression runs over the
+    * ≤[[ZipfTerms]]-row head — constant-bounded, so its single-partition
+    * window and final scalar aggregate are driver-sized by construction.
+    * ln() enters only after all integer aggregation, and the oracle
+    * compares within float tolerance. */
+  def zipf(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.spread(documents)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val top = tf.orderBy(col("freq").desc, col("term").asc).limit(ZipfTerms)
+    val ranked = top.select(col("freq"),
+      row_number().over(Window.orderBy(col("freq").desc, col("term").asc))
+        .as("rank"))
+    val x = log(col("rank").cast("double"))
+    val y = log(col("freq").cast("double"))
+    val s = ranked.agg(
+      count(lit(1)).as("n_fit"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"))
+    val nTotal = tf.agg(count(lit(1)).as("n_terms"))
+    val n = col("n_fit").cast("double")
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val denom = n * col("sxx") - col("sx") * col("sx")
+    val slope = num / denom
+    val intercept = (col("sy") - slope * col("sx")) / n
+    val r2 = num * num / (denom * (n * col("syy") - col("sy") * col("sy")))
+    s.crossJoin(broadcast(nTotal)).select(
+      col("n_terms"), col("n_fit"),
+      slope.as("slope"), intercept.as("intercept"), r2.as("r2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf"        -> ((s, d) => zipf(Tables.documents(s, d))),
     "text_top_terms"   -> ((s, d) => topTerms(Tables.documents(s, d))),
     "text_repetition"  -> ((s, d) => repetition(Tables.documents(s, d))),
     "text_token_stats" -> ((s, d) => tokenStats(Tables.documents(s, d))),
@@ -291,6 +337,32 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "text_zipf" ->
+      s"""WITH tf AS (SELECT term, COUNT(*) AS freq
+         |   FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+         |   GROUP BY 1),
+         | top AS (SELECT freq,
+         |     ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rank
+         |   FROM tf ORDER BY freq DESC, term ASC LIMIT $ZipfTerms),
+         | s AS (SELECT COUNT(*) AS n_fit,
+         |     SUM(ln(CAST(rank AS DOUBLE))) AS sx,
+         |     SUM(ln(CAST(freq AS DOUBLE))) AS sy,
+         |     SUM(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))) AS sxx,
+         |     SUM(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE))) AS sxy,
+         |     SUM(ln(CAST(freq AS DOUBLE)) * ln(CAST(freq AS DOUBLE))) AS syy
+         |   FROM top),
+         | t AS (SELECT COUNT(*) AS n_terms FROM tf)
+         | SELECT CAST(t.n_terms AS BIGINT) AS n_terms,
+         |   CAST(s.n_fit AS BIGINT) AS n_fit,
+         |   (s.n_fit * s.sxy - s.sx * s.sy) / (s.n_fit * s.sxx - s.sx * s.sx)
+         |     AS slope,
+         |   (s.sy - (s.n_fit * s.sxy - s.sx * s.sy)
+         |     / (s.n_fit * s.sxx - s.sx * s.sx) * s.sx) / s.n_fit AS intercept,
+         |   (s.n_fit * s.sxy - s.sx * s.sy) * (s.n_fit * s.sxy - s.sx * s.sy)
+         |     / ((s.n_fit * s.sxx - s.sx * s.sx)
+         |        * (s.n_fit * s.syy - s.sy * s.sy)) AS r2
+         | FROM s CROSS JOIN t""".stripMargin,
+
     "text_top_terms" ->
       s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
          |   FROM documents),

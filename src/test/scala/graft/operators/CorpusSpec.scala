@@ -183,4 +183,40 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     out(1L) shouldBe 5L
   }
+
+  private def word(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+
+  test("chunk plan: short docs yield one full-coverage chunk") {
+    val out = Corpus.chunkPlan(docsDf(Seq(
+      (1L, word(10), "en", "web"),                     // 10 < 64: one chunk
+      (2L, word(Corpus.ChunkTokens), "en", "web"))))   // exactly 64: one chunk
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.toSet shouldBe Set((1L, 0L, 0L, 10L), (2L, 0L, 0L, 64L))
+  }
+
+  test("chunk plan: strided chunks overlap and the last one reaches the end") {
+    // 100 tokens, width 64, stride 48: starts 0 and 48; chunk 1 len 52
+    val out = Corpus.chunkPlan(docsDf(Seq((1L, word(100), "en", "web"))))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    out.toSeq shouldBe Seq((0L, 0L, 64L), (1L, 48L, 52L))
+    // coverage: last chunk ends exactly at n_tok
+    out.last._2 + out.last._3 shouldBe 100L
+    // overlap: chunk 1 starts before chunk 0 ends
+    out(1)._2 should be < out(0)._2 + out(0)._3
+  }
+
+  test("chunk plan: every chunk is within bounds and non-empty at any length") {
+    val lens = Seq(1, 47, 48, 49, 63, 64, 65, 96, 97, 200)
+    val out = Corpus.chunkPlan(docsDf(lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, word(n), "en", "web") }))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDoc = out.groupBy(_._1)
+    lens.zipWithIndex.foreach { case (n, i) =>
+      val chunks = byDoc(i.toLong).sortBy(_._2)
+      all(chunks.map(_._4)) should be > 0L
+      all(chunks.map(c => c._3 + c._4)) should be <= n.toLong
+      chunks.last._3 + chunks.last._4 shouldBe n.toLong // full coverage
+      chunks.map(_._2) shouldBe chunks.indices.map(_.toLong) // dense idx
+    }
+  }
 }

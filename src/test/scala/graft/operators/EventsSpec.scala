@@ -125,4 +125,36 @@ class EventsSpec extends SparkSpec {
     out(1L) shouldBe Some(42L)
     out(2L) shouldBe None
   }
+
+  test("daily anomaly: a spike day z-scores against the type's own baseline") {
+    def dns(day: Long, i: Long): Long = day * 86400L * 1000000000L + i * 1000000000L
+    // 'view': 16 quiet days of 2 events + one day of 22. A single outlier
+    // among n identical days z-scores at exactly sqrt(n-1) = 4 here — above
+    // the 3.0 band (with only 10 days it would be exactly 3.0: never flagged)
+    val quiet = (0L until 16L).flatMap(d =>
+      Seq((d * 10 + 1, dns(d, 1)), (d * 10 + 2, dns(d, 2))))
+    val spike = (0L until 22L).map(i => (900 + i, dns(16L, i)))
+    // 'error': perfectly flat -> variance 0 -> z defined as 0, not NaN
+    val flat = (0L until 5L).map(d => (700 + d, dns(d, 3)))
+    val rows =
+      quiet.map { case (id, t) => (id.toLong, t, 1L, "view", 0.0, "{}") } ++
+      spike.map { case (id, t) => (id.toLong, t, 1L, "view", 0.0, "{}") } ++
+      flat.map { case (id, t) => (id.toLong, t, 1L, "error", 0.0, "{}") }
+    val out = Events.dailyAnomaly(eventsDf(rows))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    val (n9, mean9, z9, flag9) = out(("view", 16L))
+    n9 shouldBe 22L
+    mean9 shouldBe (54.0 / 17) +- 1e-12 // (16*2 + 22) / 17
+    z9 shouldBe 4.0 +- 1e-12 // sqrt(n_days - 1) for a lone outlier
+    flag9 shouldBe true
+    // quiet days sit below the mean but inside the band
+    val (_, _, z0, flag0) = out(("view", 0L))
+    z0 should be < 0.0
+    flag0 shouldBe false
+    // zero-variance type: z pinned to 0, never NaN
+    val (_, _, zf, flagf) = out(("error", 0L))
+    zf shouldBe 0.0
+    flagf shouldBe false
+  }
 }

