@@ -160,4 +160,27 @@ class PlanShapeSpec extends SparkSpec {
     // the top-k window partitions by doc_id (corpus cardinality), never global
     p should include("Exchange hashpartitioning")
   }
+
+  test("corpus_chunk_plan: map-only generate — no shuffle, no join, no window") {
+    val p = planOf("corpus_chunk_plan")
+    p should include("Generate") // the per-row chunk-index explode
+    p should not include "Exchange hashpartitioning"
+    p should not include "Join"
+    p should not include "Window"
+  }
+
+  test("events_anomaly: one corpus shuffle to daily grain; per-type stats broadcast back") {
+    val p = planOf("events_anomaly")
+    p should include("partial_count") // map-side combine into (type, day)
+    p should include("BroadcastHashJoin") // the <= #types moment frame
+    p should not include "SortMergeJoin"
+    p should not include "Window"
+  }
+
+  test("text_zipf: head extraction is TakeOrderedAndProject, never a global sort") {
+    val p = planOf("text_zipf")
+    p should include("TakeOrderedAndProject")
+    p should not include "Exchange rangepartitioning" // no full-corpus sort
+    p should include("partial_count") // term counts map-side combined
+  }
 }
