@@ -182,10 +182,22 @@ object Events {
     * map-side-combined aggregation; the per-type moment frame is ≤ #types
     * rows and broadcasts back into the daily frame — the raw stream is
     * shuffled once and never sorted. */
-  def dailyAnomaly(events: DataFrame): DataFrame = {
-    val daily = usEvents(events)
+  def dailyAnomaly(events: DataFrame): DataFrame =
+    scoreDaily(dailyCounts(events))
+
+  /** The (event_type, day) count grain of [[dailyAnomaly]] — also the unit
+    * the streaming monitor accumulates per micro-batch
+    * ([[graft.streaming.StreamingAnomaly]]), so batch and streaming score
+    * the same frame. */
+  def dailyCounts(events: DataFrame): DataFrame =
+    usEvents(events)
       .select(col("event_type"), expr(s"ts div $UsPerDay").as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("n_events"))
+
+  /** Score a (event_type, day, n_events) frame: z against the type's own
+    * daily distribution. Shared by the batch query and the streaming
+    * monitor. */
+  def scoreDaily(daily: DataFrame): DataFrame = {
     val stats = daily.groupBy("event_type").agg(
       count(lit(1)).as("n_days"),
       sum("n_events").as("sum_cnt"),
