@@ -212,6 +212,41 @@ object Events {
         mean.as("mean_daily"), z.as("z"), (abs(z) > AnomalyZMax).as("anomalous"))
   }
 
+  /** Rolling window width in days for [[rollingActives]]. */
+  val RollingDays = 7
+
+  /** Rolling active users — the DAU/WAU/stickiness board: per day, the
+    * distinct users active that day (dau), the distinct users active in
+    * the trailing [[RollingDays]]-day window (wau), and their ratio. A
+    * day is reported iff its trailing window saw any activity. Output:
+    * (day, dau, wau, stickiness).
+    *
+    * Implementation: rolling DISTINCT counts don't decompose over a
+    * window frame, so each distinct (user, day) contributes itself to the
+    * [[RollingDays]] report days it falls in (a bounded ×7 explode — the
+    * standard shuffle-friendly rewrite), then one count_distinct per
+    * report day.
+    *
+    * 100 TB shape: the corpus collapses to distinct (user, day) in one
+    * map-side-combined aggregation; the explode multiplies that already
+    * collapsed frame by a constant; both distinct counts shuffle on the
+    * day key (≤ a few thousand keys — final agg is tiny) — the raw event
+    * stream is scanned once. */
+  def rollingActives(events: DataFrame): DataFrame = {
+    val days = usEvents(events)
+      .select(col("user_id"), expr(s"ts div $UsPerDay").as("day"))
+      .distinct()
+    val dau = days.groupBy("day").agg(count_distinct(col("user_id")).as("dau"))
+    val wau = days
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + (RollingDays - 1))).as("day"))
+      .groupBy("day").agg(count_distinct(col("user_id")).as("wau"))
+    wau.join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"),
+        (coalesce(col("dau"), lit(0L)).cast("double") / col("wau"))
+          .as("stickiness"))
+  }
+
   /** AS-OF join — the operator the builder brief names as a canonical
     * Spark gap, here as the standard scale-correct composition: instead
     * of a per-row backward probe (quadratic or index-dependent), union
@@ -237,6 +272,7 @@ object Events {
     "events_value_quantiles" -> ((s, d) => valueQuantiles(Tables.events(s, d))),
     "events_daily_rollup"    -> ((s, d) => dailyRollup(Tables.events(s, d))),
     "events_anomaly"         -> ((s, d) => dailyAnomaly(Tables.events(s, d))),
+    "events_wau"             -> ((s, d) => rollingActives(Tables.events(s, d))),
     "events_retention"       -> ((s, d) => retention(Tables.events(s, d))),
     "events_sessionize"    -> ((s, d) => sessionize(Tables.events(s, d))),
     "events_session_stats" -> ((s, d) => sessionStats(Tables.events(s, d))),
@@ -277,6 +313,19 @@ object Events {
          |   CAST(s.cohort_size AS BIGINT) AS cohort_size,
          |   CAST(a.n_active AS DOUBLE) / s.cohort_size AS retention
          | FROM act a JOIN sizes s USING (cohort_day)""".stripMargin,
+
+    "events_wau" ->
+      s"""WITH days AS (SELECT DISTINCT user_id,
+         |     epoch_us(ts) // ${UsPerDay}::BIGINT AS day FROM events),
+         | dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau
+         |   FROM days GROUP BY 1),
+         | wau AS (SELECT d.day + o.off AS day,
+         |     COUNT(DISTINCT d.user_id) AS wau
+         |   FROM days d CROSS JOIN range($RollingDays) o(off) GROUP BY 1)
+         | SELECT w.day, CAST(COALESCE(a.dau, 0) AS BIGINT) AS dau,
+         |   CAST(w.wau AS BIGINT) AS wau,
+         |   CAST(COALESCE(a.dau, 0) AS DOUBLE) / w.wau AS stickiness
+         | FROM wau w LEFT JOIN dau a ON a.day = w.day""".stripMargin,
 
     "events_anomaly" ->
       s"""WITH daily AS (SELECT event_type, epoch_us(ts) // $UsPerDay AS day,

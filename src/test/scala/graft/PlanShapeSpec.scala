@@ -177,6 +177,14 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Window"
   }
 
+  test("events_wau: corpus collapses to distinct (user, day) with partial agg before the explode") {
+    val p = planOf("events_wau")
+    p should include("partial_") // map-side combine before any shuffle
+    p should include("Generate") // the bounded x7 window explode
+    p should not include "CartesianProduct"
+    p should not include "Window" // rolling distinct via explode, not a frame
+  }
+
   test("text_zipf: head extraction is TakeOrderedAndProject, never a global sort") {
     val p = planOf("text_zipf")
     p should include("TakeOrderedAndProject")

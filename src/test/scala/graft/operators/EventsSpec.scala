@@ -126,6 +126,25 @@ class EventsSpec extends SparkSpec {
     out(2L) shouldBe None
   }
 
+  test("rolling actives: wau covers the trailing window; stickiness = dau/wau") {
+    def dns(day: Long): Long = day * 86400L * 1000000000L
+    val out = Events.rollingActives(eventsDf(Seq(
+      (1L, dns(0), 1L, "view", 0.0, "{}"),
+      (2L, dns(0), 1L, "view", 0.0, "{}"),  // same user+day: one active
+      (3L, dns(0), 2L, "view", 0.0, "{}"),
+      (4L, dns(3), 1L, "view", 0.0, "{}"),
+      (5L, dns(20), 3L, "view", 0.0, "{}")))) // isolated burst much later
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out(0L) shouldBe ((2L, 2L, 1.0))   // both users active day 0
+    out(3L) shouldBe ((1L, 2L, 0.5))   // user 1 active; window still sees user 2
+    out(6L) shouldBe ((0L, 2L, 0.0))   // nobody active; day-0 pair in window
+    out(9L)._2 shouldBe 1L             // only the day-3 activity remains
+    out.keySet should not contain 10L  // day-3 activity ages out after day 9
+    out(20L) shouldBe ((1L, 1L, 1.0))  // the isolated burst
+    out.keySet should not contain 15L  // gap days with empty windows: absent
+  }
+
   test("daily anomaly: a spike day z-scores against the type's own baseline") {
     def dns(day: Long, i: Long): Long = day * 86400L * 1000000000L + i * 1000000000L
     // 'view': 16 quiet days of 2 events + one day of 22. A single outlier
