@@ -386,6 +386,39 @@ object Dedup {
     MinHashIndex(withSig, bands, ok)
   }
 
+  /** Bucket count for the persisted index tables ([[saveIndex]]). A real
+    * deployment sizes this to corpus_bands / target_bucket_bytes. */
+  val IndexBuckets = 8
+
+  /** Persist a [[MinHashIndex]] as BUCKETED tables — the durable form of
+    * the "100 TB side" of incremental dedup: the band relations bucket by
+    * (band, bkey), the signature relation by doc_id, each sorted within
+    * buckets, so every join [[probeIndex]] performs against the corpus
+    * lands on the table's own partitioning — the corpus is shuffled ONCE
+    * at write time and never again, by any number of subsequent batch or
+    * streaming ingests (the probe side, being the small side, exchanges
+    * to match the bucket count). `BucketedIndexSpec` pins the plan:
+    * co-bucketed joins run with zero Exchange on the corpus side. */
+  def saveIndex(index: MinHashIndex, prefix: String): Unit = {
+    index.withSig.write.mode("overwrite").format("parquet")
+      .bucketBy(IndexBuckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${prefix}_sig")
+    index.bands.write.mode("overwrite").format("parquet")
+      .bucketBy(IndexBuckets, "band", "bkey").sortBy("band", "bkey")
+      .saveAsTable(s"${prefix}_bands")
+    index.okBuckets.write.mode("overwrite").format("parquet")
+      .bucketBy(IndexBuckets, "band", "bkey").sortBy("band", "bkey")
+      .saveAsTable(s"${prefix}_ok")
+  }
+
+  /** Reopen a persisted index. The returned frames carry the tables' own
+    * bucket partitioning, so probes skip the corpus-side exchange. */
+  def loadIndex(spark: SparkSession, prefix: String): MinHashIndex =
+    MinHashIndex(
+      spark.table(s"${prefix}_sig"),
+      spark.table(s"${prefix}_bands"),
+      spark.table(s"${prefix}_ok"))
+
   /** Probe a NEW batch of documents against an indexed corpus — the
     * ingestion path, where the batch is small and the corpus is the 100 TB
     * side. The LSH band join is asymmetric (incoming x corpus, never
