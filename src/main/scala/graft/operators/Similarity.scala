@@ -314,7 +314,52 @@ object Similarity {
           lit(0.0), (a, e) => greatest(a, e)).as("max_abs_err"))
   }
 
+  // ---- product quantization --------------------------------------------------
+  /** PQ geometry: 64 dims = [[PqSubspaces]] × [[PqSubDim]];
+    * [[PqCodebookSize]] centroids per subspace → 4 bits per code, the
+    * whole code packs into one BIGINT (8 × 4 bits). */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqCodebookSize = 16
+
+  /** Product quantization (Jégou et al., TPAMI 2011) — the vector
+    * compression behind billion-scale ANN indexes: each vector is cut
+    * into [[PqSubspaces]] subvectors and each subvector snaps to its
+    * nearest codeword in that subspace's [[PqCodebookSize]]-entry
+    * codebook (squared-L2, tiebreak min code). 64 dims × 4 bytes become
+    * ONE packed 32-bit code. Codebook: subvectors of the first
+    * [[PqCodebookSize]] corpus vectors — the same deterministic k-means
+    * stand-in as [[ivfTopK]]. One row per vector:
+    * (vec_id, pq_code, recon_err = Σ per-subspace residual²).
+    *
+    * 100 TB shape: the codebook broadcasts (K × dim doubles); assignment
+    * explodes the already-broadcast-joined frame by the constant
+    * subspace count and argmins with map-side-combinable min_by — the
+    * corpus shuffles only (vec_id, m, code, dist) quadruples, never
+    * vectors. */
+  def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = vectors(spark, sfDir).select(col("vec_id"), col("v"))
+    val cents = vs.where(col("vec_id") < PqCodebookSize)
+      .select(col("vec_id").cast("int").as("code"), col("v").as("cv"))
+    val subDists = array((0 until PqSubspaces).map { m =>
+      val a = slice(col("v"), m * PqSubDim + 1, PqSubDim)
+      val b = slice(col("cv"), m * PqSubDim + 1, PqSubDim)
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d)
+    }: _*)
+    val best = vs.join(broadcast(cents))
+      .select(col("vec_id"), col("code"), posexplode(subDists))
+      .withColumnRenamed("pos", "m").withColumnRenamed("col", "dist")
+      .groupBy("vec_id", "m")
+      .agg(min_by(struct(col("code"), col("dist")),
+        struct(col("dist"), col("code"))).as("b"))
+    best.groupBy("vec_id").agg(
+      sum(expr("shiftleft(cast(b.code as bigint), 4 * m)")).as("pq_code"),
+      sum(col("b.dist")).as("recon_err"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq" -> (pqCodes _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh_topk" -> (annLshTopK _),
     "sim_ann_recall" -> (annRecall _),
@@ -359,6 +404,27 @@ object Similarity {
   // identical element order (Spark sequential aggregate ≡ DuckDB
   // list_dot_product), so the candidate sets match exactly.
   val oracleSql: Map[String, String] = Map(
+    "sim_pq" ->
+      s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         | c AS (SELECT CAST(vec_id AS INTEGER) AS code, v AS cv FROM vs
+         |   WHERE vec_id < $PqCodebookSize),
+         | d AS (SELECT vs.vec_id, c.code, CAST(t.m AS INTEGER) AS m,
+         |     list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range($PqSubDim),
+         |       i -> (vs.v[CAST(t.m * $PqSubDim + i + 1 AS INTEGER)]
+         |             - c.cv[CAST(t.m * $PqSubDim + i + 1 AS INTEGER)])
+         |          * (vs.v[CAST(t.m * $PqSubDim + i + 1 AS INTEGER)]
+         |             - c.cv[CAST(t.m * $PqSubDim + i + 1 AS INTEGER)]))),
+         |       (a, b) -> a + b) AS dist
+         |   FROM vs CROSS JOIN c CROSS JOIN range($PqSubspaces) t(m)),
+         | best AS (SELECT vec_id, m, code, dist FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |     ORDER BY dist ASC, code ASC) AS rn FROM d) WHERE rn = 1)
+         | SELECT vec_id,
+         |   CAST(SUM(CAST(code AS BIGINT) * (1::BIGINT << (4 * m))) AS BIGINT)
+         |     AS pq_code,
+         |   SUM(dist) AS recon_err
+         | FROM best GROUP BY vec_id""".stripMargin,
+
     "sim_quantize_int8" ->
       s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          | m AS (SELECT vec_id, v,

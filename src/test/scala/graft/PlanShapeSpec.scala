@@ -177,6 +177,14 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Window"
   }
 
+  test("sim_pq: codebook broadcasts; assignment argmin partially aggregates before the shuffle") {
+    val p = planOf("sim_pq")
+    p should include("BroadcastExchange") // the K x dim codebook
+    p should include("partial_min_by")    // map-side argmin per (vec, subspace)
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
   test("events_wau: corpus collapses to distinct (user, day) with partial agg before the explode") {
     val p = planOf("events_wau")
     p should include("partial_") // map-side combine before any shuffle

@@ -119,4 +119,20 @@ class SimilaritySpec extends SparkSpec {
       err should be <= 0.5 / scale + 1e-12
     }
   }
+
+  test("product quantization: codebook vectors encode as themselves, loss-free") {
+    val rows = Similarity.pqCodes(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    rows.size shouldBe 500
+    // a codebook member's nearest codeword in EVERY subspace is itself:
+    // code_m = vec_id for all 8 subspaces -> vec_id replicated in each
+    // nibble, and exact reconstruction
+    (0L until Similarity.PqCodebookSize).foreach { k =>
+      rows(k) shouldBe ((k * 0x11111111L, 0.0))
+    }
+    // non-codebook vectors: some residual, code within the packed range
+    val others = rows.filterNot(_._1 < Similarity.PqCodebookSize).values
+    all(others.map(_._2)) should be > 0.0
+    all(others.map(_._1)) should (be >= 0L and be <= 0xFFFFFFFFL)
+  }
 }
