@@ -339,27 +339,85 @@ object Similarity {
     * vectors. */
   def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
     val vs = vectors(spark, sfDir).select(col("vec_id"), col("v"))
-    val cents = vs.where(col("vec_id") < PqCodebookSize)
+    pqAssign(vs, pqCodebook(vs)).groupBy("vec_id").agg(
+      sum(expr("shiftleft(cast(b.code as bigint), 4 * m)")).as("pq_code"),
+      sum(col("b.dist")).as("recon_err"))
+  }
+
+  /** The deterministic PQ codebook (see [[pqCodes]]). */
+  private def pqCodebook(vs: DataFrame): DataFrame =
+    vs.where(col("vec_id") < PqCodebookSize)
       .select(col("vec_id").cast("int").as("code"), col("v").as("cv"))
+
+  /** Per-subspace squared-L2 to every codeword of a (code, cv) frame:
+    * one row per (row of `left`, code, m) with the residual in `col`. */
+  private def pqSubDists(left: DataFrame, cents: DataFrame): DataFrame = {
     val subDists = array((0 until PqSubspaces).map { m =>
       val a = slice(col("v"), m * PqSubDim + 1, PqSubDim)
       val b = slice(col("cv"), m * PqSubDim + 1, PqSubDim)
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, d) => acc + d)
     }: _*)
-    val best = vs.join(broadcast(cents))
-      .select(col("vec_id"), col("code"), posexplode(subDists))
+    left.join(broadcast(cents))
+      .select(left.columns.filter(_ != "v").map(col) :+
+        col("code") :+ posexplode(subDists): _*)
       .withColumnRenamed("pos", "m").withColumnRenamed("col", "dist")
+  }
+
+  /** Nearest codeword per (vector, subspace): (vec_id, m, b(code, dist)),
+    * argmin squared-L2, tiebreak min code. */
+  private def pqAssign(vs: DataFrame, cents: DataFrame): DataFrame =
+    pqSubDists(vs, cents)
       .groupBy("vec_id", "m")
       .agg(min_by(struct(col("code"), col("dist")),
         struct(col("dist"), col("code"))).as("b"))
-    best.groupBy("vec_id").agg(
-      sum(expr("shiftleft(cast(b.code as bigint), 4 * m)")).as("pq_code"),
-      sum(col("b.dist")).as("recon_err"))
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes — the
+    * search half of product quantization: each query precomputes its
+    * [[PqSubspaces]]×[[PqCodebookSize]] distance table, and every corpus
+    * vector is scored by summing the table entries its stored code
+    * selects — the corpus side never touches raw vectors, only the 4-byte
+    * codes. Approximate by construction (quantized distances); output one
+    * row per (query, rank ≤ k): (query_id, neighbor_id, rank, adc_dist),
+    * nearest first, tiebreak min id.
+    *
+    * The per-pair sum folds the 8 subspace entries in subspace order
+    * (sorted collect, sequential fold) so the oracle's association is
+    * identical — a plain SUM over the exploded rows would be
+    * order-nondeterministic exactly where exact duplicates tie.
+    *
+    * 100 TB shape: distance tables are queries × 128 doubles —
+    * broadcast; the corpus contributes (vec_id, m, code) triples from the
+    * stored assignment (at scale: the persisted code table), the join is
+    * map-side against the broadcast, and the finisher is the bounded
+    * [[graft.functions.TopKByScore]] aggregator — no global sort, no raw
+    * vectors after indexing time. */
+  def pqAdcTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = vectors(spark, sfDir).select(col("vec_id"), col("v"))
+    val cents = pqCodebook(vs)
+    val codes = pqAssign(vs, cents)
+      .select(col("vec_id"), col("m"), col("b.code").as("code"))
+    val dt = pqSubDists(
+      vs.where(col("vec_id") < NumQueryVectors)
+        .select(col("vec_id").as("query_id"), col("v")),
+      cents).select(col("query_id"), col("m"), col("code"), col("dist").as("qdist"))
+    val adc = codes.join(broadcast(dt), Seq("m", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sort_array(collect_list(struct(col("m"), col("qdist")))).as("l"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(col("l"), lit(0.0), (acc, x) => acc + x.getField("qdist"))
+          .as("adc"))
+    graft.functions.TopKByScore
+      .perGroup(adc.select(col("query_id"), col("neighbor_id"),
+        (-col("adc")).as("cosine_sim")), TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (-col("cosine_sim")).as("adc_dist"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq" -> (pqCodes _),
+    "sim_pq_adc_topk" -> (pqAdcTopK _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh_topk" -> (annLshTopK _),
     "sim_ann_recall" -> (annRecall _),
@@ -424,6 +482,35 @@ object Similarity {
          |     AS pq_code,
          |   SUM(dist) AS recon_err
          | FROM best GROUP BY vec_id""".stripMargin,
+
+    "sim_pq_adc_topk" ->
+      s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         | c AS (SELECT CAST(vec_id AS INTEGER) AS code, v AS cv FROM vs
+         |   WHERE vec_id < $PqCodebookSize),
+         | d AS (SELECT vs.vec_id, c.code, CAST(t.m AS INTEGER) AS m,
+         |     list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range($PqSubDim),
+         |       i -> (vs.v[CAST(t.m * $PqSubDim + i + 1 AS INTEGER)]
+         |             - c.cv[CAST(t.m * $PqSubDim + i + 1 AS INTEGER)])
+         |          * (vs.v[CAST(t.m * $PqSubDim + i + 1 AS INTEGER)]
+         |             - c.cv[CAST(t.m * $PqSubDim + i + 1 AS INTEGER)]))),
+         |       (a, b) -> a + b) AS dist
+         |   FROM vs CROSS JOIN c CROSS JOIN range($PqSubspaces) t(m)),
+         | best AS (SELECT vec_id, m, code FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |     ORDER BY dist ASC, code ASC) AS rn FROM d) WHERE rn = 1),
+         | dt AS (SELECT vec_id AS query_id, m, code, dist AS qdist FROM d
+         |   WHERE vec_id < $NumQueryVectors),
+         | adc AS (SELECT dt.query_id, b.vec_id AS neighbor_id,
+         |     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |       list(dt.qdist ORDER BY dt.m)), (a, b) -> a + b) AS adc
+         |   FROM best b JOIN dt ON dt.m = b.m AND dt.code = b.code
+         |   WHERE b.vec_id <> dt.query_id
+         |   GROUP BY dt.query_id, b.vec_id)
+         | SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+         |   adc AS adc_dist
+         | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY adc ASC, neighbor_id ASC) AS rank FROM adc)
+         | WHERE rank <= $TopK""".stripMargin,
 
     "sim_quantize_int8" ->
       s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -120,6 +120,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ADC top-k: well-formed ranks, ascending distances, decent L2 recall") {
+    val rows = Similarity.pqAdcTopK(spark, sfDir).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.size shouldBe Similarity.NumQueryVectors
+    byQuery.values.foreach { g =>
+      g.map(_.getInt(2)).sorted.toSeq shouldBe (1 to Similarity.TopK)
+      val d = g.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+      d shouldBe d.sorted
+      all(d) should be >= 0.0
+    }
+    // recall vs brute-force squared-L2 (ADC approximates L2, not cosine)
+    val sp = spark
+    val vecs = sp.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = (0L until Similarity.NumQueryVectors).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(v => (l2(vecs(q), vecs(v)), v)).take(Similarity.TopK)
+        .map(q -> _)
+    }.toSet
+    val adc = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect adc).size.toDouble / exact.size
+    info(f"ADC recall@5 vs exact L2 = $recall%.3f")
+    recall should be >= 0.2 // quantized distances: approximate by design
+  }
+
   test("product quantization: codebook vectors encode as themselves, loss-free") {
     val rows = Similarity.pqCodes(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
