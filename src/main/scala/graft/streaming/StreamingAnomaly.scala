@@ -38,6 +38,12 @@ class StreamingAnomaly(initial: Option[DataFrame] = None) {
   /** The accumulated (event_type, day, n_events) counter table. */
   @volatile private var counters: Option[DataFrame] = initial
 
+  /** The counter table itself — the monitor's WHOLE durable state. Persist
+    * it (parquet/Delta/JDBC) and seed a new monitor via `initial` to
+    * restart warm: counts are additive, so a restored monitor continues
+    * exactly (pinned in the spec). */
+  def state: Option[DataFrame] = counters
+
   /** Current scored frame (empty-schema None until the first trigger). */
   def scored: Option[DataFrame] = counters.map(Events.scoreDaily)
 

@@ -70,4 +70,34 @@ class StreamingAnomalySpec extends SparkSpec {
       assertSameRows(monitor.scored.get, batch)
     } finally q.stop()
   }
+
+  test("warm restart: a monitor seeded with persisted state continues exactly") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    // first monitor sees the quiet days, then "crashes"
+    val in1 = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val m1 = new StreamingAnomaly()
+    val q1 = m1.run(in1.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      Files.createTempDirectory("graft-sanomaly-").toString) { (_, _) => () }
+    try { in1.addData(quiet); q1.processAllAvailable() } finally q1.stop()
+
+    // persist + reload the counter table (the whole durable state)
+    val stateDir = Files.createTempDirectory("graft-sanomaly-state-").toString
+    m1.state.get.write.mode("overwrite").parquet(stateDir)
+    val restored = spark.read.parquet(stateDir)
+
+    // second monitor continues from the restored state
+    val in2 = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val m2 = new StreamingAnomaly(initial = Some(restored))
+    val q2 = m2.run(in2.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      Files.createTempDirectory("graft-sanomaly-").toString) { (_, _) => () }
+    try { in2.addData(spike); q2.processAllAvailable() } finally q2.stop()
+
+    val batch = Events.dailyAnomaly((quiet ++ spike)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assertSameRows(m2.scored.get, batch)
+  }
 }
