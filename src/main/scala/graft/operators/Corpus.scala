@@ -137,12 +137,26 @@ object Corpus {
     * stats are one map-side-combined aggregation. */
   def shardPlan(documents: DataFrame): DataFrame =
     documents
-      .select(
-        (Dedup.h32(concat(lit("shard:"), col("doc_id").cast("string"))) % NumShards)
-          .as("shard"),
-        col("n_chars"))
+      .select(shardCol.as("shard"), col("n_chars"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+
+  /** The shard assignment expression (the hash [[shardPlan]] reports on). */
+  private def shardCol: Column =
+    Dedup.h32(concat(lit("shard:"), col("doc_id").cast("string"))) % NumShards
+
+  /** Execute the shard plan: write the corpus hash-partitioned by shard
+    * (`shard=K/` directories, one task's worth of files per shard via the
+    * pre-write repartition). Reading back with a shard predicate prunes
+    * at the DIRECTORY level — the scan never opens other shards' files
+    * (pinned in `ShardedWriteSpec`). This is the write side the stats in
+    * [[shardPlan]] preview; at 100 TB the same expression feeds the same
+    * `partitionBy`, just with shards sized to the corpus. */
+  def writeSharded(documents: DataFrame, outDir: String): Unit =
+    documents
+      .withColumn("shard", shardCol)
+      .repartition(col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
 
   /** Declared target mixture for [[mixPlan]] (shares of training tokens
     * per language; a real pipeline tunes these against eval loss).
