@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Cross-operator invariants on the real sf0.001 tables: independent
+  * operators must agree on the quantities they share — a disagreement
+  * means one of them is wrong even when both pass their own oracle. */
+class CrossOpInvariantSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables.documents(spark, sf)
+  private def events = Tables.events(spark, sf)
+
+  test("chunk plan covers exactly token-stats' token count per document") {
+    val nTok = TextAnalysis.tokenStats(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val chunks = Corpus.chunkPlan(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    chunks.keySet shouldBe nTok.keySet
+    chunks.foreach { case (doc, cs) =>
+      val last = cs.maxBy(_._2)
+      last._3 + last._4 shouldBe nTok(doc) // full coverage, no overhang
+      cs.map(_._2).sorted.toSeq shouldBe cs.indices.map(_.toLong) // dense
+    }
+  }
+
+  test("anomaly daily counts partition the event stream (vs daily rollup)") {
+    val anomalyTotal = Events.dailyAnomaly(events)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    // the rollup's grand-total row (both grouping columns null)
+    val grand = Events.dailyRollup(events)
+      .where(col("day_idx").isNull && col("event_type").isNull)
+      .collect()(0).getLong(2)
+    anomalyTotal shouldBe grand
+    anomalyTotal shouldBe events.count()
+  }
+
+  test("wau bounds dau and matches retention's active-day grain") {
+    val rows = Events.rollingActives(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    all(rows.map(r => r._3 >= r._2)) shouldBe true // wau >= dau
+    // day-0 cohort accounting and wau use the same distinct (user, day)
+    // grain: total distinct actives per day from retention offset rows
+    val dauDirect = events
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct().groupBy("day").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(r => dauDirect.contains(r._1)).foreach { case (day, dau, _) =>
+      dau shouldBe dauDirect(day)
+    }
+  }
+
+  test("zipf head size agrees with the distinct-term count") {
+    val r = TextAnalysis.zipf(docs).collect()(0)
+    val nTerms = r.getLong(0)
+    r.getLong(1) shouldBe math.min(nTerms, TextAnalysis.ZipfTerms.toLong)
+    r.getDouble(2) should be < 0.0 // frequencies fall with rank
+  }
+
+  test("shard plan masses add up to the whole corpus") {
+    val plan = Corpus.shardPlan(docs).collect()
+    plan.map(_.getLong(1)).sum shouldBe docs.count()
+    val chars = docs.agg(sum("n_chars")).collect()(0).getLong(0)
+    plan.map(_.getLong(2)).sum shouldBe chars
+  }
+
+  test("pq reconstruction error is bounded by int8's coarser budget only for members") {
+    // codebook members reconstruct exactly; everything else pays a positive
+    // residual — and the packed code always unpacks to valid codewords
+    val rows = Similarity.pqCodes(spark, sf).collect()
+    rows.foreach { r =>
+      val (id, code, err) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      (0 until Similarity.PqSubspaces).foreach { m =>
+        val c = (code >> (4 * m)) & 0xF
+        c should (be >= 0L and be < Similarity.PqCodebookSize.toLong)
+      }
+      if (id < Similarity.PqCodebookSize) err shouldBe 0.0
+      else err should be > 0.0
+    }
+  }
+}
