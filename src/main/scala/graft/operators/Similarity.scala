@@ -359,8 +359,8 @@ object Similarity {
         lit(0.0), (acc, d) => acc + d)
     }: _*)
     left.join(broadcast(cents))
-      .select(left.columns.filter(_ != "v").map(col) :+
-        col("code") :+ posexplode(subDists): _*)
+      .select((left.columns.filter(_ != "v").map(col) :+
+        col("code") :+ posexplode(subDists)).toIndexedSeq: _*)
       .withColumnRenamed("pos", "m").withColumnRenamed("col", "dist")
   }
 

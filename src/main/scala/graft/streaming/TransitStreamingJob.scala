@@ -68,7 +68,7 @@ final class TableStore(spark: SparkSession) {
     val d = ckpt(df)
     tables(name) = d
     if (d.columns.contains("_gen")) {
-      val m = Option(d.agg(max("_gen")).head.get(0))
+      val m = Option(d.agg(max("_gen")).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       gen.updateAndGet(g => math.max(g, m)); ()
     }
