@@ -262,7 +262,39 @@ object TextAnalysis {
       slope.as("slope"), intercept.as("intercept"), r2.as("r2"))
   }
 
+  /** Vocabulary size for [[vocabCoverage]] — deliberately SMALLER than the
+    * synthetic fixture's ~31-term vocabulary so the registered query's
+    * OOV rates are non-trivial (a production run sizes this to the
+    * tokenizer's vocab, e.g. 32k–100k). */
+  val VocabSize = 24
+
+  /** Vocabulary coverage / OOV measurement — the tokenizer-fit check a
+    * corpus build runs before training: the vocabulary is the corpus's
+    * top-[[VocabSize]] terms by frequency (ties term-asc), and every
+    * document reports how much of its token mass falls outside it. One
+    * row per document: (doc_id, n_tokens, n_oov, oov_rate).
+    *
+    * 100 TB shape: term frequencies are one map-side-combined
+    * aggregation; the vocabulary head is TakeOrderedAndProject and
+    * broadcasts; the per-document count is a second map-side-combined
+    * aggregation over the exploded scan joined map-side against the
+    * broadcast vocabulary — the corpus shuffles only (doc_id, counts). */
+  def vocabCoverage(documents: DataFrame): DataFrame = {
+    val tk = Tables.spread(documents)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val vocab = tk.groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term").asc).limit(VocabSize)
+      .select(col("term"), lit(1).as("in_vocab"))
+    tk.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_coverage" -> ((s, d) => vocabCoverage(Tables.documents(s, d))),
     "text_zipf"        -> ((s, d) => zipf(Tables.documents(s, d))),
     "text_top_terms"   -> ((s, d) => topTerms(Tables.documents(s, d))),
     "text_repetition"  -> ((s, d) => repetition(Tables.documents(s, d))),
@@ -337,6 +369,20 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "text_vocab_coverage" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |   FROM documents),
+         | vocab AS (SELECT term FROM (
+         |     SELECT term, COUNT(*) AS freq FROM tk GROUP BY 1)
+         |   ORDER BY freq DESC, term ASC LIMIT $VocabSize),
+         | j AS (SELECT tk.doc_id,
+         |     CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+         |   FROM tk LEFT JOIN vocab v ON tk.term = v.term)
+         | SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |   CAST(SUM(oov) AS BIGINT) AS n_oov,
+         |   CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+         | FROM j GROUP BY doc_id""".stripMargin,
+
     "text_zipf" ->
       s"""WITH tf AS (SELECT term, COUNT(*) AS freq
          |   FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)

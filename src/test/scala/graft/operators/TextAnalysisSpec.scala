@@ -137,6 +137,19 @@ class TextAnalysisSpec extends SparkSpec {
     r.getDouble(4) shouldBe 1.0 +- 1e-9
   }
 
+  test("vocab coverage: OOV counts token instances outside the frequency head") {
+    // 30 distinct terms; vocab keeps the top 24 by freq (u1..u24 appear
+    // twice, u25..u30 once) -> doc 2's six rare terms are all OOV
+    val common = (1 to 24).flatMap(i => Seq(s"u$i", s"u$i"))
+    val rare = (25 to 30).map(i => s"u$i")
+    val out = TextAnalysis.vocabCoverage(docs(
+      1L -> common.mkString(" "),
+      2L -> (rare ++ Seq("u1", "u2")).mkString(" ")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out(1L) shouldBe ((48L, 0L, 0.0))
+    out(2L) shouldBe ((8L, 6L, 0.75))
+  }
+
   test("zipf: fit is capped at ZipfTerms head terms") {
     val manyTerms = (1 to TextAnalysis.ZipfTerms + 50).map(i => s"u$i")
     // u1 appears twice so the head is deterministic under the freq sort
