@@ -158,7 +158,41 @@ object Multimodal {
       records(Tables.spread(documents))
         .select(col("doc_id"), blockHashes(col("payload")).as("sh")))
 
+  /** Z-score threshold for [[sizeOutliers]]. */
+  val SizeZMax = 3.0
+
+  /** Payload-size outlier gate — the cheap corruption/truncation check a
+    * multimodal ingest runs before decoding anything: each record's byte
+    * size z-scored against ITS OWN modality's size distribution (a 2 KB
+    * "video" is suspect; a 2 KB thumbnail is not). Moments come from
+    * exact integer sums, per-modality stats broadcast — the same shape as
+    * the events anomaly monitor, applied to binary metadata. One row per
+    * record: (doc_id, modality, n_bytes, z, outlier).
+    *
+    * 100 TB shape: one map-side-combined aggregation to ≤ #modalities
+    * rows, broadcast back over a map-only scan — payload bytes never
+    * shuffle, only their lengths. */
+  def sizeOutliers(documents: DataFrame): DataFrame = {
+    val sized = records(documents)
+      .select(col("doc_id"), col("modality"),
+        length(col("payload")).cast("long").as("n_bytes"))
+    val stats = sized.groupBy("modality").agg(
+      count(lit(1)).as("n"),
+      sum("n_bytes").as("s1"),
+      sum(col("n_bytes") * col("n_bytes")).as("s2"))
+    val mean = col("s1").cast("double") / col("n")
+    val variance = col("s2").cast("double") / col("n") - mean * mean
+    val z = when(variance > 0,
+      (col("n_bytes").cast("double") - mean) / sqrt(variance))
+      .otherwise(lit(0.0))
+    sized.join(broadcast(stats), "modality")
+      .select(col("doc_id"), col("modality"), col("n_bytes"),
+        z.as("z"), (abs(z) > SizeZMax).as("outlier"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_size_outliers" ->
+      ((s, d) => sizeOutliers(Tables.documents(s, d))),
     "mm_block_dedup" ->
       ((s, d) => blockDedup(Tables.documents(s, d))),
     "mm_binary_stats" ->
@@ -175,6 +209,30 @@ object Multimodal {
     "CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 
   val oracleSql: Map[String, String] = Map(
+    "mm_size_outliers" ->
+      s"""WITH sized AS (SELECT doc_id, $modalityCase AS modality,
+         |     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         |   FROM documents),
+         | stats AS (SELECT modality, COUNT(*) AS n,
+         |     CAST(SUM(n_bytes) AS BIGINT) AS s1,
+         |     CAST(SUM(n_bytes * n_bytes) AS BIGINT) AS s2
+         |   FROM sized GROUP BY 1),
+         | j AS (SELECT d.doc_id, d.modality, d.n_bytes,
+         |     CAST(s.s1 AS DOUBLE) / s.n AS mean,
+         |     CAST(s.s2 AS DOUBLE) / s.n
+         |       - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n)
+         |       AS variance
+         |   FROM sized d JOIN stats s USING (modality))
+         | SELECT doc_id, modality, n_bytes,
+         |   CASE WHEN variance > 0
+         |        THEN (CAST(n_bytes AS DOUBLE) - mean) / sqrt(variance)
+         |        ELSE CAST(0 AS DOUBLE) END AS z,
+         |   CASE WHEN variance > 0
+         |        THEN abs((CAST(n_bytes AS DOUBLE) - mean) / sqrt(variance))
+         |             > $SizeZMax
+         |        ELSE FALSE END AS outlier
+         | FROM j""".stripMargin,
+
     "mm_block_dedup" ->
       s"""WITH hx AS (SELECT doc_id, hex(encode(text)) AS x FROM documents),
          | bl AS (SELECT doc_id, list_distinct(list_transform(

@@ -97,4 +97,23 @@ class MultimodalSpec extends SparkSpec {
     out(2L) shouldBe Seq(0L, 1L, 2L)
     out(3L) shouldBe Seq(0L)
   }
+
+  test("size outliers: a modality's lone giant flags against its own peers only") {
+    // 17 image docs (ids ≡ 0 mod 3): 16 short + 1 giant -> the giant
+    // z-scores at sqrt(16) = 4 within 'image'; the audio docs share a size
+    // and must all stay unflagged (zero variance -> z pinned to 0)
+    val images = (0 until 16).map(i => (i * 3L, "abc"))
+    val giant = Seq((48L, "x" * 500))
+    val audios = Seq((1L, "same size"), (4L, "same size"), (7L, "same size"))
+    val out = Multimodal.sizeOutliers(docs(images ++ giant ++ audios: _*))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getDouble(3), r.getBoolean(4)))).toMap
+    val (mod, z, flag) = out(48L)
+    mod shouldBe "image"
+    z shouldBe 4.0 +- 1e-9
+    flag shouldBe true
+    out(0L)._3 shouldBe false   // short image: inside the band
+    out(0L)._2 should be < 0.0
+    audios.foreach { case (id, _) => out(id) shouldBe (("audio", 0.0, false)) }
+  }
 }
