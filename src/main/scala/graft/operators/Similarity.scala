@@ -415,7 +415,62 @@ object Similarity {
         (-col("cosine_sim")).as("adc_dist"))
   }
 
+  /** IVF+PQ top-k — the composed billion-scale ANN architecture (FAISS's
+    * IVFPQ): coarse quantizer prunes the corpus to the [[NProbe]] probed
+    * lists per query, then ADC scores ONLY those candidates from their
+    * stored PQ codes. Both stages reuse the verified pieces unchanged —
+    * [[ivfTopK]]'s assignment/probing and [[pqAdcTopK]]'s
+    * subspace-ordered ADC fold — so this query is their composition, not
+    * a third implementation. Output: (query_id, neighbor_id, rank,
+    * adc_dist), nearest first, tiebreak min id.
+    *
+    * 100 TB shape: at scale the code table is persisted partitioned by
+    * cent_id, so the probe join prunes to nprobe/nlist of the CODES
+    * (not vectors — 4 bytes each); distance tables broadcast; the
+    * finisher is the bounded top-k aggregator. */
+  def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val full = vectors(spark, sfDir).localCheckpoint(true)
+    val vs = full.select(col("vec_id"), col("v"))
+    val cents = full.where(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = full.join(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cs"))
+    val assign = scored.groupBy("vec_id")
+      .agg(max_by(col("cent_id"),
+        struct(col("cs"), (-col("cent_id")).as("nc"))).as("cent_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy(col("cs").desc, col("cent_id").asc)
+    val probes = scored.where(col("vec_id") < NumQueryVectors)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id"))
+    val cands = assign.join(broadcast(probes), Seq("cent_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    // ADC over the candidate set only: stored codes + broadcast tables
+    val pqCents = pqCodebook(vs)
+    val codes = pqAssign(vs, pqCents)
+      .select(col("vec_id"), col("m"), col("b.code").as("code"))
+    val dt = pqSubDists(
+      vs.where(col("vec_id") < NumQueryVectors)
+        .select(col("vec_id").as("query_id"), col("v")),
+      pqCents).select(col("query_id"), col("m"), col("code"), col("dist").as("qdist"))
+    val adc = cands.join(codes, "vec_id")
+      .join(broadcast(dt), Seq("query_id", "m", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sort_array(collect_list(struct(col("m"), col("qdist")))).as("l"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(col("l"), lit(0.0), (acc, x) => acc + x.getField("qdist"))
+          .as("adc"))
+    graft.functions.TopKByScore
+      .perGroup(adc.select(col("query_id"), col("neighbor_id"),
+        (-col("adc")).as("cosine_sim")), TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (-col("cosine_sim")).as("adc_dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_pq_topk" -> (ivfPqTopK _),
     "sim_pq" -> (pqCodes _),
     "sim_pq_adc_topk" -> (pqAdcTopK _),
     "sim_cosine_topk" -> (cosineTopK _),
@@ -462,6 +517,55 @@ object Similarity {
   // identical element order (Spark sequential aggregate ≡ DuckDB
   // list_dot_product), so the candidate sets match exactly.
   val oracleSql: Map[String, String] = Map(
+    "sim_ivf_pq_topk" ->
+      s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                         CAST(embedding AS DOUBLE[]))) AS nrm
+         |   FROM embeddings),
+         | cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM vs
+         |   WHERE vec_id < $NumCentroids),
+         | scored AS (SELECT vs.vec_id, cent_id,
+         |     list_dot_product(vs.v, cv) / (vs.nrm * cn) AS cs
+         |   FROM vs CROSS JOIN cents),
+         | assign AS (SELECT vec_id, cent_id FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY cs DESC, cent_id ASC) AS rn FROM scored) WHERE rn = 1),
+         | probes AS (SELECT vec_id AS query_id, cent_id FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY cs DESC, cent_id ASC) AS rn FROM scored
+         |   WHERE vec_id < $NumQueryVectors) WHERE rn <= $NProbe),
+         | cands AS (SELECT DISTINCT p.query_id, a.vec_id
+         |   FROM assign a JOIN probes p ON a.cent_id = p.cent_id
+         |   WHERE a.vec_id <> p.query_id),
+         | pqc AS (SELECT CAST(vec_id AS INTEGER) AS code, v AS cv FROM vs
+         |   WHERE vec_id < $PqCodebookSize),
+         | d AS (SELECT vs.vec_id, pqc.code, CAST(t.m AS INTEGER) AS m,
+         |     list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range($PqSubDim),
+         |       i -> (vs.v[CAST(t.m * $PqSubDim + i + 1 AS INTEGER)]
+         |             - pqc.cv[CAST(t.m * $PqSubDim + i + 1 AS INTEGER)])
+         |          * (vs.v[CAST(t.m * $PqSubDim + i + 1 AS INTEGER)]
+         |             - pqc.cv[CAST(t.m * $PqSubDim + i + 1 AS INTEGER)]))),
+         |       (a, b) -> a + b) AS dist
+         |   FROM vs CROSS JOIN pqc CROSS JOIN range($PqSubspaces) t(m)),
+         | best AS (SELECT vec_id, m, code FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |     ORDER BY dist ASC, code ASC) AS rn FROM d) WHERE rn = 1),
+         | dt AS (SELECT vec_id AS query_id, m, code, dist AS qdist FROM d
+         |   WHERE vec_id < $NumQueryVectors),
+         | adc AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+         |     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |       list(dt.qdist ORDER BY dt.m)), (a, b) -> a + b) AS adc
+         |   FROM cands c
+         |   JOIN best b ON b.vec_id = c.vec_id
+         |   JOIN dt ON dt.query_id = c.query_id AND dt.m = b.m
+         |     AND dt.code = b.code
+         |   GROUP BY c.query_id, c.vec_id)
+         | SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+         |   adc AS adc_dist
+         | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY adc ASC, neighbor_id ASC) AS rank FROM adc)
+         | WHERE rank <= $TopK""".stripMargin,
+
     "sim_pq" ->
       s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          | c AS (SELECT CAST(vec_id AS INTEGER) AS code, v AS cv FROM vs

@@ -148,6 +148,26 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.2 // quantized distances: approximate by design
   }
 
+  test("IVF+PQ: well-formed top-k whose ADC distances agree with the full ADC scan") {
+    val rows = Similarity.ivfPqTopK(spark, sfDir).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.size shouldBe Similarity.NumQueryVectors
+    byQuery.values.foreach { g =>
+      g.map(_.getInt(2)).sorted.toSeq shouldBe (1 to Similarity.TopK)
+      val d = g.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+      d shouldBe d.sorted
+    }
+    // composition consistency: a pair surfaced by BOTH paths carries the
+    // identical ADC distance (IVF only prunes candidates, never rescores)
+    val fullAdc = Similarity.pqAdcTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val both = rows.flatMap { r =>
+      fullAdc.get((r.getLong(0), r.getLong(1))).map(_ -> r.getDouble(3))
+    }
+    both should not be empty
+    both.foreach { case (full, ivf) => ivf shouldBe full +- 1e-12 }
+  }
+
   test("product quantization: codebook vectors encode as themselves, loss-free") {
     val rows = Similarity.pqCodes(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
