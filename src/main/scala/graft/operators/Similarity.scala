@@ -125,15 +125,28 @@ object Similarity {
     * Exact cosine on candidates only. Same output shape as [[cosineTopK]];
     * recall < 1 by construction (documented approximation). */
   def annLshTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = vectors(spark, sfDir)
+    annProbe(vs, vs.where(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")))
+  }
+
+  /** The LSH probe core: score a (query_id, qv, qn) batch against a
+    * banded (vec_id, v, nrm) corpus — shared verbatim by the registered
+    * batch query (where the batch is the first [[NumQueryVectors]]
+    * corpus vectors) and [[graft.streaming.StreamingAnnProbe]] (where it
+    * is each micro-batch of a query stream). The query side is the small
+    * side: its banded signatures broadcast, the corpus never shuffles. */
+  def annProbe(corpus: DataFrame, queries: DataFrame): DataFrame = {
     val dim = 64
-    val vs = vectors(spark, sfDir).withColumn("bands", signatureBands(col("v"), dim))
-    val exploded = vs.select(col("vec_id"), col("v"), col("nrm"),
-      posexplode(col("bands"))).withColumnRenamed("pos", "band")
+    val exploded = corpus.withColumn("bands", signatureBands(col("v"), dim))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(col("bands"))).withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bv")
-    val queries = exploded.where(col("vec_id") < NumQueryVectors)
-      .select(col("band"), col("bv"), col("vec_id").as("query_id"),
-        col("v").as("qv"), col("nrm").as("qn"))
-    val cands = exploded.join(broadcast(queries), Seq("band", "bv"))
+    val qBanded = queries.withColumn("bands", signatureBands(col("qv"), dim))
+      .select(col("query_id"), col("qv"), col("qn"),
+        posexplode(col("bands"))).withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bv")
+    val cands = exploded.join(broadcast(qBanded), Seq("band", "bv"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("v"),
         col("nrm"), col("qv"), col("qn"))
@@ -142,6 +155,11 @@ object Similarity {
       (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine_sim"))
     topKPerQuery(scored)
   }
+
+  /** Prepare the static corpus side for [[annProbe]] at its natural
+    * grain (vec_id, v, nrm) — the frame a deployment persists. */
+  def annCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    vectors(spark, sfDir)
 
   /** Embedding-cosine near-dup clustering — the vector-space member of the
     * dedup family (see [[Dedup]] for the text-space ones). Candidates via
