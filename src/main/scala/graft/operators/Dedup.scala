@@ -523,7 +523,45 @@ object Dedup {
       .select("doc_id", "best_match", "best_containment")
   }
 
+  // ---- chunk-grain exact passage dedup -------------------------------------
+
+  /** Repeated-passage detection at the chunk grain — the practical
+    * approximation of substring dedup (Lee et al. 2022 deduplicate exact
+    * substrings; chunk-hash matching catches the same boilerplate/
+    * template passages at a fraction of the cost): every document is cut
+    * into [[Corpus.ChunkTokens]]-token windows at [[Corpus.ChunkStride]]
+    * (the SAME geometry as `corpus_chunk_plan`, shared constants), each
+    * window's token span hashes to int64, and a window is `duplicated`
+    * iff its hash occurs more than once corpus-wide. One row per chunk:
+    * (doc_id, chunk_idx, chunk_hash, n_occurrences, duplicated).
+    *
+    * 100 TB shape: a map-only tokenize+window+hash projection, one
+    * map-side-combined count per distinct hash, and a hash-keyed join
+    * back — the corpus shuffles 8-byte hashes, never text. */
+  def chunkExact(documents: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("long")
+    val lastIdx = when(nTok <= Corpus.ChunkTokens, lit(0L))
+      .otherwise(expr(s"(cast(size(split(text, ' ')) as bigint)" +
+        s" - ${Corpus.ChunkTokens} + ${Corpus.ChunkStride} - 1)" +
+        s" div ${Corpus.ChunkStride}"))
+    val start = col("col") * Corpus.ChunkStride
+    val len = least(lit(Corpus.ChunkTokens.toLong), col("n_tok") - start)
+    val hashed = Tables.spread(documents)
+      .select(col("doc_id"), toks.as("t"), nTok.as("n_tok"),
+        posexplode(sequence(lit(0L), lastIdx)))
+      .select(col("doc_id"), col("col").as("chunk_idx"),
+        h32(concat_ws(" ",
+          slice(col("t"), (start + 1).cast("int"), len.cast("int"))))
+          .as("chunk_hash"))
+    val occ = hashed.groupBy("chunk_hash").agg(count(lit(1)).as("n_occurrences"))
+    hashed.join(occ, "chunk_hash")
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"),
+        col("n_occurrences"), (col("n_occurrences") > 1).as("duplicated"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_chunk_exact"   -> ((s, d) => chunkExact(Tables.documents(s, d))),
     "dedup_exact"         -> ((s, d) => exact(Tables.documents(s, d))),
     "dedup_minhash_lsh"   -> ((s, d) => minhashLsh(Tables.documents(s, d))),
     "dedup_simhash"       -> ((s, d) => simhashDedup(Tables.documents(s, d))),
@@ -613,6 +651,27 @@ object Dedup {
        |   FROM est c JOIN hsd sa ON sa.doc_id = c.a JOIN hsd sb ON sb.doc_id = c.b)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_chunk_exact" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+         |     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |   FROM documents),
+         | c AS (SELECT doc_id, t, n_tok, unnest(range(0,
+         |     CASE WHEN n_tok <= ${Corpus.ChunkTokens} THEN 1
+         |          ELSE (n_tok - ${Corpus.ChunkTokens} + ${Corpus.ChunkStride} - 1)
+         |               // ${Corpus.ChunkStride} + 1
+         |     END)) AS chunk_idx
+         |   FROM d),
+         | h AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |     ${h32SqlOf(s"""array_to_string(t[CAST(chunk_idx * ${Corpus.ChunkStride} + 1 AS INTEGER) :
+           CAST(chunk_idx * ${Corpus.ChunkStride}
+             + LEAST(${Corpus.ChunkTokens}, n_tok - chunk_idx * ${Corpus.ChunkStride}) AS INTEGER)], ' ')""")}
+         |       AS chunk_hash
+         |   FROM c),
+         | occ AS (SELECT chunk_hash, COUNT(*) AS n FROM h GROUP BY 1)
+         | SELECT doc_id, chunk_idx, chunk_hash,
+         |   CAST(occ.n AS BIGINT) AS n_occurrences, occ.n > 1 AS duplicated
+         | FROM h JOIN occ USING (chunk_hash)""".stripMargin,
+
     "dedup_exact" ->
       """SELECT sha256(text) AS content_sha, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
         | CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY sha256(text)""".stripMargin,

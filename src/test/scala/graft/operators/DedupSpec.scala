@@ -125,4 +125,25 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
     jac(2L).get.asInstanceOf[Double] shouldBe (8.0 / 38.0) +- 1e-12
   }
+
+  test("chunk-grain passage dedup flags a lifted 64-token window across documents") {
+    val passage = (1 to Corpus.ChunkTokens).map(i => s"p$i")
+    val tail = (1 to Corpus.ChunkStride).map(i => s"t$i")
+    val other = (1 to 20).map(i => s"o$i")
+    val out = Dedup.chunkExact(docsDf(Seq(
+      1L -> passage.mkString(" "),              // exactly one chunk: the passage
+      2L -> (passage ++ tail).mkString(" "),    // chunk 0 = the same passage
+      9L -> other.mkString(" "))))              // unrelated short doc
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(3), r.getBoolean(4))))
+      .toMap
+    out((1L, 0L)) shouldBe ((2L, true))  // the passage occurs in docs 1 and 2
+    out((2L, 0L)) shouldBe ((2L, true))
+    out((2L, 1L)) shouldBe ((1L, false)) // doc 2's tail window is unique
+    out((9L, 0L)) shouldBe ((1L, false))
+    // geometry matches corpus_chunk_plan: same chunk count per doc
+    val plan = Corpus.chunkPlan(docsDf(Seq(2L -> (passage ++ tail).mkString(" "))))
+      .collect()
+    plan.length shouldBe out.keys.count(_._1 == 2L)
+  }
 }
