@@ -124,6 +124,29 @@ object Corpus {
         (coalesce(col("n_hit_shingles"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** NEAR decontamination — the fuzzy companion of [[decontaminate]]:
+    * exact 8-gram overlap catches verbatim leakage, but a lightly
+    * paraphrased benchmark item shares no exact 8-gram while its 3-gram
+    * Jaccard stays high. Here the held-out eval split is MinHash-indexed
+    * ([[Dedup.buildIndex]] — eval data is small, the index trivially so)
+    * and every training document probes it ([[Dedup.probeIndex]],
+    * verbatim — the same oracle-checked machinery as incremental dedup
+    * with the roles flipped). One row per TRAINING document: (doc_id,
+    * eval_match, match_jaccard, contaminated_near) — nulls/false when
+    * nothing in the eval split clears [[Dedup.JaccardThreshold]].
+    *
+    * 100 TB shape: identical to the ingestion probe — the corpus side
+    * streams through band lookups against the small indexed eval split;
+    * O(corpus) map work, candidate joins bounded by the band caps. */
+  def nearDecontaminate(documents: DataFrame): DataFrame = {
+    val isEval = col("doc_id") % EvalMod === EvalRem
+    val docs = Tables.spread(documents)
+    Dedup.probeIndex(Dedup.buildIndex(docs.where(isEval)), docs.where(!isEval))
+      .select(col("doc_id"), col("match_id").as("eval_match"),
+        col("match_jaccard"),
+        col("match_id").isNotNull.as("contaminated_near"))
+  }
+
   /** Output shard count for [[shardPlan]] (a real corpus build picks
     * shards ≈ corpus_bytes / target_shard_bytes). */
   val NumShards = 32
@@ -282,6 +305,7 @@ object Corpus {
     "sample_stratified" -> ((s, d) => sampleStratified(Tables.documents(s, d))),
     "shard_plan"        -> ((s, d) => shardPlan(Tables.documents(s, d))),
     "corpus_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
+    "corpus_near_decontaminate" -> ((s, d) => nearDecontaminate(Tables.documents(s, d))),
     "corpus_pack_plan"  -> ((s, d) => packPlan(Tables.documents(s, d))),
     "corpus_chunk_plan" -> ((s, d) => chunkPlan(Tables.documents(s, d))),
     "corpus_mix_plan"   -> ((s, d) => mixPlan(Tables.documents(s, d))),
@@ -339,6 +363,37 @@ object Corpus {
          |   CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_hit_shingles,
          |   COALESCE(hits.n, 0) > 0 AS contaminated
          | FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id""".stripMargin,
+
+    // the incremental-minhash oracle chain verbatim with the roles
+    // flipped: corpus side = the eval split, incoming side = training
+    "corpus_near_decontaminate" ->
+      s"""WITH crep AS (SELECT md5(text) AS sha, MIN(doc_id) AS keeper
+         |   FROM documents WHERE doc_id % $EvalMod = $EvalRem GROUP BY md5(text)),
+         | basedocs AS (SELECT doc_id, text FROM documents
+         |     WHERE doc_id % $EvalMod <> $EvalRem
+         |   UNION ALL SELECT d.doc_id, d.text FROM documents d
+         |     JOIN crep ON d.doc_id = crep.keeper),
+         | ${Dedup.shingleWith("basedocs")},
+         | ${Dedup.minhashBandsSqlWith},
+         | cb AS (SELECT * FROM bands WHERE doc_id % $EvalMod = $EvalRem),
+         | ib AS (SELECT * FROM bands WHERE doc_id % $EvalMod <> $EvalRem),
+         | okb AS (SELECT band, bkey FROM cb GROUP BY band, bkey
+         |   HAVING COUNT(*) <= ${Dedup.MaxBandBucket}),
+         | cand AS (SELECT DISTINCT i.doc_id AS a, c.doc_id AS b
+         |   FROM ib i
+         |   JOIN okb o ON i.band = o.band AND i.bkey = o.bkey
+         |   JOIN cb c ON c.band = i.band AND c.bkey = i.bkey),
+         | ${Dedup.sigEstVerSqlWith},
+         | hits AS (SELECT a, b, jaccard FROM ver
+         |   WHERE jaccard >= ${Dedup.JaccardThreshold}),
+         | best AS (SELECT a AS doc_id, b AS eval_match,
+         |     jaccard AS match_jaccard FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY a
+         |     ORDER BY jaccard DESC, b ASC) AS rn FROM hits) WHERE rn = 1)
+         | SELECT d.doc_id, best.eval_match, best.match_jaccard,
+         |   best.eval_match IS NOT NULL AS contaminated_near
+         | FROM (SELECT doc_id FROM documents WHERE doc_id % $EvalMod <> $EvalRem) d
+         | LEFT JOIN best ON d.doc_id = best.doc_id""".stripMargin,
 
     "corpus_pack_plan" ->
       s"""WITH d AS (SELECT doc_id,

@@ -624,7 +624,7 @@ object Dedup {
     * hashed shingle sets → per-seed minima → ordered signatures → banded
     * keys. One SQL mirror of [[signaturePipeline]], shared by the batch
     * and incremental oracles so they cannot drift. */
-  private def minhashBandsSqlWith: String =
+  private[operators] def minhashBandsSqlWith: String =
     s"""hsd AS (SELECT doc_id, list_distinct(list_transform(sh,
        |     s -> ${h32Sql("s")} % $P)) AS sh FROM sh),
        | hsx AS (SELECT doc_id, unnest(sh) AS x FROM hsd),
@@ -640,7 +640,7 @@ object Dedup {
   /** Signature-agreement estimate + exact-Jaccard verify over the `cand`
     * relation — the SQL mirror of [[verifyCandidates]],
     * shared by both MinHash oracles. */
-  private def sigEstVerSqlWith: String =
+  private[operators] def sigEstVerSqlWith: String =
     s"""est AS (SELECT c.a, c.b FROM cand c
        |   JOIN sig x ON x.doc_id = c.a JOIN sig y ON y.doc_id = c.b
        |   WHERE len(list_filter(range(${NumHashes}),

@@ -184,6 +184,20 @@ class CorpusSpec extends SparkSpec {
     out(1L) shouldBe 5L
   }
 
+  test("near decontamination: a lightly-edited eval text is flagged with its match") {
+    val base = (1 to 30).map(i => s"e$i")
+    val out = Corpus.nearDecontaminate(docsDf(Seq(
+      (7L, base.mkString(" "), "en", "web"),                       // eval (7 % 20 = 7)
+      (1L, base.updated(5, "xx").mkString(" "), "en", "web"),      // near-dup of eval
+      (2L, (1 to 30).map(i => s"z$i").mkString(" "), "en", "web")))) // clean
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), r.getBoolean(3)))).toMap
+    out.keySet shouldBe Set(1L, 2L) // eval docs are never reported
+    out(1L)._1 shouldBe Some(7L)
+    out(1L)._2 shouldBe true
+    out(2L) shouldBe ((None, false))
+  }
+
   private def word(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
 
   test("chunk plan: short docs yield one full-coverage chunk") {
