@@ -167,6 +167,30 @@ object Events {
         (col("n_active").cast("double") / col("cohort_size")).as("retention"))
   }
 
+  /** Time-to-convert — the latency companion of [[funnel]]: per user with
+    * any 'view', the first view, the first strictly-later 'purchase', and
+    * the lag between them in seconds (null lag / converted=false when the
+    * user never purchased after first viewing). Exact integer-µs
+    * arithmetic until the final division. One row per viewing user.
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(user) collapsing the
+    * stream to two first-occurrence timestamps — the same single-shuffle
+    * shape as [[funnel]]'s firsts. */
+  def conversionLag(events: DataFrame): DataFrame = {
+    val firstView = min(when(col("event_type") === "view", col("ts")))
+    val firstPurchase = min(when(col("event_type") === "purchase", col("ts")))
+    usEvents(events)
+      .groupBy("user_id")
+      .agg(firstView.as("first_view_us"), firstPurchase.as("first_purchase_us"))
+      .where(col("first_view_us").isNotNull)
+      .select(col("user_id"), col("first_view_us"), col("first_purchase_us"),
+        when(col("first_purchase_us") > col("first_view_us"),
+          (col("first_purchase_us") - col("first_view_us")).cast("double") / 1e6)
+          .as("lag_sec"),
+        (col("first_purchase_us").isNotNull &&
+          col("first_purchase_us") > col("first_view_us")).as("converted"))
+  }
+
   /** Z-score threshold for [[dailyAnomaly]]. */
   val AnomalyZMax = 3.0
 
@@ -273,6 +297,7 @@ object Events {
     "events_daily_rollup"    -> ((s, d) => dailyRollup(Tables.events(s, d))),
     "events_anomaly"         -> ((s, d) => dailyAnomaly(Tables.events(s, d))),
     "events_wau"             -> ((s, d) => rollingActives(Tables.events(s, d))),
+    "events_conversion_lag"  -> ((s, d) => conversionLag(Tables.events(s, d))),
     "events_retention"       -> ((s, d) => retention(Tables.events(s, d))),
     "events_sessionize"    -> ((s, d) => sessionize(Tables.events(s, d))),
     "events_session_stats" -> ((s, d) => sessionStats(Tables.events(s, d))),
@@ -313,6 +338,21 @@ object Events {
          |   CAST(s.cohort_size AS BIGINT) AS cohort_size,
          |   CAST(a.n_active AS DOUBLE) / s.cohort_size AS retention
          | FROM act a JOIN sizes s USING (cohort_day)""".stripMargin,
+
+    "events_conversion_lag" ->
+      s"""WITH f AS (SELECT user_id,
+         |     MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+         |       AS first_view_us,
+         |     MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+         |       AS first_purchase_us
+         |   FROM events GROUP BY user_id)
+         | SELECT user_id, first_view_us, first_purchase_us,
+         |   CASE WHEN first_purchase_us > first_view_us
+         |        THEN CAST(first_purchase_us - first_view_us AS DOUBLE) / 1000000
+         |   END AS lag_sec,
+         |   first_purchase_us IS NOT NULL
+         |     AND first_purchase_us > first_view_us AS converted
+         | FROM f WHERE first_view_us IS NOT NULL""".stripMargin,
 
     "events_wau" ->
       s"""WITH days AS (SELECT DISTINCT user_id,

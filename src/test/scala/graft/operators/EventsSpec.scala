@@ -145,6 +145,23 @@ class EventsSpec extends SparkSpec {
     out.keySet should not contain 15L  // gap days with empty windows: absent
   }
 
+  test("conversion lag: first view to first strictly-later purchase, else unconverted") {
+    val out = Events.conversionLag(eventsDf(Seq(
+      (1L, ns(10), 1L, "view", 0.0, "{}"),
+      (2L, ns(40), 1L, "purchase", 9.0, "{}"),   // 30 min after first view
+      (3L, ns(50), 1L, "purchase", 9.0, "{}"),   // later purchase ignored
+      (4L, ns(5), 2L, "purchase", 9.0, "{}"),    // purchase BEFORE any view
+      (5L, ns(9), 2L, "view", 0.0, "{}"),
+      (6L, ns(3), 3L, "view", 0.0, "{}"),        // never purchases
+      (7L, ns(8), 4L, "purchase", 9.0, "{}"))))  // never views: excluded
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)), r.getBoolean(4)))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L) // user 4 has no view
+    out(1L) shouldBe ((Some(1800.0), true))
+    out(2L) shouldBe ((None, false)) // purchase preceded the first view
+    out(3L) shouldBe ((None, false))
+  }
+
   test("daily anomaly: a spike day z-scores against the type's own baseline") {
     def dns(day: Long, i: Long): Long = day * 86400L * 1000000000L + i * 1000000000L
     // 'view': 16 quiet days of 2 events + one day of 22. A single outlier
