@@ -239,8 +239,7 @@ object Corpus {
   def packPlan(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nTok = size(split(col("text"), " ")).cast("long")
-    val shard = (Dedup.h32(concat(lit("shard:"), col("doc_id").cast("string")))
-      % NumShards).as("shard")
+    val shard = shardCol.as("shard")
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.spread(documents)
