@@ -83,6 +83,26 @@ object Corpus {
       .where(sampleKeep)
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** Sample size for [[sampleFixedN]]. */
+  val FixedSampleN = 200
+
+  /** Deterministic fixed-SIZE uniform sample — the exactly-N companion of
+    * the fixed-rate [[sampleStratified]] (an eval split or annotation
+    * batch needs exactly N documents, not a rate): rank every document by
+    * a salted portable hash (ties by doc_id) and keep the first
+    * [[FixedSampleN]] — a uniform draw without replacement, reproducible
+    * across runs and engines. Output: (doc_id, lang, source).
+    *
+    * 100 TB shape: TakeOrderedAndProject — per-partition heaps of N, no
+    * global sort, no driver-side anything beyond the N winners. */
+  def sampleFixedN(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("lang"), col("source"),
+        Dedup.h32(concat(lit("fix:"), col("doc_id").cast("string"))).as("h"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .limit(FixedSampleN)
+      .select("doc_id", "lang", "source")
+
   /** Deterministic eval/train split for [[decontaminate]]: doc_id ≡
     * [[EvalRem]] (mod [[EvalMod]]) plays the held-out benchmark set (~5%),
     * the rest the training corpus. */
@@ -302,6 +322,7 @@ object Corpus {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean"      -> ((s, d) => clean(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => sampleStratified(Tables.documents(s, d))),
+    "sample_fixed_n"    -> ((s, d) => sampleFixedN(Tables.documents(s, d))),
     "shard_plan"        -> ((s, d) => shardPlan(Tables.documents(s, d))),
     "corpus_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "corpus_near_decontaminate" -> ((s, d) => nearDecontaminate(Tables.documents(s, d))),
@@ -337,6 +358,12 @@ object Corpus {
       s"""SELECT doc_id, lang, source FROM documents
          | WHERE ('0x' || substring(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
          |   < (CASE $ratesCaseSql ELSE $DefaultRatePerMille END)""".stripMargin,
+
+    "sample_fixed_n" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         | ORDER BY ('0x' || substring(md5('fix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+         |   doc_id ASC
+         | LIMIT $FixedSampleN""".stripMargin,
 
     "shard_plan" ->
       s"""SELECT ('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

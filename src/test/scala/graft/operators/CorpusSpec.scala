@@ -198,6 +198,20 @@ class CorpusSpec extends SparkSpec {
     out(2L) shouldBe ((None, false))
   }
 
+  test("fixed-N sample: exactly N, deterministic, insensitive to row order") {
+    val rows = (0L until 1000L).map(i => (i, s"doc $i", "en", "web"))
+    val a = Corpus.sampleFixedN(docsDf(rows)).collect().map(_.getLong(0)).toSet
+    val b = Corpus.sampleFixedN(docsDf(scala.util.Random.shuffle(rows)))
+      .collect().map(_.getLong(0)).toSet
+    a.size shouldBe Corpus.FixedSampleN
+    b shouldBe a // membership depends on content hashes, not input order
+    // a proper subset rule: growing the corpus can only displace winners,
+    // never change the ranking of survivors
+    val grown = Corpus.sampleFixedN(docsDf(rows ++ (1000L until 1200L)
+      .map(i => (i, s"doc $i", "en", "web")))).collect().map(_.getLong(0)).toSet
+    (grown -- a).size shouldBe (a -- grown).size // displaced one-for-one
+  }
+
   private def word(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
 
   test("chunk plan: short docs yield one full-coverage chunk") {
