@@ -193,6 +193,28 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Window" // rolling distinct via explode, not a frame
   }
 
+  test("dedup_chunk_exact: map-only window hashing, two-phase count, no window frame") {
+    val p = planOf("dedup_chunk_exact")
+    p should include("Generate")      // the per-row chunk explode
+    p should include("partial_count") // per-hash occurrence count map-side combined
+    p should not include "Window"
+    p should not include "CartesianProduct"
+  }
+
+  test("sample_fixed_n: hash-ranked head is TakeOrderedAndProject, no global sort") {
+    val p = planOf("sample_fixed_n")
+    p should include("TakeOrderedAndProject")
+    p should not include "Exchange rangepartitioning"
+  }
+
+  test("text_vocab_coverage: vocabulary head broadcasts into the token scan") {
+    val p = planOf("text_vocab_coverage")
+    p should include("TakeOrderedAndProject") // the vocab head
+    p should include("BroadcastHashJoin")     // vocab joins map-side
+    p should include("partial_count")
+    p should not include "SortMergeJoin"
+  }
+
   test("text_zipf: head extraction is TakeOrderedAndProject, never a global sort") {
     val p = planOf("text_zipf")
     p should include("TakeOrderedAndProject")
