@@ -177,18 +177,23 @@ object Events {
     * stream to two first-occurrence timestamps — the same single-shuffle
     * shape as [[funnel]]'s firsts. */
   def conversionLag(events: DataFrame): DataFrame = {
-    val firstView = min(when(col("event_type") === "view", col("ts")))
-    val firstPurchase = min(when(col("event_type") === "purchase", col("ts")))
+    // first view via a per-user window FIRST, so the purchase aggregate
+    // can condition on it: "first purchase overall" would misclassify a
+    // user who purchased before ever viewing and again after (their
+    // post-view conversion must still count)
+    val fv = min(when(col("event_type") === "view", col("ts")))
+      .over(Window.partitionBy("user_id"))
     usEvents(events)
+      .withColumn("fv", fv)
+      .where(col("fv").isNotNull)
       .groupBy("user_id")
-      .agg(firstView.as("first_view_us"), firstPurchase.as("first_purchase_us"))
-      .where(col("first_view_us").isNotNull)
+      .agg(min(col("fv")).as("first_view_us"),
+        min(when(col("event_type") === "purchase" && col("ts") > col("fv"),
+          col("ts"))).as("first_purchase_us"))
       .select(col("user_id"), col("first_view_us"), col("first_purchase_us"),
-        when(col("first_purchase_us") > col("first_view_us"),
-          (col("first_purchase_us") - col("first_view_us")).cast("double") / 1e6)
+        ((col("first_purchase_us") - col("first_view_us")).cast("double") / 1e6)
           .as("lag_sec"),
-        (col("first_purchase_us").isNotNull &&
-          col("first_purchase_us") > col("first_view_us")).as("converted"))
+        col("first_purchase_us").isNotNull.as("converted"))
   }
 
   /** Z-score threshold for [[dailyAnomaly]]. */
@@ -340,19 +345,19 @@ object Events {
          | FROM act a JOIN sizes s USING (cohort_day)""".stripMargin,
 
     "events_conversion_lag" ->
-      s"""WITH f AS (SELECT user_id,
-         |     MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
-         |       AS first_view_us,
-         |     MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
+         | f AS (SELECT user_id, event_type, ts,
+         |     MIN(CASE WHEN event_type = 'view' THEN ts END)
+         |       OVER (PARTITION BY user_id) AS fv
+         |   FROM ev),
+         | g AS (SELECT user_id, MIN(fv) AS first_view_us,
+         |     MIN(CASE WHEN event_type = 'purchase' AND ts > fv THEN ts END)
          |       AS first_purchase_us
-         |   FROM events GROUP BY user_id)
+         |   FROM f WHERE fv IS NOT NULL GROUP BY user_id)
          | SELECT user_id, first_view_us, first_purchase_us,
-         |   CASE WHEN first_purchase_us > first_view_us
-         |        THEN CAST(first_purchase_us - first_view_us AS DOUBLE) / 1000000
-         |   END AS lag_sec,
-         |   first_purchase_us IS NOT NULL
-         |     AND first_purchase_us > first_view_us AS converted
-         | FROM f WHERE first_view_us IS NOT NULL""".stripMargin,
+         |   CAST(first_purchase_us - first_view_us AS DOUBLE) / 1000000 AS lag_sec,
+         |   first_purchase_us IS NOT NULL AS converted
+         | FROM g""".stripMargin,
 
     "events_wau" ->
       s"""WITH days AS (SELECT DISTINCT user_id,

@@ -145,20 +145,22 @@ class EventsSpec extends SparkSpec {
     out.keySet should not contain 15L  // gap days with empty windows: absent
   }
 
-  test("conversion lag: first view to first strictly-later purchase, else unconverted") {
+  test("conversion lag: first view to first strictly-LATER purchase, else unconverted") {
     val out = Events.conversionLag(eventsDf(Seq(
       (1L, ns(10), 1L, "view", 0.0, "{}"),
       (2L, ns(40), 1L, "purchase", 9.0, "{}"),   // 30 min after first view
       (3L, ns(50), 1L, "purchase", 9.0, "{}"),   // later purchase ignored
-      (4L, ns(5), 2L, "purchase", 9.0, "{}"),    // purchase BEFORE any view
+      (4L, ns(5), 2L, "purchase", 9.0, "{}"),    // pre-view purchase: not a conversion
       (5L, ns(9), 2L, "view", 0.0, "{}"),
+      (8L, ns(40), 2L, "purchase", 9.0, "{}"),   // ...but this one is (31 min)
       (6L, ns(3), 3L, "view", 0.0, "{}"),        // never purchases
       (7L, ns(8), 4L, "purchase", 9.0, "{}"))))  // never views: excluded
       .collect().map(r => r.getLong(0) ->
         ((Option(r.get(3)), r.getBoolean(4)))).toMap
     out.keySet shouldBe Set(1L, 2L, 3L) // user 4 has no view
     out(1L) shouldBe ((Some(1800.0), true))
-    out(2L) shouldBe ((None, false)) // purchase preceded the first view
+    // the pre-view purchase must NOT hide the later real conversion
+    out(2L) shouldBe ((Some((40 - 9) * 60.0), true))
     out(3L) shouldBe ((None, false))
   }
 
