@@ -537,7 +537,11 @@ object Dedup {
     *
     * 100 TB shape: a map-only tokenize+window+hash projection, one
     * map-side-combined count per distinct hash, and a hash-keyed join
-    * back — the corpus shuffles 8-byte hashes, never text. */
+    * back — the corpus shuffles 8-byte hashes, never text. The 32-bit
+    * [[h32]] is the ORACLE-portability choice; at real corpus scale
+    * (billions of windows) the swap-in is a 128-bit hash (e.g.
+    * xxhash128/sha prefix) so birthday collisions cannot manufacture
+    * false duplicates — nothing else in the plan changes. */
   def chunkExact(documents: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val nTok = size(toks).cast("long")
