@@ -28,6 +28,11 @@ object Bench {
       // codegen (default maxFields=100 would drop that stage to the
       // interpreted path)
       .config("spark.sql.codegen.maxFields", "200")
+      // NOTE: adaptive.coalescePartitions.parallelismFirst stays at its
+      // default (true): the dedup pipelines are CPU-dense per row
+      // (md5-shingling, signatures), so coalescing their small shuffles
+      // to few tasks serializes real work — measured 20.6 s → 31.3 s on
+      // the fuzzy-dedup subset at sf0.1
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
