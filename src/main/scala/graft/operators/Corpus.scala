@@ -103,6 +103,28 @@ object Corpus {
       .limit(FixedSampleN)
       .select("doc_id", "lang", "source")
 
+  /** Per-stratum sample size for [[sampleStratifiedN]]. */
+  val PerStratumN = 40
+
+  /** Per-stratum exactly-K sampling — the balanced-split builder (equal
+    * representation per language regardless of corpus skew): within each
+    * `lang`, keep the [[PerStratumN]] documents with the smallest salted
+    * hash (ties doc_id-asc). Deterministic, order-insensitive, and
+    * bounded: the per-group top-k runs through the SAME
+    * [[graft.functions.TopKByScore]] aggregator the similarity family
+    * uses — map-side partial aggregation keeps ≤K candidates per
+    * (partition, lang) before the one shuffle, so no stratum ever sorts
+    * more than K elements at once. Output: (lang, doc_id, rank). */
+  def sampleStratifiedN(documents: DataFrame): DataFrame =
+    graft.functions.TopKByScore.perGroup(
+      documents.select(col("lang"),
+        col("doc_id").as("neighbor_id"),
+        // negated hash: the aggregator keeps the HIGHEST scores
+        (-Dedup.h32(concat(lit("fixs:"), col("doc_id").cast("string"))))
+          .cast("double").as("cosine_sim")),
+      PerStratumN, groupCol = "lang")
+      .select(col("lang"), col("neighbor_id").as("doc_id"), col("rank"))
+
   /** Deterministic eval/train split for [[decontaminate]]: doc_id ≡
     * [[EvalRem]] (mod [[EvalMod]]) plays the held-out benchmark set (~5%),
     * the rest the training corpus. */
@@ -323,6 +345,7 @@ object Corpus {
     "corpus_clean"      -> ((s, d) => clean(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => sampleStratified(Tables.documents(s, d))),
     "sample_fixed_n"    -> ((s, d) => sampleFixedN(Tables.documents(s, d))),
+    "sample_stratified_n" -> ((s, d) => sampleStratifiedN(Tables.documents(s, d))),
     "shard_plan"        -> ((s, d) => shardPlan(Tables.documents(s, d))),
     "corpus_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "corpus_near_decontaminate" -> ((s, d) => nearDecontaminate(Tables.documents(s, d))),
@@ -364,6 +387,14 @@ object Corpus {
          | ORDER BY ('0x' || substring(md5('fix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
          |   doc_id ASC
          | LIMIT $FixedSampleN""".stripMargin,
+
+    "sample_stratified_n" ->
+      s"""SELECT lang, doc_id, CAST(rank AS INTEGER) AS rank FROM (
+         | SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+         |   ORDER BY ('0x' || substring(md5('fixs:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+         |     doc_id ASC) AS rank
+         | FROM documents)
+         | WHERE rank <= $PerStratumN""".stripMargin,
 
     "shard_plan" ->
       s"""SELECT ('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

@@ -213,6 +213,21 @@ class CorpusSpec extends SparkSpec {
     grown.filter(_ < 1000L).subsetOf(a) shouldBe true
   }
 
+  test("per-stratum exactly-K: every language gets K rows despite corpus skew") {
+    val rows = (0L until 900L).map(i => (i, s"doc $i", "en", "web")) ++   // huge
+      (900L until 960L).map(i => (i, s"doc $i", "de", "web")) ++          // medium
+      (960L until 1000L).map(i => (i, s"doc $i", "fr", "web"))            // exactly K
+    val out = Corpus.sampleStratifiedN(docsDf(rows)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val byLang = out.groupBy(_._1)
+    byLang("en").length shouldBe Corpus.PerStratumN
+    byLang("de").length shouldBe Corpus.PerStratumN
+    byLang("fr").length shouldBe Corpus.PerStratumN // the whole stratum
+    byLang("fr").map(_._2).toSet shouldBe (960L until 1000L).toSet
+    // ranks dense 1..K per stratum
+    byLang.values.foreach(_.map(_._3).sorted.toSeq shouldBe (1 to Corpus.PerStratumN))
+  }
+
   private def word(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
 
   test("chunk plan: short docs yield one full-coverage chunk") {

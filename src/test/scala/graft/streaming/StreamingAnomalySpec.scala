@@ -71,6 +71,26 @@ class StreamingAnomalySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("out-of-order arrival: late batches for earlier days merge identically") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val monitor = new StreamingAnomaly()
+    val q = monitor.run(in.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      Files.createTempDirectory("graft-sanomaly-").toString) { (_, _) => () }
+    try {
+      // the spike day arrives FIRST, then the quiet history in reverse
+      in.addData(spike)
+      q.processAllAvailable()
+      in.addData(quiet.reverse)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = Events.dailyAnomaly((quiet ++ spike)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assertSameRows(monitor.scored.get, batch) // counts are additive: order-free
+  }
+
   test("warm restart: a monitor seeded with persisted state continues exactly") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
