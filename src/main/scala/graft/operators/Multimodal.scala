@@ -190,7 +190,24 @@ object Multimodal {
         z.as("z"), (abs(z) > SizeZMax).as("outlier"))
   }
 
+  /** The composed multimodal ingest, end to end: the size-outlier gate
+    * drops suspect payloads BEFORE the (expensive) decode stage ever
+    * touches them, survivors decode per-partition, and the resize plan
+    * runs over the decoded dims — one registered query proving the
+    * stages compose (the corpus-family analog is `corpus_e2e`).
+    *
+    * 100 TB shape: the gate is the cheap stats-broadcast scan
+    * ([[sizeOutliers]]), so the decode — the dominant cost in a real
+    * multimodal build — runs on gated survivors only; everything else is
+    * partition-local. */
+  def endToEnd(documents: DataFrame): DataFrame = {
+    val kept = sizeOutliers(documents).where(!col("outlier")).select("doc_id")
+    resizePlan(decodeFeatures(recordsDs(documents.join(kept, "doc_id"))).toDF())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_e2e" ->
+      ((s, d) => endToEnd(Tables.documents(s, d))),
     "mm_size_outliers" ->
       ((s, d) => sizeOutliers(Tables.documents(s, d))),
     "mm_block_dedup" ->
@@ -209,6 +226,40 @@ object Multimodal {
     "CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 
   val oracleSql: Map[String, String] = Map(
+    "mm_e2e" ->
+      s"""WITH sized AS (SELECT doc_id, $modalityCase AS modality,
+         |     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         |   FROM documents),
+         | stats AS (SELECT modality, COUNT(*) AS n,
+         |     CAST(SUM(n_bytes) AS BIGINT) AS s1,
+         |     CAST(SUM(n_bytes * n_bytes) AS BIGINT) AS s2
+         |   FROM sized GROUP BY 1),
+         | jz AS (SELECT d.doc_id, d.n_bytes,
+         |     CAST(s.s1 AS DOUBLE) / s.n AS mean,
+         |     CAST(s.s2 AS DOUBLE) / s.n
+         |       - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n)
+         |       AS variance
+         |   FROM sized d JOIN stats s USING (modality)),
+         | kept AS (SELECT doc_id FROM jz
+         |   WHERE NOT (CASE WHEN variance > 0
+         |     THEN abs((CAST(n_bytes AS DOUBLE) - mean) / sqrt(variance))
+         |          > $SizeZMax
+         |     ELSE FALSE END)),
+         | h AS (SELECT d.doc_id,
+         |     ('0x' || substring(md5(d.text), 1, 8))::BIGINT AS h
+         |   FROM documents d JOIN kept USING (doc_id)),
+         | dd AS (SELECT doc_id, $modalityCase AS modality,
+         |   CAST(h % 1920 + 1 AS INTEGER) AS width,
+         |   CAST(h % 1080 + 1 AS INTEGER) AS height FROM h)
+         | SELECT doc_id, modality, width, height,
+         |  CAST(CASE WHEN GREATEST(width, height) > $ResizeBox
+         |    THEN GREATEST(1, (width * $ResizeBox) // GREATEST(width, height))
+         |    ELSE width END AS INTEGER) AS out_width,
+         |  CAST(CASE WHEN GREATEST(width, height) > $ResizeBox
+         |    THEN GREATEST(1, (height * $ResizeBox) // GREATEST(width, height))
+         |    ELSE height END AS INTEGER) AS out_height
+         | FROM dd""".stripMargin,
+
     "mm_size_outliers" ->
       s"""WITH sized AS (SELECT doc_id, $modalityCase AS modality,
          |     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

@@ -98,6 +98,19 @@ class MultimodalSpec extends SparkSpec {
     out(3L) shouldBe Seq(0L)
   }
 
+  test("mm e2e: the size gate keeps outliers out of the decode + resize stages") {
+    val images = (0 until 16).map(i => (i * 3L, "abc"))
+    val giant = Seq((48L, "x" * 500))
+    val out = Multimodal.endToEnd(docs(images ++ giant: _*)).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(4), r.getInt(5)))).toMap
+    out.keySet shouldBe images.map(_._1).toSet // the giant never decodes
+    // survivors carry real resize plans within the box
+    out.values.foreach { case (w, h) =>
+      w should (be >= 1 and be <= Multimodal.ResizeBox)
+      h should (be >= 1 and be <= Multimodal.ResizeBox)
+    }
+  }
+
   test("size outliers: a modality's lone giant flags against its own peers only") {
     // 17 image docs (ids ≡ 0 mod 3): 16 short + 1 giant -> the giant
     // z-scores at sqrt(16) = 4 within 'image'; the audio docs share a size
