@@ -487,6 +487,31 @@ object Similarity {
         (-col("cosine_sim")).as("adc_dist"))
   }
 
+  /** Persist the IVF+PQ index artifact: one row per (vector, subspace)
+    * with its code, PARTITIONED by the vector's coarse centroid — the
+    * layout [[ivfPqTopK]]'s scale note promises: a probe restricted to
+    * nprobe lists prunes to those cent_id directories at planning time
+    * and never reads the rest (pinned in `PqCodeTableSpec`, the
+    * [[graft.operators.Corpus.writeSharded]] pattern applied to the ANN
+    * index). Columns: (vec_id, m, code, cent_id). */
+  def writeCodeTable(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val full = vectors(spark, sfDir).localCheckpoint(true)
+    val vs = full.select(col("vec_id"), col("v"))
+    val cents = full.where(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val assign = full.join(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cs"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"),
+        struct(col("cs"), (-col("cent_id")).as("nc"))).as("cent_id"))
+    pqAssign(vs, pqCodebook(vs))
+      .select(col("vec_id"), col("m"), col("b.code").as("code"))
+      .join(assign, "vec_id")
+      .repartition(col("cent_id"))
+      .write.partitionBy("cent_id").mode("overwrite").parquet(outDir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_pq_topk" -> (ivfPqTopK _),
     "sim_pq" -> (pqCodes _),
