@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, HashedShingles, MinHashSignatures, RepetitionStats, SimHash60}
+import graft.functions.{DotProduct, HashedShingles, MinHashSignatures, RepetitionStats, SigAgreement, SimHash60}
 
 /** Session extensions for the engine's native expressions — wire with
   * `spark.sql.extensions=graft.GraftExtensions` (or pass to
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhashFunction)
     ext.injectFunction(GraftExtensions.repetitionFunction)
     ext.injectFunction(GraftExtensions.shinglesFunction)
+    ext.injectFunction(GraftExtensions.sigAgreementFunction)
   }
 }
 
@@ -44,6 +45,12 @@ object GraftExtensions {
     (FunctionIdentifier("graft_repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "graft_repetition_stats"),
       (exprs: Seq[Expression]) => RepetitionStats(exprs.head))
+
+  /** `graft_sig_agreement(array<long>, array<long>) -> int` ([[SigAgreement]]). */
+  val sigAgreementFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_sig_agreement"),
+      new ExpressionInfo(classOf[SigAgreement].getName, "graft_sig_agreement"),
+      (exprs: Seq[Expression]) => SigAgreement(exprs.head, exprs(1)))
 
   /** `graft_hashed_shingles(string, k) -> array<long>` ([[HashedShingles]]).
     * k must be a foldable int literal. */

@@ -300,6 +300,57 @@ object RepetitionStats {
     bridge.column(RepetitionStats(bridge.expression(tokens)))
 }
 
+/** Native signature-agreement count: two `array<long>` MinHash signatures
+  * → int, the number of positions where they agree. The estimator behind
+  * the dedup verify pre-filter (agreement/128 estimates Jaccard): per
+  * CANDIDATE PAIR work, so at corpus scale it runs millions of times per
+  * query — the interpreted `aggregate(zip_with(...))` fold it replaces
+  * allocated a lambda frame per element per pair. Same values, so every
+  * oracle's `len(list_filter(range(n), i -> a[i+1] = b[i+1]))` mirror is
+  * unchanged. */
+case class SigAgreement(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<long>, array<long>), got $other")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_sig_agreement"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SigAgreement.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SigAgreement.count($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgreement =
+    copy(left = newLeft, right = newRight)
+}
+
+object SigAgreement {
+  /** Shared by eval and generated code. */
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Column-DSL entry point. */
+  def of(a: Column, b: Column): Column =
+    bridge.column(SigAgreement(bridge.expression(a), bridge.expression(b)))
+}
+
 /** Native 60-bit SimHash: `array<string>` tokens → long. Per token,
   * h = h60(md5) and each of the 60 bit positions votes +1/-1 by the bit of
   * h; positive vote totals set the result bit. Duplicates count, as in the

@@ -274,9 +274,10 @@ object Dedup {
         col("sig").as("siga"), col("sh").as("sha")), "a")
       .join(bSide.select(col("doc_id").as("b"),
         col("sig").as("sigb"), col("sh").as("shb")), "b")
-      .where(aggregate(zip_with(col("siga"), col("sigb"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v) >= MinSigMatches)
+      // native agreement count (round 6): per-pair work — the interpreted
+      // zip_with/aggregate fold this replaces allocated per element per pair
+      .where(graft.functions.SigAgreement.of(col("siga"), col("sigb"))
+        >= MinSigMatches)
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .select(col("a"), col("b"),
         (col("inter").cast("double") /

@@ -133,4 +133,25 @@ class SketchesSpec extends SparkSpec {
     r.getLong(0) shouldBe refMinhash(Seq(1L, 2L)).head
     r.getLong(1) shouldBe refSimhash(Seq("a"))
   }
+
+  test("sig agreement counts equal positions, codegen and eval paths alike") {
+    val sp = spark; import sp.implicits._
+    val cases = (1 to 20).map { _ =>
+      val n = 128
+      val a = Seq.fill(n)(rnd.nextLong().abs % 1000)
+      // perturb a random subset so agreement varies across the full range
+      val flips = rnd.nextInt(n + 1)
+      val idx = rnd.shuffle((0 until n).toList).take(flips).toSet
+      val b = a.zipWithIndex.map { case (v, i) => if (idx(i)) v + 1 else v }
+      (a, b, a.zip(b).count { case (x, y) => x == y })
+    }
+    val out = cases.toDF("a", "b", "expect")
+      .select(SigAgreement.of(col("a"), col("b")).as("got"), col("expect"))
+      .collect()
+    out.foreach(r => r.getInt(0) shouldBe r.getInt(1))
+    // degenerate: unequal lengths count over the shorter prefix
+    val short = Seq((Seq(1L, 2L, 3L), Seq(1L, 9L))).toDF("a", "b")
+      .select(SigAgreement.of(col("a"), col("b"))).collect()(0).getInt(0)
+    short shouldBe 1
+  }
 }
