@@ -143,11 +143,12 @@ object MinHashSignatures {
   * base-conversion chain, and the lambda machinery allocates per element.
   * Shingling is a per-row pure function, so it belongs in one codegen'd
   * call: split once, one `MessageDigest` per row, digest bytes → long
-  * directly (no hex round-trip). Bit-for-bit the same values as the
-  * declarative form — split on single spaces keeping empties (Java
-  * `split(" ", -1)` ≡ Spark `split(text, " ")`), shingles joined with one
-  * space, first-occurrence-ordered distinct — so every DuckDB oracle is
-  * unchanged.
+  * directly (no hex round-trip). The same value SET as the declarative
+  * form — split on single spaces keeping empties (Java `split(" ", -1)`
+  * ≡ Spark `split(text, " ")`), shingles joined with one space,
+  * distinct — emitted SORTED ascending (no consumer is order-sensitive;
+  * sortedness enables [[SortedIntersectCount]]'s allocation-free merge),
+  * so every DuckDB oracle is unchanged.
   *
   * Docs shorter than k tokens fall back to the whole text as a single
   * shingle (same as the declarative form's `otherwise(array(text))`).
@@ -175,7 +176,11 @@ case class HashedShingles(child: Expression, k: Int) extends UnaryExpression {
 
 object HashedShingles {
 
-  /** Shared by eval and generated code: tokenize, shingle, hash, distinct. */
+  /** Shared by eval and generated code: tokenize, shingle, hash, distinct.
+    * The result is SORTED ascending (round 6): no consumer depends on
+    * shingle order (signatures min-fold, set intersections, explodes),
+    * and a sorted representation lets [[SortedIntersectCount]] intersect
+    * candidate pairs by linear merge instead of a per-pair hash set. */
   def ofText(text: UTF8String, k: Int): ArrayData = {
     val md = MessageDigest.getInstance("MD5")
     def h32mod(bytes: Array[Byte]): Long = {
@@ -187,7 +192,7 @@ object HashedShingles {
     val toks = text.toString.split(" ", -1)
     if (toks.length < k)
       return UnsafeArrayData.fromPrimitiveArray(Array(h32mod(text.getBytes)))
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val seen = new java.util.TreeSet[java.lang.Long]()
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i <= toks.length - k) {
@@ -349,6 +354,62 @@ object SigAgreement {
   /** Column-DSL entry point. */
   def of(a: Column, b: Column): Column =
     bridge.column(SigAgreement(bridge.expression(a), bridge.expression(b)))
+}
+
+/** Native intersection size of two SORTED distinct `array<long>`s → int,
+  * by linear merge — the exact-verify core of every fuzzy dedup, run once
+  * per candidate pair. Spark's `array_intersect` builds a hash set per
+  * row; on sorted inputs (which [[HashedShingles]] and the block-hash
+  * producer guarantee) the merge does the same count allocation-free.
+  * Values are identical to `size(array_intersect(a, b))` on distinct
+  * inputs, so every oracle's `len(list_intersect(...))` mirror is
+  * unchanged. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<long>, array<long>), got $other")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersectCount.count($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  /** Shared by eval and generated code. Inputs must be sorted ascending. */
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Column-DSL entry point. */
+  def of(a: Column, b: Column): Column =
+    bridge.column(SortedIntersectCount(bridge.expression(a), bridge.expression(b)))
 }
 
 /** Native 60-bit SimHash: `array<string>` tokens → long. Per token,

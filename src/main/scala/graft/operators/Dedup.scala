@@ -278,7 +278,8 @@ object Dedup {
       // zip_with/aggregate fold this replaces allocated per element per pair
       .where(graft.functions.SigAgreement.of(col("siga"), col("sigb"))
         >= MinSigMatches)
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.of(col("sha"), col("shb")))
       .select(col("a"), col("b"),
         (col("inter").cast("double") /
           (size(col("sha")) + size(col("shb")) - col("inter"))).as("jaccard"))
@@ -289,7 +290,8 @@ object Dedup {
     cand
       .join(docs.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
       .join(docs.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.of(col("sha"), col("shb")))
       .select(col("a"), col("b"),
         (col("inter").cast("double") /
           (size(col("sha")) + size(col("shb")) - col("inter"))).as("jaccard"))
@@ -509,7 +511,8 @@ object Dedup {
     val ver = dfCappedCandidates(docs)
       .join(docs.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
       .join(docs.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.of(col("sha"), col("shb")))
       .select(col("a"), col("b"),
         (col("inter").cast("double") / size(col("sha"))).as("c_ab"),
         (col("inter").cast("double") / size(col("shb"))).as("c_ba"))

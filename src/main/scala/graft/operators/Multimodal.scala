@@ -140,9 +140,11 @@ object Multimodal {
     * [[Dedup.h32]] family. */
   def blockHashes(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val hx = hex(payload)
-    array_distinct(transform(
+    // sorted: Dedup.bestMatchBySets intersects these by linear merge
+    // (SortedIntersectCount) — order carries no information here
+    sort_array(array_distinct(transform(
       sequence(lit(0), ceil(length(hx).cast("double") / BlockHexChars).cast("int") - 1),
-      i => Dedup.h32(hx.substr(i * BlockHexChars + 1, lit(BlockHexChars))) % Dedup.P))
+      i => Dedup.h32(hx.substr(i * BlockHexChars + 1, lit(BlockHexChars))) % Dedup.P)))
   }
 
   /** Binary near-dup best match — the multimodal member of the dedup

@@ -94,11 +94,13 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
-  test("graft_hashed_shingles matches the declarative HOF formulation exactly") {
+  test("graft_hashed_shingles matches the declarative HOF formulation as a sorted set") {
     val sp = spark; import sp.implicits._
     // the declarative form the native expression replaced — and the form
     // every DuckDB oracle mirrors: split(" "), k-gram concat_ws(" "),
-    // distinct strings, h32 % P, distinct hashes, first-occurrence order
+    // distinct strings, h32 % P, distinct hashes. The native expression
+    // emits the SAME set SORTED ascending (no consumer is
+    // order-sensitive; sortedness feeds the merge-based intersect).
     def declarative(text: org.apache.spark.sql.Column, k: Int) =
       array_distinct(transform(graft.operators.Dedup.wordShingles(text, k),
         s => graft.operators.Dedup.h32(s) % MinHashSeeds.P))
@@ -114,9 +116,27 @@ class SketchesSpec extends SparkSpec {
       val exp = df.select(declarative(col("text"), k)).collect()
         .map(_.getSeq[Long](0))
       got.zip(exp).zip(texts).foreach { case ((g, e), t) =>
-        withClue(s"k=$k text=${t.take(40)}: ") { g shouldBe e }
+        withClue(s"k=$k text=${t.take(40)}: ") {
+          g shouldBe e.sorted // same set, sorted contract
+          g.toSeq shouldBe g.sorted.toSeq
+        }
       }
     }
+  }
+
+  test("sorted intersect count equals the set-intersection size on random inputs") {
+    val sp = spark; import sp.implicits._
+    val cases = (1 to 50).map { _ =>
+      val a = (0 until rnd.nextInt(60)).map(_ => rnd.nextLong().abs % 100L)
+        .distinct.sorted
+      val b = (0 until rnd.nextInt(60)).map(_ => rnd.nextLong().abs % 100L)
+        .distinct.sorted
+      (a, b, a.toSet.intersect(b.toSet).size)
+    }
+    val out = cases.toDF("a", "b", "expect")
+      .select(SortedIntersectCount.of(col("a"), col("b")).as("got"), col("expect"))
+      .collect()
+    out.foreach(r => r.getInt(0) shouldBe r.getInt(1))
   }
 
   test("the expressions are SQL-registered via GraftExtensions") {
