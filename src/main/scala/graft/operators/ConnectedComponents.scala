@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.engine.Staging
+
 /** Connected components by alternating large-star / small-star contraction
   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
   * SoCC'14) — the algorithm GraphFrames ships for the same job. All
@@ -35,10 +37,13 @@ object ConnectedComponents {
     * label = own id. Output: (id, component). */
   def minLabel(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     // canonical undirected edge set: u < v, no self loops
-    var e = edges.where(col("a") =!= col("b"))
+    // stageIterative, not stage: each round's plan builds on the last, so
+    // lineage MUST truncate (under the `persist` policy a kept lineage
+    // would grow the logical plan round over round)
+    var e = Staging.stageIterative(edges.where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"),
               greatest(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint(true)
+      .distinct())
     var eCnt = e.count()
     val verts = e.select(col("u").as("id"))
       .unionAll(e.select(col("v").as("id")))
@@ -64,11 +69,11 @@ object ConnectedComponents {
       // checkpoint job plus a count (latency matters: rounds are few but
       // driver-side).
       val mn2 = ls.groupBy("v").agg(min("u").as("m")) // m < v
-      val newE = mn2.select(col("m").as("u"), col("v"))
+      val newE = Staging.stageIterative(mn2.select(col("m").as("u"), col("v"))
         .unionAll(ls.join(mn2, "v")
           .select(col("m").as("u"), ls("u").as("v"))
           .where(col("u") =!= col("v")))
-        .distinct().localCheckpoint(true)
+        .distinct())
       val newCnt = newE.count()
       // fixpoint = the star forest (both stars leave it unchanged); the
       // exact set-equality check only runs once counts stabilize

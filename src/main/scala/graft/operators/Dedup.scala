@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.engine.Staging
 import graft.functions.{MinHashSeeds, MinHashSignatures, SimHash60}
 import graft.sources.Tables
 
@@ -206,7 +207,7 @@ object Dedup {
     * (doc_id, cluster_id, n_dups). */
   def minhashLsh(documents: DataFrame): DataFrame = {
     val docs = Tables.spread(documents)
-    val dr = docReps(docs).localCheckpoint(true)
+    val dr = Staging.stage(docReps(docs))
     val (withSig, bands) = signaturePipeline(repDocs(docs, dr))
     val cand = cappedBandPairs(bands)
     val edges = verifyCandidates(cand, withSig)
@@ -216,12 +217,12 @@ object Dedup {
 
   /** Shingle-hash + signature + banded-key stages for a (doc_id, text)
     * frame, shared by the batch and incremental operators so a tuning
-    * change cannot drift them apart. The localCheckpoints are deliberate
-    * stage boundaries, not caching sugar: each output feeds multiple
-    * consumers (the signature agg + both verify sides; the bands relation
-    * feeds three consumers in the candidate join). Spark MLlib's
-    * MinHashLSH materializes its model stage the same way. Eager
-    * checkpoints, NOT lazy `persist()`: a lazy cache lets the consumers
+    * change cannot drift them apart. The [[Staging.stage]] calls are
+    * deliberate stage boundaries, not caching sugar: each output feeds
+    * multiple consumers (the signature agg + both verify sides; the bands
+    * relation feeds three consumers in the candidate join). Spark MLlib's
+    * MinHashLSH materializes its model stage the same way. Staging is
+    * always EAGER, never lazy `persist()`: a lazy cache lets the consumers
     * inside one action race to compute the same subtree before the cache
     * populates (measured round 4: lazy caching made the 4-consumer ngram
     * pipeline 4x slower).
@@ -233,7 +234,7 @@ object Dedup {
     // second checkpoint). `eager = false` skips the checkpoints — right for
     // small probe batches (streaming micro-batches), where recomputing a
     // map-only projection per consumer is cheaper than materializing it.
-    def stage(df: DataFrame) = if (eager) df.localCheckpoint(true) else df
+    def stage(df: DataFrame) = if (eager) Staging.stage(df) else df
     val withSig = stage(docs
       .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
       .withColumn("sig", MinHashSignatures.of(col("sh")))
@@ -317,10 +318,10 @@ object Dedup {
     * per document: (doc_id, simhash, cluster_id, n_near). */
   def simhashDedup(documents: DataFrame): DataFrame = {
     val docs = Tables.spread(documents)
-    val dr = docReps(docs).localCheckpoint(true)
-    // cached once: the simhash aggregate feeds the band join (3 consumers)
+    val dr = Staging.stage(docReps(docs))
+    // staged once: the simhash aggregate feeds the band join (3 consumers)
     // and both sides of the Hamming verify
-    val reps = simhashes(repDocs(docs, dr)).localCheckpoint(true)
+    val reps = Staging.stage(simhashes(repDocs(docs, dr)))
     val bands = reps.select(col("doc_id"),
       posexplode(array((0 until SimhashBands).map(j =>
         shiftright(col("simhash"), SimhashBandBits * j)
@@ -383,9 +384,9 @@ object Dedup {
   def buildIndex(corpus: DataFrame): MinHashIndex = {
     val reps = repDocs(corpus, docReps(corpus))
     val (withSig, bands) = signaturePipeline(reps)
-    val ok = bands.groupBy("band", "bkey").agg(count(lit(1)).as("n"))
-      .where(col("n") <= MaxBandBucket).select("band", "bkey")
-      .localCheckpoint(true)
+    val ok = Staging.stage(
+      bands.groupBy("band", "bkey").agg(count(lit(1)).as("n"))
+        .where(col("n") <= MaxBandBucket).select("band", "bkey"))
     MinHashIndex(withSig, bands, ok)
   }
 
@@ -468,7 +469,7 @@ object Dedup {
     * [[Multimodal.blockDedup]] (binary block hashes): df-capped index,
     * exact set-Jaccard verify, per-doc best (max jaccard, min other id). */
   private[operators] def bestMatchBySets(setsFrame: DataFrame): DataFrame = {
-    val docs = setsFrame.localCheckpoint(true)
+    val docs = Staging.stage(setsFrame)
     val ver = verifyJaccard(dfCappedCandidates(docs), docs)
     val nbrs = ver.select(col("a").as("doc_id"), col("b").as("other"), col("jaccard"))
       .unionAll(ver.select(col("b").as("doc_id"), col("a").as("other"), col("jaccard")))
@@ -505,9 +506,8 @@ object Dedup {
     * and scale shape as [[ngramJaccardBestMatch]]; one row per document:
     * (doc_id, best_match, best_containment). */
   def containmentBestMatch(documents: DataFrame): DataFrame = {
-    val docs = Tables.spread(documents)
-      .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
-      .localCheckpoint(true)
+    val docs = Staging.stage(Tables.spread(documents)
+      .select(col("doc_id"), hashedShingles(col("text")).as("sh")))
     val ver = dfCappedCandidates(docs)
       .join(docs.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
       .join(docs.select(col("doc_id").as("b"), col("sh").as("shb")), "b")

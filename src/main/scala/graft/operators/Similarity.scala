@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.engine.Staging
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (vec_id, embedding
@@ -172,9 +173,9 @@ object Similarity {
     * [[MaxVecBucket]] bounds the fan-out on any distribution; components
     * close in O(log n) rounds ([[ConnectedComponents.minLabel]]). */
   def embeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val vs = vectors(spark, sfDir)
+    val vs = Staging.stage(vectors(spark, sfDir)
       .withColumn("bands", signatureBands(col("v"), 64, DedupPlanes, DedupBands))
-      .localCheckpoint(true) // feeds the band join, both verify sides, labeling
+    ) // feeds the band join, both verify sides, labeling
     val banded = vs.select(col("vec_id"), posexplode(col("bands")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
     val ok = banded.groupBy("band", "bv").agg(count(lit(1)).as("n"))
@@ -221,7 +222,7 @@ object Similarity {
     * vectors attach once via the members join; the within-cluster
     * self-join shuffles on cent_id. */
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val vs = vectors(spark, sfDir).localCheckpoint(true)
+    val vs = Staging.stage(vectors(spark, sfDir))
     val cents = vs.where(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
     val assign = vs.join(broadcast(cents))
@@ -275,7 +276,7 @@ object Similarity {
     * with the corpus written bucketed/partitioned by `cent_id` the probe
     * join prunes to nprobe/nlist of the data per query batch. */
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val vs = vectors(spark, sfDir).localCheckpoint(true)
+    val vs = Staging.stage(vectors(spark, sfDir))
     val cents = vs.where(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
     val scored = vs.join(broadcast(cents))
@@ -447,7 +448,7 @@ object Similarity {
     * (not vectors — 4 bytes each); distance tables broadcast; the
     * finisher is the bounded top-k aggregator. */
   def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val full = vectors(spark, sfDir).localCheckpoint(true)
+    val full = Staging.stage(vectors(spark, sfDir))
     val vs = full.select(col("vec_id"), col("v"))
     val cents = full.where(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
@@ -495,7 +496,7 @@ object Similarity {
     * [[graft.operators.Corpus.writeSharded]] pattern applied to the ANN
     * index). Columns: (vec_id, m, code, cent_id). */
   def writeCodeTable(spark: SparkSession, sfDir: String, outDir: String): Unit = {
-    val full = vectors(spark, sfDir).localCheckpoint(true)
+    val full = Staging.stage(vectors(spark, sfDir))
     val vs = full.select(col("vec_id"), col("v"))
     val cents = full.where(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))

@@ -30,8 +30,8 @@ import graft.operators.Events
   * the micro-batch plus a merge keyed on (type, day) — both bounded by
   * batch size and counter cardinality; the stream itself is never
   * re-scanned and no unbounded lineage accumulates (the counter is
-  * eagerly localCheckpoint'd per trigger, exactly like the transit job's
-  * counter state).
+  * eagerly staged per trigger via [[graft.engine.Staging.stageIterative]],
+  * exactly like the transit job's counter state).
   */
 class StreamingAnomaly(initial: Option[DataFrame] = None) {
 
@@ -67,9 +67,9 @@ class StreamingAnomaly(initial: Option[DataFrame] = None) {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // eager checkpoint: truncates lineage (replaced generations are
-        // reclaimed by the ContextCleaner once unreferenced)
-        val next = merge(Events.dailyCounts(batch)).localCheckpoint(true)
+        // eager iterative staging: truncates lineage (replaced generations
+        // are reclaimed by the ContextCleaner once unreferenced)
+        val next = graft.engine.Staging.stageIterative(merge(Events.dailyCounts(batch)))
         counters = Some(next)
         sink(batchId, Events.scoreDaily(next))
       }

@@ -8,6 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
+import graft.engine.Staging
 import graft.operators.{TransitQueries, Upsert}
 
 /** Keyed result tables maintained by the streaming job — the Spark analog of
@@ -22,8 +23,9 @@ final class TableStore(spark: SparkSession) {
   private val gen = new AtomicLong(0L)
 
   /** Truncate lineage so per-trigger state merges don't grow an unbounded
-    * plan (the micro-batch analog of changelog compaction). */
-  private def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    * plan (the micro-batch analog of changelog compaction). Iterative
+    * staging: truncation is mandatory here, whatever the session policy. */
+  private def ckpt(df: DataFrame): DataFrame = Staging.stageIterative(df)
 
   /** Mutation hook (set by the owning job to track dirty tables for the
     * durable-state commits; not fired by [[restore]]). */
@@ -169,7 +171,9 @@ final class TransitStreamingJob(spark: SparkSession, routes: DataFrame,
   private var totalCap: Option[DataFrame] = None        // 1 row: q7/q8
   private var totalTrips: Option[DataFrame] = None      // 1 row: q8/q9
 
-  private def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
+  // per-trigger counter folds build on the previous trigger's frame —
+  // iterative staging (mandatory lineage truncation), not plain stage
+  private def ckpt(df: DataFrame): DataFrame = Staging.stageIterative(df)
 
   // ---- durable state (the RocksDB + changelog-topic analog) ---------------
   //
@@ -341,7 +345,7 @@ final class TransitStreamingJob(spark: SparkSession, routes: DataFrame,
     // at-least-once replay of an already-committed batch: its effects are
     // in the restored snapshot — folding it again would double-count
     if (lastUnionBatch.exists(_ >= batchId)) return
-    val b = batch.localCheckpoint(true)
+    val b = Staging.stage(batch)
     val r = b.filter(col("kind") === "route")
       .select("route_id", "transport_type", "capacity", "operator", "ts")
     val t = b.filter(col("kind") === "trip")
@@ -492,8 +496,8 @@ final class TransitStreamingJob(spark: SparkSession, routes: DataFrame,
       .select(col("window.start").as("window_start"), col("transport_type"), col("cnt"))
 
   private def processWindowBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
-    val b = batch.filter(col("transport_type").isNotNull && col("window_start").isNotNull)
-      .localCheckpoint(true)
+    val b = Staging.stage(
+      batch.filter(col("transport_type").isNotNull && col("window_start").isNotNull))
     store.upsert("window_type_counts", b, Seq("window_start", "transport_type"))
     val wTouched = b.select("window_start").distinct()
     val wc = store("window_type_counts").join(broadcast(wTouched), Seq("window_start"))
