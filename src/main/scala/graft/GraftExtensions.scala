@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, HashedShingles, MinHashSignatures, RepetitionStats, SigAgreement, SimHash60}
+import graft.functions.{DotProduct, HashedShingles, MinHashSignatures, RepetitionStats, SigAgreement, SimHash60, SortedIntersectCount}
 
 /** Session extensions for the engine's native expressions — wire with
   * `spark.sql.extensions=graft.GraftExtensions` (or pass to
@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.repetitionFunction)
     ext.injectFunction(GraftExtensions.shinglesFunction)
     ext.injectFunction(GraftExtensions.sigAgreementFunction)
+    ext.injectFunction(GraftExtensions.sortedIntersectFunction)
   }
 }
 
@@ -51,6 +52,14 @@ object GraftExtensions {
     (FunctionIdentifier("graft_sig_agreement"),
       new ExpressionInfo(classOf[SigAgreement].getName, "graft_sig_agreement"),
       (exprs: Seq[Expression]) => SigAgreement(exprs.head, exprs(1)))
+
+  /** `graft_sorted_intersect_count(array<long>, array<long>) -> int`
+    * ([[SortedIntersectCount]]; inputs must honor its sorted-distinct
+    * contract). */
+  val sortedIntersectFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect_count"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1)))
 
   /** `graft_hashed_shingles(string, k) -> array<long>` ([[HashedShingles]]).
     * k must be a foldable int literal. */

@@ -359,11 +359,21 @@ object SigAgreement {
 /** Native intersection size of two SORTED distinct `array<long>`s → int,
   * by linear merge — the exact-verify core of every fuzzy dedup, run once
   * per candidate pair. Spark's `array_intersect` builds a hash set per
-  * row; on sorted inputs (which [[HashedShingles]] and the block-hash
-  * producer guarantee) the merge does the same count allocation-free.
+  * row; on sorted inputs the merge does the same count allocation-free.
   * Values are identical to `size(array_intersect(a, b))` on distinct
   * inputs, so every oracle's `len(list_intersect(...))` mirror is
-  * unchanged. */
+  * unchanged.
+  *
+  * '''CONTRACT — sorted ascending, distinct.''' The merge silently
+  * understates the count on unsorted or duplicated input; there is no
+  * cheap way to detect that per pair in the hot path. Every producer
+  * feeding this expression must emit strictly-ascending longs — today
+  * that is [[HashedShingles]] (TreeSet iteration) and
+  * `Multimodal.blockHashes` (`sort_array` over distinct hashes). New
+  * producers: wire `array_sort(array_distinct(...))` or prove the order,
+  * and flip [[SortedIntersectCount.checkSorted]] in a spec to have the
+  * merge verify the precondition on every pair (debug-only: adds a
+  * branch per element). */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
@@ -390,8 +400,27 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 }
 
 object SortedIntersectCount {
-  /** Shared by eval and generated code. Inputs must be sorted ascending. */
+  /** Debug guard for the sorted-distinct input contract: when enabled
+    * (system property `graft.check.sorted`, or directly from a spec),
+    * every evaluation verifies both arrays are strictly ascending and
+    * throws instead of silently understating the count. Off by default —
+    * the production producers guarantee the order. */
+  @volatile var checkSorted: Boolean = java.lang.Boolean.getBoolean("graft.check.sorted")
+
+  private def requireSorted(a: ArrayData): Unit = {
+    var i = 1
+    while (i < a.numElements()) {
+      require(a.getLong(i - 1) < a.getLong(i),
+        s"graft_sorted_intersect_count input violates the strictly-ascending " +
+          s"contract at index $i: ${a.getLong(i - 1)} !< ${a.getLong(i)}")
+      i += 1
+    }
+  }
+
+  /** Shared by eval and generated code. Inputs must be sorted ascending
+    * and distinct (see the class scaladoc contract). */
   def count(a: ArrayData, b: ArrayData): Int = {
+    if (checkSorted) { requireSorted(a); requireSorted(b) }
     val na = a.numElements()
     val nb = b.numElements()
     var i = 0

@@ -311,20 +311,29 @@ object Corpus {
     * 100 TB shape: a map-only projection + generator — the chunk index
     * list is computed per row and exploded in the same stage; no shuffle,
     * no state, pipelines straight into a downstream embed/write. */
-  def chunkPlan(documents: DataFrame): DataFrame = {
-    val nTok = size(split(col("text"), " ")).cast("long")
-    // integer ceil((n_tok - width) / stride); 0 when one chunk suffices
-    val lastIdx = when(nTok <= ChunkTokens, lit(0L))
-      .otherwise(expr(s"(cast(size(split(text, ' ')) as bigint)" +
-        s" - $ChunkTokens + $ChunkStride - 1) div $ChunkStride"))
+  def chunkPlan(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), nTok.as("n_tok"),
-        posexplode(sequence(lit(0L), lastIdx)))
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        posexplode(sequence(lit(0L), lastChunkIdx(col("n_tok")))))
       .select(col("doc_id"), col("col").as("chunk_idx"),
         (col("col") * ChunkStride).as("tok_start"),
         least(lit(ChunkTokens.toLong), col("n_tok") - col("col") * ChunkStride)
           .as("tok_len"))
-  }
+
+  /** Last chunk index for a document of `nTok` tokens under the
+    * [[ChunkTokens]]/[[ChunkStride]] geometry: integer
+    * ceil((nTok − width) / stride), 0 when one chunk suffices. The ONE
+    * geometry definition, shared by [[chunkPlan]] and
+    * [[Dedup.chunkExact]] — the two chunk-grain operators must cut
+    * identical windows or passage-dedup verdicts stop aligning with the
+    * chunks a retrieval build actually emits. `nTok` must be a
+    * BIGINT column (truncating cast after `/` is exact: the numerator is
+    * positive and far below 2^52). */
+  private[operators] def lastChunkIdx(nTok: Column): Column =
+    when(nTok <= ChunkTokens, lit(0L))
+      .otherwise(((nTok - ChunkTokens + ChunkStride - 1) / ChunkStride)
+        .cast("long"))
 
   /** The composed corpus build, end to end: [[clean]] (dedup → repetition
     * → quality) keeps survivors, the stratified sample thins them, and

@@ -534,7 +534,8 @@ object Dedup {
     * substrings; chunk-hash matching catches the same boilerplate/
     * template passages at a fraction of the cost): every document is cut
     * into [[Corpus.ChunkTokens]]-token windows at [[Corpus.ChunkStride]]
-    * (the SAME geometry as `corpus_chunk_plan`, shared constants), each
+    * (the SAME geometry as `corpus_chunk_plan` — [[Corpus.lastChunkIdx]]
+    * is the shared definition), each
     * window's token span hashes to int64, and a window is `duplicated`
     * iff its hash occurs more than once corpus-wide. One row per chunk:
     * (doc_id, chunk_idx, chunk_hash, n_occurrences, duplicated).
@@ -548,16 +549,14 @@ object Dedup {
     * false duplicates — nothing else in the plan changes. */
   def chunkExact(documents: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
-    val nTok = size(toks).cast("long")
-    val lastIdx = when(nTok <= Corpus.ChunkTokens, lit(0L))
-      .otherwise(expr(s"(cast(size(split(text, ' ')) as bigint)" +
-        s" - ${Corpus.ChunkTokens} + ${Corpus.ChunkStride} - 1)" +
-        s" div ${Corpus.ChunkStride}"))
     val start = col("col") * Corpus.ChunkStride
     val len = least(lit(Corpus.ChunkTokens.toLong), col("n_tok") - start)
     val hashed = Tables.spread(documents)
-      .select(col("doc_id"), toks.as("t"), nTok.as("n_tok"),
-        posexplode(sequence(lit(0L), lastIdx)))
+      // tokenize ONCE into (t, n_tok); the window count is column
+      // arithmetic over n_tok via the shared geometry helper
+      .select(col("doc_id"), toks.as("t"), size(toks).cast("long").as("n_tok"))
+      .select(col("doc_id"), col("t"), col("n_tok"),
+        posexplode(sequence(lit(0L), Corpus.lastChunkIdx(col("n_tok")))))
       .select(col("doc_id"), col("col").as("chunk_idx"),
         h32(concat_ws(" ",
           slice(col("t"), (start + 1).cast("int"), len.cast("int"))))

@@ -277,24 +277,7 @@ object Similarity {
     * join prunes to nprobe/nlist of the data per query batch. */
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val vs = Staging.stage(vectors(spark, sfDir))
-    val cents = vs.where(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val scored = vs.join(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cs"))
-    // corpus → best centroid (max cosine, tiebreak min centroid id)
-    val assign = scored.groupBy("vec_id")
-      .agg(max_by(col("cent_id"),
-        struct(col("cs"), (-col("cent_id")).as("nc"))).as("cent_id"))
-    // query → NProbe best centroids (tiny: queries × centroids rows)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-      .orderBy(col("cs").desc, col("cent_id").asc)
-    val probes = scored.where(col("vec_id") < NumQueryVectors)
-      .withColumn("rn", row_number().over(w)).where(col("rn") <= NProbe)
-      .select(col("vec_id").as("query_id"), col("cent_id"))
-    val cands = assign.join(broadcast(probes), Seq("cent_id"))
-      .where(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id").distinct()
+    val cands = coarseCandidates(coarseScored(vs))
     val rescored = cands
       .join(vs.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
       .join(broadcast(vs.where(col("vec_id") < NumQueryVectors)
@@ -303,6 +286,40 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine_sim"))
     topKPerQuery(rescored)
+  }
+
+  // ---- the coarse quantizer, shared by ivfTopK / ivfPqTopK / writeCodeTable
+  // (one implementation so a tiebreak or threshold change cannot drift the
+  // assignment between the searches and the persisted code table) ----------
+
+  /** Cosine of every vector against the broadcast centroid set:
+    * (vec_id, cent_id, cs). */
+  private def coarseScored(full: DataFrame): DataFrame = {
+    val cents = full.where(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    full.join(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cs"))
+  }
+
+  /** Corpus → nearest centroid (max cosine, tiebreak min centroid id). */
+  private def coarseAssign(scored: DataFrame): DataFrame =
+    scored.groupBy("vec_id")
+      .agg(max_by(col("cent_id"),
+        struct(col("cs"), (-col("cent_id")).as("nc"))).as("cent_id"))
+
+  /** Candidate (query_id, vec_id) pairs: each query probes its [[NProbe]]
+    * best centroid lists (the probe set is tiny — queries × centroids —
+    * and broadcast). */
+  private def coarseCandidates(scored: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy(col("cs").desc, col("cent_id").asc)
+    val probes = scored.where(col("vec_id") < NumQueryVectors)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id"))
+    coarseAssign(scored).join(broadcast(probes), Seq("cent_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
   }
 
   /** Symmetric int8 quantization — the standard vector-compression stage
@@ -416,12 +433,27 @@ object Similarity {
     val cents = pqCodebook(vs)
     val codes = pqAssign(vs, cents)
       .select(col("vec_id"), col("m"), col("b.code").as("code"))
-    val dt = pqSubDists(
+    val pairs = codes.join(broadcast(pqQueryTables(vs, cents)), Seq("m", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+    adcTopK(pairs)
+  }
+
+  /** Per-query ADC distance tables (queries × [[PqSubspaces]] ×
+    * [[PqCodebookSize]] doubles — broadcast size at any corpus scale):
+    * (query_id, m, code, qdist). */
+  private def pqQueryTables(vs: DataFrame, cents: DataFrame): DataFrame =
+    pqSubDists(
       vs.where(col("vec_id") < NumQueryVectors)
         .select(col("vec_id").as("query_id"), col("v")),
       cents).select(col("query_id"), col("m"), col("code"), col("dist").as("qdist"))
-    val adc = codes.join(broadcast(dt), Seq("m", "code"))
-      .where(col("vec_id") =!= col("query_id"))
+
+  /** The ADC finisher shared by [[pqAdcTopK]] and [[ivfPqTopK]]: fold each
+    * pair's table entries in subspace order (sorted collect, sequential
+    * fold — a plain SUM is order-nondeterministic exactly where exact
+    * duplicates tie), then the bounded top-k. `pairs` needs columns
+    * (query_id, vec_id, m, qdist). */
+  private def adcTopK(pairs: DataFrame): DataFrame = {
+    val adc = pairs
       .groupBy("query_id", "vec_id")
       .agg(sort_array(collect_list(struct(col("m"), col("qdist")))).as("l"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -450,42 +482,14 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val full = Staging.stage(vectors(spark, sfDir))
     val vs = full.select(col("vec_id"), col("v"))
-    val cents = full.where(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val scored = full.join(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cs"))
-    val assign = scored.groupBy("vec_id")
-      .agg(max_by(col("cent_id"),
-        struct(col("cs"), (-col("cent_id")).as("nc"))).as("cent_id"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-      .orderBy(col("cs").desc, col("cent_id").asc)
-    val probes = scored.where(col("vec_id") < NumQueryVectors)
-      .withColumn("rn", row_number().over(w)).where(col("rn") <= NProbe)
-      .select(col("vec_id").as("query_id"), col("cent_id"))
-    val cands = assign.join(broadcast(probes), Seq("cent_id"))
-      .where(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id").distinct()
+    val cands = coarseCandidates(coarseScored(full))
     // ADC over the candidate set only: stored codes + broadcast tables
     val pqCents = pqCodebook(vs)
     val codes = pqAssign(vs, pqCents)
       .select(col("vec_id"), col("m"), col("b.code").as("code"))
-    val dt = pqSubDists(
-      vs.where(col("vec_id") < NumQueryVectors)
-        .select(col("vec_id").as("query_id"), col("v")),
-      pqCents).select(col("query_id"), col("m"), col("code"), col("dist").as("qdist"))
-    val adc = cands.join(codes, "vec_id")
-      .join(broadcast(dt), Seq("query_id", "m", "code"))
-      .groupBy("query_id", "vec_id")
-      .agg(sort_array(collect_list(struct(col("m"), col("qdist")))).as("l"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        aggregate(col("l"), lit(0.0), (acc, x) => acc + x.getField("qdist"))
-          .as("adc"))
-    graft.functions.TopKByScore
-      .perGroup(adc.select(col("query_id"), col("neighbor_id"),
-        (-col("adc")).as("cosine_sim")), TopK)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        (-col("cosine_sim")).as("adc_dist"))
+    val pairs = cands.join(codes, "vec_id")
+      .join(broadcast(pqQueryTables(vs, pqCents)), Seq("query_id", "m", "code"))
+    adcTopK(pairs)
   }
 
   /** Persist the IVF+PQ index artifact: one row per (vector, subspace)
@@ -498,14 +502,7 @@ object Similarity {
   def writeCodeTable(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val full = Staging.stage(vectors(spark, sfDir))
     val vs = full.select(col("vec_id"), col("v"))
-    val cents = full.where(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val assign = full.join(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cs"))
-      .groupBy("vec_id")
-      .agg(max_by(col("cent_id"),
-        struct(col("cs"), (-col("cent_id")).as("nc"))).as("cent_id"))
+    val assign = coarseAssign(coarseScored(full))
     pqAssign(vs, pqCodebook(vs))
       .select(col("vec_id"), col("m"), col("b.code").as("code"))
       .join(assign, "vec_id")

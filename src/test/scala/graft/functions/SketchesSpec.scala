@@ -147,11 +147,35 @@ class SketchesSpec extends SparkSpec {
       "graft_minhash_sig", es => MinHashSignatures(es.head), "scala_udf")
     sp.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash60", es => SimHash60(es.head), "scala_udf")
+    sp.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_intersect_count",
+      es => SortedIntersectCount(es.head, es(1)), "scala_udf")
     val r = sp.sql(
-      "SELECT graft_minhash_sig(array(1L, 2L))[0] AS m, graft_simhash60(array('a')) AS s")
+      "SELECT graft_minhash_sig(array(1L, 2L))[0] AS m, graft_simhash60(array('a')) AS s, " +
+        "graft_sorted_intersect_count(array(1L, 3L, 7L), array(3L, 6L, 7L)) AS c")
       .collect()(0)
     r.getLong(0) shouldBe refMinhash(Seq(1L, 2L)).head
     r.getLong(1) shouldBe refSimhash(Seq("a"))
+    r.getInt(2) shouldBe 2
+  }
+
+  test("checkSorted guard rejects inputs violating the sorted-distinct contract") {
+    val sp = spark; import sp.implicits._
+    SortedIntersectCount.checkSorted = true
+    try {
+      // sorted inputs still evaluate under the guard
+      Seq((Seq(1L, 2L), Seq(2L, 3L))).toDF("a", "b")
+        .select(SortedIntersectCount.of(col("a"), col("b")))
+        .collect()(0).getInt(0) shouldBe 1
+      // unsorted input → loud failure instead of a silent undercount
+      val e = intercept[Exception] {
+        Seq((Seq(3L, 1L), Seq(1L, 3L))).toDF("a", "b")
+          .select(SortedIntersectCount.of(col("a"), col("b"))).collect()
+      }
+      val messages = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+      messages should include("strictly-ascending")
+    } finally SortedIntersectCount.checkSorted = false
   }
 
   test("sig agreement counts equal positions, codegen and eval paths alike") {
