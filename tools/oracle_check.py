@@ -5,6 +5,7 @@ sort columns by name + sort rows, and compare values.
 
 Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 """
+import decimal
 import json
 import math
 import sys
@@ -36,7 +37,10 @@ def normalize(rows, cols):
 def values_equal(a, b):
     if a is None or b is None:
         return a is None and b is None
-    if isinstance(a, float) or isinstance(b, float):
+    # DECIMAL columns fetch as decimal.Decimal: compare numerically with the
+    # same tolerance as floats (a Spark DOUBLE vs DuckDB DECIMAL comparison
+    # must not fail on the textual '1.5' vs '1.50')
+    if isinstance(a, (float, decimal.Decimal)) or isinstance(b, (float, decimal.Decimal)):
         try:
             fa, fb = float(a), float(b)
         except (TypeError, ValueError):
@@ -73,16 +77,23 @@ def main():
         # (DuckDB SUM(BIGINT) → HUGEINT hashes differently from the engine's
         # int64 even when every value is equal — broke corpus_pack_plan r04).
         # HUGEINT the engine can never emit → hard fail. DECIMAL it CAN
-        # (Spark DecimalType), so only fail when the engine column isn't the
-        # same decimal type (ADVICE r5).
+        # (Spark DecimalType), so a DECIMAL oracle column is fine when the
+        # engine emits the matching decimal type, and only a WARNING when the
+        # types differ (VERDICT r6 #5): the value compare below still runs
+        # with numeric tolerance, so a real mismatch is caught — but the
+        # driver's stricter hash gate may still want an explicit CAST.
         bad_types = [(c, t) for c, t in zip(ocols, otypes)
-                     if t in ("HUGEINT", "UHUGEINT")
-                     or (t.startswith("DECIMAL") and gtypes.get(c) != t)]
+                     if t in ("HUGEINT", "UHUGEINT")]
         if bad_types:
             print(f"FAIL  {name}: oracle emits non-engine types {bad_types} "
                   f"(add CAST(... AS BIGINT/DOUBLE) in the oracle SQL)")
             failures += 1
             continue
+        for c, t in zip(ocols, otypes):
+            if t.startswith("DECIMAL") and gtypes.get(c) != t:
+                print(f"WARN  {name}: oracle column {c} is {t} but engine "
+                      f"emits {gtypes.get(c)}; values compared with "
+                      f"tolerance — the driver's hash gate may be stricter")
         if sorted(ocols) != sorted(gcols):
             print(f"FAIL  {name}: schema oracle={sorted(ocols)} got={sorted(gcols)}")
             failures += 1
