@@ -484,8 +484,9 @@ object Dedup {
 
   /** Candidate (a, b) pairs from a (doc_id, sh) set frame via the
     * df-capped inverted index — the bounded-fan-out candidate core shared
-    * by the Jaccard and containment best-match operators. */
-  private def dfCappedCandidates(docs: DataFrame): DataFrame = {
+    * by the Jaccard and containment best-match operators. Package-visible
+    * so the skew stress spec can pin the candidate-count ceilings. */
+  private[operators] def dfCappedCandidates(docs: DataFrame): DataFrame = {
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val keep = inv.groupBy("s").agg(count(lit(1)).as("df"))
       .where(col("df").between(2, MaxShingleDf)).select("s")

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Skewed-fixture stress for the cap guards (VERDICT r6 #4) — the caps are
+  * the load-bearing 100 TB guarantee, so they get adversarial data, not
+  * just uniform synthetics:
+  *
+  *   - a HOT KEY: one content duplicated 10⁴× (the "a million identical
+  *     boilerplate pages" shape). The exact-dup pre-collapse must turn it
+  *     into ONE LSH vertex — candidate generation never sees the copies.
+  *   - a UNIVERSAL SHINGLE: one 3-gram present in every document (the
+  *     "same header on every page" shape). [[Dedup.MaxShingleDf]] must
+  *     drop it from the inverted index, leaving zero candidates, with the
+  *     documented recall cost and nothing else.
+  *
+  * Candidate COUNTS are pinned (not just "it finishes"), so a cap
+  * regression fails loudly rather than slowly. */
+class SkewStressSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    val sp = spark; import sp.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val words = (0 until 30).map(i => s"w$i")
+  private def text(replace: Map[Int, String] = Map.empty): String =
+    words.indices.map(i => replace.getOrElse(i, words(i))).mkString(" ")
+
+  test("hot key: 10^4 exact copies collapse to one LSH vertex before banding") {
+    val copies = (0L until 10000L).map(_ -> text())
+    val nearDup = Seq(20000L -> text(Map(5 -> "zz")))
+    val unrelated = Seq(30000L -> (0 until 30).map(i => s"q$i").mkString(" "))
+    val docs = docsDf(copies ++ nearDup ++ unrelated)
+
+    // pre-collapse ceiling: 3 distinct contents → 3 LSH vertices, however
+    // many copies exist
+    val dr = Dedup.docReps(docs)
+    dr.select("rep").distinct().count() shouldBe 3L
+
+    // candidate ceiling AFTER collapse: bands over the 3 representatives
+    // can produce at most C(3,2)=3 pairs — pinned via the real band path
+    val reps = docs.join(dr.where(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
+    val bands = Dedup.minhashSignatures(
+        reps.select(col("doc_id"), Dedup.hashedShingles(col("text")).as("sh")))
+      .select(col("doc_id"), posexplode(Dedup.bandKeys(col("sig"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    Dedup.cappedBandPairs(bands).count() should be <= 3L
+
+    val t0 = System.nanoTime()
+    val out = Dedup.minhashLsh(docs).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"10k-copy hot key end-to-end: $secs%.1f s")
+    out.length shouldBe 10002
+    val byDoc = out.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // all copies + the near-dup in cluster 0 (10001 members), loner alone
+    byDoc(0L) shouldBe ((0L, 10000L))
+    byDoc(9999L) shouldBe ((0L, 10000L))
+    byDoc(20000L) shouldBe ((0L, 10000L))
+    byDoc(30000L) shouldBe ((30000L, 0L))
+    assert(secs < 60.0, s"hot-key stress took ${secs}s — pre-collapse not bounding the join?")
+  }
+
+  // (doc_id, sh) set frames crafted directly against the df-capped
+  // inverted index, so the ceilings below are exact pins
+  private def setsDf(rows: Seq[(Long, Seq[Long])]): DataFrame = {
+    val sp = spark; import sp.implicits._
+    rows.toDF("doc_id", "sh")
+  }
+
+  test("universal shingle: df above the cap yields ZERO candidates (documented recall floor)") {
+    // every doc: the hot shingle 7 + two unique fillers (df=1 each)
+    val n = 10000L
+    val frame = setsDf((0L until n).map(i => i -> Seq(7L, 1000L + 2 * i, 1001L + 2 * i)))
+    Dedup.dfCappedCandidates(frame).count() shouldBe 0L
+  }
+
+  test("df exactly at the cap pairs fully; one more document zeroes that shingle") {
+    val cap = Dedup.MaxShingleDf.toLong
+    val atCap = setsDf((0L until cap).map(i => i -> Seq(7L, 1000L + i)))
+    Dedup.dfCappedCandidates(atCap).count() shouldBe cap * (cap - 1) / 2
+    val overCap = setsDf((0L to cap).map(i => i -> Seq(7L, 1000L + i)))
+    Dedup.dfCappedCandidates(overCap).count() shouldBe 0L
+  }
+
+  test("universal shingle degrades ONLY the hot shingle: rare overlaps still match") {
+    // all docs share the leading 3-gram "h h h" (df = 52 > MaxShingleDf);
+    // docs 100/101 additionally share a rare tail — they must still match
+    // through the rare shingles alone
+    val hot = "h h h"
+    val uniq = (0L until 50L).map(i => i -> s"$hot u$i v$i w$i x$i")
+    val pair = Seq(
+      100L -> s"$hot same tail tokens here now",
+      101L -> s"$hot same tail tokens here now2")
+    val out = Dedup.ngramJaccardBestMatch(docsDf(uniq ++ pair)).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    out(100L) shouldBe Some(101L)
+    out(101L) shouldBe Some(100L)
+    // the 50 only-hot-shingle docs got nothing: the universal shingle is
+    // capped out of the index, and that is the WHOLE recall cost
+    (0L until 50L).foreach(i => out(i) shouldBe None)
+  }
+
+  test("incremental probe: a hot corpus bucket above the cap answers no probes") {
+    // corpus: MaxBandBucket+4 DISTINCT texts ("a b c" repeated m times,
+    // m varying) with the IDENTICAL 3-shingle set {abc, bca, cab} — the
+    // pre-collapse keeps them apart (different bytes) yet every doc lands
+    // in the same band bucket in all 16 bands, all over the cap. A probe
+    // with Jaccard 1.0 against the whole corpus must come back unmatched
+    // (the documented recall cost of the cap), not fan out 68 ways.
+    val corpus = (0 until Dedup.MaxBandBucket + 4)
+      .map(i => i.toLong -> Seq.fill(i + 2)("a b c").mkString(" "))
+    val idx = Dedup.buildIndex(docsDf(corpus))
+    idx.okBuckets.count() shouldBe 0L // every bucket capped out
+    val probe = docsDf(Seq(900L -> "a b c a b c"))
+    val hits = Dedup.probeIndex(idx, probe).collect()
+    hits.length shouldBe 1
+    hits(0).isNullAt(1) shouldBe true
+  }
+}
