@@ -215,6 +215,41 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "SortMergeJoin"
   }
 
+  test("sim_pq_adc_topk: distance tables broadcast, bounded top-k, no window, no corpus SMJ") {
+    val p = planOf("sim_pq_adc_topk")
+    p should include("BroadcastExchange")    // the queries x 128-double tables
+    p should include("ObjectHashAggregate")  // TopKByScore bounded finisher
+    p should not include "SortMergeJoin"     // codes join map-side vs the broadcast
+    p should not include "CartesianProduct"
+    p should not include "Window"            // no rank window anywhere
+  }
+
+  test("sim_ivf_pq_topk: staged vectors feed consumers without recompute; small sides broadcast") {
+    val p = planOf("sim_ivf_pq_topk")
+    p should include("Scan ExistingRDD")     // the staged vector frame (computed once)
+    p should include("BroadcastExchange")    // centroids, probes, distance tables
+    p should include("ObjectHashAggregate")  // bounded top-k finisher
+    p should not include "CartesianProduct"
+  }
+
+  test("corpus_near_decontaminate: staged index answers probes; no cartesian, no global sort") {
+    val p = planOf("corpus_near_decontaminate")
+    p should include("Scan ExistingRDD")     // signatures/buckets staged once
+    p should not include "CartesianProduct"
+    p should not include "Exchange rangepartitioning"
+  }
+
+  test("dedup_minhash_lsh: expansion tail reads staged state, labels broadcast, no global sort") {
+    // the verify/CC stages run eagerly inside Staging.stage, so the
+    // returned frame's plan is the expansion tail — assert ITS shape
+    // (the native sig-agreement pre-filter is pinned in SketchesSpec)
+    val p = planOf("dedup_minhash_lsh")
+    p should include("Scan ExistingRDD")     // staged (doc_id, rep) + component label state
+    p should include("BroadcastHashJoin")    // cluster-size attach broadcasts
+    p should not include "CartesianProduct"
+    p should not include "Exchange rangepartitioning"
+  }
+
   test("text_zipf: head extraction is TakeOrderedAndProject, never a global sort") {
     val p = planOf("text_zipf")
     p should include("TakeOrderedAndProject")
