@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.{Connection, DriverManager}
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Keyed JDBC upsert sink — the reference's persistence contract: the
   * Kafka-Connect JDBC sink upserts every result topic into Postgres with
@@ -18,15 +18,29 @@ import org.apache.spark.sql.types.StructType
   * replacement. Writes happen on the executors (`foreachPartition`), one
   * connection per partition per trigger, matching how the Connect sink
   * fans out by topic partition.
+  *
+  * Schema evolution mirrors the Connect sink's `auto.evolve=true`
+  * (`config/routes-sink.json:13-14`): a batch carrying columns the table
+  * has not seen triggers `ALTER TABLE ADD COLUMN` (nullable — existing
+  * rows must hold) before the write; a batch MISSING known payload
+  * columns writes only what it carries (those columns stay NULL for
+  * fresh keys). New KEY columns are refused loudly — a primary key
+  * cannot be widened in place, exactly the Connect limitation.
   */
 final class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
                            schema: StructType) extends Serializable {
 
-  private val cols = schema.fieldNames.toSeq
-  private val insertSql =
-    s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
-  private val deleteSql =
-    s"DELETE FROM $table WHERE ${keyCols.map(k => s"$k = ?").mkString(" AND ")}"
+  /** Columns the target table currently has (grows via [[evolve]];
+    * driver-side only — executors receive per-batch column lists). */
+  @volatile private var tableCols: Seq[String] = schema.fieldNames.toSeq
+
+  private def sqlType(f: StructField): String = f.dataType.typeName match {
+    case "string"  => "VARCHAR(512)"
+    case "long"    => "BIGINT"
+    case "integer" => "INT"
+    case "double"  => "DOUBLE"
+    case other => throw new IllegalArgumentException(s"unmapped type $other")
+  }
 
   /** Create the target table if missing (sink-side auto-create, as the
     * Connect sink's `auto.create=true` does — which also derives a PRIMARY
@@ -37,15 +51,8 @@ final class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
     val conn = DriverManager.getConnection(url)
     try {
       val ddlCols = schema.fields.map { f =>
-        val t = f.dataType.typeName match {
-          case "string" => "VARCHAR(512)"
-          case "long"   => "BIGINT"
-          case "integer" => "INT"
-          case "double" => "DOUBLE"
-          case other => throw new IllegalArgumentException(s"unmapped type $other")
-        }
         val notNull = if (keyCols.contains(f.name)) " NOT NULL" else ""
-        s"${f.name} $t$notNull"
+        s"${f.name} ${sqlType(f)}$notNull"
       }.mkString(", ")
       val pk = s", PRIMARY KEY (${keyCols.mkString(", ")})"
       val st = conn.createStatement()
@@ -55,7 +62,29 @@ final class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
     } finally conn.close()
   }
 
-  private def upsertPartition(rows: Iterator[Row]): Unit = {
+  /** `auto.evolve`: add the new payload columns to the table (nullable).
+    * Idempotent against concurrent/replayed evolution: a column that
+    * already exists (Derby X0Y32, or any dialect's duplicate-column
+    * error on a re-run) is skipped. */
+  private def evolve(added: Seq[StructField]): Unit = {
+    val newKeys = added.map(_.name).filter(keyCols.contains)
+    require(newKeys.isEmpty,
+      s"cannot evolve PRIMARY KEY columns $newKeys into existing table $table")
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try added.foreach { f =>
+        try st.executeUpdate(s"ALTER TABLE $table ADD COLUMN ${f.name} ${sqlType(f)}")
+        catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+      } finally st.close()
+    } finally conn.close()
+    tableCols = tableCols ++ added.map(_.name).filterNot(tableCols.contains)
+  }
+
+  private def upsertPartition(rows: Iterator[Row], cols: Seq[String],
+                              insertSql: String): Unit = {
+    val deleteSql =
+      s"DELETE FROM $table WHERE ${keyCols.map(k => s"$k = ?").mkString(" AND ")}"
     val conn: Connection = DriverManager.getConnection(url)
     try {
       conn.setAutoCommit(false)
@@ -76,7 +105,8 @@ final class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
     } finally conn.close()
   }
 
-  /** The foreachBatch body: upsert one micro-batch.
+  /** The foreachBatch body: upsert one micro-batch, evolving the table
+    * first if the batch schema widened.
     *
     * The batch is first compacted to ONE row per key (ADVICE r2: two rows
     * with the same key in different partitions would both insert, and which
@@ -85,10 +115,17 @@ final class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
     * exactly one partition's transaction; the winner is the max payload
     * struct — deterministic for any input order. */
   def writeBatch(batch: DataFrame, batchId: Long): Unit = {
-    val payload = schema.fieldNames.toSeq.filterNot(keyCols.contains)
+    val bCols = batch.schema.fieldNames.toSeq
+    require(keyCols.forall(bCols.contains),
+      s"batch is missing key columns ${keyCols.filterNot(bCols.contains)}")
+    val added = batch.schema.fields.toSeq.filterNot(f => tableCols.contains(f.name))
+    if (added.nonEmpty) evolve(added)
+    val payload = bCols.filterNot(keyCols.contains)
     val one =
       if (payload.isEmpty) batch.dropDuplicates(keyCols)
       else graft.operators.Upsert.latestPerKey(batch, keyCols, payload)
-    one.foreachPartition((it: Iterator[Row]) => upsertPartition(it))
+    val insertSql =
+      s"INSERT INTO $table (${bCols.mkString(", ")}) VALUES (${bCols.map(_ => "?").mkString(", ")})"
+    one.foreachPartition((it: Iterator[Row]) => upsertPartition(it, bCols, insertSql))
   }
 }

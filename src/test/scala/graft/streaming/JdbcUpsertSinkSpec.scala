@@ -78,6 +78,54 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("auto.evolve: a widened batch adds nullable columns and upserts through them") {
+    val sp = spark; import sp.implicits._
+    val v1 = Seq(("r1", 10L), ("r2", 20L)).toDF("route_id", "total_capacity")
+    val sink = new JdbcUpsertSink(url, "q1_seats_ev", Seq("route_id"), v1.schema)
+    sink.ensureTable()
+    sink.writeBatch(v1, 0L)
+    // the producer widened: a new operator column appears mid-stream
+    val v2 = Seq(("r2", 25L, "OpB"), ("r3", 30L, "OpC"))
+      .toDF("route_id", "total_capacity", "operator")
+    sink.writeBatch(v2, 1L)
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "q1_seats_ev").load()
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.getString(2))))).toMap
+    back shouldBe Map(
+      "r1" -> ((10L, None)),        // pre-evolution row: new column NULL
+      "r2" -> ((25L, Some("OpB"))), // upserted through the widened schema
+      "r3" -> ((30L, Some("OpC"))))
+    // replaying the widened batch against the evolved table stays idempotent
+    sink.writeBatch(v2, 1L)
+    spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "q1_seats_ev").load().count() shouldBe 3
+  }
+
+  test("auto.evolve refuses a new PRIMARY KEY column loudly") {
+    val sp = spark; import sp.implicits._
+    val v1 = Seq(("r1", 1L)).toDF("route_id", "total_capacity")
+    val sink = new JdbcUpsertSink(url, "q1_seats_evk", Seq("route_id", "shard"),
+      StructType(Seq(StructField("route_id", StringType),
+        StructField("shard", LongType), StructField("total_capacity", LongType))))
+    sink.ensureTable()
+    // a batch that carries a NEVER-SEEN column named like a key cannot
+    // evolve (the PK is fixed at creation) — but first, a batch missing a
+    // key column must be refused outright
+    val e1 = intercept[IllegalArgumentException] { sink.writeBatch(v1, 0L) }
+    e1.getMessage should include("shard")
+    val sink2 = new JdbcUpsertSink(url, "q1_seats_evk2", Seq("route_id"),
+      StructType(Seq(StructField("route_id", StringType))))
+    // keyCols claims 'extra' is a key the moment it appears — simulate a
+    // misconfigured widening by constructing a sink whose key list grew
+    val sink3 = new JdbcUpsertSink(url, "q1_seats_evk2", Seq("route_id", "extra"),
+      StructType(Seq(StructField("route_id", StringType))))
+    sink2.ensureTable()
+    val widened = Seq(("r1", "boom")).toDF("route_id", "extra")
+    val e2 = intercept[IllegalArgumentException] { sink3.writeBatch(widened, 0L) }
+    e2.getMessage should include("PRIMARY KEY")
+  }
+
   test("re-running a batch is idempotent (delete+insert per key)") {
     val sp = spark; import sp.implicits._
     val df = Seq(("r9", 7L)).toDF("route_id", "total_capacity")
