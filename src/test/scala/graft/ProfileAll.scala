@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: scale sweep of the top bench queries over sf0.01 → sf0.1 →
+  * an amplified ~sf1 (10× sf0.1, generated on first use under /tmp) —
+  * evidence that the 100 TB growth claims hold beyond the dedup-only
+  * sweep (VERDICT r6 #3). Prints per-query wall times and the log10
+  * growth exponent of the final decade; an exponent near 1 is linear,
+  * 2 is quadratic.
+  *
+  * Amplification is NOT naive copying — copies must not collapse into
+  * the exact-dup pre-collapse or the profile measures nothing:
+  *   - documents: copy k rewrites the first token to `k<k>x<doc_id%17>`
+  *     (distinct contents, ≤3 shingles changed per doc, per-copy token
+  *     spread over 17 ids so no new universal shingle);
+  *   - embeddings: copy k rotates the vector by k positions (norms and
+  *     within-copy geometry preserved; cross-copy pairs decorrelate, as
+  *     in a real 10× corpus).
+  * doc_id/vec_id offsets are multiples of 5 so the incremental split
+  * (doc_id % IncomingMod) keeps its 20% incoming fraction.
+  *
+  * Run: sbt "Test/runMain graft.ProfileAll [queries...]"
+  */
+object ProfileAll {
+
+  private val Factor = 10
+  private val Off = 10000000L // id offset per copy; % 5 == 0
+
+  val TopQueries: Seq[String] = Seq(
+    "dedup_simhash", "dedup_embedding", "corpus_near_decontaminate",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_containment",
+    "dedup_minhash_incremental", "sim_ann_recall", "sim_ann_lsh_topk",
+    "mm_block_dedup")
+
+  private def amplify(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val done = new java.io.File(s"$outDir/_done")
+    if (done.isFile) return
+    println(s"[prof] generating amplified ${Factor}x corpus at $outDir ...")
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val docCopies = (0 until Factor).map { k =>
+      if (k == 0) docs
+      else docs.select(
+        (col("doc_id") + k * Off).as("doc_id"),
+        regexp_replace(col("text"), lit("^\\S+"),
+          concat(lit(s"k${k}x"), pmod(col("doc_id"), lit(17)))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    docCopies.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+
+    val embs = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val dim = 64
+    val embCopies = (0 until Factor).map { k =>
+      if (k == 0) embs
+      else embs.select(
+        (col("vec_id") + k * Off).as("vec_id"),
+        concat(slice(col("embedding"), k + 1, dim - k),
+          slice(col("embedding"), 1, k)).as("embedding"),
+        col("label"))
+    }
+    embCopies.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+    java.nio.file.Files.writeString(done.toPath, "ok")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("PROF_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("PROF_PARTS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.maxFields", "200")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+    def release(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+
+    val sf1Dir = sys.env.getOrElse("PROF_SF1_DIR", "/tmp/graft_sf1")
+    amplify(spark, "/root/testdata/sf0.1", sf1Dir)
+
+    val names = if (args.nonEmpty) args.toSeq else TopQueries
+    val scales = Seq(
+      "sf0.01" -> "/root/testdata/sf0.01",
+      "sf0.1"  -> "/root/testdata/sf0.1",
+      "sf1~"   -> sf1Dir)
+
+    // warm the JVM/codegen once on the smallest scale
+    names.foreach { n => noop(SparkEntry.queries(n)(spark, scales.head._2)); release() }
+
+    val results = names.map { n =>
+      val times = scales.map { case (label, dir) =>
+        val t0 = System.nanoTime()
+        noop(SparkEntry.queries(n)(spark, dir))
+        release()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"[prof] $n%-28s $label%-7s ${s}%7.2f s")
+        s
+      }
+      n -> times
+    }
+    println(f"\n[prof] ${"query"}%-28s ${"sf0.01"}%8s ${"sf0.1"}%8s ${"sf1~"}%8s  x(0.1->1)  exp")
+    results.foreach { case (n, ts) =>
+      val ratio = ts(2) / ts(1)
+      val exp = math.log10(ratio)
+      println(f"[prof] $n%-28s ${ts(0)}%8.2f ${ts(1)}%8.2f ${ts(2)}%8.2f  ${ratio}%8.1fx ${exp}%5.2f")
+    }
+    spark.stop()
+  }
+}
