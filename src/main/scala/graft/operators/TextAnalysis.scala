@@ -293,7 +293,65 @@ object TextAnalysis {
         (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
   }
 
+  // ---- BM25 keyword retrieval ---------------------------------------------
+
+  /** BM25 parameters (Robertson/Spärck Jones; the Lucene defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** The registered query's fixed keyword set — five mid-frequency corpus
+    * terms, so document-frequency, length normalization, and multi-term
+    * accumulation are all non-trivial on the synthetic vocabulary. */
+  val Bm25Query: Seq[String] = Seq("spark", "table", "join", "window", "scan")
+
+  def bm25Search(documents: DataFrame): DataFrame =
+    bm25Search(documents, Bm25Query)
+
+  /** BM25 keyword retrieval — the relevance scorer a corpus build uses to
+    * pull topical slices out of a crawl (and the classic lexical-search
+    * baseline next to the ANN operators): every document matching ≥1 query
+    * term is scored
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with the
+    * Lucene-style always-positive `idf = ln((N − df + ½)/(df + ½) + 1)`.
+    * One row per matching document: (doc_id, n_matched_terms, bm25_score).
+    * Deliberately NO rank column: near-tied doubles rank differently
+    * across engines, while the scores themselves compare under float
+    * tolerance.
+    *
+    * 100 TB shape: corpus statistics touch ONLY the query terms — the
+    * exploded scan filters on the term set before any shuffle (tf carries
+    * doc length through the aggregate, so no doc-length join back), the
+    * ≤|Q|-row idf table and the 1-row (N, avgdl) scalar broadcast, and
+    * the final per-doc sum is a map-side-combined aggregation over
+    * ≤ |Q| rows per doc. Nothing corpus-wide is materialized per term. */
+  def bm25Search(documents: DataFrame, terms: Seq[String]): DataFrame = {
+    val docs = Tables.spread(documents)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val lens = docs.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val scalars = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(scalars))
+      .select(col("term"),
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0).as("idf"),
+        col("avgdl"))
+    tf.join(broadcast(idf), "term")
+      .select(col("doc_id"),
+        (col("idf") * (col("tf") * lit(Bm25K1 + 1)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+          .as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched_terms"), sum(col("s")).as("bm25_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_search" -> ((s, d) => bm25Search(Tables.documents(s, d))),
     "text_vocab_coverage" -> ((s, d) => vocabCoverage(Tables.documents(s, d))),
     "text_zipf"        -> ((s, d) => zipf(Tables.documents(s, d))),
     "text_top_terms"   -> ((s, d) => topTerms(Tables.documents(s, d))),
@@ -369,6 +427,23 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "text_bm25_search" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         | lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+         | sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM lens),
+         | tok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM d),
+         | tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+         |   FROM tok WHERE term IN ${inList(Bm25Query)} GROUP BY doc_id, term),
+         | idf AS (SELECT term,
+         |     ln((sc.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf, sc.avgdl
+         |   FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term)
+         |   CROSS JOIN sc)
+         | SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched_terms,
+         |   SUM(idf.idf * (tf.tf * ${Bm25K1 + 1}) /
+         |       (tf.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * tf.dl / idf.avgdl)))
+         |     AS bm25_score
+         | FROM tf JOIN idf ON tf.term = idf.term GROUP BY tf.doc_id""".stripMargin,
+
     "text_vocab_coverage" ->
       s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
          |   FROM documents),

@@ -250,6 +250,14 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
   }
 
+  test("text_bm25_search: idf table broadcasts, sums two-phase, no corpus SMJ") {
+    val p = planOf("text_bm25_search")
+    p should include("BroadcastHashJoin")  // the <=|Q|-row idf side
+    p should include("partial_count")      // tf and per-doc sums map-side combined
+    p should not include "SortMergeJoin"
+    p should not include "Window"
+  }
+
   test("text_zipf: head extraction is TakeOrderedAndProject, never a global sort") {
     val p = planOf("text_zipf")
     p should include("TakeOrderedAndProject")

@@ -150,6 +150,28 @@ class TextAnalysisSpec extends SparkSpec {
     out(2L) shouldBe ((8L, 6L, 0.75))
   }
 
+  test("bm25: scores match the closed form; non-matching docs are absent") {
+    // corpus of 3 docs; query terms {a, b}; doc 3 matches nothing
+    val fixture = docs(
+      1L -> "a a b x",  // tf(a)=2 tf(b)=1 dl=4
+      2L -> "a y y y y y y y",  // tf(a)=1 dl=8
+      3L -> "z z z")
+    val out = TextAnalysis.bm25Search(fixture, Seq("a", "b")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    out.keySet shouldBe Set(1L, 2L)
+    val (k1, b) = (TextAnalysis.Bm25K1, TextAnalysis.Bm25B)
+    val avgdl = 5.0 // (4 + 8 + 3) / 3
+    def idf(df: Long) = math.log((3.0 - df + 0.5) / (df + 0.5) + 1.0)
+    def part(tf: Long, dl: Long, df: Long) =
+      idf(df) * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    out(1L)._1 shouldBe 2L
+    out(1L)._2 shouldBe (part(2, 4, 2) + part(1, 4, 1)) +- 1e-12
+    out(2L)._1 shouldBe 1L
+    out(2L)._2 shouldBe part(1, 8, 2) +- 1e-12
+    // doc-frequency monotonicity: the rarer term contributes more per hit
+    idf(1) should be > idf(2)
+  }
+
   test("zipf: fit is capped at ZipfTerms head terms") {
     val manyTerms = (1 to TextAnalysis.ZipfTerms + 50).map(i => s"u$i")
     // u1 appears twice so the head is deterministic under the freq sort
