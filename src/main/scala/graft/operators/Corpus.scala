@@ -350,7 +350,37 @@ object Corpus {
     packPlan(documents.join(kept, "doc_id").where(sampleKeep))
   }
 
+  /** Per-(source, lang) corpus profile — the data-mixing dashboard every
+    * corpus build reviews before setting sampling weights: document and
+    * token mass, mean quality score (the same fixed-weight composite the
+    * cleaning gate uses — [[TextAnalysis.qualityScoreCol]], one shared
+    * definition), and the exact-duplicate rate (fraction of documents
+    * whose content also appears under a smaller doc_id — the same
+    * md5-collapse convention as [[Dedup.docReps]]). One row per (source,
+    * lang): (source, lang, n_docs, n_tokens, avg_quality, n_exact_dups,
+    * dup_rate).
+    *
+    * 100 TB shape: per-doc signals are scan-stage projections; the dup
+    * flag costs the one digest-keyed shuffle [[clean]] already pays; the
+    * profile itself is a map-side-combined aggregation with (source,
+    * lang) cardinality output. */
+  def sourceProfile(documents: DataFrame): DataFrame = {
+    val docs = Tables.spread(documents)
+    val flagged = docs.join(Dedup.docReps(docs), "doc_id")
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        TextAnalysis.qualityScoreCol.as("q"),
+        (col("doc_id") =!= col("rep")).cast("long").as("is_dup"))
+    flagged.groupBy("source", "lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tok").as("n_tokens"),
+      avg("q").as("avg_quality"),
+      sum("is_dup").as("n_exact_dups"),
+      (sum("is_dup").cast("double") / count(lit(1))).as("dup_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_source_profile" -> ((s, d) => sourceProfile(Tables.documents(s, d))),
     "corpus_clean"      -> ((s, d) => clean(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => sampleStratified(Tables.documents(s, d))),
     "sample_fixed_n"    -> ((s, d) => sampleFixedN(Tables.documents(s, d))),
@@ -369,6 +399,24 @@ object Corpus {
       .mkString(" ")
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_source_profile" ->
+      s"""WITH k AS (SELECT md5(text) AS sha, MIN(doc_id) AS rep
+         |   FROM documents GROUP BY md5(text)),
+         | ${TextAnalysis.qualityScoreSqlWith},
+         | f AS (SELECT d.source, d.lang,
+         |     CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+         |     sc.quality_score AS q,
+         |     CASE WHEN d.doc_id <> k.rep THEN 1 ELSE 0 END AS is_dup
+         |   FROM documents d
+         |   JOIN k ON md5(d.text) = k.sha
+         |   JOIN qscore sc ON sc.doc_id = d.doc_id)
+         | SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |   CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |   AVG(q) AS avg_quality,
+         |   CAST(SUM(is_dup) AS BIGINT) AS n_exact_dups,
+         |   CAST(SUM(is_dup) AS DOUBLE) / COUNT(*) AS dup_rate
+         | FROM f GROUP BY source, lang""".stripMargin,
+
     "corpus_clean" ->
       s"""WITH k AS (SELECT md5(text) AS sha, MIN(doc_id) AS keeper
          |   FROM documents GROUP BY md5(text)),

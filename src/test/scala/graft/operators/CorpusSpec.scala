@@ -25,6 +25,31 @@ class CorpusSpec extends SparkSpec {
   // degenerate repetition: long enough for the gate, one bigram dominates
   private val loopy = Seq.fill(40)("spam").mkString(" ")
 
+  test("source profile: per-(source, lang) mass, quality, and dup rate") {
+    val out = Corpus.sourceProfile(docsDf(Seq(
+      (1L, good, "en", "web"),
+      (2L, good, "en", "web"),  // exact dup of 1 within the stratum
+      (3L, bad, "en", "web"),
+      (4L, good + " anders", "de", "books"), // distinct content
+      (5L, good, "en", "books")))) // same content as 1 but other stratum:
+      .collect()                   // still a dup (content-global collapse)
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    val goodTok = good.split(" ").length.toLong
+    val badTok = bad.split(" ").length.toLong
+    out(("web", "en"))._1 shouldBe 3L
+    out(("web", "en"))._2 shouldBe (2 * goodTok + badTok)
+    out(("web", "en"))._4 shouldBe 1L // doc 2
+    out(("web", "en"))._5 shouldBe (1.0 / 3) +- 1e-12
+    out(("books", "de")) shouldBe ((1L, goodTok + 1, out(("books", "de"))._3, 0L, 0.0))
+    out(("books", "en"))._4 shouldBe 1L // doc 5 duplicates doc 1's content
+    // quality is the SAME composite the cleaning gate uses
+    val q = TextAnalysis.quality(docsDf(Seq((1L, good, "en", "web"))).select("doc_id", "text"))
+      .collect()(0).getDouble(3)
+    out(("books", "en"))._3 shouldBe q +- 1e-12
+  }
+
   test("clean: duplicate beats low_quality; min doc_id is the keeper") {
     val out = Corpus.clean(docsDf(Seq(
       (5L, good, "en", "web"),
