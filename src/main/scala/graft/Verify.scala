@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.maxFields", "200") // see Bench.scala
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // staging policy override (engine.Staging), so the whole oracle
+      // suite can be proven green under reliable-checkpoint/persist too
+      .config(graft.engine.Staging.PolicyKey,
+        sys.env.getOrElse("SPARK_GRAFT_STAGING", graft.engine.Staging.LocalCheckpoint))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
