@@ -350,7 +350,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_matched_terms"), sum(col("s")).as("bm25_score"))
   }
 
+  /** Per-document unigram surprisal — the perplexity-proxy quality signal
+    * (CCNet filters crawl text by LM perplexity; the unigram corpus model
+    * is its exactly-computable, oracle-checkable stand-in): with
+    * p(t) = freq(t)/total over the whole corpus,
+    * `cross_entropy = mean over doc tokens of −ln p(t)` and
+    * `perplexity = exp(cross_entropy)`. Template/boilerplate-heavy
+    * documents score LOW (their tokens are corpus-frequent), rare-token
+    * noise scores HIGH — both tails are drop candidates in a real build.
+    * One row per document: (doc_id, n_tokens, cross_entropy, perplexity).
+    *
+    * 100 TB shape: term frequencies are one map-side-combined
+    * aggregation; the token↔frequency attach shuffles on `term` (the
+    * standard shape — a natural-text vocabulary is too large to
+    * broadcast); the per-doc reduction is map-side combined and the
+    * 1-row total broadcasts. ln/exp enter only after integer counts, so
+    * the oracle compares within float tolerance. */
+  def unigramSurprisal(documents: DataFrame): DataFrame = {
+    val tk = Tables.spread(documents)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tk.groupBy("term").agg(count(lit(1)).as("freq"))
+    val total = tf.agg(sum("freq").as("total"))
+    val ce = log(col("total").cast("double")) - col("slf") / col("n_tokens")
+    tk.join(tf, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(log(col("freq").cast("double"))).as("slf"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"),
+        ce.as("cross_entropy"), exp(ce).as("perplexity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_surprisal" -> ((s, d) => unigramSurprisal(Tables.documents(s, d))),
     "text_bm25_search" -> ((s, d) => bm25Search(Tables.documents(s, d))),
     "text_vocab_coverage" -> ((s, d) => vocabCoverage(Tables.documents(s, d))),
     "text_zipf"        -> ((s, d) => zipf(Tables.documents(s, d))),
@@ -427,6 +459,19 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "text_unigram_surprisal" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |   FROM documents),
+         | tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM tk GROUP BY term),
+         | tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM tf),
+         | d AS (SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |     SUM(ln(CAST(freq AS DOUBLE))) AS slf
+         |   FROM tk JOIN tf USING (term) GROUP BY tk.doc_id)
+         | SELECT doc_id, n_tokens,
+         |   ln(CAST(tot.total AS DOUBLE)) - slf / n_tokens AS cross_entropy,
+         |   exp(ln(CAST(tot.total AS DOUBLE)) - slf / n_tokens) AS perplexity
+         | FROM d CROSS JOIN tot""".stripMargin,
+
     "text_bm25_search" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          | lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),

@@ -172,6 +172,21 @@ class TextAnalysisSpec extends SparkSpec {
     idf(1) should be > idf(2)
   }
 
+  test("unigram surprisal: closed form; boilerplate scores low, rare tokens high") {
+    // corpus: "c" appears 4x, "r1"/"r2" once each -> total = 6
+    val byId = TextAnalysis.unigramSurprisal(docs(
+      1L -> "c c c c",           // all common
+      2L -> "r1 r2")).collect()  // all rare
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val ce1 = math.log(6.0) - math.log(4.0) // -ln(4/6) per token
+    val ce2 = math.log(6.0) - (math.log(1.0) + math.log(1.0)) / 2
+    byId(1L)._1 shouldBe 4L
+    byId(1L)._2 shouldBe ce1 +- 1e-12
+    byId(1L)._3 shouldBe math.exp(ce1) +- 1e-12
+    byId(2L)._2 shouldBe ce2 +- 1e-12
+    byId(2L)._2 should be > byId(1L)._2 // rare tokens are more surprising
+  }
+
   test("zipf: fit is capped at ZipfTerms head terms") {
     val manyTerms = (1 to TextAnalysis.ZipfTerms + 50).map(i => s"u$i")
     // u1 appears twice so the head is deterministic under the freq sort
