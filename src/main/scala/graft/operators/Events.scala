@@ -296,7 +296,55 @@ object Events {
       .select("event_id", "user_id", "asof_click_value")
   }
 
+  /** Interval-join attribution core — every purchase paired with SAME-user
+    * clicks inside `[purchase_ts − horizon, purchase_ts]`. One
+    * implementation for both execution modes: on batch frames the
+    * watermarks are no-ops and the join runs eagerly; on streaming frames
+    * ([[graft.streaming.StreamingAttribution]] passes them through
+    * verbatim) it is Spark's native stream⋈stream inner join with
+    * horizon-bounded state. `clicks` needs (user_id, ts: timestamp,
+    * value); `purchases` needs (event_id, user_id, ts: timestamp).
+    *
+    * 100 TB shape: one hash(user) shuffle per side into a co-located
+    * join — no broadcast, no unbounded buffer; streaming state is
+    * evicted past the horizon. */
+  def attributionPairs(clicks: DataFrame, purchases: DataFrame,
+                       horizon: String = "1 hour",
+                       allowedLateness: String = "0 seconds"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", allowedLateness)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", allowedLateness)
+    p.join(c, expr(
+        s"""c_user = p_user AND
+           |click_ts <= purchase_ts AND
+           |click_ts >= purchase_ts - INTERVAL $horizon""".stripMargin))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_ts"), col("click_value"))
+  }
+
+  /** The registered batch face of [[attributionPairs]] over the events
+    * table, times emitted as epoch-micros longs (the family's exact
+    * integer time convention, oracle-hashable without sub-micro
+    * ambiguity). */
+  def attribution(events: DataFrame): DataFrame = {
+    val e = Tables.spread(events)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    attributionPairs(
+      e.where(col("event_type") === "click").select("user_id", "ts", "value"),
+      e.where(col("event_type") === "purchase").select("event_id", "user_id", "ts"))
+      .select(col("purchase_id"), col("user_id"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        unix_micros(col("click_ts")).as("click_us"),
+        col("click_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_attribution"     -> ((s, d) => attribution(Tables.events(s, d))),
     "events_asof_click"      -> ((s, d) => asofClickValue(Tables.events(s, d))),
     "events_value_quantiles" -> ((s, d) => valueQuantiles(Tables.events(s, d))),
     "events_daily_rollup"    -> ((s, d) => dailyRollup(Tables.events(s, d))),
@@ -328,6 +376,16 @@ object Events {
        |   FROM marked)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "events_attribution" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS click_us, value AS click_value
+        |   FROM events WHERE event_type = 'click'),
+        | p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us
+        |   FROM events WHERE event_type = 'purchase')
+        | SELECT p.purchase_id, p.user_id, p.purchase_us, c.click_us, c.click_value
+        | FROM p JOIN c ON c.user_id = p.user_id
+        |  AND c.click_us <= p.purchase_us
+        |  AND c.click_us >= p.purchase_us - 3600000000""".stripMargin,
+
     "events_retention" ->
       s"""WITH days AS (SELECT DISTINCT user_id,
          |     epoch_us(ts) // ${UsPerDay}::BIGINT AS day FROM events),

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
 
 /** Continuous click→purchase attribution — the STREAM⋈STREAM interval
   * join face of the events family (the batch as-of operator,
@@ -29,23 +28,11 @@ object StreamingAttribution {
     * click of the same user within `[purchase_ts − horizon, purchase_ts]`.
     * `clicks` needs (user_id, ts, value); `purchases` needs (event_id,
     * user_id, ts). Streaming frames emit in append mode; batch frames
-    * return the same rows eagerly. */
+    * return the same rows eagerly. Delegates to the ONE shared
+    * implementation ([[graft.operators.Events.attributionPairs]]) the
+    * oracle-checked `events_attribution` batch query also runs. */
   def pairs(clicks: DataFrame, purchases: DataFrame,
             horizon: String = "1 hour",
-            allowedLateness: String = "0 seconds"): DataFrame = {
-    val c = clicks
-      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
-        col("value").as("click_value"))
-      .withWatermark("click_ts", allowedLateness)
-    val p = purchases
-      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-        col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", allowedLateness)
-    p.join(c, expr(
-        s"""c_user = p_user AND
-           |click_ts <= purchase_ts AND
-           |click_ts >= purchase_ts - INTERVAL $horizon""".stripMargin))
-      .select(col("purchase_id"), col("p_user").as("user_id"),
-        col("purchase_ts"), col("click_ts"), col("click_value"))
-  }
+            allowedLateness: String = "0 seconds"): DataFrame =
+    graft.operators.Events.attributionPairs(clicks, purchases, horizon, allowedLateness)
 }
