@@ -54,6 +54,34 @@ class CrossOpInvariantSpec extends SparkSpec {
     }
   }
 
+  test("asof click agrees with attribution's latest in-horizon pair") {
+    // for every purchase whose attribution pairs are non-empty, the as-of
+    // value must equal the latest-click pair's value whenever the as-of
+    // click lies inside the horizon (asof looks back unboundedly;
+    // attribution cuts at 1h — where both see the same click they must
+    // agree on its value)
+    val pairs = Events.attribution(events).collect()
+      .groupBy(_.getLong(0))
+      .map { case (pid, rs) => pid -> rs.maxBy(r => (r.getLong(3), r.getDouble(4))) }
+    val asof = Events.asofClickValue(events).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    pairs.nonEmpty shouldBe true // the fixture actually exercises the overlap
+    pairs.foreach { case (pid, latest) =>
+      withClue(s"purchase $pid: ") {
+        asof(pid) shouldBe Some(latest.getDouble(4))
+      }
+    }
+  }
+
+  test("surprisal's token grain agrees with token stats") {
+    val nTok = TextAnalysis.tokenStats(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sup = TextAnalysis.unigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sup shouldBe nTok
+  }
+
   test("zipf head size agrees with the distinct-term count") {
     val r = TextAnalysis.zipf(docs).collect()(0)
     val nTerms = r.getLong(0)
