@@ -381,6 +381,47 @@ object TextAnalysis {
         ce.as("cross_entropy"), exp(ce).as("perplexity"))
   }
 
+  /** A FROZEN unigram reference model — the incremental face of
+    * [[unigramSurprisal]]: build once over the reference corpus (the
+    * 100 TB side; term frequencies staged, at real scale a persisted
+    * table), then score any number of incoming batches or micro-batches
+    * against it without touching the corpus again. Both members stay
+    * DataFrames — nothing collects to the driver. */
+  final case class UnigramModel(termFreqs: DataFrame, total: DataFrame)
+
+  def buildUnigramModel(documents: DataFrame): UnigramModel = {
+    val tf = graft.engine.Staging.stage(Tables.spread(documents)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq")))
+    UnigramModel(tf, tf.agg(sum("freq").as("total")))
+  }
+
+  /** Score incoming (doc_id, text) rows against the FROZEN model with
+    * add-half smoothing: `nll(t) = ln(total + ½) − ln(freq(t) + ½)`,
+    * freq = 0 for out-of-vocabulary tokens — unseen vocabulary scores
+    * strictly higher than anything in-model (the out-of-domain signal
+    * CCNet's reference-LM filter produces). Same output shape as
+    * [[unigramSurprisal]]; values differ by the smoothing, which the
+    * frozen-model probe needs and the closed corpus does not.
+    *
+    * 100 TB shape: the token↔model attach is a left join on `term`
+    * against the staged/persisted model table; the 1-row total
+    * broadcasts; per-doc reduction map-side combines. O(batch) per
+    * probe, the corpus never rescans. */
+  def probeSurprisal(model: UnigramModel, incoming: DataFrame): DataFrame = {
+    val tk = incoming.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    tk.join(model.termFreqs, Seq("term"), "left")
+      .crossJoin(broadcast(model.total))
+      .select(col("doc_id"),
+        (log(col("total").cast("double") + 0.5)
+          - log(coalesce(col("freq"), lit(0L)).cast("double") + 0.5)).as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), avg("nll").as("cross_entropy"))
+      .select(col("doc_id"), col("n_tokens"), col("cross_entropy"),
+        exp(col("cross_entropy")).as("perplexity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unigram_surprisal" -> ((s, d) => unigramSurprisal(Tables.documents(s, d))),
     "text_bm25_search" -> ((s, d) => bm25Search(Tables.documents(s, d))),
