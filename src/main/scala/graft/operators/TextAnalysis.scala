@@ -422,7 +422,20 @@ object TextAnalysis {
         exp(col("cross_entropy")).as("perplexity"))
   }
 
+  /** The registered incremental-surprisal query: the [[Dedup.IncomingMod]]
+    * split convention — doc_id ≡ 0 (mod 5) plays the "new batch" (~20%),
+    * the rest is the frozen reference corpus. Exactly the
+    * [[buildUnigramModel]] + [[probeSurprisal]] path
+    * ([[graft.streaming.StreamingSurprisal]] runs the same probe per
+    * micro-batch), so the DuckDB oracle checks both faces. */
+  def surprisalProbeSplit(documents: DataFrame): DataFrame = {
+    val isIncoming = col("doc_id") % Dedup.IncomingMod === 0
+    probeSurprisal(buildUnigramModel(documents.where(!isIncoming)),
+      documents.where(isIncoming))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_surprisal_probe" -> ((s, d) => surprisalProbeSplit(Tables.documents(s, d))),
     "text_unigram_surprisal" -> ((s, d) => unigramSurprisal(Tables.documents(s, d))),
     "text_bm25_search" -> ((s, d) => bm25Search(Tables.documents(s, d))),
     "text_vocab_coverage" -> ((s, d) => vocabCoverage(Tables.documents(s, d))),
@@ -500,6 +513,23 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "text_surprisal_probe" ->
+      s"""WITH tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+         |   FROM (SELECT unnest(string_split(text, ' ')) AS term
+         |     FROM documents WHERE doc_id % ${Dedup.IncomingMod} <> 0)
+         |   GROUP BY term),
+         | tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM tf),
+         | tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |   FROM documents WHERE doc_id % ${Dedup.IncomingMod} = 0),
+         | nll AS (SELECT tk.doc_id,
+         |     ln(CAST(tot.total AS DOUBLE) + 0.5)
+         |       - ln(CAST(COALESCE(tf.freq, 0) AS DOUBLE) + 0.5) AS nll
+         |   FROM tk LEFT JOIN tf USING (term) CROSS JOIN tot),
+         | d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |     AVG(nll) AS cross_entropy FROM nll GROUP BY doc_id)
+         | SELECT doc_id, n_tokens, cross_entropy,
+         |   exp(cross_entropy) AS perplexity FROM d""".stripMargin,
+
     "text_unigram_surprisal" ->
       s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
          |   FROM documents),
