@@ -34,6 +34,10 @@ object Bench {
       // to few tasks serializes real work — measured 20.6 s → 31.3 s on
       // the fuzzy-dedup subset at sf0.1
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // staging policy override (engine.Staging) — mirror Verify, so the
+      // cost of reliable-checkpoint/persist staging is measurable too
+      .config(graft.engine.Staging.PolicyKey,
+        sys.env.getOrElse("SPARK_GRAFT_STAGING", graft.engine.Staging.LocalCheckpoint))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
