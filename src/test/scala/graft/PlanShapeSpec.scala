@@ -258,6 +258,21 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Window"
   }
 
+  test("events_attribution: co-located user-keyed join, no cartesian, no global sort") {
+    val p = planOf("events_attribution")
+    p should not include "CartesianProduct"
+    p should not include "Exchange rangepartitioning"
+    p should not include "BroadcastNestedLoopJoin" // the range bound rides the hash join
+  }
+
+  test("text_surprisal_probe: model staged once, term join + two-phase per-doc sums") {
+    val p = planOf("text_surprisal_probe")
+    p should include("Scan ExistingRDD") // the frozen model's staged term table
+    p should include("partial_count")
+    p should not include "CartesianProduct"
+    p should not include "Window"
+  }
+
   test("text_zipf: head extraction is TakeOrderedAndProject, never a global sort") {
     val p = planOf("text_zipf")
     p should include("TakeOrderedAndProject")

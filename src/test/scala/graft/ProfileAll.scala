@@ -34,9 +34,12 @@ object ProfileAll {
     "dedup_minhash_incremental", "sim_ann_recall", "sim_ann_lsh_topk",
     "mm_block_dedup")
 
+  private val AmplifyVersion = "v2" // v2: + events table
+
   private def amplify(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val done = new java.io.File(s"$outDir/_done")
-    if (done.isFile) return
+    if (done.isFile &&
+      java.nio.file.Files.readString(done.toPath).trim == AmplifyVersion) return
     println(s"[prof] generating amplified ${Factor}x corpus at $outDir ...")
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val docCopies = (0 until Factor).map { k =>
@@ -64,7 +67,20 @@ object ProfileAll {
     embCopies.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/embeddings.parquet")
-    java.nio.file.Files.writeString(done.toPath, "ok")
+
+    // events: 10x the user population at the same per-user density
+    // (event/user ids offset per copy; timestamps and props unchanged)
+    val evs = spark.read.parquet(s"$srcDir/events.parquet")
+    val evCopies = (0 until Factor).map { k =>
+      if (k == 0) evs
+      else evs.select((col("event_id") + k * Off).as("event_id"), col("ts"),
+        (col("user_id") + k * Off).as("user_id"), col("event_type"),
+        col("value"), col("props"))
+    }
+    evCopies.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/events.parquet")
+    java.nio.file.Files.writeString(done.toPath, AmplifyVersion)
   }
 
   def main(args: Array[String]): Unit = {
@@ -74,6 +90,9 @@ object ProfileAll {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.maxFields", "200")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // the events table stores ts as TIMESTAMP(NANOS) int64 — read it as
+      // long (the convention Tables.events sets per session)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
