@@ -36,4 +36,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // localCheckpoint block store; 8g was workable but leaves little
   // headroom once per-query scratch blocks stack up mid-run
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 74 queries × whole-stage codegen emits thousands of generated classes
+  // in one JVM; the JDK-17 default 240m code cache fills mid-run, HotSpot
+  // stops JIT-compiling, and alphabetically-late queries run partly
+  // interpreted (text_ngram_freq measured 0.56 s isolated vs 2.2 s at the
+  // tail of a full bench pass). Spark's own launcher scripts raise this
+  // for the same reason.
+  "-XX:ReservedCodeCacheSize=768m",
 )
