@@ -125,6 +125,33 @@ object Corpus {
       PerStratumN, groupCol = "lang")
       .select(col("lang"), col("neighbor_id").as("doc_id"), col("rank"))
 
+  /** Holdout boundaries (per mille of the salted hash range): hash <
+    * [[TrainPerMille]] → train, < [[ValPerMille]] → val, rest → test
+    * (90 / 5 / 5). */
+  val TrainPerMille = 900
+  val ValPerMille = 950
+
+  /** The split hash: salted so membership is independent of every other
+    * hash in the engine (a document's sampling fate must not correlate
+    * with its split). */
+  private def splitHash(docId: Column): Column =
+    Dedup.h32(concat(lit("split:"), docId.cast("string"))) % 1000
+
+  /** Deterministic train/val/test assignment — the reproducible-split
+    * primitive every training pipeline needs: membership is a pure
+    * function of doc_id, so the same document lands in the same split on
+    * every run, on every engine, and AFTER the corpus grows (old
+    * documents never migrate between splits when new ones arrive — the
+    * property a random split or a rank-based split does not have).
+    *
+    * 100 TB shape: map-only scan, no shuffle, no state; the predicate
+    * `split = 'train'` composes with partition pruning downstream. */
+  def holdoutSplit(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("lang"),
+      when(splitHash(col("doc_id")) < TrainPerMille, "train")
+        .when(splitHash(col("doc_id")) < ValPerMille, "val")
+        .otherwise("test").as("split"))
+
   /** Deterministic eval/train split for [[decontaminate]]: doc_id ≡
     * [[EvalRem]] (mod [[EvalMod]]) plays the held-out benchmark set (~5%),
     * the rest the training corpus. */
@@ -385,6 +412,7 @@ object Corpus {
     "sample_stratified" -> ((s, d) => sampleStratified(Tables.documents(s, d))),
     "sample_fixed_n"    -> ((s, d) => sampleFixedN(Tables.documents(s, d))),
     "sample_stratified_n" -> ((s, d) => sampleStratifiedN(Tables.documents(s, d))),
+    "sample_holdout_split" -> ((s, d) => holdoutSplit(Tables.documents(s, d))),
     "shard_plan"        -> ((s, d) => shardPlan(Tables.documents(s, d))),
     "corpus_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "corpus_near_decontaminate" -> ((s, d) => nearDecontaminate(Tables.documents(s, d))),
@@ -452,6 +480,15 @@ object Corpus {
          |     doc_id ASC) AS rank
          | FROM documents)
          | WHERE rank <= $PerStratumN""".stripMargin,
+
+    "sample_holdout_split" ->
+      s"""SELECT doc_id, lang,
+         |   CASE WHEN h < $TrainPerMille THEN 'train'
+         |        WHEN h < $ValPerMille THEN 'val'
+         |        ELSE 'test' END AS split
+         | FROM (SELECT doc_id, lang,
+         |   ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS h
+         | FROM documents) s""".stripMargin,
 
     "shard_plan" ->
       s"""SELECT ('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

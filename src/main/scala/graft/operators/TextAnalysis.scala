@@ -115,6 +115,49 @@ object TextAnalysis {
         s => Dedup.h32(s))).as("min_shingle_fp"))
   }
 
+  // ---- PII detection / redaction -------------------------------------------
+
+  /** PII patterns, portable between Java regex (Spark) and RE2 (DuckDB):
+    * no backreferences, no lookaround, ASCII classes only, and only
+    * constructs where leftmost-greedy matching coincides on both engines.
+    * The pattern set is the standard pre-training scrub list (emails,
+    * phone-shaped digit runs, IPv4s, SSN-shaped ids). */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiIdRe    = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PiiPhoneRe = "\\+\\d[\\d -]{6,13}\\d"
+
+  /** (pattern, replacement token) in redaction order. Id before ipv4/phone
+    * is deliberate: the dashed 3-2-4 shape must win over the looser
+    * digit-run patterns; the literal tokens contain no digits, so earlier
+    * replacements never feed later patterns. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    PiiEmailRe -> "<EMAIL>", PiiIdRe -> "<ID>",
+    PiiIpv4Re -> "<IP>", PiiPhoneRe -> "<PHONE>")
+
+  /** Per-document PII census — the audit face (what leaks, where, how
+    * much) that decides whether a source needs [[piiRedact]] at all.
+    *
+    * 100 TB shape: map-only regex scan, no shuffle; at cluster scale the
+    * counts aggregate per source/shard with an ordinary two-phase agg. */
+  def piiScan(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(PiiEmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PiiIdRe), lit(0))).as("n_ids"),
+      size(regexp_extract_all(col("text"), lit(PiiIpv4Re), lit(0))).as("n_ipv4"),
+      size(regexp_extract_all(col("text"), lit(PiiPhoneRe), lit(0))).as("n_phones"))
+      .withColumn("n_pii",
+        col("n_emails") + col("n_ids") + col("n_ipv4") + col("n_phones"))
+
+  /** Redacted text: every [[PiiPatterns]] match replaced by its literal
+    * class token, applied in the documented order. Emits the full
+    * redacted body — this IS the cleaned corpus, not a report. */
+  def piiRedact(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      PiiPatterns.foldLeft(col("text")) {
+        case (acc, (re, tok)) => regexp_replace(acc, re, tok)
+      }.as("text"))
+
   /** Corpus n-gram table size. */
   val TopNgrams = 100
 
@@ -131,6 +174,30 @@ object TextAnalysis {
       .groupBy("ngram").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("ngram").asc)
       .limit(TopNgrams)
+
+  /** Adjacent-pair table size for [[bpePairs]]. */
+  val TopPairs = 100
+
+  /** Adjacent-token-pair frequency — the statistic a BPE/WordPiece merge
+    * step is trained on: corpus-wide INSTANCE counts of each adjacent
+    * lowercase token pair (unlike [[ngramFreq]]'s per-document-distinct
+    * document frequency — a merge decision weights every occurrence).
+    * The top pair is exactly the next BPE merge.
+    *
+    * 100 TB shape: explode → two-phase count (map-side partial agg), top-N
+    * as TakeOrderedAndProject; the shuffle carries one row per distinct
+    * pair per partition, never per instance. */
+  def bpePairs(documents: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    graft.sources.Tables.spread(documents)
+      .select(explode(when(size(t) >= 2,
+        transform(sequence(lit(0), size(t) - 2),
+          i => concat_ws(" ", get(t, i), get(t, i + 1))))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("pair").asc)
+      .limit(TopPairs)
+  }
 
   /** Repetition thresholds (Gopher-rule shaped: Rae et al. 2021 §A1.1 use
     * per-signal cutoffs like top-2-gram fraction and duplicate-line
@@ -447,6 +514,9 @@ object TextAnalysis {
     "text_quality"     -> ((s, d) => quality(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
     "text_ngram_freq"  -> ((s, d) => ngramFreq(Tables.documents(s, d))),
+    "text_bpe_pairs"   -> ((s, d) => bpePairs(Tables.documents(s, d))),
+    "text_pii_scan"    -> ((s, d) => piiScan(Tables.documents(s, d))),
+    "text_pii_redact"  -> ((s, d) => piiRedact(Tables.documents(s, d))),
   )
 
   // ---- DuckDB mirrors ------------------------------------------------------
@@ -659,6 +729,34 @@ object TextAnalysis {
          | g AS (SELECT unnest(sh) AS ngram FROM sh)
          | SELECT ngram, CAST(COUNT(*) AS BIGINT) AS freq FROM g GROUP BY ngram
          | ORDER BY freq DESC, ngram ASC LIMIT $TopNgrams""".stripMargin,
+
+    "text_bpe_pairs" ->
+      s"""WITH toks AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+         | p AS (SELECT unnest(CASE WHEN len(t) >= 2
+         |   THEN list_transform(range(len(t) - 1), i -> t[i + 1] || ' ' || t[i + 2])
+         |   ELSE []::VARCHAR[] END) AS pair FROM toks)
+         | SELECT pair, CAST(COUNT(*) AS BIGINT) AS freq FROM p GROUP BY pair
+         | ORDER BY freq DESC, pair ASC LIMIT $TopPairs""".stripMargin,
+
+    "text_pii_scan" ->
+      s"""SELECT doc_id,
+         |   n_emails, n_ids, n_ipv4, n_phones,
+         |   n_emails + n_ids + n_ipv4 + n_phones AS n_pii
+         | FROM (SELECT doc_id,
+         |   CAST(len(regexp_extract_all(text, '$PiiEmailRe')) AS INTEGER) AS n_emails,
+         |   CAST(len(regexp_extract_all(text, '$PiiIdRe')) AS INTEGER) AS n_ids,
+         |   CAST(len(regexp_extract_all(text, '$PiiIpv4Re')) AS INTEGER) AS n_ipv4,
+         |   CAST(len(regexp_extract_all(text, '$PiiPhoneRe')) AS INTEGER) AS n_phones
+         | FROM documents) c""".stripMargin,
+
+    "text_pii_redact" ->
+      s"""SELECT doc_id,
+         |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |     '$PiiEmailRe', '<EMAIL>', 'g'),
+         |     '$PiiIdRe', '<ID>', 'g'),
+         |     '$PiiIpv4Re', '<IP>', 'g'),
+         |     '$PiiPhoneRe', '<PHONE>', 'g') AS text
+         | FROM documents""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH n AS (SELECT doc_id,

@@ -288,4 +288,20 @@ class CorpusSpec extends SparkSpec {
       chunks.map(_._2) shouldBe chunks.indices.map(_.toLong) // dense idx
     }
   }
+
+  test("holdout split: deterministic, complete, and stable under corpus growth") {
+    val full = docsDf((0L until 400L).map(i => (i, s"doc $i", "en", "web")))
+    val out = Corpus.holdoutSplit(full).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    out.keySet should have size 400
+    out.values.toSet shouldBe Set("train", "val", "test")
+    // ~90/5/5: train dominates by construction
+    val n = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    n("train") should be > 300
+    // growth stability: the same doc gets the same split when scored alone
+    // (membership is a pure function of doc_id, never of corpus contents)
+    val solo = Corpus.holdoutSplit(docsDf(Seq((17L, "other text", "de", "books"))))
+      .collect()(0).getString(2)
+    solo shouldBe out(17L)
+  }
 }

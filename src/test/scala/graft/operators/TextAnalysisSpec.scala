@@ -195,4 +195,36 @@ class TextAnalysisSpec extends SparkSpec {
     r.getLong(0) shouldBe (TextAnalysis.ZipfTerms + 50L) // full vocabulary
     r.getLong(1) shouldBe TextAnalysis.ZipfTerms.toLong  // capped fit
   }
+
+  test("bpe pairs: instance-level counts, top pair is the next merge") {
+    // "a b" occurs 3x (twice in doc 1, once in doc 2) even though its
+    // document frequency is 2 — instance counting is the BPE statistic
+    val out = TextAnalysis.bpePairs(docs(
+      1L -> "a b c a b",
+      2L -> "a b",
+      3L -> "solo")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    out.head shouldBe ("a b", 3L)
+    out.toMap should contain allOf ("b c" -> 1L, "c a" -> 1L)
+    // a single-token document contributes no pairs
+    out.map(_._1) should not contain "solo"
+  }
+
+  test("pii scan: counts every class; word-soup text counts zero") {
+    val out = TextAnalysis.piiScan(docs(
+      1L -> "write to alice@example.com or bob.smith+tag@mail.co today",
+      2L -> "ssn 123-45-6789 host 10.0.0.1 tel +1 415-555-0100",
+      3L -> "plain words only here")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
+    out(1L) shouldBe ((2, 0, 0, 0, 2))
+    out(2L) shouldBe ((0, 1, 1, 1, 3))
+    out(3L) shouldBe ((0, 0, 0, 0, 0))
+  }
+
+  test("pii redact: every class replaced by its token, rest untouched") {
+    val out = TextAnalysis.piiRedact(docs(
+      1L -> "mail a@b.co ssn 123-45-6789 ip 10.0.0.1 tel +1 415-555-0100 end"))
+      .collect()(0).getString(1)
+    out shouldBe "mail <EMAIL> ssn <ID> ip <IP> tel <PHONE> end"
+  }
 }
