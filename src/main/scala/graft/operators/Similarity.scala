@@ -322,6 +322,80 @@ object Similarity {
       .select("query_id", "vec_id").distinct()
   }
 
+  // ---- k-means training (Lloyd's) ------------------------------------------
+
+  /** Cluster count and (unrolled) Lloyd iteration count for
+    * [[kmeansTrain]]. */
+  val KmeansK = 8
+  val KmeansIters = 3
+
+  /** Squared L2 distance via three sequential dots in one fixed scalar-op
+    * order, `(v·v − 2(v·c)) + c·c` — bit-identical on both engines, so
+    * assignment argmins can never flip between Spark and the oracle. */
+  private def dist2(v: Column, cv: Column): Column =
+    dot(v, v) - lit(2.0) * dot(v, cv) + dot(cv, cv)
+
+  /** One Lloyd assignment: every vector to its nearest centroid (squared-L2
+    * argmin, ties to the lowest cent_id) → (vec_id, v, cent_id, d2). */
+  private def kmeansAssign(vs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy(col("d2").asc, col("cent_id").asc)
+    vs.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        dist2(col("v"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** One Lloyd update: new centroid = per-dimension mean of the assigned
+    * vectors, ROUNDED TO FLOAT32 then widened back — the rounding quenches
+    * the double sum-order noise of distributed partial aggregation (a
+    * float boundary is ~2^29 ulps away from a last-ulp double difference),
+    * so the next iteration's distances stay bit-identical across engines
+    * AND across partitionings of the same data. Empty clusters keep their
+    * previous centroid. */
+  private def kmeansUpdate(assigned: DataFrame, cents: DataFrame): DataFrame = {
+    val means = assigned
+      .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cent_id", "pos")
+      .agg(avg(col("x")).cast("float").cast("double").as("nx"))
+      .groupBy("cent_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("nx")))),
+        s => s.getField("nx")).as("ncv"))
+    cents.join(means, Seq("cent_id"), "left")
+      .select(col("cent_id"), coalesce(col("ncv"), col("cv")).as("cv"))
+  }
+
+  /** Lloyd's k-means over the embedding corpus — the TRAINED coarse
+    * quantizer the IVF family's fixed first-K centroid convention stands in
+    * for ([[ivfTopK]]'s assignment/probe machinery consumes any centroid
+    * table with the (cent_id, cv) shape). Deterministic end to end: init =
+    * the [[KmeansK]] lowest vec_ids, [[KmeansIters]] unrolled iterations,
+    * float32-rounded means (see [[kmeansUpdate]]). Output per cluster:
+    * member count, inertia (Σ d² to the final centroid — the quantity
+    * Lloyd's descends), and a sequential-sum centroid checksum pinning the
+    * trained coordinates.
+    *
+    * 100 TB shape: per iteration, assignment is a map-only scan against
+    * broadcast centroids (no corpus shuffle), and the update shuffles only
+    * K×dim partial means (map-side combined) — the textbook distributed
+    * Lloyd's; iteration states are staged through the [[Staging]] policy. */
+  def kmeansTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = Staging.stage(vectors(spark, sfDir).select(col("vec_id"), col("v")))
+    val init = vs.where(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val trained = (1 to KmeansIters).foldLeft(init) { (c, _) =>
+      Staging.stage(kmeansUpdate(kmeansAssign(vs, c), c))
+    }
+    val members = kmeansAssign(vs, trained)
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
+    members.join(broadcast(trained.select(col("cent_id"),
+        dot(col("cv"), transform(col("cv"), _ => lit(1.0))).as("centroid_sum"))),
+      Seq("cent_id"))
+      .select("cent_id", "n_vecs", "inertia", "centroid_sum")
+  }
+
   /** Symmetric int8 quantization — the standard vector-compression stage
     * before ANN at scale (4x smaller embeddings, SIMD-friendly distances):
     * per-vector scale = 127 / max|v_i| (1.0 for the zero vector), q_i =
@@ -519,9 +593,31 @@ object Similarity {
     "sim_ann_recall" -> (annRecall _),
     "sim_ivf_topk" -> (ivfTopK _),
     "sim_quantize_int8" -> (quantizeInt8 _),
+    "sim_kmeans_train" -> (kmeansTrain _),
     "dedup_embedding" -> (embeddingDedup _),
     "dedup_semantic" -> (semanticDedup _),
   )
+
+  /** One unrolled Lloyd iteration of the k-means oracle: assignment by the
+    * same fixed-order d² scalar expression, float32-rounded per-dimension
+    * means, empty clusters carried forward — the exact SQL twin of
+    * [[kmeansAssign]]+[[kmeansUpdate]]. */
+  private def kmeansIterSql(i: Int): String = {
+    val p = s"c${i - 1}"
+    s"""s$i AS (SELECT vs.vec_id, vs.v, c.cent_id,
+       |   list_dot_product(vs.v, vs.v) - 2 * list_dot_product(vs.v, c.cv)
+       |     + list_dot_product(c.cv, c.cv) AS d2
+       |   FROM vs CROSS JOIN $p c),
+       | a$i AS (SELECT vec_id, v, cent_id FROM (SELECT *, ROW_NUMBER() OVER
+       |   (PARTITION BY vec_id ORDER BY d2 ASC, cent_id ASC) AS rn FROM s$i)
+       |   WHERE rn = 1),
+       | m$i AS (SELECT cent_id, pos, CAST(CAST(avg(x) AS REAL) AS DOUBLE) AS nx
+       |   FROM (SELECT cent_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+       |     FROM a$i) z GROUP BY cent_id, pos),
+       | n$i AS (SELECT cent_id, list(nx ORDER BY pos) AS cv FROM m$i GROUP BY cent_id),
+       | c$i AS (SELECT c.cent_id, COALESCE(n.cv, c.cv) AS cv
+       |   FROM $p c LEFT JOIN n$i n USING (cent_id))""".stripMargin
+  }
 
   /** The 32 hyperplanes as '0'/'1' sign strings (bit d = plane component d
     * is +1), interpolated into the ANN oracle as literals so DuckDB builds
@@ -825,5 +921,24 @@ object Similarity {
          | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM scored)
          | WHERE rank <= $TopK""".stripMargin,
+
+    "sim_kmeans_train" ->
+      s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         | c0 AS (SELECT vec_id AS cent_id, v AS cv FROM vs WHERE vec_id < $KmeansK),
+         | ${(1 to KmeansIters).map(kmeansIterSql).mkString(",\n ")},
+         | sF AS (SELECT vs.vec_id, c.cent_id,
+         |   list_dot_product(vs.v, vs.v) - 2 * list_dot_product(vs.v, c.cv)
+         |     + list_dot_product(c.cv, c.cv) AS d2
+         |   FROM vs CROSS JOIN c$KmeansIters c),
+         | aF AS (SELECT vec_id, cent_id, d2 FROM (SELECT *, ROW_NUMBER() OVER
+         |   (PARTITION BY vec_id ORDER BY d2 ASC, cent_id ASC) AS rn FROM sF)
+         |   WHERE rn = 1),
+         | g AS (SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vecs, SUM(d2) AS inertia
+         |   FROM aF GROUP BY cent_id),
+         | ck AS (SELECT cent_id,
+         |   list_dot_product(cv, list_transform(cv, x -> 1.0)) AS centroid_sum
+         |   FROM c$KmeansIters)
+         | SELECT g.cent_id, g.n_vecs, g.inertia, ck.centroid_sum
+         | FROM g JOIN ck USING (cent_id)""".stripMargin,
   )
 }

@@ -183,4 +183,25 @@ class SimilaritySpec extends SparkSpec {
     all(others.map(_._2)) should be > 0.0
     all(others.map(_._1)) should (be >= 0L and be <= 0xFFFFFFFFL)
   }
+
+  test("kmeans: complete partition of the corpus, positive spread, trained better than init") {
+    val out = Similarity.kmeansTrain(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    out.map(_._1) shouldBe (0L until Similarity.KmeansK.toLong).toArray
+    out.map(_._2).sum shouldBe 500L // every vector in exactly one cluster
+    all(out.map(_._3)) should be > 0.0
+    // training moved the centroids: total inertia under the trained
+    // centroids is strictly below the inertia of the frozen init
+    // (Lloyd's is monotone; at 0 iterations the "centroids" are raw
+    // corpus vectors). Reuse the public face by re-deriving the init
+    // inertia from the exact top-1 distance to the first-K vec_ids.
+    val vs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val inits = (0L until Similarity.KmeansK.toLong).map(vs)
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val initInertia = vs.values.map(v => inits.map(c => d2(v, c)).min).sum
+    out.map(_._3).sum should be < initInertia
+  }
 }
