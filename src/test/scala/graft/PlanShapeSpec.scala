@@ -279,4 +279,40 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning" // no full-corpus sort
     p should include("partial_count") // term counts map-side combined
   }
+
+  test("sample_holdout_split: pure map — no exchange, no aggregate, no join") {
+    val p = planOf("sample_holdout_split")
+    p should not include "Exchange"
+    p should not include "HashAggregate"
+    p should not include "Join"
+  }
+
+  test("text_pii_scan and redact: pure map scans, pruned to (doc_id, text)") {
+    Seq("text_pii_scan", "text_pii_redact").foreach { q =>
+      val p = planOf(q)
+      p should not include "Exchange"
+      p should not include "Join"
+      p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+    }
+  }
+
+  test("text_bpe_pairs: two-phase count, top-N as TakeOrderedAndProject") {
+    val p = planOf("text_bpe_pairs")
+    p should include("partial_count")
+    p should include("TakeOrderedAndProject")
+    p should not include "Exchange rangepartitioning"
+  }
+
+  test("sim_kmeans_train: centroids broadcast every round; the corpus never shuffles vectors") {
+    // the Lloyd iterations run eagerly inside Staging.stage, so the
+    // returned frame's plan is the final assignment + rollup — assert ITS
+    // shape (iteration plans share the same assign building block)
+    val p = planOf("sim_kmeans_train")
+    p should include("Scan ExistingRDD")        // staged corpus + trained centroids
+    p should include("BroadcastNestedLoopJoin") // corpus × broadcast centroid set
+    p should include("WindowGroupLimit")        // argmin pre-limited before the shuffle
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"     // never a non-broadcast cartesian
+    p should include("partial_count")           // per-cluster rollup map-side combined
+  }
 }
