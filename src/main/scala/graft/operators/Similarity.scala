@@ -380,13 +380,22 @@ object Similarity {
     * broadcast centroids (no corpus shuffle), and the update shuffles only
     * K×dim partial means (map-side combined) — the textbook distributed
     * Lloyd's; iteration states are staged through the [[Staging]] policy. */
-  def kmeansTrain(spark: SparkSession, sfDir: String): DataFrame = {
-    val vs = Staging.stage(vectors(spark, sfDir).select(col("vec_id"), col("v")))
+  /** The trained (cent_id, cv) centroid table: [[KmeansIters]] Lloyd
+    * rounds from the deterministic init, each round's state staged.
+    * Shared by [[kmeansTrain]] (the training report) and
+    * [[ivfTrainedTopK]] (the consumer) so the two can never train
+    * differently. */
+  private[operators] def kmeansCentroids(vs: DataFrame): DataFrame = {
     val init = vs.where(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val trained = (1 to KmeansIters).foldLeft(init) { (c, _) =>
+    (1 to KmeansIters).foldLeft(init) { (c, _) =>
       Staging.stage(kmeansUpdate(kmeansAssign(vs, c), c))
     }
+  }
+
+  def kmeansTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = Staging.stage(vectors(spark, sfDir).select(col("vec_id"), col("v")))
+    val trained = kmeansCentroids(vs)
     val members = kmeansAssign(vs, trained)
       .groupBy("cent_id")
       .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
@@ -394,6 +403,42 @@ object Similarity {
         dot(col("cv"), transform(col("cv"), _ => lit(1.0))).as("centroid_sum"))),
       Seq("cent_id"))
       .select("cent_id", "n_vecs", "inertia", "centroid_sum")
+  }
+
+  /** IVF search over the TRAINED quantizer — [[ivfTopK]] with
+    * [[kmeansCentroids]] in place of the fixed first-K convention, L2
+    * end to end (probe selection, assignment, and final ranking all use
+    * the same bit-exact d² the training loop descends, so the index is
+    * searched with the metric it was built for). Output (query_id,
+    * neighbor_id, rank, d2), ranks ascending by distance.
+    *
+    * 100 TB shape: identical to [[ivfTopK]] — assignment and probe
+    * selection are map-only scans against broadcast centroids, the
+    * bounded [[graft.functions.TopKByScore]] aggregator keeps ≤k
+    * candidates per (partition, query) before the one shuffle. */
+  def ivfTrainedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = Staging.stage(vectors(spark, sfDir).select(col("vec_id"), col("v")))
+    val cents = kmeansCentroids(vs)
+    val assigned = kmeansAssign(vs, cents).select("vec_id", "cent_id")
+    val queries = vs.where(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // each query probes its NProbe nearest trained lists (d2 asc, cent asc)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("d2").asc, col("cent_id").asc)
+    val probes = queries.join(broadcast(cents))
+      .select(col("query_id"), col("cent_id"), dist2(col("qv"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= NProbe)
+      .select("query_id", "cent_id")
+    val rescored = assigned.join(broadcast(probes), Seq("cent_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(vs, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        // negated: the bounded top-k aggregator keeps the HIGHEST scores
+        (-dist2(col("v"), col("qv"))).as("cosine_sim"))
+    topKPerQuery(rescored)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (-col("cosine_sim")).as("d2"))
   }
 
   /** Symmetric int8 quantization — the standard vector-compression stage
@@ -594,6 +639,7 @@ object Similarity {
     "sim_ivf_topk" -> (ivfTopK _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_kmeans_train" -> (kmeansTrain _),
+    "sim_ivf_trained_topk" -> (ivfTrainedTopK _),
     "dedup_embedding" -> (embeddingDedup _),
     "dedup_semantic" -> (semanticDedup _),
   )
@@ -618,6 +664,15 @@ object Similarity {
        | c$i AS (SELECT c.cent_id, COALESCE(n.cv, c.cv) AS cv
        |   FROM $p c LEFT JOIN n$i n USING (cent_id))""".stripMargin
   }
+
+  /** Shared oracle prologue: corpus as DOUBLE[], deterministic init, the
+    * [[KmeansIters]] unrolled Lloyd rounds ending in relation
+    * `c$KmeansIters(cent_id, cv)` — one text for the `sim_kmeans_train`
+    * and `sim_ivf_trained_topk` oracles so they can never train apart. */
+  private def kmeansCtesSql: String =
+    s"""vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       | c0 AS (SELECT vec_id AS cent_id, v AS cv FROM vs WHERE vec_id < $KmeansK),
+       | ${(1 to KmeansIters).map(kmeansIterSql).mkString(",\n ")}""".stripMargin
 
   /** The 32 hyperplanes as '0'/'1' sign strings (bit d = plane component d
     * is +1), interpolated into the ANN oracle as literals so DuckDB builds
@@ -923,9 +978,7 @@ object Similarity {
          | WHERE rank <= $TopK""".stripMargin,
 
     "sim_kmeans_train" ->
-      s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         | c0 AS (SELECT vec_id AS cent_id, v AS cv FROM vs WHERE vec_id < $KmeansK),
-         | ${(1 to KmeansIters).map(kmeansIterSql).mkString(",\n ")},
+      s"""WITH $kmeansCtesSql,
          | sF AS (SELECT vs.vec_id, c.cent_id,
          |   list_dot_product(vs.v, vs.v) - 2 * list_dot_product(vs.v, c.cv)
          |     + list_dot_product(c.cv, c.cv) AS d2
@@ -940,5 +993,33 @@ object Similarity {
          |   FROM c$KmeansIters)
          | SELECT g.cent_id, g.n_vecs, g.inertia, ck.centroid_sum
          | FROM g JOIN ck USING (cent_id)""".stripMargin,
+
+    "sim_ivf_trained_topk" ->
+      s"""WITH $kmeansCtesSql,
+         | sA AS (SELECT vs.vec_id, c.cent_id,
+         |   list_dot_product(vs.v, vs.v) - 2 * list_dot_product(vs.v, c.cv)
+         |     + list_dot_product(c.cv, c.cv) AS d2
+         |   FROM vs CROSS JOIN c$KmeansIters c),
+         | asg AS (SELECT vec_id, cent_id FROM (SELECT *, ROW_NUMBER() OVER
+         |   (PARTITION BY vec_id ORDER BY d2 ASC, cent_id ASC) AS rn FROM sA)
+         |   WHERE rn = 1),
+         | q AS (SELECT vec_id AS query_id, v AS qv FROM vs
+         |   WHERE vec_id < $NumQueryVectors),
+         | pr AS (SELECT query_id, cent_id FROM (SELECT q.query_id, c.cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |     list_dot_product(q.qv, q.qv) - 2 * list_dot_product(q.qv, c.cv)
+         |       + list_dot_product(c.cv, c.cv) ASC, c.cent_id ASC) AS rn
+         |   FROM q CROSS JOIN c$KmeansIters c) WHERE rn <= $NProbe),
+         | re AS (SELECT pr.query_id, asg.vec_id AS neighbor_id,
+         |   list_dot_product(vs.v, vs.v) - 2 * list_dot_product(vs.v, q.qv)
+         |     + list_dot_product(q.qv, q.qv) AS d2
+         |   FROM asg JOIN pr USING (cent_id)
+         |   JOIN vs ON vs.vec_id = asg.vec_id
+         |   JOIN q ON q.query_id = pr.query_id
+         |   WHERE asg.vec_id <> pr.query_id)
+         | SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, d2
+         | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY d2 ASC, neighbor_id ASC) AS rank FROM re)
+         | WHERE rank <= $TopK""".stripMargin,
   )
 }

@@ -204,4 +204,29 @@ class SimilaritySpec extends SparkSpec {
     val initInertia = vs.values.map(v => inits.map(c => d2(v, c)).min).sum
     out.map(_._3).sum should be < initInertia
   }
+
+  test("trained IVF: well-formed ascending top-k; recall vs exact L2 is materially high") {
+    val out = Similarity.ivfTrainedTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    out.groupBy(_._1).values.foreach { g =>
+      val s = g.sortBy(_._3)
+      s.map(_._3) shouldBe (1 to s.size)           // dense ranks from 1
+      s.map(_._4) shouldBe s.map(_._4).sorted      // distances ascending
+      all(s.map(_._4)) should be >= 0.0
+    }
+    // exact L2 top-5 per query, brute force on the driver
+    val vs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = (0L until Similarity.NumQueryVectors.toLong).flatMap { q =>
+      vs.keys.filter(_ != q).toSeq
+        .sortBy(n => (d2(vs(q), vs(n)), n)).take(Similarity.TopK).map(q -> _)
+    }.toSet
+    val got = out.map(r => (r._1, r._2)).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    info(f"trained-IVF recall@5 = $recall%.3f")
+    recall should be >= 0.5
+  }
 }
