@@ -385,7 +385,7 @@ object Similarity {
     * Shared by [[kmeansTrain]] (the training report) and
     * [[ivfTrainedTopK]] (the consumer) so the two can never train
     * differently. */
-  private[operators] def kmeansCentroids(vs: DataFrame): DataFrame = {
+  def kmeansCentroids(vs: DataFrame): DataFrame = {
     val init = vs.where(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     (1 to KmeansIters).foldLeft(init) { (c, _) =>
@@ -404,6 +404,13 @@ object Similarity {
       Seq("cent_id"))
       .select("cent_id", "n_vecs", "inertia", "centroid_sum")
   }
+
+  /** Frozen-quantizer assignment probe — the batch core
+    * [[graft.streaming.StreamingKmeansAssign]] shares: every vector of
+    * `batch` (vec_id, v) to its nearest trained centroid, same bit-exact
+    * d² argmin as training. (vec_id, cent_id, d2). */
+  def kmeansProbe(cents: DataFrame, batch: DataFrame): DataFrame =
+    kmeansAssign(batch, cents).select("vec_id", "cent_id", "d2")
 
   /** IVF search over the TRAINED quantizer — [[ivfTopK]] with
     * [[kmeansCentroids]] in place of the fixed first-K convention, L2

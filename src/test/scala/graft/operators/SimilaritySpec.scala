@@ -205,6 +205,25 @@ class SimilaritySpec extends SparkSpec {
     out.map(_._3).sum should be < initInertia
   }
 
+  test("kmeans: invariant across shuffle parallelism — the float32-rounded means claim") {
+    // cluster membership and trained coordinates must be BIT-identical
+    // whatever the partitioning (the rounding quenches partial-agg sum
+    // order); inertia is an order-dependent double sum over members, so
+    // it gets tolerance, not equality
+    def run() = Similarity.kmeansTrain(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val a = run()
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    val b = try { spark.conf.set("spark.sql.shuffle.partitions", "3"); run() }
+      finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    b.keySet shouldBe a.keySet
+    a.foreach { case (cid, (n, inertia, ck)) =>
+      b(cid)._1 shouldBe n           // same membership
+      b(cid)._3 shouldBe ck          // bit-identical trained centroid
+      b(cid)._2 shouldBe inertia +- 1e-9 * math.abs(inertia)
+    }
+  }
+
   test("trained IVF: well-formed ascending top-k; recall vs exact L2 is materially high") {
     val out = Similarity.ivfTrainedTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
