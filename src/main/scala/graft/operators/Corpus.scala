@@ -152,6 +152,27 @@ object Corpus {
         .when(splitHash(col("doc_id")) < ValPerMille, "val")
         .otherwise("test").as("split"))
 
+  /** Execute the mixing plan's DOWNSAMPLE side — [[mixPlan]] made
+    * applicable, the way [[writeSharded]] executes [[shardPlan]]: each
+    * document of an over-represented language is kept with probability
+    * `min(weight, 1)` via the salted portable hash, so the surviving
+    * corpus's token composition moves toward [[TargetMix]]
+    * deterministically (same keep-set on every run/engine). Upsampling
+    * (weight > 1) is repetition at pack time, not a row-level operation —
+    * those languages pass through whole (rate 1) carrying their weight.
+    * Output (doc_id, lang, rate).
+    *
+    * 100 TB shape: the per-language rate table is ≤ #languages rows and
+    * broadcast; the keep test is a pure per-row predicate on the scan. */
+  def mixApply(documents: DataFrame): DataFrame = {
+    val rates = mixPlan(documents)
+      .select(col("lang"), least(col("weight"), lit(1.0)).as("rate"))
+    documents.join(broadcast(rates), Seq("lang"))
+      .where(Dedup.h32(concat(lit("mix:"), col("doc_id").cast("string"))) % 1000
+        < col("rate") * 1000.0)
+      .select(col("doc_id"), col("lang"), col("rate"))
+  }
+
   /** Deterministic eval/train split for [[decontaminate]]: doc_id ≡
     * [[EvalRem]] (mod [[EvalMod]]) plays the held-out benchmark set (~5%),
     * the rest the training corpus. */
@@ -419,6 +440,7 @@ object Corpus {
     "corpus_pack_plan"  -> ((s, d) => packPlan(Tables.documents(s, d))),
     "corpus_chunk_plan" -> ((s, d) => chunkPlan(Tables.documents(s, d))),
     "corpus_mix_plan"   -> ((s, d) => mixPlan(Tables.documents(s, d))),
+    "corpus_mix_apply"  -> ((s, d) => mixApply(Tables.documents(s, d))),
     "corpus_e2e"        -> ((s, d) => endToEnd(Tables.documents(s, d))),
   )
 
@@ -617,5 +639,19 @@ object Corpus {
               .mkString("CASE ", " ", " ELSE CAST(0 AS DOUBLE) END")}) / token_share,
          |     $MaxUpsample) AS weight
          | FROM sh""".stripMargin,
+
+    "corpus_mix_apply" ->
+      s"""WITH pl AS (SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+         |     AS n_tokens FROM documents GROUP BY lang),
+         | sh AS (SELECT lang, CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()
+         |     AS token_share FROM pl),
+         | w AS (SELECT lang, LEAST(LEAST(
+         |   (${TargetMix.map { case (l, t) => s"WHEN lang = '$l' THEN $t" }
+              .mkString("CASE ", " ", " ELSE CAST(0 AS DOUBLE) END")}) / token_share,
+         |   $MaxUpsample), 1.0) AS rate FROM sh)
+         | SELECT d.doc_id, d.lang, w.rate
+         | FROM documents d JOIN w USING (lang)
+         | WHERE ('0x' || substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |   % 1000 < w.rate * 1000.0""".stripMargin,
   )
 }

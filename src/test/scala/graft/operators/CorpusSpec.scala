@@ -304,4 +304,26 @@ class CorpusSpec extends SparkSpec {
       .collect()(0).getString(2)
     solo shouldBe out(17L)
   }
+
+  test("mix apply: over-represented strata downsample toward target, scarce pass whole") {
+    // 90% en / 10% de by tokens: en's target (0.35) => rate ~0.39, de's
+    // (0.15) is above its 0.10 share => weight > 1, rate capped at 1
+    val docs = docsDf(
+      (0L until 180L).map(i => (i, "w w w w w", "en", "web")) ++
+        (900L until 920L).map(i => (i, "w w w w w", "de", "web")))
+    val out = Corpus.mixApply(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byLang = out.groupBy(_._2)
+    // de: weight = .15/.10 = 1.5 capped to rate 1.0 -> every doc kept
+    byLang("de").map(_._1).toSet shouldBe (900L until 920L).toSet
+    all(byLang("de").map(_._3)) shouldBe 1.0
+    // en: rate = .35/.90 ~ 0.389 -> a strict, deterministic subset
+    val enRate = byLang("en").head._3
+    enRate shouldBe (0.35 / 0.9) +- 1e-12
+    val kept = byLang("en").size.toDouble / 180
+    kept should (be > enRate - 0.15 and be < enRate + 0.15)
+    // deterministic: same keep-set on a re-run
+    Corpus.mixApply(docs).collect().map(r => r.getLong(0)).toSet shouldBe
+      out.map(_._1).toSet
+  }
 }
