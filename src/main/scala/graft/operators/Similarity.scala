@@ -655,12 +655,20 @@ object Similarity {
     * same fixed-order d² scalar expression, float32-rounded per-dimension
     * means, empty clusters carried forward — the exact SQL twin of
     * [[kmeansAssign]]+[[kmeansUpdate]]. */
-  private def kmeansIterSql(i: Int): String = {
-    val p = s"c${i - 1}"
-    s"""s$i AS (SELECT vs.vec_id, vs.v, c.cent_id,
+  /** The d²-scoring CTE body `(vec_id, v, cent_id, d2)` of corpus relation
+    * `vs` against centroid relation `centsRel` — ONE text for the
+    * iteration, final-rollup, and trained-IVF assignment scans so the
+    * scalar-op order can never drift between them (the r6 ADVICE
+    * three-copies lesson, applied up front). */
+  private def kmeansScoreSql(centsRel: String): String =
+    s"""SELECT vs.vec_id, vs.v, c.cent_id,
        |   list_dot_product(vs.v, vs.v) - 2 * list_dot_product(vs.v, c.cv)
        |     + list_dot_product(c.cv, c.cv) AS d2
-       |   FROM vs CROSS JOIN $p c),
+       |   FROM vs CROSS JOIN $centsRel c""".stripMargin
+
+  private def kmeansIterSql(i: Int): String = {
+    val p = s"c${i - 1}"
+    s"""s$i AS (${kmeansScoreSql(p)}),
        | a$i AS (SELECT vec_id, v, cent_id FROM (SELECT *, ROW_NUMBER() OVER
        |   (PARTITION BY vec_id ORDER BY d2 ASC, cent_id ASC) AS rn FROM s$i)
        |   WHERE rn = 1),
@@ -986,10 +994,7 @@ object Similarity {
 
     "sim_kmeans_train" ->
       s"""WITH $kmeansCtesSql,
-         | sF AS (SELECT vs.vec_id, c.cent_id,
-         |   list_dot_product(vs.v, vs.v) - 2 * list_dot_product(vs.v, c.cv)
-         |     + list_dot_product(c.cv, c.cv) AS d2
-         |   FROM vs CROSS JOIN c$KmeansIters c),
+         | sF AS (${kmeansScoreSql(s"c$KmeansIters")}),
          | aF AS (SELECT vec_id, cent_id, d2 FROM (SELECT *, ROW_NUMBER() OVER
          |   (PARTITION BY vec_id ORDER BY d2 ASC, cent_id ASC) AS rn FROM sF)
          |   WHERE rn = 1),
@@ -1003,10 +1008,7 @@ object Similarity {
 
     "sim_ivf_trained_topk" ->
       s"""WITH $kmeansCtesSql,
-         | sA AS (SELECT vs.vec_id, c.cent_id,
-         |   list_dot_product(vs.v, vs.v) - 2 * list_dot_product(vs.v, c.cv)
-         |     + list_dot_product(c.cv, c.cv) AS d2
-         |   FROM vs CROSS JOIN c$KmeansIters c),
+         | sA AS (${kmeansScoreSql(s"c$KmeansIters")}),
          | asg AS (SELECT vec_id, cent_id FROM (SELECT *, ROW_NUMBER() OVER
          |   (PARTITION BY vec_id ORDER BY d2 ASC, cent_id ASC) AS rn FROM sA)
          |   WHERE rn = 1),
