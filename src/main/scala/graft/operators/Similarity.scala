@@ -636,6 +636,20 @@ object Similarity {
       .write.partitionBy("cent_id").mode("overwrite").parquet(outDir)
   }
 
+  /** Persist / reload the trained quantizer — the model artifact between
+    * [[kmeansCentroids]] (train once, offline) and its consumers
+    * ([[kmeansProbe]], [[graft.streaming.StreamingKmeansAssign]],
+    * `ivfTrainedTopK`-style searches): K rows of (cent_id, cv) as plain
+    * parquet. Deliberately unpartitioned — the whole model is K×dim
+    * values, broadcast-sized by construction at any corpus scale (the
+    * corpus-sized artifacts are the ones that persist bucketed/partitioned:
+    * [[Dedup.saveIndex]], [[writeCodeTable]]). */
+  def saveCentroids(cents: DataFrame, outDir: String): Unit =
+    cents.coalesce(1).write.mode("overwrite").parquet(outDir)
+
+  def loadCentroids(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_pq_topk" -> (ivfPqTopK _),
     "sim_pq" -> (pqCodes _),

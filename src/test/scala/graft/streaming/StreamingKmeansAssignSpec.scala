@@ -24,7 +24,11 @@ class StreamingKmeansAssignSpec extends SparkSpec {
     val vs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .localCheckpoint(true)
-    val centroids = Similarity.kmeansCentroids(vs).localCheckpoint(true)
+    // the full model lifecycle: train offline, persist, serve the RELOADED
+    // artifact (bit-exact round trip: parquet doubles are lossless)
+    val modelDir = Files.createTempDirectory("graft-skm-model-").toString
+    Similarity.saveCentroids(Similarity.kmeansCentroids(vs), modelDir)
+    val centroids = Similarity.loadCentroids(spark, modelDir).localCheckpoint(true)
 
     val rows = vs.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
     val in = MemoryStream[(Long, Seq[Double])]
