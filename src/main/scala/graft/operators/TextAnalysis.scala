@@ -99,6 +99,33 @@ object TextAnalysis {
       stopwordRatioCol.as("stopword_ratio"),
       qualityScoreCol.as("quality_score"))
 
+  /** Decile quantile points for [[qualityDeciles]]. */
+  val DecileQs: Seq[Double] = (1 to 9).map(_ / 10.0)
+
+  /** Quality-decile bucketing — the curation step between scoring and
+    * mixing (train on the top buckets, hold the rest back, or weight by
+    * bucket): every document labeled 0..9 by where its composite quality
+    * score falls against the corpus's own exact decile thresholds.
+    *
+    * Engine-portable by construction: scores are rounded to 1e-6 BEFORE
+    * the quantile so every interpolated threshold sits ≥ ~1e-7 from any
+    * distinct rounded score — a `score >= threshold` comparison can never
+    * flip on cross-engine interpolation ulps (and an exact-hit threshold,
+    * interpolation fraction 0, is the score value bit-exactly on both).
+    *
+    * 100 TB shape: one map-side-combined quantile aggregate to a 1-row
+    * threshold frame, broadcast back over the scan; the swap-in at scale
+    * is `approx_percentile` for the threshold row, same shape. */
+  def qualityDeciles(documents: DataFrame): DataFrame = {
+    val scored = quality(documents)
+      .select(col("doc_id"), round(col("quality_score"), 6).as("qs"))
+    val ths = scored.agg(percentile(col("qs"),
+      typedLit(DecileQs)).as("ths"))
+    scored.join(broadcast(ths))
+      .select(col("doc_id"), col("qs"),
+        size(filter(col("ths"), t => col("qs") >= t)).as("decile"))
+  }
+
   /** Content fingerprints over the portable hash family
     * ([[Dedup.h32]]): whole-content hash of the whitespace-normalized
     * lowercase text, plus the minimum shingle hash (MinHash with k=1 — a
@@ -517,6 +544,7 @@ object TextAnalysis {
     "text_bpe_pairs"   -> ((s, d) => bpePairs(Tables.documents(s, d))),
     "text_pii_scan"    -> ((s, d) => piiScan(Tables.documents(s, d))),
     "text_pii_redact"  -> ((s, d) => piiRedact(Tables.documents(s, d))),
+    "text_quality_deciles" -> ((s, d) => qualityDeciles(Tables.documents(s, d))),
   )
 
   // ---- DuckDB mirrors ------------------------------------------------------
@@ -718,6 +746,15 @@ object TextAnalysis {
       s"""WITH $qualityScoreSqlWith
          | SELECT doc_id, punct_ratio, stopword_ratio, quality_score
          | FROM qscore""".stripMargin,
+
+    "text_quality_deciles" ->
+      s"""WITH $qualityScoreSqlWith,
+         | q AS (SELECT doc_id, round(quality_score, 6) AS qs FROM qscore),
+         | th AS (SELECT quantile_cont(qs,
+         |   [${DecileQs.mkString(", ")}]) AS ths FROM q)
+         | SELECT q.doc_id, q.qs,
+         |   CAST(len(list_filter(th.ths, t -> q.qs >= t)) AS INTEGER) AS decile
+         | FROM q, th""".stripMargin,
 
     "text_ngram_freq" ->
       s"""WITH toks AS (SELECT doc_id, lower(text) AS lt,

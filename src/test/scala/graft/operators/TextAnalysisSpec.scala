@@ -221,6 +221,18 @@ class TextAnalysisSpec extends SparkSpec {
     out(3L) shouldBe ((0, 0, 0, 0, 0))
   }
 
+  test("quality deciles: monotone in score, buckets within 0..9, genuinely spread") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextAnalysis.qualityDeciles(docs).collect()
+      .map(r => (r.getDouble(1), r.getInt(2)))
+    all(out.map(_._2)) should (be >= 0 and be <= 9)
+    val sorted = out.sortBy(_._1)
+    sorted.map(_._2) shouldBe sorted.map(_._2).sorted // same order as the score
+    // thresholds split the real corpus into many distinct buckets
+    // (score ties may merge a few)
+    out.map(_._2).distinct.length should be >= 6
+  }
+
   test("pii redact: every class replaced by its token, rest untouched") {
     val out = TextAnalysis.piiRedact(docs(
       1L -> "mail a@b.co ssn 123-45-6789 ip 10.0.0.1 tel +1 415-555-0100 end"))
