@@ -185,6 +185,28 @@ object TextAnalysis {
         case (acc, (re, tok)) => regexp_replace(acc, re, tok)
       }.as("text"))
 
+  /** PII parity probe — the oracle face that proves the regex semantics
+    * MATCH across engines on text that actually contains PII (the
+    * synthetic corpus is PII-free, so `text_pii_scan`'s green row alone
+    * only proves both engines count zero): one email / id / IPv4 / phone
+    * span is derived deterministically from doc_id and prepended to every
+    * document ON BOTH ENGINES, then scanned and redacted. Every row must
+    * count (1,1,1,1) + redact to the same length — a divergence in
+    * greedy-match extent or replacement behavior fails the hash. */
+  def piiProbe(documents: DataFrame): DataFrame = {
+    val aug = documents.select(col("doc_id"),
+      concat_ws(" ",
+        concat(lit("user"), col("doc_id").cast("string"), lit("@example.com")),
+        lit("123-45-6789"),
+        lit("10.0.0.1"),
+        concat(lit("+1 415-555-0"),
+          lpad(pmod(col("doc_id"), lit(100)).cast("string"), 3, "0")),
+        col("text")).as("text"))
+    piiScan(aug)
+      .join(piiRedact(aug).select(col("doc_id"),
+        length(col("text")).as("redacted_chars")), Seq("doc_id"))
+  }
+
   /** Corpus n-gram table size. */
   val TopNgrams = 100
 
@@ -545,6 +567,7 @@ object TextAnalysis {
     "text_pii_scan"    -> ((s, d) => piiScan(Tables.documents(s, d))),
     "text_pii_redact"  -> ((s, d) => piiRedact(Tables.documents(s, d))),
     "text_quality_deciles" -> ((s, d) => qualityDeciles(Tables.documents(s, d))),
+    "text_pii_probe"   -> ((s, d) => piiProbe(Tables.documents(s, d))),
   )
 
   // ---- DuckDB mirrors ------------------------------------------------------
@@ -794,6 +817,29 @@ object TextAnalysis {
          |     '$PiiIpv4Re', '<IP>', 'g'),
          |     '$PiiPhoneRe', '<PHONE>', 'g') AS text
          | FROM documents""".stripMargin,
+
+    "text_pii_probe" ->
+      s"""WITH aug AS (SELECT doc_id,
+         |   'user' || CAST(doc_id AS VARCHAR) || '@example.com' || ' ' ||
+         |   '123-45-6789' || ' ' || '10.0.0.1' || ' ' ||
+         |   '+1 415-555-0' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0') ||
+         |   ' ' || text AS text
+         | FROM documents)
+         | SELECT doc_id,
+         |   n_emails, n_ids, n_ipv4, n_phones,
+         |   n_emails + n_ids + n_ipv4 + n_phones AS n_pii,
+         |   redacted_chars
+         | FROM (SELECT doc_id,
+         |   CAST(len(regexp_extract_all(text, '$PiiEmailRe')) AS INTEGER) AS n_emails,
+         |   CAST(len(regexp_extract_all(text, '$PiiIdRe')) AS INTEGER) AS n_ids,
+         |   CAST(len(regexp_extract_all(text, '$PiiIpv4Re')) AS INTEGER) AS n_ipv4,
+         |   CAST(len(regexp_extract_all(text, '$PiiPhoneRe')) AS INTEGER) AS n_phones,
+         |   CAST(length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |     '$PiiEmailRe', '<EMAIL>', 'g'),
+         |     '$PiiIdRe', '<ID>', 'g'),
+         |     '$PiiIpv4Re', '<IP>', 'g'),
+         |     '$PiiPhoneRe', '<PHONE>', 'g')) AS INTEGER) AS redacted_chars
+         | FROM aug) c""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH n AS (SELECT doc_id,

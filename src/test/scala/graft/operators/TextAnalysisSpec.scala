@@ -233,6 +233,16 @@ class TextAnalysisSpec extends SparkSpec {
     out.map(_._2).distinct.length should be >= 6
   }
 
+  test("pii probe: every derived span counted exactly once per class") {
+    val out = TextAnalysis.piiProbe(docs(7L -> "plain words only"))
+      .collect()(0)
+    // (doc_id, n_emails, n_ids, n_ipv4, n_phones, n_pii, redacted_chars)
+    (1 to 5).map(out.getInt) shouldBe Seq(1, 1, 1, 1, 4)
+    // redacted: "user7@example.com 123-45-6789 10.0.0.1 +1 415-555-0007"
+    // -> "<EMAIL> <ID> <IP> <PHONE>" + " plain words only"
+    out.getInt(6) shouldBe "<EMAIL> <ID> <IP> <PHONE> plain words only".length
+  }
+
   test("pii redact: every class replaced by its token, rest untouched") {
     val out = TextAnalysis.piiRedact(docs(
       1L -> "mail a@b.co ssn 123-45-6789 ip 10.0.0.1 tel +1 415-555-0100 end"))
