@@ -224,6 +224,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeans: degenerate corpus — an emptied cluster carries its centroid forward") {
+    val sp = spark; import sp.implicits._
+    // seeds 0 and 1 share vector A, so the d2=0 tiebreak routes BOTH (and
+    // every later copy of A) to cluster 0: cluster 1 is empty from the
+    // first assignment on and must survive through the update's
+    // carry-forward branch — if an inner join dropped it, its row would
+    // vanish from the trained table
+    val a = Seq.fill(16)(1.0)
+    def b(i: Int) = Seq.tabulate(16)(d => if (d == i) 5.0 else 0.0)
+    val vs = (Seq(0L -> a, 1L -> a) ++
+      (2 to 7).map(i => i.toLong -> b(i)) ++
+      (8L until 100L).map(_ -> a)).toDF("vec_id", "v")
+    val cents = Similarity.kmeansCentroids(vs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    cents.keySet shouldBe (0L until Similarity.KmeansK.toLong).toSet
+    cents(0L) shouldBe a // mean of the A-pile
+    cents(1L) shouldBe a // EMPTY cluster: init centroid carried forward
+    (2 to 7).foreach(i => cents(i.toLong) shouldBe b(i)) // single-member seeds
+  }
+
   test("trained IVF: well-formed ascending top-k; recall vs exact L2 is materially high") {
     val out = Similarity.ivfTrainedTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
