@@ -70,6 +70,31 @@ object TextAnalysis {
       m.cast("long").as("best_score"))
   }
 
+  /** Marker repetitions for [[langProbe]] — enough planted profile hits
+    * to outvote the corpus's incidental English function words. */
+  val LangProbeRepeat = 5
+
+  /** Language-ID parity + recovery probe (the `text_pii_probe` pattern
+    * applied to the detector): the synthetic corpus only ever exercises
+    * the `en` scoring branch, so the green `text_lang_id` row proves
+    * nothing about the de/es/fr/zh paths or the tie/argmax logic under
+    * real competition. Here each document is prefixed ON BOTH ENGINES
+    * with [[LangProbeRepeat]] copies of its own metadata-language profile
+    * words (unicode included for zh), then re-identified: every branch
+    * scores, the argmax competes against the soup's English hits, and
+    * `recovered` reports whether the planted language won. */
+  def langProbe(documents: DataFrame): DataFrame = {
+    val marker = LangProfiles.foldLeft(lit("")) { case (acc, (l, ws)) =>
+      when(col("lang") === l,
+        lit(Seq.fill(LangProbeRepeat)(ws).flatten.mkString(" "))).otherwise(acc)
+    }
+    val aug = documents.select(col("doc_id"), col("lang"),
+      concat_ws(" ", marker, col("text")).as("text"))
+    langId(aug).join(aug.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("lang_pred"),
+        (col("lang_pred") === col("lang")).as("recovered"))
+  }
+
   /** The quality signal columns over `text` — exposed individually so
     * streaming pipelines can compose them join-free
     * ([[graft.streaming.StreamingCorpusGate]]). */
@@ -568,6 +593,7 @@ object TextAnalysis {
     "text_pii_redact"  -> ((s, d) => piiRedact(Tables.documents(s, d))),
     "text_quality_deciles" -> ((s, d) => qualityDeciles(Tables.documents(s, d))),
     "text_pii_probe"   -> ((s, d) => piiProbe(Tables.documents(s, d))),
+    "text_lang_probe"  -> ((s, d) => langProbe(Tables.documents(s, d))),
   )
 
   // ---- DuckDB mirrors ------------------------------------------------------
@@ -764,6 +790,27 @@ object TextAnalysis {
          |        ELSE 'zh' END AS lang_pred,
          |   CAST(m AS BIGINT) AS best_score
          | FROM mx""".stripMargin,
+
+    "text_lang_probe" ->
+      s"""WITH aug AS (SELECT doc_id, lang,
+         |   (CASE ${LangProfiles.map { case (l, ws) =>
+                s"WHEN lang = '$l' THEN '${Seq.fill(LangProbeRepeat)(ws).flatten.mkString(" ")}'"
+              }.mkString("\n |        ")}
+         |    ELSE '' END) || ' ' || text AS text
+         | FROM documents),
+         | tk AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM aug),
+         | sc AS (SELECT doc_id, lang,
+         |   ${LangProfiles.map { case (l, ws) => scoreSql(l, ws) }.mkString(",\n |   ")}
+         |   FROM tk),
+         | mx AS (SELECT *, GREATEST(s_en, s_de, s_es, s_fr, s_zh) AS m FROM sc),
+         | pr AS (SELECT doc_id, lang,
+         |   CASE WHEN m = 0 THEN 'und'
+         |        WHEN s_en = m THEN 'en' WHEN s_de = m THEN 'de'
+         |        WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr'
+         |        ELSE 'zh' END AS lang_pred
+         |   FROM mx)
+         | SELECT doc_id, lang, lang_pred, lang_pred = lang AS recovered
+         | FROM pr""".stripMargin,
 
     "text_quality" ->
       s"""WITH $qualityScoreSqlWith

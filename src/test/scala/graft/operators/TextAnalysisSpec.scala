@@ -233,6 +233,19 @@ class TextAnalysisSpec extends SparkSpec {
     out.map(_._2).distinct.length should be >= 6
   }
 
+  test("lang probe: the planted language outvotes the soup's English hits") {
+    val sp = spark; import sp.implicits._
+    // English function words in the body try to steal the argmax
+    val soup = "the a the a scan merge value"
+    val df = Seq((1L, soup, "de", "web"), (2L, soup, "zh", "web"),
+      (3L, soup, "en", "web")).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.langProbe(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    out(1L) shouldBe (("de", true))
+    out(2L) shouldBe (("zh", true))
+    out(3L) shouldBe (("en", true))
+  }
+
   test("pii probe: every derived span counted exactly once per class") {
     val out = TextAnalysis.piiProbe(docs(7L -> "plain words only"))
       .collect()(0)
