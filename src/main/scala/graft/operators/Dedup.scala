@@ -132,6 +132,23 @@ object Dedup {
       .groupBy(sha2(col("text"), 256).as("content_sha"))
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact-dedup recovery probe: the synthetic corpus contains ZERO
+    * duplicate contents (every `dedup_exact` group is a singleton at the
+    * oracle), so the collapse/keeper logic never fires there. Each run of
+    * [[ExactProbeGroup]] consecutive doc_ids is remapped ON BOTH ENGINES
+    * to its group leader's text, so the probe must collapse the corpus
+    * [[ExactProbeGroup]]-fold with min-id keepers. */
+  val ExactProbeGroup = 5
+
+  def exactProbe(documents: DataFrame): DataFrame = {
+    val leaders = documents.select(col("doc_id").as("src_id"), col("text"))
+    exact(documents
+      .select(col("doc_id"),
+        (col("doc_id") - pmod(col("doc_id"), lit(ExactProbeGroup))).as("src_id"))
+      .join(leaders, "src_id")
+      .select(col("doc_id"), col("text")))
+  }
+
   // ---- exact-dup pre-collapse ----------------------------------------------
 
   /** (doc_id, rep) for every document: rep = min doc_id among identical
@@ -571,6 +588,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_chunk_exact"   -> ((s, d) => chunkExact(Tables.documents(s, d))),
     "dedup_exact"         -> ((s, d) => exact(Tables.documents(s, d))),
+    "dedup_exact_probe"   -> ((s, d) => exactProbe(Tables.documents(s, d))),
     "dedup_minhash_lsh"   -> ((s, d) => minhashLsh(Tables.documents(s, d))),
     "dedup_simhash"       -> ((s, d) => simhashDedup(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardBestMatch(Tables.documents(s, d))),
@@ -683,6 +701,15 @@ object Dedup {
     "dedup_exact" ->
       """SELECT sha256(text) AS content_sha, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
         | CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY sha256(text)""".stripMargin,
+
+    "dedup_exact_probe" ->
+      s"""WITH led AS (SELECT doc_id AS src_id, text FROM documents),
+         | m AS (SELECT d.doc_id, led.text
+         |   FROM (SELECT doc_id, doc_id - doc_id % $ExactProbeGroup AS src_id
+         |     FROM documents) d
+         |   JOIN led USING (src_id))
+         | SELECT sha256(text) AS content_sha, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+         |   CAST(COUNT(*) AS BIGINT) AS n_copies FROM m GROUP BY sha256(text)""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH RECURSIVE $repsWith,

@@ -95,6 +95,19 @@ object TextAnalysis {
         (col("lang_pred") === col("lang")).as("recovered"))
   }
 
+  /** Repetition-gate recovery probe: no synthetic document trips the
+    * Gopher gate (0/500 at the oracle), so the `repetitive = true` branch
+    * never fires there. Each document's body is replaced ON BOTH ENGINES
+    * by its own first bigram repeated 30× — 60 tokens of pure
+    * boilerplate: every row must flag repetitive with top-bigram
+    * fraction ~1. */
+  def repetitionProbe(documents: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val bigram = concat_ws(" ", get(t, lit(0)), get(t, lit(1)))
+    repetition(documents.select(col("doc_id"),
+      concat(repeat(concat(bigram, lit(" ")), 29), bigram).as("text")))
+  }
+
   /** The quality signal columns over `text` — exposed individually so
     * streaming pipelines can compose them join-free
     * ([[graft.streaming.StreamingCorpusGate]]). */
@@ -594,6 +607,7 @@ object TextAnalysis {
     "text_quality_deciles" -> ((s, d) => qualityDeciles(Tables.documents(s, d))),
     "text_pii_probe"   -> ((s, d) => piiProbe(Tables.documents(s, d))),
     "text_lang_probe"  -> ((s, d) => langProbe(Tables.documents(s, d))),
+    "text_repetition_probe" -> ((s, d) => repetitionProbe(Tables.documents(s, d))),
   )
 
   // ---- DuckDB mirrors ------------------------------------------------------
@@ -632,7 +646,11 @@ object TextAnalysis {
     * repetitive)` — the single SQL mirror of [[repetition]], shared by the
     * `text_repetition` and `corpus_clean` oracles so the formula cannot
     * drift between them (same pattern as [[qualityScoreSqlWith]]). */
-  private[operators] def repetitionSqlWith: String = {
+  private[operators] def repetitionSqlWith: String = repetitionSqlWith("documents")
+
+  /** Parametric variant: the `text_repetition_probe` oracle runs the same
+    * CTEs over an augmented source relation. */
+  private[operators] def repetitionSqlWith(src: String): String = {
     val topBgFrac =
       """CASE WHEN len(bg) = 0 THEN CAST(0 AS DOUBLE)
         |     ELSE CAST(list_max(list_transform(list_distinct(bg),
@@ -641,7 +659,7 @@ object TextAnalysis {
       """CASE WHEN len(tg) = 0 THEN CAST(0 AS DOUBLE)
         |     ELSE CAST(len(list_filter(tg,
         |       g3 -> len(list_filter(tg, x -> x = g3)) >= 2)) AS DOUBLE) / len(tg) END""".stripMargin
-    s"""rtk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""rtk AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
        | rg AS (SELECT doc_id, t,
        |   CASE WHEN len(t) >= 2 THEN list_transform(range(len(t) - 1),
        |     i -> array_to_string(t[i + 1 : i + 2], ' ')) ELSE [] END AS bg,
@@ -764,6 +782,16 @@ object TextAnalysis {
          | WHERE rank <= $TopTermsPerDoc""".stripMargin,
     "text_repetition" ->
       s"""WITH $repetitionSqlWith
+         | SELECT doc_id, dup_token_frac, top_bigram_frac, dup_trigram_frac,
+         |   repetitive
+         | FROM rrep""".stripMargin,
+
+    "text_repetition_probe" ->
+      s"""WITH raug AS (SELECT doc_id,
+         |   repeat(concat_ws(' ', t[1], t[2]) || ' ', 29)
+         |     || concat_ws(' ', t[1], t[2]) AS text
+         |   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) z),
+         | ${repetitionSqlWith("raug")}
          | SELECT doc_id, dup_token_frac, top_bigram_frac, dup_trigram_frac,
          |   repetitive
          | FROM rrep""".stripMargin,

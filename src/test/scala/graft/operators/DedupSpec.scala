@@ -71,6 +71,13 @@ class DedupSpec extends SparkSpec {
     out shouldBe Map(2L -> 2L, 7L -> 1L)
   }
 
+  test("exact probe: collapses a distinct corpus ExactProbeGroup-fold, leader keepers") {
+    // 20 distinct docs, dense ids -> 4 groups of 5, keeper = group leader
+    val out = Dedup.exactProbe(docsDf((0L until 20L).map(i => i -> s"unique text $i")))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    out shouldBe Map(0L -> 5L, 5L -> 5L, 10L -> 5L, 15L -> 5L)
+  }
+
   test("incremental minhash: incoming docs match the corpus, never each other") {
     // incoming = doc_id % 5 == 0 → {5, 10}; corpus = {1, 2, 3}
     val out = Dedup.minhashLshIncremental(docsDf(Seq(

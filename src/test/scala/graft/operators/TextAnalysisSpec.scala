@@ -246,6 +246,15 @@ class TextAnalysisSpec extends SparkSpec {
     out(3L) shouldBe (("en", true))
   }
 
+  test("repetition probe: every augmented document trips the gate") {
+    val out = TextAnalysis.repetitionProbe(docs(
+      1L -> "alpha beta gamma delta", 2L -> "x y"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(4)))).toMap
+    // body = "alpha beta" x30: top bigram "alpha beta" = 30 of 59 bigrams
+    out(1L)._1 shouldBe (30.0 / 59) +- 1e-12
+    all(out.values.map(_._2)) shouldBe true
+  }
+
   test("pii probe: every derived span counted exactly once per class") {
     val out = TextAnalysis.piiProbe(docs(7L -> "plain words only"))
       .collect()(0)
