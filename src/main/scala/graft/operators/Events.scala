@@ -241,6 +241,32 @@ object Events {
         mean.as("mean_daily"), z.as("z"), (abs(z) > AnomalyZMax).as("anomalous"))
   }
 
+  /** Spike factor for [[anomalyProbe]]. */
+  val AnomalySpike = 5
+
+  /** Anomaly recovery probe: no synthetic day is anomalous (0/150 at the
+    * oracle), so the `anomalous = true` branch never fires there. The
+    * earliest day of each type is spiked [[AnomalySpike]]× AT THE COUNT
+    * GRAIN on both engines, then scored through the same [[scoreDaily]]
+    * math — the spiked cell must flag, its neighbors must not. */
+  def anomalyProbe(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    scoreDaily(dailyCounts(events)
+      .withColumn("md", min("day").over(w))
+      .select(col("event_type"), col("day"),
+        when(col("day") === col("md"), col("n_events") * AnomalySpike)
+          .otherwise(col("n_events")).as("n_events")))
+  }
+
+  /** Conversion recovery probe: every synthetic viewer converts (150/150
+    * at the oracle), so the unconverted branch — null first purchase,
+    * null lag — never fires there. Even-user purchases are filtered out
+    * on both engines before [[conversionLag]]: those viewers must come
+    * back unconverted with null lag. */
+  def conversionProbe(events: DataFrame): DataFrame =
+    conversionLag(events.where(
+      !(col("event_type") === "purchase" && col("user_id") % 2 === 0)))
+
   /** Rolling window width in days for [[rollingActives]]. */
   val RollingDays = 7
 
@@ -349,6 +375,8 @@ object Events {
     "events_value_quantiles" -> ((s, d) => valueQuantiles(Tables.events(s, d))),
     "events_daily_rollup"    -> ((s, d) => dailyRollup(Tables.events(s, d))),
     "events_anomaly"         -> ((s, d) => dailyAnomaly(Tables.events(s, d))),
+    "events_anomaly_probe"   -> ((s, d) => anomalyProbe(Tables.events(s, d))),
+    "events_conversion_probe" -> ((s, d) => conversionProbe(Tables.events(s, d))),
     "events_wau"             -> ((s, d) => rollingActives(Tables.events(s, d))),
     "events_conversion_lag"  -> ((s, d) => conversionLag(Tables.events(s, d))),
     "events_retention"       -> ((s, d) => retention(Tables.events(s, d))),
@@ -374,6 +402,55 @@ object Events {
        |   SUM(CASE WHEN is_session_start THEN 1 ELSE 0 END)
        |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
        |   FROM marked)""".stripMargin
+
+  /** The (event_type, day) count grain as SQL — one text for the
+    * `events_anomaly` and `events_anomaly_probe` oracles. */
+  private def dailyCountsSql: String =
+    s"""SELECT event_type, epoch_us(ts) // $UsPerDay AS day,
+       |     CAST(COUNT(*) AS BIGINT) AS n_events
+       |   FROM events GROUP BY 1, 2""".stripMargin
+
+  /** [[scoreDaily]]'s SQL twin over a (event_type, day, n_events)
+    * relation `src` — shared by the anomaly oracle and its spike probe so
+    * the z math cannot drift between them. */
+  private def anomalyScoreSql(src: String): String =
+    s""", stats AS (SELECT event_type, COUNT(*) AS n_days,
+       |     CAST(SUM(n_events) AS BIGINT) AS sum_cnt,
+       |     CAST(SUM(n_events * n_events) AS BIGINT) AS sum_sq
+       |   FROM $src GROUP BY 1),
+       | j AS (SELECT d.event_type, d.day, d.n_events,
+       |     CAST(s.sum_cnt AS DOUBLE) / s.n_days AS mean_daily,
+       |     CAST(s.sum_sq AS DOUBLE) / s.n_days
+       |       - (CAST(s.sum_cnt AS DOUBLE) / s.n_days)
+       |         * (CAST(s.sum_cnt AS DOUBLE) / s.n_days) AS variance
+       |   FROM $src d JOIN stats s USING (event_type))
+       | SELECT event_type, day, n_events, mean_daily,
+       |   CASE WHEN variance > 0
+       |        THEN (CAST(n_events AS DOUBLE) - mean_daily) / sqrt(variance)
+       |        ELSE CAST(0 AS DOUBLE) END AS z,
+       |   CASE WHEN variance > 0
+       |        THEN abs((CAST(n_events AS DOUBLE) - mean_daily) / sqrt(variance))
+       |             > $AnomalyZMax
+       |        ELSE FALSE END AS anomalous
+       | FROM j""".stripMargin
+
+  /** [[conversionLag]]'s SQL twin, parameterized by an event-stream
+    * filter — shared by the lag oracle and its unconverted-branch probe. */
+  private def conversionLagSql(evWhere: String): String =
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts
+       |   FROM events$evWhere),
+       | f AS (SELECT user_id, event_type, ts,
+       |     MIN(CASE WHEN event_type = 'view' THEN ts END)
+       |       OVER (PARTITION BY user_id) AS fv
+       |   FROM ev),
+       | g AS (SELECT user_id, MIN(fv) AS first_view_us,
+       |     MIN(CASE WHEN event_type = 'purchase' AND ts > fv THEN ts END)
+       |       AS first_purchase_us
+       |   FROM f WHERE fv IS NOT NULL GROUP BY user_id)
+       | SELECT user_id, first_view_us, first_purchase_us,
+       |   CAST(first_purchase_us - first_view_us AS DOUBLE) / 1000000 AS lag_sec,
+       |   first_purchase_us IS NOT NULL AS converted
+       | FROM g""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "events_attribution" ->
@@ -402,20 +479,10 @@ object Events {
          |   CAST(a.n_active AS DOUBLE) / s.cohort_size AS retention
          | FROM act a JOIN sizes s USING (cohort_day)""".stripMargin,
 
-    "events_conversion_lag" ->
-      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
-         | f AS (SELECT user_id, event_type, ts,
-         |     MIN(CASE WHEN event_type = 'view' THEN ts END)
-         |       OVER (PARTITION BY user_id) AS fv
-         |   FROM ev),
-         | g AS (SELECT user_id, MIN(fv) AS first_view_us,
-         |     MIN(CASE WHEN event_type = 'purchase' AND ts > fv THEN ts END)
-         |       AS first_purchase_us
-         |   FROM f WHERE fv IS NOT NULL GROUP BY user_id)
-         | SELECT user_id, first_view_us, first_purchase_us,
-         |   CAST(first_purchase_us - first_view_us AS DOUBLE) / 1000000 AS lag_sec,
-         |   first_purchase_us IS NOT NULL AS converted
-         | FROM g""".stripMargin,
+    "events_conversion_lag" -> conversionLagSql(""),
+
+    "events_conversion_probe" ->
+      conversionLagSql(" WHERE NOT (event_type = 'purchase' AND user_id % 2 = 0)"),
 
     "events_wau" ->
       s"""WITH days AS (SELECT DISTINCT user_id,
@@ -431,28 +498,16 @@ object Events {
          | FROM wau w LEFT JOIN dau a ON a.day = w.day""".stripMargin,
 
     "events_anomaly" ->
-      s"""WITH daily AS (SELECT event_type, epoch_us(ts) // $UsPerDay AS day,
-         |     CAST(COUNT(*) AS BIGINT) AS n_events
-         |   FROM events GROUP BY 1, 2),
-         | stats AS (SELECT event_type, COUNT(*) AS n_days,
-         |     CAST(SUM(n_events) AS BIGINT) AS sum_cnt,
-         |     CAST(SUM(n_events * n_events) AS BIGINT) AS sum_sq
-         |   FROM daily GROUP BY 1),
-         | j AS (SELECT d.event_type, d.day, d.n_events,
-         |     CAST(s.sum_cnt AS DOUBLE) / s.n_days AS mean_daily,
-         |     CAST(s.sum_sq AS DOUBLE) / s.n_days
-         |       - (CAST(s.sum_cnt AS DOUBLE) / s.n_days)
-         |         * (CAST(s.sum_cnt AS DOUBLE) / s.n_days) AS variance
-         |   FROM daily d JOIN stats s USING (event_type))
-         | SELECT event_type, day, n_events, mean_daily,
-         |   CASE WHEN variance > 0
-         |        THEN (CAST(n_events AS DOUBLE) - mean_daily) / sqrt(variance)
-         |        ELSE CAST(0 AS DOUBLE) END AS z,
-         |   CASE WHEN variance > 0
-         |        THEN abs((CAST(n_events AS DOUBLE) - mean_daily) / sqrt(variance))
-         |             > $AnomalyZMax
-         |        ELSE FALSE END AS anomalous
-         | FROM j""".stripMargin,
+      s"""WITH daily AS ($dailyCountsSql)
+         | ${anomalyScoreSql("daily")}""".stripMargin,
+
+    "events_anomaly_probe" ->
+      s"""WITH daily AS ($dailyCountsSql),
+         | spiked AS (SELECT event_type, day,
+         |   CASE WHEN day = MIN(day) OVER (PARTITION BY event_type)
+         |        THEN n_events * $AnomalySpike ELSE n_events END AS n_events
+         |   FROM daily)
+         | ${anomalyScoreSql("spiked")}""".stripMargin,
 
     "events_asof_click" ->
       s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts, event_type,

@@ -192,6 +192,20 @@ object Multimodal {
         z.as("z"), (abs(z) > SizeZMax).as("outlier"))
   }
 
+  /** Inflation factor and sparse-id modulus for [[outlierProbe]]. */
+  val OutlierProbeFactor = 30
+  val OutlierProbeMod = 97
+
+  /** Outlier-gate recovery probe: no synthetic payload is a size outlier
+    * (0/500 at the oracle), so the `outlier = true` branch never fires
+    * there. Every doc_id ≡ 0 (mod [[OutlierProbeMod]]) has its payload
+    * inflated [[OutlierProbeFactor]]× ON BOTH ENGINES before the gate —
+    * those records must flag, the rest must not. */
+  def outlierProbe(documents: DataFrame): DataFrame =
+    sizeOutliers(documents.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(OutlierProbeMod)) === 0,
+        repeat(col("text"), OutlierProbeFactor)).otherwise(col("text")).as("text")))
+
   /** The composed multimodal ingest, end to end: the size-outlier gate
     * drops suspect payloads BEFORE the (expensive) decode stage ever
     * touches them, survivors decode per-partition, and the resize plan
@@ -212,6 +226,8 @@ object Multimodal {
       ((s, d) => endToEnd(Tables.documents(s, d))),
     "mm_size_outliers" ->
       ((s, d) => sizeOutliers(Tables.documents(s, d))),
+    "mm_outlier_probe" ->
+      ((s, d) => outlierProbe(Tables.documents(s, d))),
     "mm_block_dedup" ->
       ((s, d) => blockDedup(Tables.documents(s, d))),
     "mm_binary_stats" ->
@@ -226,6 +242,33 @@ object Multimodal {
 
   private val modalityCase =
     "CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+  /** [[sizeOutliers]]'s SQL twin (CTE chain + final select, no leading
+    * WITH) over a (doc_id, text) relation `src` — shared by the gate
+    * oracle and its inflation probe so the z math cannot drift. */
+  private def sizeOutliersSql(src: String): String =
+    s"""sized AS (SELECT doc_id, $modalityCase AS modality,
+       |     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       |   FROM $src),
+       | stats AS (SELECT modality, COUNT(*) AS n,
+       |     CAST(SUM(n_bytes) AS BIGINT) AS s1,
+       |     CAST(SUM(n_bytes * n_bytes) AS BIGINT) AS s2
+       |   FROM sized GROUP BY 1),
+       | j AS (SELECT d.doc_id, d.modality, d.n_bytes,
+       |     CAST(s.s1 AS DOUBLE) / s.n AS mean,
+       |     CAST(s.s2 AS DOUBLE) / s.n
+       |       - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n)
+       |       AS variance
+       |   FROM sized d JOIN stats s USING (modality))
+       | SELECT doc_id, modality, n_bytes,
+       |   CASE WHEN variance > 0
+       |        THEN (CAST(n_bytes AS DOUBLE) - mean) / sqrt(variance)
+       |        ELSE CAST(0 AS DOUBLE) END AS z,
+       |   CASE WHEN variance > 0
+       |        THEN abs((CAST(n_bytes AS DOUBLE) - mean) / sqrt(variance))
+       |             > $SizeZMax
+       |        ELSE FALSE END AS outlier
+       | FROM j""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "mm_e2e" ->
@@ -262,29 +305,14 @@ object Multimodal {
          |    ELSE height END AS INTEGER) AS out_height
          | FROM dd""".stripMargin,
 
-    "mm_size_outliers" ->
-      s"""WITH sized AS (SELECT doc_id, $modalityCase AS modality,
-         |     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-         |   FROM documents),
-         | stats AS (SELECT modality, COUNT(*) AS n,
-         |     CAST(SUM(n_bytes) AS BIGINT) AS s1,
-         |     CAST(SUM(n_bytes * n_bytes) AS BIGINT) AS s2
-         |   FROM sized GROUP BY 1),
-         | j AS (SELECT d.doc_id, d.modality, d.n_bytes,
-         |     CAST(s.s1 AS DOUBLE) / s.n AS mean,
-         |     CAST(s.s2 AS DOUBLE) / s.n
-         |       - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n)
-         |       AS variance
-         |   FROM sized d JOIN stats s USING (modality))
-         | SELECT doc_id, modality, n_bytes,
-         |   CASE WHEN variance > 0
-         |        THEN (CAST(n_bytes AS DOUBLE) - mean) / sqrt(variance)
-         |        ELSE CAST(0 AS DOUBLE) END AS z,
-         |   CASE WHEN variance > 0
-         |        THEN abs((CAST(n_bytes AS DOUBLE) - mean) / sqrt(variance))
-         |             > $SizeZMax
-         |        ELSE FALSE END AS outlier
-         | FROM j""".stripMargin,
+    "mm_size_outliers" -> s"WITH ${sizeOutliersSql("documents")}",
+
+    "mm_outlier_probe" ->
+      s"""WITH maug AS (SELECT doc_id,
+         |   CASE WHEN doc_id % $OutlierProbeMod = 0
+         |        THEN repeat(text, $OutlierProbeFactor) ELSE text END AS text
+         | FROM documents),
+         | ${sizeOutliersSql("maug")}""".stripMargin,
 
     "mm_block_dedup" ->
       s"""WITH hx AS (SELECT doc_id, hex(encode(text)) AS x FROM documents),

@@ -195,4 +195,25 @@ class EventsSpec extends SparkSpec {
     zf shouldBe 0.0
     flagf shouldBe false
   }
+
+  test("anomaly probe: the spiked first day flags, its flat neighbors do not") {
+    def dns(day: Long, m: Long) = day * 86400L * 1000000000L + ns(m)
+    // 18 flat days, one event each: the 5x spike on day 0 must stand out
+    val out = Events.anomalyProbe(eventsDf((0L until 18L).map(d =>
+      (d, dns(d, d), 1L, "view", 0.0, "{}"))))
+      .collect().map(r => r.getLong(1) -> r.getBoolean(5)).toMap
+    out(0L) shouldBe true
+    (1L until 18L).foreach(out(_) shouldBe false)
+  }
+
+  test("conversion probe: even users with views come back unconverted, null lag") {
+    val out = Events.conversionProbe(eventsDf(Seq(
+      (1L, ns(0), 2L, "view", 0.0, "{}"),
+      (2L, ns(5), 2L, "purchase", 1.0, "{}"),   // dropped: even user
+      (3L, ns(0), 3L, "view", 0.0, "{}"),
+      (4L, ns(5), 3L, "purchase", 1.0, "{}")))) // kept: odd user
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(4), r.isNullAt(2)))).toMap
+    out(2L) shouldBe ((false, true))
+    out(3L) shouldBe ((true, false))
+  }
 }

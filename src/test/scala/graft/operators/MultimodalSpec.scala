@@ -129,4 +129,13 @@ class MultimodalSpec extends SparkSpec {
     out(0L)._2 should be < 0.0
     audios.foreach { case (id, _) => out(id) shouldBe (("audio", 0.0, false)) }
   }
+
+  test("outlier probe: the inflated sparse ids flag, everything else stays quiet") {
+    // ids 0 and 97 inflate 30x; 0 is image-modality, 97 audio (97 % 3 = 1)
+    val out = Multimodal.outlierProbe(docs((0L until 120L).map(i => i -> "same text"): _*))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    out(0L) shouldBe true
+    out(97L) shouldBe true
+    (out - 0L - 97L).values.foreach(_ shouldBe false)
+  }
 }
