@@ -303,6 +303,14 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
   }
 
+  test("text_quality_deciles: 1-row threshold frame broadcast, no window, no sort") {
+    val p = planOf("text_quality_deciles")
+    p should include("BroadcastNestedLoopJoin") // scored × 1-row thresholds
+    p should not include "Window"
+    p should not include "SortMergeJoin"
+    p should not include "Exchange rangepartitioning"
+  }
+
   test("sim_kmeans_train: centroids broadcast every round; the corpus never shuffles vectors") {
     // the Lloyd iterations run eagerly inside Staging.stage, so the
     // returned frame's plan is the final assignment + rollup — assert ITS
