@@ -336,15 +336,34 @@ object Similarity {
     dot(v, v) - lit(2.0) * dot(v, cv) + dot(cv, cv)
 
   /** One Lloyd assignment: every vector to its nearest centroid (squared-L2
-    * argmin, ties to the lowest cent_id) → (vec_id, v, cent_id, d2). */
+    * argmin, ties to the lowest cent_id) → (vec_id, v, cent_id, d2).
+    *
+    * GENUINELY map-only: the K centroids are packed into ONE row
+    * (array of (cent_id, cv, cc) sorted by cent_id) and attached by a
+    * 1-row broadcast, then the argmin is a per-row `aggregate` fold over
+    * that array — the corpus never enters an Exchange, there is no window,
+    * no per-candidate row explosion. d² keeps the exact [[dist2]] scalar
+    * order ((v·v − 2(v·c)) + c·c, with v·v and c·c hoisted — the same
+    * values in the same positions, so argmins stay bit-identical to the
+    * oracle), and the fold's strict `<` with the array sorted by cent_id
+    * ascending reproduces the tiebreak-to-lowest-cent_id exactly. */
   private def kmeansAssign(vs: DataFrame, cents: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-      .orderBy(col("d2").asc, col("cent_id").asc)
-    vs.join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cent_id"),
-        dist2(col("v"), col("cv")).as("d2"))
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .drop("rn")
+    val packed = cents.agg(array_sort(collect_list(struct(
+      col("cent_id"), col("cv"), dot(col("cv"), col("cv")).as("cc")))).as("cents"))
+    vs.crossJoin(broadcast(packed))
+      .withColumn("vv", dot(col("v"), col("v")))
+      .withColumn("best", aggregate(col("cents"),
+        struct(lit(-1L).as("cent_id"), lit(Double.MaxValue).as("d2")),
+        (acc, c) => {
+          val d2 = col("vv") - lit(2.0) * dot(col("v"), c.getField("cv")) +
+            c.getField("cc")
+          when(d2 < acc.getField("d2"),
+            struct(c.getField("cent_id").as("cent_id"), d2.as("d2")))
+            .otherwise(acc)
+        }))
+      .select(col("vec_id"), col("v"),
+        col("best").getField("cent_id").as("cent_id"),
+        col("best").getField("d2").as("d2"))
   }
 
   /** One Lloyd update: new centroid = per-dimension mean of the assigned

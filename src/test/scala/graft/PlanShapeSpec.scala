@@ -311,14 +311,18 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
   }
 
-  test("sim_kmeans_train: centroids broadcast every round; the corpus never shuffles vectors") {
+  test("sim_kmeans_train: assignment is map-only — no Window, no corpus Exchange") {
     // the Lloyd iterations run eagerly inside Staging.stage, so the
     // returned frame's plan is the final assignment + rollup — assert ITS
-    // shape (iteration plans share the same assign building block)
+    // shape (iteration plans share the same assign building block).
+    // Assignment = 1-row-broadcast centroid array + per-row aggregate fold:
+    // the corpus vectors NEVER enter an Exchange; the only shuffle left is
+    // the K-row per-cluster rollup (hashpartitioning on cent_id).
     val p = planOf("sim_kmeans_train")
     p should include("Scan ExistingRDD")        // staged corpus + trained centroids
-    p should include("BroadcastNestedLoopJoin") // corpus × broadcast centroid set
-    p should include("WindowGroupLimit")        // argmin pre-limited before the shuffle
+    p should include("BroadcastNestedLoopJoin") // corpus × 1-row packed centroids
+    p should not include "Window"               // argmin is a per-row fold now
+    p should not include "hashpartitioning(vec_id" // corpus never shuffles vectors
     p should not include "SortMergeJoin"
     p should not include "CartesianProduct"     // never a non-broadcast cartesian
     p should include("partial_count")           // per-cluster rollup map-side combined
