@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.engine.Staging
 import graft.sources.Tables
 
 /** Text-analysis operators over the `documents` table — the LLM-pipeline
@@ -285,6 +286,86 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("pair").asc)
       .limit(TopPairs)
   }
+
+  /** Merge rounds for [[bpeMerges]] — enough that merged tokens themselves
+    * get re-merged on the synthetic corpus (the loop's whole point). */
+  val BpeMergeRounds = 6
+  /** Token-boundary sentinels for the merge stream. Each token rides as
+    * `\u0001tok\u0002`, so a pair occurrence is the exact substring
+    * `\u0001a\u0002\u0001b\u0002` — string `replace` then IS the BPE merge
+    * step: left-to-right, greedy, non-overlapping, with no boundary
+    * sharing between adjacent matches (identical semantics in Spark's
+    * UTF8String.replace and DuckDB's replace). The sentinels never occur
+    * in text ([[toks]] output is space-split words). */
+  private val BpeL = "\u0001"
+  private val BpeR = "\u0002"
+  private val BpeSep = BpeR + BpeL
+
+  /** Tokens of a wrapped stream (strip outer sentinels, split between). */
+  private def bpeStreamToks(s: Column): Column =
+    split(s.substr(lit(2), length(s) - 2), BpeSep)
+
+  /** Corpus-wide adjacent-pair instance counts over wrapped streams —
+    * [[bpePairs]]'s statistic, re-counted each merge round. */
+  private def bpeAdjacentPairs(streams: DataFrame): DataFrame = {
+    val t = bpeStreamToks(col("s"))
+    streams.select(explode(when(size(t) >= 2,
+        transform(sequence(lit(0), size(t) - 2),
+          i => concat(get(t, i), lit(BpeSep), get(t, i + 1))))
+      .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("freq"))
+  }
+
+  /** The actual BPE training loop ([[bpePairs]] is its round 0): `rounds`
+    * iterations of count-pairs → pick the top pair (freq desc, pair asc —
+    * the deterministic tiebreak) → merge every greedy-left-to-right
+    * non-overlapping occurrence into one `a_b` token → recount. Returns
+    * (merge table rows with the RAW sentinel-joined pair, final streams);
+    * [[bpeMerges]] formats the public face. A corpus that runs out of
+    * pairs empties the stream table and the remaining rounds emit nothing
+    * (mirrored exactly by the oracle's CROSS JOIN against an empty best).
+    *
+    * 100 TB shape: per round, pair counting is explode → two-phase count
+    * (the shuffle carries one row per distinct pair per partition, never
+    * per instance), top-1 is TakeOrderedAndProject, and the merge is a
+    * map-only rewrite against the 1-row broadcast best pair. Streams are
+    * staged per round ([[graft.engine.Staging.stageIterative]]) so lineage
+    * stays flat — the same discipline as the Lloyd and connected-components
+    * loops. */
+  private[graft] def bpeMergeState(documents: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame) = {
+    val init = Staging.stageIterative(Tables.spread(documents).select(
+      concat(lit(BpeL), concat_ws(BpeSep, toks(col("text"))), lit(BpeR)).as("s")))
+    val (merges, fin) = (1 to rounds).foldLeft((List.empty[DataFrame], init)) {
+      case ((acc, st), r) =>
+        val best = Staging.stage(bpeAdjacentPairs(st)
+          .orderBy(col("freq").desc, col("pair").asc).limit(1)
+          .select(lit(r).as("merge_round"), col("pair"), col("freq")))
+        val next = Staging.stageIterative(
+          st.crossJoin(broadcast(best.select(col("pair").as("bp"))))
+            .select(replace(col("s"),
+              concat(lit(BpeL), col("bp"), lit(BpeR)),
+              concat(lit(BpeL), replace(col("bp"), lit(BpeSep), lit("_")),
+                lit(BpeR))).as("s")))
+        (acc :+ best, next)
+    }
+    (merges.reduce(_ union _), fin)
+  }
+
+  /** Iterative BPE merge-table training — the tokenizer-training loop an
+    * LLM pipeline runs over its corpus: [[BpeMergeRounds]] merge rounds,
+    * each applying the previous rounds' merges before counting (so late
+    * rounds merge MERGED tokens — e.g. `a_b c`). Output one row per round:
+    * (merge_round, pair "a b", freq at selection time, new_token "a_b").
+    * Word-level BPE (the corpus token alphabet is plain lowercase words,
+    * `_` never occurs, so merges are unambiguous and reversible — the
+    * reconstruction spec pins this). */
+  def bpeMerges(documents: DataFrame): DataFrame =
+    bpeMergeState(documents, BpeMergeRounds)._1
+      .select(col("merge_round"),
+        replace(col("pair"), lit(BpeSep), lit(" ")).as("pair"),
+        col("freq"),
+        replace(col("pair"), lit(BpeSep), lit("_")).as("new_token"))
 
   /** Repetition thresholds (Gopher-rule shaped: Rae et al. 2021 §A1.1 use
     * per-signal cutoffs like top-2-gram fraction and duplicate-line
@@ -602,6 +683,7 @@ object TextAnalysis {
     "text_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
     "text_ngram_freq"  -> ((s, d) => ngramFreq(Tables.documents(s, d))),
     "text_bpe_pairs"   -> ((s, d) => bpePairs(Tables.documents(s, d))),
+    "text_bpe_merges"  -> ((s, d) => bpeMerges(Tables.documents(s, d))),
     "text_pii_scan"    -> ((s, d) => piiScan(Tables.documents(s, d))),
     "text_pii_redact"  -> ((s, d) => piiRedact(Tables.documents(s, d))),
     "text_quality_deciles" -> ((s, d) => qualityDeciles(Tables.documents(s, d))),
@@ -872,6 +954,33 @@ object TextAnalysis {
          |   ELSE []::VARCHAR[] END) AS pair FROM toks)
          | SELECT pair, CAST(COUNT(*) AS BIGINT) AS freq FROM p GROUP BY pair
          | ORDER BY freq DESC, pair ASC LIMIT $TopPairs""".stripMargin,
+
+    "text_bpe_merges" -> {
+      // chr(1)/chr(2) mirror BpeL/BpeR; each round re-splits the wrapped
+      // stream, counts adjacent pairs, picks the (freq desc, pair asc)
+      // best, and replace()-merges it — replace is left-to-right greedy
+      // non-overlapping in BOTH engines, which is exactly the BPE step.
+      val sep = "chr(2) || chr(1)"
+      def round(r: Int) =
+        s"""p$r AS (SELECT unnest(CASE WHEN len(t) >= 2
+           |   THEN list_transform(range(len(t) - 1), i -> t[i + 1] || $sep || t[i + 2])
+           |   ELSE []::VARCHAR[] END) AS pair
+           |  FROM (SELECT string_split(s[2 : len(s) - 1], $sep) AS t FROM s${r - 1})),
+           | b$r AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS freq FROM p$r
+           |  GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT 1),
+           | s$r AS (SELECT replace(s, chr(1) || pair || chr(2),
+           |    chr(1) || replace(pair, $sep, '_') || chr(2)) AS s
+           |  FROM s${r - 1} CROSS JOIN b$r)""".stripMargin
+      s"""WITH s0 AS (SELECT chr(1) ||
+         |    array_to_string(string_split(lower(text), ' '), $sep) || chr(2) AS s
+         |  FROM documents),
+         | ${(1 to BpeMergeRounds).map(round).mkString(",\n ")},
+         | m AS (${(1 to BpeMergeRounds)
+             .map(r => s"SELECT CAST($r AS INTEGER) AS merge_round, pair, freq FROM b$r")
+             .mkString(" UNION ALL ")})
+         | SELECT merge_round, replace(pair, $sep, ' ') AS pair, freq,
+         |   replace(pair, $sep, '_') AS new_token FROM m""".stripMargin
+    },
 
     "text_pii_scan" ->
       s"""SELECT doc_id,

@@ -303,6 +303,20 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
   }
 
+  test("text_bpe_merges: per-round work is staged; the returned plan is shuffle-free") {
+    // the merge rounds run eagerly inside Staging (pair counting is
+    // two-phase count + TakeOrderedAndProject(1), merge is a 1-row
+    // broadcast rewrite — same building blocks text_bpe_pairs pins); the
+    // RETURNED frame is just the union of the staged 1-row best pairs plus
+    // a map-only format, so it must carry no Exchange, window, or join.
+    val p = planOf("text_bpe_merges")
+    p should include("Union")
+    p should include("Scan ExistingRDD")
+    p should not include "Exchange"
+    p should not include "SortMergeJoin"
+    p should not include "Window"
+  }
+
   test("text_quality_deciles: 1-row threshold frame broadcast, no window, no sort") {
     val p = planOf("text_quality_deciles")
     p should include("BroadcastNestedLoopJoin") // scored × 1-row thresholds

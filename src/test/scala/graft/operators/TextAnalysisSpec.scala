@@ -210,6 +210,41 @@ class TextAnalysisSpec extends SparkSpec {
     out.map(_._1) should not contain "solo"
   }
 
+  test("bpe merges: trained sequence merges merged tokens, greedy left-to-right") {
+    val fixture = docs(1L -> "a b a b", 2L -> "a b c", 3L -> "a a a")
+    val (_, fin) = TextAnalysis.bpeMergeState(fixture, 3)
+    val table = TextAnalysis.bpeMerges(fixture).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // r1: "a b" x3 beats "a a" x2; r2: "a a" x2 (greedy merges ONE pair of
+    // the run "a a a"); r3: all pairs tied at 1, tiebreak pair-asc picks
+    // "a_a a" — a merge OF a merged token, the loop's whole point. r4/r5
+    // keep folding merged tokens; r6 finds a pair-exhausted corpus and
+    // emits nothing (the documented termination path).
+    table shouldBe Array(
+      (1, "a b", 3L, "a_b"), (2, "a a", 2L, "a_a"), (3, "a_a a", 1L, "a_a_a"),
+      (4, "a_b a_b", 1L, "a_b_a_b"), (5, "a_b c", 1L, "a_b_c"))
+    fin.collect().map(_.getString(0)).sorted shouldBe Array(
+      "a_a_a",
+      "a_ba_b",
+      "a_bc")
+  }
+
+  test("bpe merges: applying the merges reconstructs the corpus exactly") {
+    val sp = spark; import sp.implicits._
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (_, fin) = TextAnalysis.bpeMergeState(real, TextAnalysis.BpeMergeRounds)
+    import org.apache.spark.sql.{functions}
+    import org.apache.spark.sql.functions.{col, lit, lower, regexp_replace}
+    val rebuilt = fin.select(
+        regexp_replace(regexp_replace(
+          col("s").substr(lit(2), functions.length(col("s")) - 2),
+          "", " "), "_", " ").as("t"))
+      .as[String].collect().sorted
+    val original = real.select(lower(col("text"))).as[String].collect().sorted
+    rebuilt shouldBe original
+  }
+
   test("pii scan: counts every class; word-soup text counts zero") {
     val out = TextAnalysis.piiScan(docs(
       1L -> "write to alice@example.com or bob.smith+tag@mail.co today",
