@@ -669,9 +669,101 @@ object TextAnalysis {
       documents.where(isIncoming))
   }
 
+  /** A FROZEN bigram reference model — one real step past
+    * [[UnigramModel]] toward the CCNet reference-LM filter: per-token
+    * context now matters (boilerplate with common words in UNCOMMON order
+    * scores high, which the unigram model cannot see). Unigram counts,
+    * bigram counts, corpus total; all DataFrames, staged — nothing
+    * collects to the driver. */
+  final case class BigramModel(unigrams: DataFrame, bigrams: DataFrame,
+                               total: DataFrame)
+
+  def buildBigramModel(documents: DataFrame): BigramModel = {
+    val t = split(col("text"), " ")
+    val src = Tables.spread(documents)
+    val uni = Staging.stage(src.select(explode(t).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("uf")))
+    val bi = Staging.stage(src
+      .select(explode(when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1),
+            i => struct(get(t, i - 1).as("hist"), get(t, i).as("term"))))
+        .otherwise(array().cast("array<struct<hist:string,term:string>>")))
+        .as("p"))
+      .select(col("p.hist").as("hist"), col("p.term").as("term"))
+      .groupBy("hist", "term").agg(count(lit(1)).as("bf")))
+    BigramModel(uni, bi, uni.agg(sum("uf").as("total")))
+  }
+
+  /** Score (doc_id, text) rows against a FROZEN [[BigramModel]] with
+    * add-half smoothing and unigram BACKOFF: per token position i,
+    *
+    *   - i = 0, or history token unseen by the model (the out-of-domain
+    *     case only probes can hit): `nll = ln(total+½) − ln(uf(t)+½)`,
+    *     uf = 0 when t itself is unseen — the [[probeSurprisal]] formula;
+    *   - otherwise: `nll = ln(uf(h)+½) − ln(bf(h,t)+½)`, bf = 0 for an
+    *     unseen continuation — the add-half conditional p(t|h), ≤ 1 by
+    *     construction (bf(h,t) ≤ uf(h)).
+    *
+    * `cross_entropy` = mean nll over the document, `perplexity` = exp of
+    * it — same output shape as [[probeSurprisal]], strictly sharper
+    * signal. Exactly computable on both engines (ln enters only after
+    * integer counts), so the whole backoff scorer is oracle-checked.
+    *
+    * 100 TB shape: history pairing is a map-only per-row array transform
+    * (no window, no self-join); the token↔model attaches are left joins
+    * on `term` / (hist, term) against the staged model tables (a natural
+    * vocabulary is too large to broadcast — the shuffle on the term keys
+    * is the standard shape); the 1-row total broadcasts; the per-doc
+    * reduction map-side combines. O(batch) per probe. */
+  def probeBigramSurprisal(model: BigramModel, incoming: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val tk = incoming.select(col("doc_id"),
+      explode(transform(sequence(lit(0), size(t) - 1),
+        i => struct(when(i > lit(0), get(t, i - 1)).as("hist"),
+          get(t, i).as("term")))).as("p"))
+      .select(col("doc_id"), col("p.hist").as("hist"), col("p.term").as("term"))
+    val hu = model.unigrams.select(col("term").as("hist"), col("uf").as("hf"))
+    tk.join(model.unigrams, Seq("term"), "left")
+      .join(hu, Seq("hist"), "left")
+      .join(model.bigrams, Seq("hist", "term"), "left")
+      .crossJoin(broadcast(model.total))
+      .select(col("doc_id"),
+        when(col("hist").isNull || col("hf").isNull,
+          log(col("total").cast("double") + 0.5)
+            - log(coalesce(col("uf"), lit(0L)).cast("double") + 0.5))
+        .otherwise(
+          log(col("hf").cast("double") + 0.5)
+            - log(coalesce(col("bf"), lit(0L)).cast("double") + 0.5))
+        .as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), avg("nll").as("cross_entropy"))
+      .select(col("doc_id"), col("n_tokens"), col("cross_entropy"),
+        exp(col("cross_entropy")).as("perplexity"))
+  }
+
+  /** Closed-corpus bigram surprisal — the [[unigramSurprisal]] upgrade:
+    * the corpus scores against its own bigram model (histories are always
+    * in-vocab, so only the i=0 backoff fires). ONE scoring implementation
+    * serves both faces — this is [[probeBigramSurprisal]] over
+    * [[buildBigramModel]] of the same frame. */
+  def bigramSurprisal(documents: DataFrame): DataFrame =
+    probeBigramSurprisal(buildBigramModel(documents), documents)
+
+  /** The registered incremental-bigram query — same [[Dedup.IncomingMod]]
+    * split as [[surprisalProbeSplit]], scored by the backoff bigram model
+    * ([[graft.streaming.StreamingSurprisal.runBigram]] runs the same
+    * probe per micro-batch). */
+  def bigramProbeSplit(documents: DataFrame): DataFrame = {
+    val isIncoming = col("doc_id") % Dedup.IncomingMod === 0
+    probeBigramSurprisal(buildBigramModel(documents.where(!isIncoming)),
+      documents.where(isIncoming))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_surprisal_probe" -> ((s, d) => surprisalProbeSplit(Tables.documents(s, d))),
     "text_unigram_surprisal" -> ((s, d) => unigramSurprisal(Tables.documents(s, d))),
+    "text_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables.documents(s, d))),
+    "text_bigram_probe" -> ((s, d) => bigramProbeSplit(Tables.documents(s, d))),
     "text_bm25_search" -> ((s, d) => bm25Search(Tables.documents(s, d))),
     "text_vocab_coverage" -> ((s, d) => vocabCoverage(Tables.documents(s, d))),
     "text_zipf"        -> ((s, d) => zipf(Tables.documents(s, d))),
@@ -759,7 +851,53 @@ object TextAnalysis {
        |  FROM rg)""".stripMargin
   }
 
+  /** SQL mirror of [[buildBigramModel]] + [[probeBigramSurprisal]],
+    * parametric over the model/probe source predicates so the closed
+    * (`text_bigram_surprisal`) and split (`text_bigram_probe`) oracles
+    * share one text and cannot drift. chr(4) plays the "no history"
+    * marker (first token), chr(3) the pair joiner — neither occurs in
+    * text. */
+  private def bigramSurprisalSql(modelWhere: String, probeWhere: String) =
+    s"""WITH mt AS (SELECT string_split(text, ' ') AS t FROM documents $modelWhere),
+       | u AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS uf
+       |   FROM (SELECT unnest(t) AS term FROM mt) GROUP BY term),
+       | tot AS (SELECT CAST(SUM(uf) AS BIGINT) AS total FROM u),
+       | b AS (SELECT string_split(pr, chr(3))[1] AS hist,
+       |     string_split(pr, chr(3))[2] AS term,
+       |     CAST(COUNT(*) AS BIGINT) AS bf
+       |   FROM (SELECT unnest(CASE WHEN len(t) >= 2
+       |       THEN list_transform(range(len(t) - 1), i -> t[i + 1] || chr(3) || t[i + 2])
+       |       ELSE []::VARCHAR[] END) AS pr FROM mt)
+       |   GROUP BY hist, term),
+       | pt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents $probeWhere),
+       | tk AS (SELECT doc_id,
+       |     string_split(pr, chr(3))[1] AS hist,
+       |     string_split(pr, chr(3))[2] AS term
+       |   FROM (SELECT doc_id, unnest(list_transform(range(len(t)), i ->
+       |       CASE WHEN i = 0 THEN chr(4) ELSE t[i] END || chr(3) || t[i + 1])) AS pr
+       |     FROM pt)),
+       | sc AS (SELECT tk.doc_id,
+       |     CASE WHEN tk.hist = chr(4) OR hu.uf IS NULL
+       |       THEN ln(CAST(tot.total AS DOUBLE) + 0.5)
+       |         - ln(CAST(COALESCE(tu.uf, 0) AS DOUBLE) + 0.5)
+       |       ELSE ln(CAST(hu.uf AS DOUBLE) + 0.5)
+       |         - ln(CAST(COALESCE(b.bf, 0) AS DOUBLE) + 0.5) END AS nll
+       |   FROM tk LEFT JOIN u tu ON (tk.term = tu.term)
+       |     LEFT JOIN u hu ON (tk.hist = hu.term)
+       |     LEFT JOIN b ON (tk.hist = b.hist AND tk.term = b.term)
+       |     CROSS JOIN tot),
+       | d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |     AVG(nll) AS cross_entropy FROM sc GROUP BY doc_id)
+       | SELECT doc_id, n_tokens, cross_entropy,
+       |   exp(cross_entropy) AS perplexity FROM d""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "text_bigram_surprisal" -> bigramSurprisalSql("", ""),
+
+    "text_bigram_probe" -> bigramSurprisalSql(
+      s"WHERE doc_id % ${Dedup.IncomingMod} <> 0",
+      s"WHERE doc_id % ${Dedup.IncomingMod} = 0"),
+
     "text_surprisal_probe" ->
       s"""WITH tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
          |   FROM (SELECT unnest(string_split(text, ' ')) AS term

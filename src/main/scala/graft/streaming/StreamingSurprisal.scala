@@ -39,4 +39,22 @@ object StreamingSurprisal {
         sink(batchId, TextAnalysis.probeSurprisal(model, batch))
       }
       .start()
+
+  /** The bigram-backoff variant: identical loop, scoring each micro-batch
+    * through [[TextAnalysis.probeBigramSurprisal]] against a FROZEN
+    * [[TextAnalysis.BigramModel]] — the model tables are staged once;
+    * per-trigger work joins only the batch's tokens against them. */
+  def runBigram(incoming: DataFrame, model: TextAnalysis.BigramModel,
+                checkpointDir: String,
+                queryName: String = "graft_streaming_bigram_surprisal",
+                trigger: Trigger = Trigger.ProcessingTime(0))(
+                sink: (Long, DataFrame) => Unit): StreamingQuery =
+    incoming.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(batchId, TextAnalysis.probeBigramSurprisal(model, batch))
+      }
+      .start()
 }

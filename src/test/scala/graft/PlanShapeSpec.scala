@@ -303,6 +303,14 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
   }
 
+  test("text_bigram_surprisal: map-only history pairing, no window, 1-row total broadcast") {
+    val p = planOf("text_bigram_surprisal")
+    p should not include "Window"               // history via array transform, not lag()
+    p should include("partial_count")           // per-doc reduction map-side combined
+    p should include("BroadcastNestedLoopJoin") // the 1-row total attach
+    p should include("Scan ExistingRDD")        // model tables staged once
+  }
+
   test("text_bpe_merges: per-round work is staged; the returned plan is shuffle-free") {
     // the merge rounds run eagerly inside Staging (pair counting is
     // two-phase count + TakeOrderedAndProject(1), merge is a 1-row

@@ -210,6 +210,17 @@ class TextAnalysisSpec extends SparkSpec {
     out.map(_._1) should not contain "solo"
   }
 
+  test("bigram surprisal (closed corpus): first token backs off, rest conditional") {
+    // corpus {"a b", "a c"}: uni a:2 b:1 c:1 total 4; bi (a,b):1 (a,c):1.
+    // each doc: pos0 a -> ln(4.5)-ln(2.5); pos1 -> ln(2.5)-ln(1.5);
+    // ce = (ln 4.5 - ln 1.5)/2 = ln(3)/2 for both docs
+    val out = TextAnalysis.bigramSurprisal(docs(1L -> "a b", 2L -> "a c"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    out(1L)._1 shouldBe 2L
+    out(1L)._2 shouldBe math.log(3.0) / 2 +- 1e-12
+    out(2L)._2 shouldBe math.log(3.0) / 2 +- 1e-12
+  }
+
   test("bpe merges: trained sequence merges merged tokens, greedy left-to-right") {
     val fixture = docs(1L -> "a b a b", 2L -> "a b c", 3L -> "a a a")
     val (_, fin) = TextAnalysis.bpeMergeState(fixture, 3)
