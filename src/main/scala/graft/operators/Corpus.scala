@@ -43,20 +43,34 @@ object Corpus {
     * duplicate is 'duplicate' even when it would also fail the content
     * gates), then repetition (cheap, catches degenerate text), then
     * quality. */
-  def clean(documents: DataFrame): DataFrame = {
+  def clean(documents: DataFrame): DataFrame = clean(documents, learnedGate = false)
+
+  /** The heuristic gate chain, with the LEARNED gate
+    * ([[TextAnalysis.qualityClassifier]]) optionally appended as the last
+    * filter: a survivor of dedup + repetition + heuristic quality must
+    * then also clear the classifier's keep decision, or it rejects as
+    * `clf_rejected`. One implementation for both modes — the flag only
+    * adds the extra join + predicate, so the heuristic semantics cannot
+    * drift between the faces. */
+  def clean(documents: DataFrame, learnedGate: Boolean): DataFrame = {
     // one digest convention, one implementation: Dedup's (doc_id, rep) map
     val dr = Dedup.docReps(documents)
     val q = TextAnalysis.quality(documents).select(col("doc_id"), col("quality_score"))
     val rep = TextAnalysis.repetition(documents).select(col("doc_id"), col("repetitive"))
-    dr.join(rep, "doc_id").join(q, "doc_id")
-      .select(
-        col("doc_id"),
-        (col("doc_id") === col("rep") && !col("repetitive") &&
-          col("quality_score") >= QualityKeepThreshold).as("keep"),
-        when(col("doc_id") =!= col("rep"), lit("duplicate"))
-          .when(col("repetitive"), lit("repetitive"))
-          .when(col("quality_score") < QualityKeepThreshold, lit("low_quality"))
-          .otherwise(lit("kept")).as("reason"))
+    val base = dr.join(rep, "doc_id").join(q, "doc_id")
+    val (joined, clfKeep) =
+      if (!learnedGate) (base, lit(true))
+      else (base.join(TextAnalysis.qualityClassifier(documents)
+        .select(col("doc_id"), col("keep").as("clf_keep")), "doc_id"), col("clf_keep"))
+    joined.select(
+      col("doc_id"),
+      (col("doc_id") === col("rep") && !col("repetitive") &&
+        col("quality_score") >= QualityKeepThreshold && clfKeep).as("keep"),
+      when(col("doc_id") =!= col("rep"), lit("duplicate"))
+        .when(col("repetitive"), lit("repetitive"))
+        .when(col("quality_score") < QualityKeepThreshold, lit("low_quality"))
+        .when(!clfKeep, lit("clf_rejected"))
+        .otherwise(lit("kept")).as("reason"))
   }
 
   /** The sampling hash: uniform in [0, 1000) per document, independent of
@@ -430,6 +444,7 @@ object Corpus {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_source_profile" -> ((s, d) => sourceProfile(Tables.documents(s, d))),
     "corpus_clean"      -> ((s, d) => clean(Tables.documents(s, d))),
+    "corpus_clean_clf"  -> ((s, d) => clean(Tables.documents(s, d), learnedGate = true)),
     "sample_stratified" -> ((s, d) => sampleStratified(Tables.documents(s, d))),
     "sample_fixed_n"    -> ((s, d) => sampleFixedN(Tables.documents(s, d))),
     "sample_stratified_n" -> ((s, d) => sampleStratifiedN(Tables.documents(s, d))),
@@ -483,6 +498,27 @@ object Corpus {
          | JOIN k ON md5(d.text) = k.sha
          | JOIN qscore sc ON sc.doc_id = d.doc_id
          | JOIN rrep rr ON rr.doc_id = d.doc_id""".stripMargin,
+
+    "corpus_clean_clf" ->
+      s"""WITH k AS (SELECT md5(text) AS sha, MIN(doc_id) AS keeper
+         |   FROM documents GROUP BY md5(text)),
+         | ${TextAnalysis.qualityScoreSqlWith},
+         | ${TextAnalysis.repetitionSqlWith},
+         | ${TextAnalysis.classifierSqlWith()}
+         | SELECT d.doc_id,
+         |   d.doc_id = k.keeper AND NOT rr.repetitive
+         |     AND sc.quality_score >= $QualityKeepThreshold
+         |     AND cl.logit >= 0 AS keep,
+         |   CASE WHEN d.doc_id <> k.keeper THEN 'duplicate'
+         |        WHEN rr.repetitive THEN 'repetitive'
+         |        WHEN sc.quality_score < $QualityKeepThreshold THEN 'low_quality'
+         |        WHEN cl.logit < 0 THEN 'clf_rejected'
+         |        ELSE 'kept' END AS reason
+         | FROM documents d
+         | JOIN k ON md5(d.text) = k.sha
+         | JOIN qscore sc ON sc.doc_id = d.doc_id
+         | JOIN rrep rr ON rr.doc_id = d.doc_id
+         | JOIN clf cl ON cl.doc_id = d.doc_id""".stripMargin,
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents

@@ -165,6 +165,54 @@ object TextAnalysis {
         size(filter(col("ths"), t => col("qs") >= t)).as("decile"))
   }
 
+  // ---- learned quality gate (fixed-weight linear classifier) --------------
+
+  /** Hashed-feature dimension for [[qualityClassifier]]. */
+  val ClfDim = 32
+  /** The classifier's weight vector — DETERMINISTIC literals, generated
+    * by a fixed formula so the Scala and SQL faces share one source. In
+    * production these arrive from an offline trainer (fastText-style
+    * logistic regression over hashed token features); the weights being
+    * data-independent is exactly what makes the SERVING plan — the part
+    * this engine owns — oracle-checkable. Values in [-1, 1] in tenths. */
+  val ClfWeights: Seq[Double] =
+    (0 until ClfDim).map(j => ((j * 37 + 11) % 21 - 10) / 10.0)
+  /** Chosen so the gate genuinely splits the synthetic corpus (~52/48 at
+    * sf0.01) — a bias that kept or dropped everything would leave the
+    * decision branch dead at the oracle (the probe-query lesson). */
+  val ClfBias = 0.15
+
+  /** Fixed-weight linear quality classifier — the industry-standard
+    * learned curation gate (a trained linear model over hashed bag-of-
+    * words features; CCNet/fastText-shaped), beside the heuristic
+    * [[quality]] composite: each token hashes to one of [[ClfDim]]
+    * buckets through the portable [[Dedup.h32]] family, the document's
+    * logit is `bias + mean(weight[bucket(token)])` (the exact linear
+    * model over L1-normalized hashed counts), `clf_score` its sigmoid,
+    * `keep` the ≥ 0.5 decision. The logit is rounded to 1e-6 BEFORE the
+    * sigmoid/decision so a zero-sum weight cancellation (true logit 0,
+    * floating sums straddling ±1e-17 under different add orders) can
+    * never flip `keep` between engines — the [[qualityDeciles]]
+    * discipline.
+    *
+    * 100 TB shape: map-only hash + weight lookup against a literal array
+    * (no model table, no join), then one map-side-combined per-doc mean —
+    * the cheapest possible serving plan for a linear gate. */
+  def qualityClassifier(documents: DataFrame): DataFrame = {
+    val w = typedLit(ClfWeights)
+    Tables.spread(documents)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .select(col("doc_id"),
+        element_at(w, (Dedup.h32(col("term")) % ClfDim).cast("int") + 1).as("tw"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(lit(ClfBias) + avg(col("tw")), 6).as("logit"))
+      .select(col("doc_id"), col("n_tokens"), col("logit"),
+        (lit(1.0) / (lit(1.0) + exp(-col("logit")))).as("clf_score"),
+        (col("logit") >= 0).as("keep"))
+  }
+
   /** Content fingerprints over the portable hash family
     * ([[Dedup.h32]]): whole-content hash of the whitespace-normalized
     * lowercase text, plus the minimum shingle hash (MinHash with k=1 — a
@@ -779,6 +827,7 @@ object TextAnalysis {
     "text_pii_scan"    -> ((s, d) => piiScan(Tables.documents(s, d))),
     "text_pii_redact"  -> ((s, d) => piiRedact(Tables.documents(s, d))),
     "text_quality_deciles" -> ((s, d) => qualityDeciles(Tables.documents(s, d))),
+    "text_quality_classifier" -> ((s, d) => qualityClassifier(Tables.documents(s, d))),
     "text_pii_probe"   -> ((s, d) => piiProbe(Tables.documents(s, d))),
     "text_lang_probe"  -> ((s, d) => langProbe(Tables.documents(s, d))),
     "text_repetition_probe" -> ((s, d) => repetitionProbe(Tables.documents(s, d))),
@@ -851,6 +900,21 @@ object TextAnalysis {
        |  FROM rg)""".stripMargin
   }
 
+  /** SQL mirror of [[qualityClassifier]] ending in relation
+    * `clf(doc_id, n_tokens, logit)` — shared by the `text_quality_classifier`
+    * and `corpus_clean_clf` oracles so the model cannot drift between its
+    * scoring and its gating face. */
+  private[operators] def classifierSqlWith(src: String = "documents"): String =
+    s"""ctk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+       |  FROM $src),
+       | ctw AS (SELECT doc_id,
+       |   (${ClfWeights.mkString("[", ", ", "]")}::DOUBLE[])[
+       |     CAST(('0x' || substring(md5(term), 1, 8))::BIGINT % $ClfDim AS INTEGER) + 1]
+       |     AS tw
+       |  FROM ctk),
+       | clf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |   round($ClfBias + AVG(tw), 6) AS logit FROM ctw GROUP BY doc_id)""".stripMargin
+
   /** SQL mirror of [[buildBigramModel]] + [[probeBigramSurprisal]],
     * parametric over the model/probe source predicates so the closed
     * (`text_bigram_surprisal`) and split (`text_bigram_probe`) oracles
@@ -892,6 +956,12 @@ object TextAnalysis {
        |   exp(cross_entropy) AS perplexity FROM d""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "text_quality_classifier" ->
+      s"""WITH ${classifierSqlWith()}
+         | SELECT doc_id, n_tokens, logit,
+         |   CAST(1 AS DOUBLE) / (1 + exp(-logit)) AS clf_score,
+         |   logit >= 0 AS keep FROM clf""".stripMargin,
+
     "text_bigram_surprisal" -> bigramSurprisalSql("", ""),
 
     "text_bigram_probe" -> bigramSurprisalSql(

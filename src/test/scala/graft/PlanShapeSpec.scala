@@ -303,6 +303,16 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
   }
 
+  test("text_quality_classifier: pure map + one partial agg — no join of any kind") {
+    // the weight lookup is a literal-array element_at against the hashed
+    // token: no model table exists, so the plan must contain NO join
+    // operator at all, no window, and a map-side-combined per-doc mean
+    val p = planOf("text_quality_classifier")
+    p should not include "Join"
+    p should not include "Window"
+    p should include("partial_count")
+  }
+
   test("text_bigram_surprisal: map-only history pairing, no window, 1-row total broadcast") {
     val p = planOf("text_bigram_surprisal")
     p should not include "Window"               // history via array transform, not lag()

@@ -74,6 +74,41 @@ class CorpusSpec extends SparkSpec {
     out(3L) shouldBe ((true, "kept"))
   }
 
+  test("clean with learned gate: clf_rejected ranks last; heuristics unchanged") {
+    // build a heuristic-clean text the classifier must reject (70 distinct
+    // tokens that all hash to strongly-negative weight buckets: logit
+    // ≈ −0.62) and one it must keep (positive buckets, ≈ +0.88), via an
+    // INDEPENDENT JVM md5 replication of the hash→weight lookup — both
+    // pass the heuristic gate (no punctuation, ~450 chars ⇒ quality 0.66
+    // ≥ 0.5; all-distinct tokens keep the repetition gate quiet)
+    def tw(term: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(term.getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"$b%02x").mkString
+      TextAnalysis.ClfWeights((java.lang.Long.parseLong(hex, 16) %
+        TextAnalysis.ClfDim).toInt)
+    }
+    val rejText = (0 until 2000).map(i => s"neg$i")
+      .filter(t => tw(t) <= -0.5).take(70).mkString(" ")
+    val keptText = (0 until 2000).map(i => s"pos$i")
+      .filter(t => tw(t) >= 0.5).take(70).mkString(" ")
+    val out = Corpus.clean(docsDf(Seq(
+      (1L, keptText, "en", "web"),
+      (2L, rejText, "en", "web"),   // heuristics pass, classifier rejects
+      (3L, rejText, "en", "web"),   // duplicate still ranks above clf
+      (4L, bad, "en", "web"))),     // low_quality still ranks above clf
+      learnedGate = true)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    out(1L) shouldBe ((true, "kept"))
+    out(2L) shouldBe ((false, "clf_rejected"))
+    out(3L) shouldBe ((false, "duplicate"))
+    out(4L) shouldBe ((false, "low_quality"))
+    // flag off: the exact same fixture keeps the classifier reject
+    val off = Corpus.clean(docsDf(Seq((2L, rejText, "en", "web"))))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    off(2L) shouldBe true
+  }
+
   test("clean emits exactly one row per document") {
     val rows = (0L until 50L).map(i => (i, if (i % 3 == 0) good else s"$bad $i", "en", "web"))
     val out = Corpus.clean(docsDf(rows))

@@ -210,6 +210,45 @@ class TextAnalysisSpec extends SparkSpec {
     out.map(_._1) should not contain "solo"
   }
 
+  test("quality classifier: logit matches an independent md5-hash replication") {
+    // replicate h32(term) % ClfDim -> weight lookup -> mean + bias with
+    // plain JVM md5, independently of any Spark expression
+    def tw(term: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(term.getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"$b%02x").mkString
+      TextAnalysis.ClfWeights((java.lang.Long.parseLong(hex, 16) %
+        TextAnalysis.ClfDim).toInt)
+    }
+    def expectedLogit(text: String): Double = {
+      val ts = text.toLowerCase.split(" ", -1)
+      BigDecimal(TextAnalysis.ClfBias + ts.map(tw).sum / ts.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val out = TextAnalysis.qualityClassifier(docs(
+      1L -> "the quick brown fox", 2L -> "spark spark spark", 3L -> "zzz"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))).toMap
+    out(1L)._1 shouldBe 4L
+    out(1L)._2 shouldBe expectedLogit("the quick brown fox") +- 1e-12
+    // a repeated token is one bucket: logit = bias + its weight exactly
+    out(2L)._2 shouldBe expectedLogit("spark") +- 1e-12
+    out(3L)._2 shouldBe expectedLogit("zzz") +- 1e-12
+    // decision consistency: keep <=> logit >= 0 <=> sigmoid >= 0.5
+    out.values.foreach { case (_, logit, score, keep) =>
+      keep shouldBe (logit >= 0)
+      keep shouldBe (score >= 0.5)
+    }
+  }
+
+  test("quality classifier: bag-of-words — token order cannot change the score") {
+    val out = TextAnalysis.qualityClassifier(docs(
+      1L -> "alpha beta gamma delta", 2L -> "delta gamma beta alpha"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out(1L) shouldBe out(2L)
+  }
+
   test("bigram surprisal (closed corpus): first token backs off, rest conditional") {
     // corpus {"a b", "a c"}: uni a:2 b:1 c:1 total 4; bi (a,b):1 (a,c):1.
     // each doc: pos0 a -> ln(4.5)-ln(2.5); pos1 -> ln(2.5)-ln(1.5);
