@@ -221,7 +221,37 @@ object Multimodal {
     resizePlan(decodeFeatures(recordsDs(documents.join(kept, "doc_id"))).toDF())
   }
 
+  /** Query-id bound for [[crossmodalTopK]]: vec_ids under this with the
+    * query modality (~a third) form the query set. */
+  val CrossmodalQueryBound = 30
+
+  /** Cross-modal retrieval — the multimodal columns include RETRIEVAL,
+    * not just byte-level stats/dedup: embeddings carry the same
+    * deterministic modality tag as [[records]] (vec_id mod 3 →
+    * image/audio/video), "video" vectors under [[CrossmodalQueryBound]]
+    * query an "image"-only corpus through the VERIFIED sign-LSH ANN core
+    * ([[Similarity.annProbe]] — banded signatures, broadcast query side,
+    * exact-cosine rescore on candidates, bounded top-k). In production the
+    * two sides are a shared-space encoder's outputs (CLIP-style); the
+    * serving plan — the part this engine owns — is identical.
+    *
+    * 100 TB shape: inherited from [[Similarity.annProbe]] verbatim: the
+    * corpus never shuffles (banded candidates only), the query side
+    * broadcasts, the finisher is the bounded per-group top-k aggregator. */
+  def crossmodalTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = Similarity.annCorpus(spark, sfDir)
+    val modality = element_at(array(Modalities.map(lit): _*),
+      pmod(col("vec_id"), lit(3)).cast("int") + 1)
+    val corpus = vs.where(modality === "image")
+    val queries = vs
+      .where(modality === "video" && col("vec_id") < CrossmodalQueryBound)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    Similarity.annProbe(corpus, queries)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_crossmodal_topk" ->
+      ((s, d) => crossmodalTopK(s, d)),
     "mm_e2e" ->
       ((s, d) => endToEnd(Tables.documents(s, d))),
     "mm_size_outliers" ->
@@ -271,6 +301,22 @@ object Multimodal {
        | FROM j""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "mm_crossmodal_topk" ->
+      s"""WITH ${Similarity.bandsSqlWith(Similarity.SignatureBits,
+             Similarity.SignatureBits / Similarity.BandsPerSignature)},
+         | cands AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |   FROM bands c JOIN bands q ON c.band = q.band AND c.bv = q.bv
+         |   WHERE q.vec_id % 3 = 2 AND q.vec_id < $CrossmodalQueryBound
+         |     AND c.vec_id % 3 = 0 AND c.vec_id <> q.vec_id),
+         | scored AS (SELECT query_id, neighbor_id,
+         |     list_dot_product(vc.v, vq.v) / (vc.nrm * vq.nrm) AS cosine_sim
+         |   FROM cands JOIN vs vc ON vc.vec_id = cands.neighbor_id
+         |   JOIN vs vq ON vq.vec_id = cands.query_id)
+         | SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim
+         | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM scored)
+         | WHERE rank <= ${Similarity.TopK}""".stripMargin,
+
     "mm_e2e" ->
       s"""WITH sized AS (SELECT doc_id, $modalityCase AS modality,
          |     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

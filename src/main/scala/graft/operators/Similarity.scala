@@ -733,7 +733,7 @@ object Similarity {
 
   /** Shared oracle CTE prologue: plane lists, normed vectors, banded
     * signatures (`bitsPerBand`-bit packing, as [[signatureBands]]). */
-  private def bandsSqlWith(nPlanes: Int, bitsPerBand: Int): String =
+  private[operators] def bandsSqlWith(nPlanes: Int, bitsPerBand: Int): String =
     s"""planes(j, s) AS (VALUES ${planesValues(nPlanes, 64)}),
        | pl AS (SELECT j, list_transform(range(64),
        |     d -> CASE WHEN substring(s, CAST(d + 1 AS INTEGER), 1) = '1'

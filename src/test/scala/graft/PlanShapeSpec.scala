@@ -303,6 +303,16 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
   }
 
+  test("mm_crossmodal_topk: broadcast query side, no corpus sort-merge join") {
+    // inherits annProbe's shape verbatim: banded candidates against a
+    // BROADCAST query side; the image corpus must never hit a
+    // SortMergeJoin or range shuffle
+    val p = planOf("mm_crossmodal_topk")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "Exchange rangepartitioning"
+  }
+
   test("text_quality_classifier: pure map + one partial agg — no join of any kind") {
     // the weight lookup is a literal-array element_at against the hashed
     // token: no model table exists, so the plan must contain NO join

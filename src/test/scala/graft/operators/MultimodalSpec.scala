@@ -11,6 +11,35 @@ class MultimodalSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("crossmodal top-k: video queries retrieve image-only neighbors, well-formed ranks") {
+    val out = Multimodal.crossmodalTopK(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    out should not be empty
+    // modality separation is structural, not probabilistic
+    all(out.map(_._1 % 3)) shouldBe 2       // queries are video vectors
+    all(out.map(_._2 % 3)) shouldBe 0       // neighbors are image vectors
+    all(out.map(_._1)) should be < Multimodal.CrossmodalQueryBound.toLong
+    // per query: ranks are 1..n, ordered by (cosine desc, neighbor asc)
+    out.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._3)
+      sorted.map(_._3).toSeq shouldBe (1 to g.length).toSeq
+      g.length should be <= Similarity.TopK
+      sorted.map(t => (-t._4, t._2)).toSeq shouldBe
+        sorted.map(t => (-t._4, t._2)).toSeq.sorted
+    }
+    // the scores are genuine cosines of the two sides' vectors: spot-check
+    // the top hit of the lowest query against a direct computation
+    val sp = spark; import sp.implicits._
+    val vs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    val (q, n, _, cs) = out.minBy(t => (t._1, t._3))
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map(p => p._1 * p._2).sum
+    val expect = dot(vs(q), vs(n)) /
+      (math.sqrt(dot(vs(q), vs(q))) * math.sqrt(dot(vs(n), vs(n))))
+    cs shouldBe expect +- 1e-9
+  }
+
   test("binary stats: byte length, sha256, magic bytes of the payload") {
     val r = Multimodal.binaryStats(docs(3L -> "abc")).collect()(0)
     r.getString(1) shouldBe "image" // 3 % 3 = 0
