@@ -34,7 +34,7 @@ object ProfileAll {
     "dedup_minhash_incremental", "sim_ann_recall", "sim_ann_lsh_topk",
     "mm_block_dedup")
 
-  private val AmplifyVersion = "v2" // v2: + events table
+  private val AmplifyVersion = "v3" // v2: + events; v3: + part/lineitem (full-suite sf1 bench)
 
   private def amplify(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val done = new java.io.File(s"$outDir/_done")
@@ -80,6 +80,26 @@ object ProfileAll {
     evCopies.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/events.parquet")
+
+    // transit dimensions/facts: 10x the routes at the same per-route trip
+    // density (all keys offset per copy, so each copy keeps referential
+    // integrity; Off % 5 == 0 preserves the key->transport-type mapping)
+    val part = spark.read.parquet(s"$srcDir/part.parquet")
+    (0 until Factor).map { k =>
+      if (k == 0) part
+      else part.withColumn("p_partkey", col("p_partkey") + k * Off)
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/part.parquet")
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    (0 until Factor).map { k =>
+      if (k == 0) li
+      else li.withColumn("l_orderkey", col("l_orderkey") + k * Off)
+        .withColumn("l_partkey", col("l_partkey") + k * Off)
+        .withColumn("l_suppkey", col("l_suppkey") + k * Off)
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/lineitem.parquet")
     java.nio.file.Files.writeString(done.toPath, AmplifyVersion)
   }
 
