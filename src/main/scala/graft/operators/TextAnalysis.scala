@@ -370,8 +370,11 @@ object TextAnalysis {
     * non-overlapping occurrence into one `a_b` token → recount. Returns
     * (merge table rows with the RAW sentinel-joined pair, final streams);
     * [[bpeMerges]] formats the public face. A corpus that runs out of
-    * pairs empties the stream table and the remaining rounds emit nothing
-    * (mirrored exactly by the oracle's CROSS JOIN against an empty best).
+    * pairs emits nothing for the remaining rounds while the streams ride
+    * through unchanged — the best pair attaches by a LEFT 1-row broadcast
+    * join, so an empty best is the identity rewrite, not a corpus wipe
+    * ([[bpeEncode]] depends on this; the oracle mirrors it with
+    * `LEFT JOIN ... ON TRUE`).
     *
     * 100 TB shape: per round, pair counting is explode → two-phase count
     * (the shuffle carries one row per distinct pair per partition, never
@@ -383,6 +386,7 @@ object TextAnalysis {
   private[graft] def bpeMergeState(documents: DataFrame, rounds: Int)
       : (DataFrame, DataFrame) = {
     val init = Staging.stageIterative(Tables.spread(documents).select(
+      col("doc_id"),
       concat(lit(BpeL), concat_ws(BpeSep, toks(col("text"))), lit(BpeR)).as("s")))
     val (merges, fin) = (1 to rounds).foldLeft((List.empty[DataFrame], init)) {
       case ((acc, st), r) =>
@@ -390,11 +394,12 @@ object TextAnalysis {
           .orderBy(col("freq").desc, col("pair").asc).limit(1)
           .select(lit(r).as("merge_round"), col("pair"), col("freq")))
         val next = Staging.stageIterative(
-          st.crossJoin(broadcast(best.select(col("pair").as("bp"))))
-            .select(replace(col("s"),
-              concat(lit(BpeL), col("bp"), lit(BpeR)),
-              concat(lit(BpeL), replace(col("bp"), lit(BpeSep), lit("_")),
-                lit(BpeR))).as("s")))
+          st.join(broadcast(best.select(col("pair").as("bp"))), lit(true), "left")
+            .select(col("doc_id"), when(col("bp").isNull, col("s"))
+              .otherwise(replace(col("s"),
+                concat(lit(BpeL), col("bp"), lit(BpeR)),
+                concat(lit(BpeL), replace(col("bp"), lit(BpeSep), lit("_")),
+                  lit(BpeR)))).as("s")))
         (acc :+ best, next)
     }
     (merges.reduce(_ union _), fin)
@@ -414,6 +419,83 @@ object TextAnalysis {
         replace(col("pair"), lit(BpeSep), lit(" ")).as("pair"),
         col("freq"),
         replace(col("pair"), lit(BpeSep), lit("_")).as("new_token"))
+
+  /** Tokenizer application — encode every document under the merge table
+    * [[bpeMerges]] trains, the second half of the tokenizer loop every
+    * LLM pipeline runs (train merges once, then tokenize the whole
+    * corpus). Output per document: the encoded token stream (merged
+    * tokens joined by `_`), `n_tokens` after merging and `n_words`
+    * before — the corpus-level `n_tokens/n_words` contraction is the
+    * quantity BPE training descends. `n_words` is recovered from the
+    * final stream itself (each merge concatenates with `_`, and `_`
+    * never occurs in the word alphabet), so no join back to the source
+    * is needed.
+    *
+    * 100 TB shape: the training rounds are [[bpeMergeState]]'s (pair
+    * counting two-phase, merge a 1-row broadcast rewrite); the encode
+    * face on top is a pure map over the final streams — no extra
+    * shuffle, window, or join. */
+  def bpeEncode(documents: DataFrame): DataFrame = {
+    val fin = bpeMergeState(documents, BpeMergeRounds)._2
+    val body = col("s").substr(lit(2), length(col("s")) - 2)
+    val toksAfter = size(bpeStreamToks(col("s")))
+    val underscores = length(col("s")) - length(replace(col("s"), lit("_"), lit("")))
+    fin.select(
+      col("doc_id"),
+      replace(body, lit(BpeSep), lit(" ")).as("encoded"),
+      toksAfter.as("n_tokens"),
+      (toksAfter + underscores).as("n_words"))
+  }
+
+  /** Apply a FROZEN [[bpeMerges]] table to a document frame — the
+    * serving-time tokenizer: merges are replayed in merge_round order
+    * (each is one greedy left-to-right sentinel-exact `replace`, the
+    * identical operation the training loop performed), so a corpus
+    * encoded by `bpeApply(bpeMerges(c), c)` is bit-identical to the
+    * training loop's own final streams (`TextAnalysisSpec` pins this).
+    * Output schema = [[bpeEncode]]'s.
+    *
+    * 100 TB shape: the merge table packs into ONE row (array sorted by
+    * merge_round) attached by a 1-row broadcast — the same
+    * model-as-array pattern as the map-only Lloyd assignment; the fold
+    * over it is per-row projection work. Documents never shuffle. An
+    * empty merge table leaves every document un-merged (the fold over an
+    * empty array returns its init), NOT an empty result. */
+  def bpeApply(merges: DataFrame, documents: DataFrame): DataFrame = {
+    val packed = merges.agg(array_sort(collect_list(struct(
+      col("merge_round"), col("pair")))).as("ms"))
+    val applied = Tables.spread(documents)
+      .crossJoin(broadcast(packed))
+      .select(col("doc_id"), aggregate(col("ms"),
+        concat(lit(BpeL), concat_ws(BpeSep, toks(col("text"))), lit(BpeR)),
+        (s, m) => replace(s,
+          concat(lit(BpeL),
+            replace(m.getField("pair"), lit(" "), lit(BpeSep)), lit(BpeR)),
+          concat(lit(BpeL),
+            replace(m.getField("pair"), lit(" "), lit("_")), lit(BpeR))))
+        .as("s"))
+    val body = col("s").substr(lit(2), length(col("s")) - 2)
+    val toksAfter = size(bpeStreamToks(col("s")))
+    val underscores = length(col("s")) - length(replace(col("s"), lit("_"), lit("")))
+    applied.select(
+      col("doc_id"),
+      replace(body, lit(BpeSep), lit(" ")).as("encoded"),
+      toksAfter.as("n_tokens"),
+      (toksAfter + underscores).as("n_words"))
+  }
+
+  /** Persist / reload the trained merge table — the tokenizer model
+    * artifact between [[bpeMerges]] (train once, offline) and its
+    * consumers ([[bpeApply]], [[graft.streaming.StreamingBpeEncode]]):
+    * ≤[[BpeMergeRounds]] rows of (merge_round, pair, freq, new_token) as
+    * plain parquet, deliberately unpartitioned — the whole model is a
+    * handful of strings, broadcast-sized at any corpus scale (same
+    * convention as [[Similarity.saveCentroids]]). */
+  def saveMerges(merges: DataFrame, outDir: String): Unit =
+    merges.coalesce(1).write.mode("overwrite").parquet(outDir)
+
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
 
   /** Repetition thresholds (Gopher-rule shaped: Rae et al. 2021 §A1.1 use
     * per-signal cutoffs like top-2-gram fraction and duplicate-line
@@ -824,6 +906,7 @@ object TextAnalysis {
     "text_ngram_freq"  -> ((s, d) => ngramFreq(Tables.documents(s, d))),
     "text_bpe_pairs"   -> ((s, d) => bpePairs(Tables.documents(s, d))),
     "text_bpe_merges"  -> ((s, d) => bpeMerges(Tables.documents(s, d))),
+    "text_bpe_encode"  -> ((s, d) => bpeEncode(Tables.documents(s, d))),
     "text_pii_scan"    -> ((s, d) => piiScan(Tables.documents(s, d))),
     "text_pii_redact"  -> ((s, d) => piiRedact(Tables.documents(s, d))),
     "text_quality_deciles" -> ((s, d) => qualityDeciles(Tables.documents(s, d))),
@@ -954,6 +1037,36 @@ object TextAnalysis {
        |     AVG(nll) AS cross_entropy FROM sc GROUP BY doc_id)
        | SELECT doc_id, n_tokens, cross_entropy,
        |   exp(cross_entropy) AS perplexity FROM d""".stripMargin
+
+  /** DuckDB spelling of [[BpeSep]] (`chr(1)`/`chr(2)` mirror
+    * [[BpeL]]/[[BpeR]]). */
+  private val BpeOracleSep = "chr(2) || chr(1)"
+
+  /** The [[bpeMergeState]] loop as DuckDB CTEs, shared by the
+    * `text_bpe_merges` and `text_bpe_encode` oracles: each round
+    * re-splits the wrapped streams, counts adjacent pairs, picks the
+    * (freq desc, pair asc) best, and replace()-merges it — replace is
+    * left-to-right greedy non-overlapping in BOTH engines, which is
+    * exactly the BPE step. Streams `s0..sN` carry doc_id (the merge
+    * choice ignores it; the encode face needs it). */
+  private def bpeOracleCtes: String = {
+    val sep = BpeOracleSep
+    def round(r: Int) =
+      s"""p$r AS (SELECT unnest(CASE WHEN len(t) >= 2
+         |   THEN list_transform(range(len(t) - 1), i -> t[i + 1] || $sep || t[i + 2])
+         |   ELSE []::VARCHAR[] END) AS pair
+         |  FROM (SELECT string_split(s[2 : len(s) - 1], $sep) AS t FROM s${r - 1})),
+         | b$r AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS freq FROM p$r
+         |  GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT 1),
+         | s$r AS (SELECT doc_id, CASE WHEN pair IS NULL THEN s
+         |    ELSE replace(s, chr(1) || pair || chr(2),
+         |      chr(1) || replace(pair, $sep, '_') || chr(2)) END AS s
+         |  FROM s${r - 1} LEFT JOIN b$r ON TRUE)""".stripMargin
+    s"""s0 AS (SELECT doc_id, chr(1) ||
+       |    array_to_string(string_split(lower(text), ' '), $sep) || chr(2) AS s
+       |  FROM documents),
+       | ${(1 to BpeMergeRounds).map(round).mkString(",\n ")}""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "text_quality_classifier" ->
@@ -1163,32 +1276,25 @@ object TextAnalysis {
          | SELECT pair, CAST(COUNT(*) AS BIGINT) AS freq FROM p GROUP BY pair
          | ORDER BY freq DESC, pair ASC LIMIT $TopPairs""".stripMargin,
 
-    "text_bpe_merges" -> {
-      // chr(1)/chr(2) mirror BpeL/BpeR; each round re-splits the wrapped
-      // stream, counts adjacent pairs, picks the (freq desc, pair asc)
-      // best, and replace()-merges it — replace is left-to-right greedy
-      // non-overlapping in BOTH engines, which is exactly the BPE step.
-      val sep = "chr(2) || chr(1)"
-      def round(r: Int) =
-        s"""p$r AS (SELECT unnest(CASE WHEN len(t) >= 2
-           |   THEN list_transform(range(len(t) - 1), i -> t[i + 1] || $sep || t[i + 2])
-           |   ELSE []::VARCHAR[] END) AS pair
-           |  FROM (SELECT string_split(s[2 : len(s) - 1], $sep) AS t FROM s${r - 1})),
-           | b$r AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS freq FROM p$r
-           |  GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT 1),
-           | s$r AS (SELECT replace(s, chr(1) || pair || chr(2),
-           |    chr(1) || replace(pair, $sep, '_') || chr(2)) AS s
-           |  FROM s${r - 1} CROSS JOIN b$r)""".stripMargin
-      s"""WITH s0 AS (SELECT chr(1) ||
-         |    array_to_string(string_split(lower(text), ' '), $sep) || chr(2) AS s
-         |  FROM documents),
-         | ${(1 to BpeMergeRounds).map(round).mkString(",\n ")},
+    "text_bpe_merges" ->
+      s"""WITH $bpeOracleCtes,
          | m AS (${(1 to BpeMergeRounds)
              .map(r => s"SELECT CAST($r AS INTEGER) AS merge_round, pair, freq FROM b$r")
              .mkString(" UNION ALL ")})
-         | SELECT merge_round, replace(pair, $sep, ' ') AS pair, freq,
-         |   replace(pair, $sep, '_') AS new_token FROM m""".stripMargin
-    },
+         | SELECT merge_round, replace(pair, $BpeOracleSep, ' ') AS pair, freq,
+         |   replace(pair, $BpeOracleSep, '_') AS new_token FROM m""".stripMargin,
+
+    "text_bpe_encode" ->
+      s"""WITH $bpeOracleCtes,
+         | f AS (SELECT doc_id, s,
+         |   string_split(s[2 : len(s) - 1], $BpeOracleSep) AS t
+         |  FROM s$BpeMergeRounds)
+         | SELECT doc_id,
+         |   replace(s[2 : len(s) - 1], $BpeOracleSep, ' ') AS encoded,
+         |   CAST(len(t) AS INTEGER) AS n_tokens,
+         |   CAST(len(t) + length(s) - length(replace(s, '_', ''))
+         |     AS INTEGER) AS n_words
+         | FROM f""".stripMargin,
 
     "text_pii_scan" ->
       s"""SELECT doc_id,

@@ -274,7 +274,7 @@ class TextAnalysisSpec extends SparkSpec {
     table shouldBe Array(
       (1, "a b", 3L, "a_b"), (2, "a a", 2L, "a_a"), (3, "a_a a", 1L, "a_a_a"),
       (4, "a_b a_b", 1L, "a_b_a_b"), (5, "a_b c", 1L, "a_b_c"))
-    fin.collect().map(_.getString(0)).sorted shouldBe Array(
+    fin.collect().map(_.getString(1)).sorted shouldBe Array(
       "a_a_a",
       "a_ba_b",
       "a_bc")
@@ -293,6 +293,45 @@ class TextAnalysisSpec extends SparkSpec {
       .as[String].collect().sorted
     val original = real.select(lower(col("text"))).as[String].collect().sorted
     rebuilt shouldBe original
+  }
+
+  test("bpe encode: token and word counts match the trained merges per doc") {
+    // same fixture as the merge-sequence test, full BpeMergeRounds: doc 1
+    // "a b a b" folds to the single token a_b_a_b (4 words), doc 2 to
+    // a_b_c (3), doc 3 to a_a_a (3)
+    val fixture = docs(1L -> "a b a b", 2L -> "a b c", 3L -> "a a a")
+    val out = TextAnalysis.bpeEncode(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    out(1L) shouldBe (("a_b_a_b", 1, 4))
+    out(2L) shouldBe (("a_b_c", 1, 3))
+    out(3L) shouldBe (("a_a_a", 1, 3))
+  }
+
+  test("bpe apply: frozen merge table reproduces the training loop's own encoding") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val trained = TextAnalysis.bpeEncode(real).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    val served = TextAnalysis.bpeApply(TextAnalysis.bpeMerges(real), real)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    served shouldBe trained
+    // and the corpus genuinely contracted — the merges bought something
+    val (tok, words) = trained.values.foldLeft((0L, 0L)) {
+      case ((t, w), (_, nt, nw)) => (t + nt, w + nw)
+    }
+    tok should be < words
+  }
+
+  test("bpe apply: an empty merge table is the identity tokenizer, not a wipe") {
+    val sp = spark; import sp.implicits._
+    val fixture = docs(1L -> "x y z")
+    val empty = Seq.empty[(Int, String, Long, String)]
+      .toDF("merge_round", "pair", "freq", "new_token")
+    val out = TextAnalysis.bpeApply(empty, fixture).collect()
+    out.length shouldBe 1
+    out.head.getString(1) shouldBe "x y z"
+    out.head.getInt(2) shouldBe 3
+    out.head.getInt(3) shouldBe 3
   }
 
   test("pii scan: counts every class; word-soup text counts zero") {
