@@ -441,6 +441,79 @@ object Corpus {
       (sum("is_dup").cast("double") / count(lit(1))).as("dup_rate"))
   }
 
+  // ---- DSIR importance weights ---------------------------------------------
+
+  /** Hashed-feature dimension for [[dsirWeights]] — small enough that the
+    * bucket model is a broadcast table at any corpus scale, large enough
+    * that the synthetic 31-term vocabulary (plus its bigrams) genuinely
+    * spreads. */
+  val DsirBuckets = 64
+
+  /** Target-domain predicate of the registered query: English documents
+    * stand in for the "formal/high-quality domain" a DSIR run resamples
+    * toward. */
+  val DsirTargetLang = "en"
+
+  /** Probe target modulus: selects the single doc_id 0 (ids are dense
+    * from 0 and test corpora stay far below this), so the target model
+    * sees ~one document's grams and MUST leave buckets empty — firing the
+    * zero-count smoothing branch on both engines, which the registered
+    * query's 200+-doc English target never does. */
+  val DsirProbeMod = 100000
+
+  /** Data Selection via Importance Resampling weights (Xie et al. 2023,
+    * "DSIR") — the learned-from-data cousin of the fixed-weight
+    * classifier gate: estimate two multinomial bag-of-hashed-ngram models
+    * (unigrams + word bigrams hashed into [[DsirBuckets]] buckets) — one
+    * on the TARGET domain slice, one on the full RAW corpus — and score
+    * every document by its log importance weight
+    * `Σ_feature count·(ln p̂_target(b) − ln p̂_raw(b))` with add-half
+    * smoothing. Documents whose feature profile leans toward the target
+    * domain score > 0 and are the ones importance resampling keeps.
+    * Output: (doc_id, n_feats, log_weight).
+    *
+    * 100 TB shape: the feature table is one explode → per-(doc, bucket)
+    * map-side-combined count; both bucket models are [[DsirBuckets]]-row
+    * aggregates joined back by BROADCAST (never a corpus shuffle); the
+    * per-doc reduction is a two-phase agg over ≤[[DsirBuckets]] rows per
+    * document. The staged feature table is scanned three times
+    * (raw model, target model, scoring) — the [[graft.engine.Staging]]
+    * policy decides where that materializes. */
+  def dsirWeights(documents: DataFrame): DataFrame =
+    dsirWeightsBy(documents, col("lang") === DsirTargetLang)
+
+  /** [[dsirWeights]] with the ~single-doc target slice — proves the
+    * empty-target-bucket smoothing branch cross-engine. */
+  def dsirProbe(documents: DataFrame): DataFrame =
+    dsirWeightsBy(documents, pmod(col("doc_id"), lit(DsirProbeMod)) === 0)
+
+  private[operators] def dsirWeightsBy(documents: DataFrame, isTarget: Column): DataFrame = {
+    val t = split(lower(col("text")), " ")
+    val grams = concat(t, when(size(t) >= 2,
+        transform(sequence(lit(0), size(t) - 2),
+          i => concat_ws(" ", get(t, i), get(t, i + 1))))
+      .otherwise(array().cast("array<string>")))
+    val f = graft.engine.Staging.stage(Tables.spread(documents)
+      .select(col("doc_id"), isTarget.as("is_tgt"), explode(grams).as("gram"))
+      .select(col("doc_id"), col("is_tgt"),
+        pmod(Dedup.h32(col("gram")), lit(DsirBuckets.toLong)).as("b")))
+    val raw = f.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tgt = f.where(col("is_tgt")).groupBy("b").agg(count(lit(1)).as("tc"))
+    val model = graft.engine.Staging.stage(raw.join(tgt, Seq("b"), "left")
+      .select(col("b"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc")))
+    val totals = model.agg(sum("rc").cast("double").as("rn"),
+      sum("tc").cast("double").as("tn"))
+    val half = lit(DsirBuckets / 2.0) // αB with α = 1/2
+    val lw = (log(col("tc").cast("double") + 0.5) - log(col("tn") + half)) -
+      (log(col("rc").cast("double") + 0.5) - log(col("rn") + half))
+    f.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .join(broadcast(model), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("c"), (col("c").cast("double") * lw).as("w"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_feats"), sum("w").as("log_weight"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_source_profile" -> ((s, d) => sourceProfile(Tables.documents(s, d))),
     "corpus_clean"      -> ((s, d) => clean(Tables.documents(s, d))),
@@ -456,8 +529,39 @@ object Corpus {
     "corpus_chunk_plan" -> ((s, d) => chunkPlan(Tables.documents(s, d))),
     "corpus_mix_plan"   -> ((s, d) => mixPlan(Tables.documents(s, d))),
     "corpus_mix_apply"  -> ((s, d) => mixApply(Tables.documents(s, d))),
+    "corpus_dsir_weights" -> ((s, d) => dsirWeights(Tables.documents(s, d))),
+    "corpus_dsir_probe" -> ((s, d) => dsirProbe(Tables.documents(s, d))),
     "corpus_e2e"        -> ((s, d) => endToEnd(Tables.documents(s, d))),
   )
+
+  /** SQL mirror of [[dsirWeightsBy]] with the target slice spelled as a
+    * WHERE predicate — shared by the registered and probe oracles so the
+    * two formulas cannot drift. */
+  private def dsirSql(targetWhere: String) =
+    s"""WITH tk AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+       |   FROM documents),
+       | g AS (SELECT doc_id, lang, unnest(list_concat(t,
+       |     CASE WHEN len(t) >= 2 THEN list_transform(range(len(t) - 1),
+       |       i -> t[i + 1] || ' ' || t[i + 2]) ELSE []::VARCHAR[] END)) AS gram
+       |   FROM tk),
+       | fb AS (SELECT doc_id, lang, ${Dedup.h32SqlOf("gram")} % $DsirBuckets AS b
+       |   FROM g),
+       | raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rc FROM fb GROUP BY b),
+       | tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tc FROM fb
+       |   WHERE $targetWhere GROUP BY b),
+       | model AS (SELECT raw.b AS b, rc, COALESCE(tc, 0) AS tc
+       |   FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+       | tot AS (SELECT CAST(SUM(rc) AS DOUBLE) AS rn,
+       |     CAST(SUM(tc) AS DOUBLE) AS tn FROM model),
+       | d AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM fb
+       |   GROUP BY doc_id, b)
+       | SELECT d.doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+       |   SUM(CAST(c AS DOUBLE) *
+       |     ((ln(CAST(tc AS DOUBLE) + 0.5) - ln(tn + ${DsirBuckets / 2.0}))
+       |    - (ln(CAST(rc AS DOUBLE) + 0.5) - ln(rn + ${DsirBuckets / 2.0}))))
+       |   AS log_weight
+       | FROM d JOIN model ON d.b = model.b CROSS JOIN tot
+       | GROUP BY d.doc_id""".stripMargin
 
   private def ratesCaseSql =
     SampleRatesPerMille.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
@@ -689,5 +793,8 @@ object Corpus {
          | FROM documents d JOIN w USING (lang)
          | WHERE ('0x' || substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
          |   % 1000 < w.rate * 1000.0""".stripMargin,
+
+    "corpus_dsir_weights" -> dsirSql(s"lang = '$DsirTargetLang'"),
+    "corpus_dsir_probe" -> dsirSql(s"doc_id % $DsirProbeMod = 0"),
   )
 }

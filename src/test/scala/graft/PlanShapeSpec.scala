@@ -345,6 +345,47 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Window"
   }
 
+  test("text_bpe_encode: a pure map over the staged final streams — shuffle-free") {
+    // training rounds run eagerly inside Staging (same machinery
+    // text_bpe_merges pins); the RETURNED plan is the final staged stream
+    // scan plus a map-only projection (counts come from the stream string
+    // itself, no join back to the source)
+    val p = planOf("text_bpe_encode")
+    p should include("Scan ExistingRDD")
+    p should not include "Exchange"
+    p should not include "Join"
+    p should not include "Window"
+  }
+
+  test("corpus_dsir_weights: broadcast bucket models over a staged feature table") {
+    // the 64-row bucket models attach by BroadcastHashJoin and the 1-row
+    // totals by BroadcastNestedLoopJoin — the corpus-sized feature table
+    // must never sort-merge, window, or range-shuffle
+    val p = planOf("corpus_dsir_weights")
+    p should include("Scan ExistingRDD")
+    p should include("BroadcastHashJoin")
+    p should include("BroadcastNestedLoopJoin")
+    p should include("partial_count")
+    p should not include "SortMergeJoin"
+    p should not include "Window"
+    p should not include "Exchange rangepartitioning"
+  }
+
+  test("bpeApply: frozen-tokenizer serving is a 1-row model broadcast over a map scan") {
+    // the ≤6-row merge table packs into ONE row and attaches by broadcast;
+    // the document side must never shuffle, sort, or window — the same
+    // model-as-array discipline as the map-only Lloyd assignment
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = spark.read.parquet(s"$sf/documents.parquet").limit(0)
+      .selectExpr("1 AS merge_round", "'a b' AS pair")
+    val p = finalPlan(graft.operators.TextAnalysis.bpeApply(merges, docs))
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "SortMergeJoin"
+    p should not include "Window"
+    p should not include "Exchange rangepartitioning"
+    p should not include "Exchange hashpartitioning"
+  }
+
   test("text_quality_deciles: 1-row threshold frame broadcast, no window, no sort") {
     val p = planOf("text_quality_deciles")
     p should include("BroadcastNestedLoopJoin") // scored × 1-row thresholds

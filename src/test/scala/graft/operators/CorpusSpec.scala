@@ -361,4 +361,56 @@ class CorpusSpec extends SparkSpec {
     Corpus.mixApply(docs).collect().map(r => r.getLong(0)).toSet shouldBe
       out.map(_._1).toSet
   }
+
+  test("dsir: an all-target corpus weighs every document exactly zero") {
+    // target model == raw model bucket for bucket, so every per-instance
+    // log ratio cancels to literal 0.0 — no tolerance needed
+    import org.apache.spark.sql.functions.lit
+    val out = Corpus.dsirWeightsBy(docsDf(Seq(
+      (1L, "aa bb cc", "en", "web"),
+      (2L, "bb cc dd", "de", "web"))), lit(true)).collect()
+    out.length shouldBe 2
+    all(out.map(_.getDouble(2))) shouldBe 0.0
+  }
+
+  test("dsir: n_feats counts unigrams plus bigrams") {
+    import org.apache.spark.sql.functions.lit
+    val out = Corpus.dsirWeightsBy(docsDf(Seq(
+      (1L, "aa bb cc", "en", "web"),   // 3 + 2
+      (2L, "dd", "en", "web"))), lit(true)).collect() // 1 + 0
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 5L, 2L -> 1L)
+  }
+
+  test("dsir: weights separate target-typical from off-target content") {
+    // en docs are pure 'aa' runs, de docs pure 'bb' runs; 'aa'/'bb' and
+    // their bigrams occupy four DISTINCT buckets (verified offline), so
+    // the target model concentrates on the aa-buckets: every en doc must
+    // score strictly positive, every de doc strictly negative — and the
+    // de side exercises the tc=0 smoothing branch
+    val out = Corpus.dsirWeights(docsDf(Seq(
+      (1L, "aa aa aa", "en", "web"), (2L, "aa aa aa", "en", "web"),
+      (3L, "aa aa aa", "en", "web"),
+      (4L, "bb bb bb", "de", "web"), (5L, "bb bb bb", "de", "web"),
+      (6L, "bb bb bb", "de", "web"))))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    all(Seq(1L, 2L, 3L).map(out)) should be > 0.0
+    all(Seq(4L, 5L, 6L).map(out)) should be < 0.0
+  }
+
+  test("dsir probe: the single-doc target leaves buckets empty yet scores all docs") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Corpus.dsirProbe(real).collect()
+    out.length shouldBe real.count()
+    // doc 0 is the whole target domain: its weight must be strongly
+    // positive and near the top (word-soup docs sharing its gram profile
+    // can edge past it — the weight is a SUM, not an average — so exact
+    // argmax is not guaranteed), while the overwhelming majority of the
+    // corpus leans negative against so narrow a target
+    val ranked = out.sortBy(-_.getDouble(2))
+    val doc0 = out.find(_.getLong(0) == 0L).get.getDouble(2)
+    doc0 should be > 0.0
+    ranked.indexWhere(_.getLong(0) == 0L) should be < 3
+    out.count(_.getDouble(2) < 0) should be > (out.length / 2)
+  }
 }
