@@ -488,31 +488,76 @@ object Corpus {
     dsirWeightsBy(documents, pmod(col("doc_id"), lit(DsirProbeMod)) === 0)
 
   private[operators] def dsirWeightsBy(documents: DataFrame, isTarget: Column): DataFrame = {
+    val f = graft.engine.Staging.stage(
+      dsirGramBuckets(Tables.spread(documents), isTarget))
+    dsirScoreFrom(f, graft.engine.Staging.stage(dsirModelFrom(f)))
+  }
+
+  /** Per-instance (doc_id, is_tgt, b) hashed-gram buckets of a document
+    * frame — the DSIR feature projection (map-only). */
+  private def dsirGramBuckets(documents: DataFrame, isTarget: Column): DataFrame = {
     val t = split(lower(col("text")), " ")
     val grams = concat(t, when(size(t) >= 2,
         transform(sequence(lit(0), size(t) - 2),
           i => concat_ws(" ", get(t, i), get(t, i + 1))))
       .otherwise(array().cast("array<string>")))
-    val f = graft.engine.Staging.stage(Tables.spread(documents)
+    documents
       .select(col("doc_id"), isTarget.as("is_tgt"), explode(grams).as("gram"))
       .select(col("doc_id"), col("is_tgt"),
-        pmod(Dedup.h32(col("gram")), lit(DsirBuckets.toLong)).as("b")))
+        pmod(Dedup.h32(col("gram")), lit(DsirBuckets.toLong)).as("b"))
+  }
+
+  /** The [[DsirBuckets]]-row bucket model (b, rc, tc) from a feature
+    * table — raw instance counts and target-slice instance counts. */
+  private def dsirModelFrom(f: DataFrame): DataFrame = {
     val raw = f.groupBy("b").agg(count(lit(1)).as("rc"))
     val tgt = f.where(col("is_tgt")).groupBy("b").agg(count(lit(1)).as("tc"))
-    val model = graft.engine.Staging.stage(raw.join(tgt, Seq("b"), "left")
-      .select(col("b"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc")))
+    raw.join(tgt, Seq("b"), "left")
+      .select(col("b"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc"))
+  }
+
+  /** Score a feature table against a (possibly frozen) bucket model. The
+    * model attach is a LEFT broadcast join with zero-coalesce, so a
+    * serving-time bucket the training corpus never produced scores as an
+    * unseen feature (both counts 0) instead of silently dropping. */
+  private def dsirScoreFrom(fb: DataFrame, model: DataFrame): DataFrame = {
     val totals = model.agg(sum("rc").cast("double").as("rn"),
       sum("tc").cast("double").as("tn"))
     val half = lit(DsirBuckets / 2.0) // αB with α = 1/2
-    val lw = (log(col("tc").cast("double") + 0.5) - log(col("tn") + half)) -
-      (log(col("rc").cast("double") + 0.5) - log(col("rn") + half))
-    f.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-      .join(broadcast(model), Seq("b"))
+    val lw = (log(coalesce(col("tc"), lit(0L)).cast("double") + 0.5) -
+        log(col("tn") + half)) -
+      (log(coalesce(col("rc"), lit(0L)).cast("double") + 0.5) -
+        log(col("rn") + half))
+    fb.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .join(broadcast(model), Seq("b"), "left")
       .crossJoin(broadcast(totals))
       .select(col("doc_id"), col("c"), (col("c").cast("double") * lw).as("w"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_feats"), sum("w").as("log_weight"))
   }
+
+  /** Train the standalone DSIR bucket-model artifact — the offline half
+    * of the train-once / score-online split
+    * ([[graft.streaming.StreamingDsir]] is the online half). */
+  def dsirModel(documents: DataFrame, isTarget: Column): DataFrame =
+    dsirModelFrom(graft.engine.Staging.stage(
+      dsirGramBuckets(Tables.spread(documents), isTarget)))
+
+  /** Score incoming documents against a FROZEN bucket model — identical
+    * arithmetic to the registered query, so a streamed document gets
+    * exactly the batch weight (`StreamingDsirSpec`). */
+  def dsirScore(model: DataFrame, incoming: DataFrame): DataFrame =
+    dsirScoreFrom(dsirGramBuckets(incoming, lit(false)).drop("is_tgt"), model)
+
+  /** Persist / reload the bucket model: [[DsirBuckets]] rows of
+    * (b, rc, tc) as plain parquet — broadcast-sized at any corpus scale,
+    * same convention as [[Similarity.saveCentroids]] /
+    * [[TextAnalysis.saveMerges]]. */
+  def saveDsirModel(model: DataFrame, outDir: String): Unit =
+    model.coalesce(1).write.mode("overwrite").parquet(outDir)
+
+  def loadDsirModel(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_source_profile" -> ((s, d) => sourceProfile(Tables.documents(s, d))),

@@ -232,6 +232,33 @@ object Dedup {
     expandClusters(dr, ConnectedComponents.minLabel(edges))
   }
 
+  /** Quality-aware keeper selection over the [[minhashLsh]] clusters —
+    * the refinement production dedup applies on top of cluster discovery:
+    * instead of keeping the arbitrary min-doc_id representative, keep the
+    * HIGHEST-QUALITY member of every near-duplicate cluster (the
+    * composite [[TextAnalysis.qualityScoreCol]], rounded to 1e-6 so an
+    * interpolation ulp cannot flip the argmax — same discipline as the
+    * quality deciles), ties to the lowest doc_id. One row per document:
+    * (doc_id, cluster_id, keeper_id, keep) — singletons keep themselves.
+    *
+    * 100 TB shape: clustering costs what [[minhashLsh]] costs; the keeper
+    * selection adds one map-side-combined `max(struct(q, -doc_id))` per
+    * cluster and a join-back keyed on cluster_id — id/score rows only,
+    * document text never rides a second shuffle. */
+  def qualityKeeper(documents: DataFrame): DataFrame = {
+    val docs = Tables.spread(documents)
+    val cl = Staging.stage(minhashLsh(docs).select("doc_id", "cluster_id")
+      .join(docs.select(col("doc_id"),
+        round(TextAnalysis.qualityScoreCol, 6).as("q")), "doc_id"))
+    // lexicographic struct max = (max q, then min doc_id via negation)
+    val kp = cl.groupBy("cluster_id")
+      .agg(max(struct(col("q"), (-col("doc_id")).as("nd"))).as("m"))
+      .select(col("cluster_id"), (-col("m.nd")).as("keeper_id"))
+    cl.join(kp, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("keep"))
+  }
+
   /** Shingle-hash + signature + banded-key stages for a (doc_id, text)
     * frame, shared by the batch and incremental operators so a tuning
     * change cannot drift them apart. The [[Staging.stage]] calls are
@@ -594,6 +621,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardBestMatch(Tables.documents(s, d))),
     "dedup_minhash_incremental" -> ((s, d) => minhashLshIncremental(Tables.documents(s, d))),
     "dedup_containment"   -> ((s, d) => containmentBestMatch(Tables.documents(s, d))),
+    "dedup_quality_keeper" -> ((s, d) => qualityKeeper(Tables.documents(s, d))),
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -721,6 +749,25 @@ object Dedup {
          | $closureTail
          | SELECT l.doc_id, l.cluster_id, CAST(s.sz - 1 AS BIGINT) AS n_dups
          | FROM labeled l JOIN sizes s ON l.cluster_id = s.cluster_id""".stripMargin,
+
+    "dedup_quality_keeper" ->
+      s"""WITH RECURSIVE $repsWith,
+         | ${shingleWith("reps")},
+         | $minhashBandsSqlWith,
+         | ${cappedPairsSql("bands")},
+         | $sigEstVerSqlWith,
+         | edges AS (SELECT a, b FROM ver WHERE jaccard >= $JaccardThreshold),
+         | $closureTail,
+         | ${TextAnalysis.qualityScoreSqlWith},
+         | cl AS (SELECT l.doc_id, l.cluster_id, round(q.quality_score, 6) AS q
+         |   FROM labeled l JOIN qscore q ON q.doc_id = l.doc_id),
+         | km AS (SELECT cluster_id, MAX(q) AS mq FROM cl GROUP BY cluster_id),
+         | kp AS (SELECT cl.cluster_id, MIN(cl.doc_id) AS keeper_id FROM cl
+         |   JOIN km ON cl.cluster_id = km.cluster_id AND cl.q = km.mq
+         |   GROUP BY cl.cluster_id)
+         | SELECT cl.doc_id, cl.cluster_id, kp.keeper_id,
+         |   cl.doc_id = kp.keeper_id AS keep
+         | FROM cl JOIN kp ON cl.cluster_id = kp.cluster_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH RECURSIVE $repsWith,

@@ -447,6 +447,24 @@ object TextAnalysis {
       (toksAfter + underscores).as("n_words"))
   }
 
+  /** The trained vocabulary — the third tokenizer artifact beside the
+    * merge table ([[bpeMerges]]) and the encoded corpus ([[bpeEncode]]):
+    * every distinct post-merge token with its corpus frequency and the
+    * number of source words it spans (1 = an unmerged word, >1 = a
+    * learned multi-word token). The (vocab, merges) pair is exactly what
+    * a BPE tokenizer ships.
+    *
+    * 100 TB shape: explode over the staged final streams → two-phase
+    * count; the shuffle carries one row per distinct token per
+    * partition. */
+  def bpeVocab(documents: DataFrame): DataFrame =
+    bpeMergeState(documents, BpeMergeRounds)._2
+      .select(explode(bpeStreamToks(col("s"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .select(col("token"), col("freq"),
+        (length(col("token")) - length(replace(col("token"), lit("_"), lit("")))
+          + 1).as("n_words"))
+
   /** Apply a FROZEN [[bpeMerges]] table to a document frame — the
     * serving-time tokenizer: merges are replayed in merge_round order
     * (each is one greedy left-to-right sentinel-exact `replace`, the
@@ -907,6 +925,7 @@ object TextAnalysis {
     "text_bpe_pairs"   -> ((s, d) => bpePairs(Tables.documents(s, d))),
     "text_bpe_merges"  -> ((s, d) => bpeMerges(Tables.documents(s, d))),
     "text_bpe_encode"  -> ((s, d) => bpeEncode(Tables.documents(s, d))),
+    "text_bpe_vocab"   -> ((s, d) => bpeVocab(Tables.documents(s, d))),
     "text_pii_scan"    -> ((s, d) => piiScan(Tables.documents(s, d))),
     "text_pii_redact"  -> ((s, d) => piiRedact(Tables.documents(s, d))),
     "text_quality_deciles" -> ((s, d) => qualityDeciles(Tables.documents(s, d))),
@@ -1295,6 +1314,16 @@ object TextAnalysis {
          |   CAST(len(t) + length(s) - length(replace(s, '_', ''))
          |     AS INTEGER) AS n_words
          | FROM f""".stripMargin,
+
+    "text_bpe_vocab" ->
+      s"""WITH $bpeOracleCtes,
+         | v AS (SELECT unnest(string_split(s[2 : len(s) - 1], $BpeOracleSep))
+         |     AS token
+         |  FROM s$BpeMergeRounds)
+         | SELECT token, CAST(COUNT(*) AS BIGINT) AS freq,
+         |   CAST(length(token) - length(replace(token, '_', '')) + 1
+         |     AS INTEGER) AS n_words
+         | FROM v GROUP BY token""".stripMargin,
 
     "text_pii_scan" ->
       s"""SELECT doc_id,

@@ -357,6 +357,26 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Window"
   }
 
+  test("text_bpe_vocab: two-phase token count over the staged final streams") {
+    val p = planOf("text_bpe_vocab")
+    p should include("Scan ExistingRDD")
+    p should include("partial_count")
+    p should not include "SortMergeJoin"
+    p should not include "Window"
+  }
+
+  test("dedup_quality_keeper: keeper selection adds aggs and joins, never a window") {
+    // the cluster table is staged (minhashLsh machinery, pinned
+    // elsewhere); keeper = max(struct) per cluster + join-back — id/score
+    // rows only, no window, no cartesian, no range shuffle
+    val p = planOf("dedup_quality_keeper")
+    p should include("Scan ExistingRDD")
+    p should include("partial_max")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    p should not include "Exchange rangepartitioning"
+  }
+
   test("corpus_dsir_weights: broadcast bucket models over a staged feature table") {
     // the 64-row bucket models attach by BroadcastHashJoin and the 1-row
     // totals by BroadcastNestedLoopJoin — the corpus-sized feature table

@@ -33,6 +33,30 @@ class DedupSpec extends SparkSpec {
     out(3L) shouldBe ((1L, 2L)) // round-1 single-hop would have split C off
   }
 
+  test("quality keeper: the best-quality member wins the cluster, not the min id") {
+    // same chain geometry, but doc 3 carries the longest content → highest
+    // composite quality (no stopwords/punct anywhere, so quality is purely
+    // the length term): it must be the keeper for EVERY member — a plain
+    // min-id representative would pick doc 1. The unrelated singleton
+    // keeps itself, and an exact-dup pair (identical text → identical
+    // quality) falls back to the min-id tiebreak.
+    val out = Dedup.qualityKeeper(docsDf(Seq(
+      1L -> text(),
+      2L -> text(Map(5 -> "xx")),
+      3L -> text(Map(5 -> "xx", 20 -> "yyyyyyyyyy")),
+      9L -> (0 until 30).map(i => s"z$i").mkString(" "),
+      20L -> (0 until 30).map(i => s"p$i").mkString(" "),
+      21L -> (0 until 30).map(i => s"p$i").mkString(" "))))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    out(1L) shouldBe ((3L, false))
+    out(2L) shouldBe ((3L, false))
+    out(3L) shouldBe ((3L, true))
+    out(9L) shouldBe ((9L, true))
+    out(20L) shouldBe ((20L, true))
+    out(21L) shouldBe ((20L, false))
+  }
+
   test("exact-duplicate hot bucket pre-collapses: 200 copies are one LSH vertex") {
     val copies = (10L until 210L).map(_ -> text())
     val nearDup = Seq(500L -> text(Map(5 -> "zz")))

@@ -307,6 +307,13 @@ class TextAnalysisSpec extends SparkSpec {
     out(3L) shouldBe (("a_a_a", 1, 3))
   }
 
+  test("bpe vocab: distinct post-merge tokens with corpus frequency and word span") {
+    val out = TextAnalysis.bpeVocab(docs(
+      1L -> "a b a b", 2L -> "a b c", 3L -> "a a a"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    out shouldBe Set(("a_b_a_b", 1L, 4), ("a_b_c", 1L, 3), ("a_a_a", 1L, 3))
+  }
+
   test("bpe apply: frozen merge table reproduces the training loop's own encoding") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val trained = TextAnalysis.bpeEncode(real).collect()
