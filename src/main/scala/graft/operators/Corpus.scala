@@ -559,6 +559,29 @@ object Corpus {
   def loadDsirModel(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** Execute the DSIR selection — importance RESAMPLING over
+    * [[dsirWeights]]' oracle-checked scores, closing the loop the paper's
+    * name promises (Xie et al. 2023: score, then resample): each document
+    * is kept with probability `min(1, exp(log_weight))` via the salted
+    * portable hash (the [[mixApply]] convention), so the surviving corpus
+    * is the raw corpus reweighted toward the target domain,
+    * deterministically (same keep-set on every run/engine). Documents
+    * leaning INTO the target (log_weight ≥ 0) always survive; documents
+    * leaning away are thinned in proportion to how far they lean. Output
+    * (doc_id, log_weight, rate) for kept documents; the kept-mass-moves-
+    * toward-target invariant is pinned in `CrossOpInvariantSpec`.
+    *
+    * 100 TB shape: inherits the scoring pipeline's (broadcast bucket
+    * model, one per-doc aggregation); the keep test is a pure per-row
+    * predicate on the weight frame — no new shuffle, no state. */
+  def dsirApply(documents: DataFrame): DataFrame = {
+    val rate = least(lit(1.0), exp(col("log_weight")))
+    dsirWeights(documents)
+      .select(col("doc_id"), col("log_weight"), rate.as("rate"))
+      .where(Dedup.h32(concat(lit("dsir:"), col("doc_id").cast("string"))) % 1000
+        < col("rate") * 1000.0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_source_profile" -> ((s, d) => sourceProfile(Tables.documents(s, d))),
     "corpus_clean"      -> ((s, d) => clean(Tables.documents(s, d))),
@@ -576,6 +599,7 @@ object Corpus {
     "corpus_mix_apply"  -> ((s, d) => mixApply(Tables.documents(s, d))),
     "corpus_dsir_weights" -> ((s, d) => dsirWeights(Tables.documents(s, d))),
     "corpus_dsir_probe" -> ((s, d) => dsirProbe(Tables.documents(s, d))),
+    "corpus_dsir_apply" -> ((s, d) => dsirApply(Tables.documents(s, d))),
     "corpus_e2e"        -> ((s, d) => endToEnd(Tables.documents(s, d))),
   )
 
@@ -841,5 +865,15 @@ object Corpus {
 
     "corpus_dsir_weights" -> dsirSql(s"lang = '$DsirTargetLang'"),
     "corpus_dsir_probe" -> dsirSql(s"doc_id % $DsirProbeMod = 0"),
+
+    // the weight pipeline verbatim (nested CTE), then the resampling
+    // predicate in the same salted-hash convention as corpus_mix_apply
+    "corpus_dsir_apply" ->
+      s"""WITH wts AS (${dsirSql(s"lang = '$DsirTargetLang'")})
+         | SELECT doc_id, log_weight,
+         |   LEAST(1.0, exp(log_weight)) AS rate
+         | FROM wts
+         | WHERE ('0x' || substring(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |   % 1000 < LEAST(1.0, exp(log_weight)) * 1000.0""".stripMargin,
   )
 }

@@ -23,17 +23,12 @@ object Events {
   /** Session gap: a new session starts after this much user inactivity. */
   val SessionGapMinutes = 120
 
-  /** The gap in epoch-microseconds. `ts` arrives as int64 NANOS
-    * ([[Tables.events]]) and is floored to µs first: DuckDB's parquet
-    * reader truncates TIMESTAMP(NANOS) to µs TIMESTAMP, so µs is the
-    * finest resolution BOTH engines agree on exactly — all time
-    * arithmetic is then exact integer math (`ts div 1000` here ≡
-    * `epoch_us(ts)` there). */
+  /** The gap in epoch-microseconds. `ts` arrives as epoch-µs int64 —
+    * [[Tables.events]] normalizes every physical encoding the testdata
+    * has shipped (TIMESTAMP NANOS / MICROS) to µs, the finest resolution
+    * BOTH engines agree on exactly — so all time arithmetic here is exact
+    * integer math (`ts` ≡ DuckDB's `epoch_us(ts)`). */
   val SessionGapMicros: Long = SessionGapMinutes * 60L * 1000L * 1000L
-
-  /** Project the raw nanos to the shared µs resolution. */
-  private def usEvents(events: DataFrame): DataFrame =
-    events.withColumn("ts", expr("ts div 1000"))
 
   private val byUserTime = Window.partitionBy("user_id")
     .orderBy(col("ts"), col("event_id"))
@@ -44,7 +39,7 @@ object Events {
   def sessionize(events: DataFrame): DataFrame = {
     val prev = lag(col("ts"), 1).over(byUserTime)
     val isStart = prev.isNull || col("ts") > prev + lit(SessionGapMicros)
-    usEvents(events)
+    events
       .withColumn("is_session_start", isStart)
       .withColumn("session_seq",
         sum(col("is_session_start").cast("long")).over(byUserTime))
@@ -56,7 +51,7 @@ object Events {
     * value mass, duration in (fractional) seconds. */
   def sessionStats(events: DataFrame): DataFrame =
     sessionize(events)
-      .join(usEvents(events).select("event_id", "ts", "event_type", "value"),
+      .join(events.select("event_id", "ts", "event_type", "value"),
         "event_id")
       .groupBy("user_id", "session_seq")
       .agg(
@@ -79,7 +74,7 @@ object Events {
   def funnel(events: DataFrame): DataFrame = {
     val stageFirsts = FunnelStages.map(s =>
       min(when(col("event_type") === s, col("ts"))).as(s"t_$s"))
-    val firsts = usEvents(events)
+    val firsts = events
       .groupBy("user_id")
       .agg(stageFirsts.head, stageFirsts.tail: _*)
     // stagesReached = largest k with t_1 < t_2 < ... < t_k (all non-null)
@@ -133,7 +128,7 @@ object Events {
     * grand total in ONE pass; Catalyst expands the grouping sets into a
     * single shuffle). Day = epoch-µs integer division, portable. */
   def dailyRollup(events: DataFrame): DataFrame =
-    usEvents(events)
+    events
       .select(expr(s"ts div $UsPerDay").as("day_idx"), col("event_type"))
       .rollup("day_idx", "event_type")
       .agg(count(lit(1)).as("n_events"))
@@ -153,7 +148,7 @@ object Events {
     * shuffled twice. Day boundaries are exact integer division of
     * epoch-µs on both engines. */
   def retention(events: DataFrame): DataFrame = {
-    val days = usEvents(events)
+    val days = events
       .select(col("user_id"), expr(s"ts div $UsPerDay").as("day"))
       .distinct()
     val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
@@ -183,7 +178,7 @@ object Events {
     // post-view conversion must still count)
     val fv = min(when(col("event_type") === "view", col("ts")))
       .over(Window.partitionBy("user_id"))
-    usEvents(events)
+    events
       .withColumn("fv", fv)
       .where(col("fv").isNotNull)
       .groupBy("user_id")
@@ -219,7 +214,7 @@ object Events {
     * ([[graft.streaming.StreamingAnomaly]]), so batch and streaming score
     * the same frame. */
   def dailyCounts(events: DataFrame): DataFrame =
-    usEvents(events)
+    events
       .select(col("event_type"), expr(s"ts div $UsPerDay").as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("n_events"))
 
@@ -288,7 +283,7 @@ object Events {
     * day key (≤ a few thousand keys — final agg is tiny) — the raw event
     * stream is scanned once. */
   def rollingActives(events: DataFrame): DataFrame = {
-    val days = usEvents(events)
+    val days = events
       .select(col("user_id"), expr(s"ts div $UsPerDay").as("day"))
       .distinct()
     val dau = days.groupBy("day").agg(count_distinct(col("user_id")).as("dau"))
@@ -312,7 +307,7 @@ object Events {
     * simultaneous) click value; purchases with no prior click keep null.
     * Output: (event_id, user_id, asof_click_value). */
   def asofClickValue(events: DataFrame): DataFrame = {
-    val tagged = usEvents(events).select(
+    val tagged = events.select(
       col("event_id"), col("user_id"), col("ts"), col("event_type"),
       when(col("event_type") === "click", col("value")).as("click_value"))
     tagged
@@ -359,7 +354,7 @@ object Events {
     * ambiguity). */
   def attribution(events: DataFrame): DataFrame = {
     val e = Tables.spread(events)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(col("ts")))
     attributionPairs(
       e.where(col("event_type") === "click").select("user_id", "ts", "value"),
       e.where(col("event_type") === "purchase").select("event_id", "user_id", "ts"))

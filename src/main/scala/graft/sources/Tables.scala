@@ -37,23 +37,49 @@ object Tables {
     * no-op and adds no shuffle. */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // toRdd is the already-planned internal-row RDD (lazy, cached on the
+    // QueryExecution) — unlike df.rdd it adds no deserializer re-analysis,
+    // and reading getNumPartitions runs no job.
+    if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p) else df
   }
 
   def part(spark: SparkSession, sfDir: String): DataFrame      = table(spark, sfDir, "part")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects by default; `nanosAsLong` reads the column as int64
-    * epoch-nanoseconds instead. That is the PREFERRED representation
-    * here: the Events operators do exact integer nanosecond arithmetic,
-    * bit-identical to the DuckDB oracle's `epoch_ns(ts)` (a
-    * timestamp-typed path would round to microseconds on one engine and
-    * not the other). The flag only affects NANOS fields — no other table
-    * has one. */
+  /** The events fact table with `ts` normalized to epoch-MICROSECOND
+    * int64 whatever the parquet physically stores — the driver has shipped
+    * this column as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across
+    * testdata generations, and every Events operator does exact integer-µs
+    * arithmetic against the DuckDB oracle's `epoch_us(ts)` (µs is the
+    * finest resolution both engines agree on exactly). Normalization
+    * happens HERE, once, so a future physical-type change breaks one
+    * branch of [[normalizeEventTs]] (tripwired by `TablesSpec`), not every
+    * downstream query. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // Legacy int64-NANOS encodings are unreadable without this flag; it is
+    // a no-op for µs-typed files and no other table carries a NANOS field.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
+    normalizeEventTs(table(spark, sfDir, "events"))
+  }
+
+  /** Rewrite a raw events frame's `ts` to epoch-µs int64. Branches on the
+    * type the reader actually produced: int64 (legacy NANOS via
+    * `nanosAsLong`) → integer-divide to µs; timestamp / timestamp_ntz →
+    * exact µs since the epoch. The NTZ branch measures from the NTZ epoch
+    * literal rather than casting through the session zone, so the result
+    * is timezone-independent — identical to DuckDB's `epoch_us` on the
+    * same naive value. */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val us: Column = raw.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000")
+      case TimestampNTZType =>
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+      case TimestampType    => unix_micros(col("ts"))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other; expected int64-nanos, timestamp, or timestamp_ntz")
+    }
+    raw.withColumn("ts", us)
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

@@ -56,7 +56,7 @@ class StreamingAnomaly(initial: Option[DataFrame] = None) {
   }
 
   /** Start the monitor. `events` must be a STREAMING frame with the
-    * events-table schema (ts int64 epoch-nanos); `sink` receives
+    * events-table schema (ts epoch-µs int64, the Tables.events convention); `sink` receives
     * (batchId, scored anomaly frame) per trigger. */
   def run(events: DataFrame, checkpointDir: String,
           queryName: String = "graft_streaming_anomaly",

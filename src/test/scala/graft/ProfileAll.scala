@@ -110,8 +110,8 @@ object ProfileAll {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.maxFields", "200")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      // the events table stores ts as TIMESTAMP(NANOS) int64 — read it as
-      // long (the convention Tables.events sets per session)
+      // tolerate legacy TIMESTAMP(NANOS) events testdata (no-op for the
+      // current µs encoding; Tables.events normalizes either to epoch-µs)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

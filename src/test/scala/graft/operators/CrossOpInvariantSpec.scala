@@ -46,7 +46,7 @@ class CrossOpInvariantSpec extends SparkSpec {
     // day-0 cohort accounting and wau use the same distinct (user, day)
     // grain: total distinct actives per day from retention offset rows
     val dauDirect = events
-      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      .select(col("user_id"), expr("ts div 86400000000").as("day"))
       .distinct().groupBy("day").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.filter(r => dauDirect.contains(r._1)).foreach { case (day, dau, _) =>
@@ -109,5 +109,53 @@ class CrossOpInvariantSpec extends SparkSpec {
       if (id < Similarity.PqCodebookSize) err shouldBe 0.0
       else err should be > 0.0
     }
+  }
+
+  test("dsir apply resamples the kept mass toward the target domain") {
+    val kept = Corpus.dsirApply(docs).collect()
+    val weights = Corpus.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val langs = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    kept.length should be > 0
+    kept.length should be < weights.size // something was actually thinned
+    // every target-leaning document (log_weight >= 0 -> rate 1) survives
+    val keptIds = kept.map(_.getLong(0)).toSet
+    weights.filter(_._2 >= 0.0).keys.foreach(id => keptIds should contain(id))
+    // rates are exp(log_weight) clipped to 1
+    kept.foreach { r =>
+      r.getDouble(2) shouldBe math.min(1.0, math.exp(r.getDouble(1))) +- 1e-12
+    }
+    // the selection moves composition toward the target: kept en-fraction
+    // strictly exceeds the raw corpus's en-fraction
+    def enFrac(ids: Iterable[Long]) =
+      ids.count(langs(_) == Corpus.DsirTargetLang).toDouble / ids.size
+    enFrac(keptIds) should be > enFrac(langs.keys)
+  }
+
+  test("tokenizer round-trip: frozen merges decode back to the source corpus exactly") {
+    // merges are reversible by construction ('_' never occurs in the word
+    // alphabet), so replacing every '_' with a space must recover the
+    // lowercased source verbatim — including any repeated-space structure
+    // (split/join round-trips empty tokens)
+    val enc = TextAnalysis.bpeApply(TextAnalysis.bpeMerges(docs), docs)
+    val joined = docs.select(col("doc_id"), lower(col("text")).as("orig"))
+      .join(enc.select(col("doc_id"),
+        replace(col("encoded"), lit("_"), lit(" ")).as("decoded")), "doc_id")
+    joined.count() shouldBe docs.count()
+    joined.where(col("orig") =!= col("decoded")).count() shouldBe 0L
+  }
+
+  test("tokenizer faces agree on the corpus token mass (vocab × encode)") {
+    val enc = TextAnalysis.bpeApply(TextAnalysis.bpeMerges(docs), docs)
+    val vocab = TextAnalysis.bpeVocabOf(enc)
+    // every token instance the encode face emits is counted once by vocab
+    vocab.agg(sum("freq")).collect()(0).getLong(0) shouldBe
+      enc.agg(sum("n_tokens")).collect()(0).getLong(0)
+    // word mass is conserved through merging: Σ freq·n_words == Σ n_words
+    vocab.agg(sum(col("freq") * col("n_words"))).collect()(0).getLong(0) shouldBe
+      enc.agg(sum("n_words")).collect()(0).getLong(0)
+    // and the training-loop vocab face equals the apply-derived one
+    assertSameRows(TextAnalysis.bpeVocab(docs), vocab)
   }
 }

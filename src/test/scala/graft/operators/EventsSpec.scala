@@ -5,11 +5,11 @@ import org.apache.spark.sql.DataFrame
 import graft.SparkSpec
 
 /** Sessionization, funnel, and props-extraction semantics on crafted
-  * event streams (ts in epoch-NANOS, as [[graft.sources.Tables.events]]
+  * event streams (ts in epoch-MICROS, as [[graft.sources.Tables.events]]
   * delivers). */
 class EventsSpec extends SparkSpec {
 
-  private def ns(minutes: Long): Long = minutes * 60L * 1000000000L
+  private def us(minutes: Long): Long = minutes * 60L * 1000000L
 
   private def eventsDf(rows: Seq[(Long, Long, Long, String, Double, String)]): DataFrame = {
     val sp = spark; import sp.implicits._
@@ -18,10 +18,10 @@ class EventsSpec extends SparkSpec {
 
   test("sessionize: a gap beyond the threshold opens a new session") {
     val out = Events.sessionize(eventsDf(Seq(
-      (1L, ns(0), 7L, "view", 1.0, "{}"),
-      (2L, ns(60), 7L, "click", 1.0, "{}"),     // 60min < 120min gap: same session
-      (3L, ns(300), 7L, "view", 1.0, "{}"),     // 240min gap: new session
-      (4L, ns(10), 8L, "view", 1.0, "{}"))))    // other user: own numbering
+      (1L, us(0), 7L, "view", 1.0, "{}"),
+      (2L, us(60), 7L, "click", 1.0, "{}"),     // 60min < 120min gap: same session
+      (3L, us(300), 7L, "view", 1.0, "{}"),     // 240min gap: new session
+      (4L, us(10), 8L, "view", 1.0, "{}"))))    // other user: own numbering
       .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
     out(1L) shouldBe ((1L, true))
     out(2L) shouldBe ((1L, false))
@@ -30,15 +30,15 @@ class EventsSpec extends SparkSpec {
   }
 
   test("retention: users cohort by first active day; offsets count distinct actives") {
-    def dns(day: Long, minutes: Long = 0): Long = day * 86400L * 1000000000L + ns(minutes)
+    def dus(day: Long, minutes: Long = 0): Long = day * 86400L * 1000000L + us(minutes)
     val out = Events.retention(eventsDf(Seq(
-      (1L, dns(0), 1L, "view", 0.0, "{}"),
-      (2L, dns(0, 30), 1L, "view", 0.0, "{}"), // same user+day: one active
-      (3L, dns(1), 1L, "view", 0.0, "{}"),
-      (4L, dns(3), 1L, "view", 0.0, "{}"),
-      (5L, dns(0), 2L, "view", 0.0, "{}"),
-      (6L, dns(2), 2L, "view", 0.0, "{}"),
-      (7L, dns(1), 3L, "view", 0.0, "{}")))) // joins a day later: own cohort
+      (1L, dus(0), 1L, "view", 0.0, "{}"),
+      (2L, dus(0, 30), 1L, "view", 0.0, "{}"), // same user+day: one active
+      (3L, dus(1), 1L, "view", 0.0, "{}"),
+      (4L, dus(3), 1L, "view", 0.0, "{}"),
+      (5L, dus(0), 2L, "view", 0.0, "{}"),
+      (6L, dus(2), 2L, "view", 0.0, "{}"),
+      (7L, dus(1), 3L, "view", 0.0, "{}")))) // joins a day later: own cohort
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
     out((0L, 0L)) shouldBe ((2L, 2L, 1.0))
@@ -51,10 +51,10 @@ class EventsSpec extends SparkSpec {
 
   test("session stats: counts, errors, value mass, duration from the session span") {
     val out = Events.sessionStats(eventsDf(Seq(
-      (1L, ns(0), 7L, "view", 1.5, "{}"),
-      (2L, ns(30), 7L, "error", 2.5, "{}"),
-      (3L, ns(90), 7L, "click", 4.0, "{}"),
-      (4L, ns(600), 7L, "view", 9.0, "{}"))))
+      (1L, us(0), 7L, "view", 1.5, "{}"),
+      (2L, us(30), 7L, "error", 2.5, "{}"),
+      (3L, us(90), 7L, "click", 4.0, "{}"),
+      (4L, us(600), 7L, "view", 9.0, "{}"))))
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
     out((7L, 1L)) shouldBe ((3L, 1L, 8.0, 90 * 60.0))
@@ -64,14 +64,14 @@ class EventsSpec extends SparkSpec {
   test("funnel: strict first-occurrence ordering decides the reached stage") {
     val rows =
       // user 1: full ordered funnel
-      Seq((1L, ns(0), 1L, "signup", 0.0, "{}"), (2L, ns(1), 1L, "view", 0.0, "{}"),
-        (3L, ns(2), 1L, "click", 0.0, "{}"), (4L, ns(3), 1L, "purchase", 0.0, "{}")) ++
+      Seq((1L, us(0), 1L, "signup", 0.0, "{}"), (2L, us(1), 1L, "view", 0.0, "{}"),
+        (3L, us(2), 1L, "click", 0.0, "{}"), (4L, us(3), 1L, "purchase", 0.0, "{}")) ++
       // user 2: first purchase BEFORE first click — the click ordering
       // holds (view@1 < click@3) but purchase@2 <= click@3 fails: stage 3
-      Seq((5L, ns(0), 2L, "signup", 0.0, "{}"), (6L, ns(1), 2L, "view", 0.0, "{}"),
-        (7L, ns(2), 2L, "purchase", 0.0, "{}"), (8L, ns(3), 2L, "click", 0.0, "{}")) ++
+      Seq((5L, us(0), 2L, "signup", 0.0, "{}"), (6L, us(1), 2L, "view", 0.0, "{}"),
+        (7L, us(2), 2L, "purchase", 0.0, "{}"), (8L, us(3), 2L, "click", 0.0, "{}")) ++
       // user 3: never signed up: reaches nothing
-      Seq((9L, ns(0), 3L, "view", 0.0, "{}"))
+      Seq((9L, us(0), 3L, "view", 0.0, "{}"))
     val out = Events.funnel(eventsDf(rows)).collect()
       .map(r => r.getString(1) -> r.getLong(2)).toMap
     out("signup") shouldBe 2L   // users 1 and 2
@@ -82,7 +82,7 @@ class EventsSpec extends SparkSpec {
 
   test("value quantiles: interpolated exact percentiles per type") {
     // values 1..5 for 'view': p50 = 3.0, p95 = 4.8, p99 = 4.96
-    val rows = (1 to 5).map(i => (i.toLong, ns(i), 1L, "view", i.toDouble, "{}"))
+    val rows = (1 to 5).map(i => (i.toLong, us(i), 1L, "view", i.toDouble, "{}"))
     val out = Events.valueQuantiles(eventsDf(rows)).collect()
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
     out("view")._1 shouldBe 3.0
@@ -93,9 +93,9 @@ class EventsSpec extends SparkSpec {
   test("daily rollup: per-cell, per-day, and grand-total rows in one pass") {
     val day = 24L * 60
     val rows = Seq(
-      (1L, ns(1), 1L, "view", 0.0, "{}"),
-      (2L, ns(2), 1L, "click", 0.0, "{}"),
-      (3L, ns(day + 1), 1L, "view", 0.0, "{}"))
+      (1L, us(1), 1L, "view", 0.0, "{}"),
+      (2L, us(2), 1L, "click", 0.0, "{}"),
+      (3L, us(day + 1), 1L, "view", 0.0, "{}"))
     val out = Events.dailyRollup(eventsDf(rows)).collect()
       .map(r => (Option(r.get(0)), Option(r.get(1))) -> r.getLong(2)).toMap
     out((Some(0L), Some("view"))) shouldBe 1L // fixture ts counts from epoch
@@ -106,11 +106,11 @@ class EventsSpec extends SparkSpec {
 
   test("as-of join: each purchase carries the most recent prior click value") {
     val out = Events.asofClickValue(eventsDf(Seq(
-      (1L, ns(0), 7L, "click", 10.0, "{}"),
-      (2L, ns(5), 7L, "purchase", 99.0, "{}"),  // sees click@0 -> 10.0
-      (3L, ns(6), 7L, "click", 20.0, "{}"),
-      (4L, ns(7), 7L, "purchase", 99.0, "{}"),  // sees click@6 -> 20.0
-      (5L, ns(1), 8L, "purchase", 99.0, "{}"))))// user 8: no click -> null
+      (1L, us(0), 7L, "click", 10.0, "{}"),
+      (2L, us(5), 7L, "purchase", 99.0, "{}"),  // sees click@0 -> 10.0
+      (3L, us(6), 7L, "click", 20.0, "{}"),
+      (4L, us(7), 7L, "purchase", 99.0, "{}"),  // sees click@6 -> 20.0
+      (5L, us(1), 8L, "purchase", 99.0, "{}"))))// user 8: no click -> null
       .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
     out(2L) shouldBe Some(10.0)
     out(4L) shouldBe Some(20.0)
@@ -119,21 +119,21 @@ class EventsSpec extends SparkSpec {
 
   test("props extract: typed value from the JSON column, null on absence") {
     val out = Events.propsExtract(eventsDf(Seq(
-      (1L, ns(0), 1L, "view", 0.0, """{"k": 42}"""),
-      (2L, ns(1), 1L, "view", 0.0, """{"other": 1}"""))))
+      (1L, us(0), 1L, "view", 0.0, """{"k": 42}"""),
+      (2L, us(1), 1L, "view", 0.0, """{"other": 1}"""))))
       .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
     out(1L) shouldBe Some(42L)
     out(2L) shouldBe None
   }
 
   test("rolling actives: wau covers the trailing window; stickiness = dau/wau") {
-    def dns(day: Long): Long = day * 86400L * 1000000000L
+    def dus(day: Long): Long = day * 86400L * 1000000L
     val out = Events.rollingActives(eventsDf(Seq(
-      (1L, dns(0), 1L, "view", 0.0, "{}"),
-      (2L, dns(0), 1L, "view", 0.0, "{}"),  // same user+day: one active
-      (3L, dns(0), 2L, "view", 0.0, "{}"),
-      (4L, dns(3), 1L, "view", 0.0, "{}"),
-      (5L, dns(20), 3L, "view", 0.0, "{}")))) // isolated burst much later
+      (1L, dus(0), 1L, "view", 0.0, "{}"),
+      (2L, dus(0), 1L, "view", 0.0, "{}"),  // same user+day: one active
+      (3L, dus(0), 2L, "view", 0.0, "{}"),
+      (4L, dus(3), 1L, "view", 0.0, "{}"),
+      (5L, dus(20), 3L, "view", 0.0, "{}")))) // isolated burst much later
       .collect().map(r =>
         r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     out(0L) shouldBe ((2L, 2L, 1.0))   // both users active day 0
@@ -147,14 +147,14 @@ class EventsSpec extends SparkSpec {
 
   test("conversion lag: first view to first strictly-LATER purchase, else unconverted") {
     val out = Events.conversionLag(eventsDf(Seq(
-      (1L, ns(10), 1L, "view", 0.0, "{}"),
-      (2L, ns(40), 1L, "purchase", 9.0, "{}"),   // 30 min after first view
-      (3L, ns(50), 1L, "purchase", 9.0, "{}"),   // later purchase ignored
-      (4L, ns(5), 2L, "purchase", 9.0, "{}"),    // pre-view purchase: not a conversion
-      (5L, ns(9), 2L, "view", 0.0, "{}"),
-      (8L, ns(40), 2L, "purchase", 9.0, "{}"),   // ...but this one is (31 min)
-      (6L, ns(3), 3L, "view", 0.0, "{}"),        // never purchases
-      (7L, ns(8), 4L, "purchase", 9.0, "{}"))))  // never views: excluded
+      (1L, us(10), 1L, "view", 0.0, "{}"),
+      (2L, us(40), 1L, "purchase", 9.0, "{}"),   // 30 min after first view
+      (3L, us(50), 1L, "purchase", 9.0, "{}"),   // later purchase ignored
+      (4L, us(5), 2L, "purchase", 9.0, "{}"),    // pre-view purchase: not a conversion
+      (5L, us(9), 2L, "view", 0.0, "{}"),
+      (8L, us(40), 2L, "purchase", 9.0, "{}"),   // ...but this one is (31 min)
+      (6L, us(3), 3L, "view", 0.0, "{}"),        // never purchases
+      (7L, us(8), 4L, "purchase", 9.0, "{}"))))  // never views: excluded
       .collect().map(r => r.getLong(0) ->
         ((Option(r.get(3)), r.getBoolean(4)))).toMap
     out.keySet shouldBe Set(1L, 2L, 3L) // user 4 has no view
@@ -165,15 +165,15 @@ class EventsSpec extends SparkSpec {
   }
 
   test("daily anomaly: a spike day z-scores against the type's own baseline") {
-    def dns(day: Long, i: Long): Long = day * 86400L * 1000000000L + i * 1000000000L
+    def dus(day: Long, i: Long): Long = day * 86400L * 1000000L + i * 1000000L
     // 'view': 16 quiet days of 2 events + one day of 22. A single outlier
     // among n identical days z-scores at exactly sqrt(n-1) = 4 here — above
     // the 3.0 band (with only 10 days it would be exactly 3.0: never flagged)
     val quiet = (0L until 16L).flatMap(d =>
-      Seq((d * 10 + 1, dns(d, 1)), (d * 10 + 2, dns(d, 2))))
-    val spike = (0L until 22L).map(i => (900 + i, dns(16L, i)))
+      Seq((d * 10 + 1, dus(d, 1)), (d * 10 + 2, dus(d, 2))))
+    val spike = (0L until 22L).map(i => (900 + i, dus(16L, i)))
     // 'error': perfectly flat -> variance 0 -> z defined as 0, not NaN
-    val flat = (0L until 5L).map(d => (700 + d, dns(d, 3)))
+    val flat = (0L until 5L).map(d => (700 + d, dus(d, 3)))
     val rows =
       quiet.map { case (id, t) => (id.toLong, t, 1L, "view", 0.0, "{}") } ++
       spike.map { case (id, t) => (id.toLong, t, 1L, "view", 0.0, "{}") } ++
@@ -197,10 +197,10 @@ class EventsSpec extends SparkSpec {
   }
 
   test("anomaly probe: the spiked first day flags, its flat neighbors do not") {
-    def dns(day: Long, m: Long) = day * 86400L * 1000000000L + ns(m)
+    def dus(day: Long, m: Long) = day * 86400L * 1000000L + us(m)
     // 18 flat days, one event each: the 5x spike on day 0 must stand out
     val out = Events.anomalyProbe(eventsDf((0L until 18L).map(d =>
-      (d, dns(d, d), 1L, "view", 0.0, "{}"))))
+      (d, dus(d, d), 1L, "view", 0.0, "{}"))))
       .collect().map(r => r.getLong(1) -> r.getBoolean(5)).toMap
     out(0L) shouldBe true
     (1L until 18L).foreach(out(_) shouldBe false)
@@ -208,10 +208,10 @@ class EventsSpec extends SparkSpec {
 
   test("conversion probe: even users with views come back unconverted, null lag") {
     val out = Events.conversionProbe(eventsDf(Seq(
-      (1L, ns(0), 2L, "view", 0.0, "{}"),
-      (2L, ns(5), 2L, "purchase", 1.0, "{}"),   // dropped: even user
-      (3L, ns(0), 3L, "view", 0.0, "{}"),
-      (4L, ns(5), 3L, "purchase", 1.0, "{}")))) // kept: odd user
+      (1L, us(0), 2L, "view", 0.0, "{}"),
+      (2L, us(5), 2L, "purchase", 1.0, "{}"),   // dropped: even user
+      (3L, us(0), 3L, "view", 0.0, "{}"),
+      (4L, us(5), 3L, "purchase", 1.0, "{}")))) // kept: odd user
       .collect().map(r => r.getLong(0) -> ((r.getBoolean(4), r.isNullAt(2)))).toMap
     out(2L) shouldBe ((false, true))
     out(3L) shouldBe ((true, false))

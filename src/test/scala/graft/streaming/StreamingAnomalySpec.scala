@@ -14,16 +14,16 @@ import graft.operators.Events
   * grows). */
 class StreamingAnomalySpec extends SparkSpec {
 
-  private def dns(day: Long, i: Long): Long =
-    day * 86400L * 1000000000L + i * 1000000000L
+  private def dus(day: Long, i: Long): Long =
+    day * 86400L * 1000000L + i * 1000000L
 
   // 16 quiet days of 2 'view' events + a 22-event spike on day 16
   // (a lone outlier among n identical days scores z = sqrt(n-1) = 4)
   private val quiet = (0L until 16L).flatMap(d => Seq(
-    (d * 10 + 1, dns(d, 1), 1L, "view", 0.0, "{}"),
-    (d * 10 + 2, dns(d, 2), 1L, "view", 0.0, "{}")))
+    (d * 10 + 1, dus(d, 1), 1L, "view", 0.0, "{}"),
+    (d * 10 + 2, dus(d, 2), 1L, "view", 0.0, "{}")))
   private val spike = (0L until 22L).map(i =>
-    (900L + i, dns(16L, i), 1L, "view", 0.0, "{}"))
+    (900L + i, dus(16L, i), 1L, "view", 0.0, "{}"))
 
   test("streamed counters converge to the batch anomaly frame per trigger") {
     val sp = spark; import sp.implicits._

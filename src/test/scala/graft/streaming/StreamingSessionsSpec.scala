@@ -46,9 +46,9 @@ class StreamingSessionsSpec extends SparkSpec {
       // the closed streaming sessions group the same events as batch
       // sessionize does with the same gap: session 1 = events 1,2
       val batchRows = Seq(
-        (1L, ts("2024-01-01 10:00:00").getTime * 1000000L, 7L, "view", 1.0, "{}"),
-        (2L, ts("2024-01-01 10:30:00").getTime * 1000000L, 7L, "error", 2.0, "{}"),
-        (3L, ts("2024-01-02 09:00:00").getTime * 1000000L, 7L, "view", 5.0, "{}"))
+        (1L, ts("2024-01-01 10:00:00").getTime * 1000L, 7L, "view", 1.0, "{}"),
+        (2L, ts("2024-01-01 10:30:00").getTime * 1000L, 7L, "error", 2.0, "{}"),
+        (3L, ts("2024-01-02 09:00:00").getTime * 1000L, 7L, "view", 5.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       val batch = Events.sessionize(batchRows).collect()
         .map(r => r.getLong(0) -> r.getLong(2)).toMap
