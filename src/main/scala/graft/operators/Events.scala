@@ -60,6 +60,29 @@ object Events {
         sum("value").as("total_value"),
         ((max("ts") - min("ts")).cast("double") / lit(1e6)).as("duration_sec"))
 
+  /** Per-session ordered event-type sequences — the behavioral-sequence
+    * extraction that turns a clickstream into sequence-model training
+    * examples (one row per session: its event types in time order,
+    * space-joined — the "user journey" a next-action model trains on).
+    * Ordering inside a session is deterministic: (ts, event_id), the
+    * family's tiebreak convention. Output: (user_id, session_seq,
+    * sequence, n_events).
+    *
+    * 100 TB shape: rides [[sessionize]]'s single hash(user_id) shuffle;
+    * the per-session collect is bounded by real user activity (the gap
+    * closes a session after [[SessionGapMinutes]] of silence), so the
+    * aggregate state is a session's events, never a partition's — the
+    * same boundedness argument as the session-window streaming state. */
+  def sessionSequences(events: DataFrame): DataFrame =
+    sessionize(events)
+      .join(events.select("event_id", "ts", "event_type"), "event_id")
+      .groupBy("user_id", "session_seq")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          e => e.getField("event_type"))).as("sequence"),
+        count(lit(1)).as("n_events"))
+
   /** The funnel stages, in order. */
   val FunnelStages: Seq[String] = Seq("signup", "view", "click", "purchase")
 
@@ -377,6 +400,7 @@ object Events {
     "events_retention"       -> ((s, d) => retention(Tables.events(s, d))),
     "events_sessionize"    -> ((s, d) => sessionize(Tables.events(s, d))),
     "events_session_stats" -> ((s, d) => sessionStats(Tables.events(s, d))),
+    "events_session_sequences" -> ((s, d) => sessionSequences(Tables.events(s, d))),
     "events_funnel"        -> ((s, d) => funnel(Tables.events(s, d))),
     "events_props_extract" -> ((s, d) => propsExtract(Tables.events(s, d))),
   )
@@ -542,6 +566,13 @@ object Events {
          |     AS n_errors,
          |   SUM(value) AS total_value,
          |   CAST(MAX(ts) - MIN(ts) AS DOUBLE) / 1000000 AS duration_sec
+         | FROM sess GROUP BY user_id, session_seq""".stripMargin,
+
+    "events_session_sequences" ->
+      s"""WITH $sessSqlWith
+         | SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         |   string_agg(event_type, ' ' ORDER BY ts, event_id) AS sequence,
+         |   CAST(COUNT(*) AS BIGINT) AS n_events
          | FROM sess GROUP BY user_id, session_seq""".stripMargin,
 
     "events_funnel" ->

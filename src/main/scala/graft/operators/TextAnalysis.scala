@@ -770,6 +770,69 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_matched_terms"), sum(col("s")).as("bm25_score"))
   }
 
+  // ---- Hybrid retrieval: reciprocal-rank fusion ---------------------------
+
+  /** RRF smoothing constant (Cormack/Clarke/Buettcher 2009's k = 60). */
+  val RrfK = 60
+  /** Candidate-list depth per ranker; fused result size. */
+  val RrfDepth = 200
+  val RrfTopK = 50
+
+  /** Hybrid retrieval — reciprocal-rank fusion of the two lexical
+    * retrieval signals the engine ships: [[bm25Search]] (tf-idf weighted,
+    * saturating) and distinct-token Jaccard overlap with the same query
+    * (pure set similarity — rewards short focused documents that BM25's
+    * length normalization treats differently). Each ranker contributes
+    * its top-[[RrfDepth]] list; a document's fused score is
+    * `Σ 1/(k + rank_i)` over the lists it appears in. Rank-based fusion
+    * needs no score normalization across heterogeneous rankers — the
+    * reason RRF is the standard fusion step in hybrid lexical+vector
+    * retrieval stacks (swap the Jaccard leg for an ANN leg and this is
+    * that pipeline verbatim).
+    *
+    * Ranks are made engine-portable by ordering on the score ROUNDED to
+    * 6 dp with doc_id tiebreak: raw near-tied doubles rank differently
+    * across engines (the hazard [[bm25Search]]'s no-rank contract
+    * documents), while a 6-dp bucket puts cross-engine 1-ulp twins in
+    * the same bucket and lets the exact integer tiebreak decide. The
+    * Jaccard leg's scores are exact small-integer ratios and need no
+    * rounding. Output: top-[[RrfTopK]] (doc_id, rrf_score, bm25_rank,
+    * jaccard_rank); a rank is null when the document missed that list.
+    *
+    * 100 TB shape: both rankers end in TakeOrderedAndProject top-N — no
+    * full sort, no corpus-wide window; the row_number windows and the
+    * full-outer fusion run over two ≤[[RrfDepth]]-row frames (the
+    * single-partition window is over an already-bounded list, which is
+    * the point of fusing top-N lists rather than whole rankings). The
+    * corpus is scanned once per ranker and never shuffled beyond
+    * [[bm25Search]]'s per-term aggregates. */
+  def rrfFusion(documents: DataFrame, terms: Seq[String] = Bm25Query): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qArr = array(terms.map(lit): _*)
+    val lex = bm25Search(documents, terms)
+      .select(col("doc_id"), round(col("bm25_score"), 6).as("s"))
+      .orderBy(col("s").desc, col("doc_id").asc).limit(RrfDepth)
+      .withColumn("bm25_rank",
+        row_number().over(Window.orderBy(col("s").desc, col("doc_id").asc)).cast("long"))
+    val jac = documents
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"),
+        size(array_intersect(col("t"), qArr)).as("inter"), size(col("t")).as("nt"))
+      .where(col("inter") > 0)
+      .select(col("doc_id"), (col("inter").cast("double") /
+        (col("nt") + lit(terms.size) - col("inter"))).as("j"))
+      .orderBy(col("j").desc, col("doc_id").asc).limit(RrfDepth)
+      .withColumn("jaccard_rank",
+        row_number().over(Window.orderBy(col("j").desc, col("doc_id").asc)).cast("long"))
+    lex.select("doc_id", "bm25_rank")
+      .join(jac.select("doc_id", "jaccard_rank"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (col("bm25_rank") + RrfK), lit(0.0)) +
+          coalesce(lit(1.0) / (col("jaccard_rank") + RrfK), lit(0.0))).as("rrf_score"),
+        col("bm25_rank"), col("jaccard_rank"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc).limit(RrfTopK)
+  }
+
   /** Per-document unigram surprisal — the perplexity-proxy quality signal
     * (CCNet filters crawl text by LM perplexity; the unigram corpus model
     * is its exactly-computable, oracle-checkable stand-in): with
@@ -950,6 +1013,7 @@ object TextAnalysis {
     "text_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables.documents(s, d))),
     "text_bigram_probe" -> ((s, d) => bigramProbeSplit(Tables.documents(s, d))),
     "text_bm25_search" -> ((s, d) => bm25Search(Tables.documents(s, d))),
+    "text_hybrid_rrf"  -> ((s, d) => rrfFusion(Tables.documents(s, d))),
     "text_vocab_coverage" -> ((s, d) => vocabCoverage(Tables.documents(s, d))),
     "text_zipf"        -> ((s, d) => zipf(Tables.documents(s, d))),
     "text_top_terms"   -> ((s, d) => topTerms(Tables.documents(s, d))),
@@ -981,6 +1045,25 @@ object TextAnalysis {
 
   private def inList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** [[bm25Search]]'s SQL mirror — one text shared by the
+    * `text_bm25_search` oracle and the lexical leg of `text_hybrid_rrf`. */
+  private def bm25Sql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       | lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+       | sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM lens),
+       | tok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM d),
+       | tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+       |   FROM tok WHERE term IN ${inList(Bm25Query)} GROUP BY doc_id, term),
+       | idf AS (SELECT term,
+       |     ln((sc.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf, sc.avgdl
+       |   FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term)
+       |   CROSS JOIN sc)
+       | SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched_terms,
+       |   SUM(idf.idf * (tf.tf * ${Bm25K1 + 1}) /
+       |       (tf.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * tf.dl / idf.avgdl)))
+       |     AS bm25_score
+       | FROM tf JOIN idf ON tf.term = idf.term GROUP BY tf.doc_id""".stripMargin
 
   private def scoreSql(l: String, words: Seq[String]) =
     s"len(list_filter(t, x -> x IN ${inList(words)})) AS s_$l"
@@ -1172,22 +1255,37 @@ object TextAnalysis {
          |   exp(ln(CAST(tot.total AS DOUBLE)) - slf / n_tokens) AS perplexity
          | FROM d CROSS JOIN tot""".stripMargin,
 
-    "text_bm25_search" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         | lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
-         | sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM lens),
-         | tok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM d),
-         | tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
-         |   FROM tok WHERE term IN ${inList(Bm25Query)} GROUP BY doc_id, term),
-         | idf AS (SELECT term,
-         |     ln((sc.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf, sc.avgdl
-         |   FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term)
-         |   CROSS JOIN sc)
-         | SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched_terms,
-         |   SUM(idf.idf * (tf.tf * ${Bm25K1 + 1}) /
-         |       (tf.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * tf.dl / idf.avgdl)))
-         |     AS bm25_score
-         | FROM tf JOIN idf ON tf.term = idf.term GROUP BY tf.doc_id""".stripMargin,
+    "text_bm25_search" -> bm25Sql,
+
+    // reuses the bm25 pipeline verbatim (nested CTE) so the lexical leg
+    // cannot drift from the text_bm25_search oracle
+    "text_hybrid_rrf" ->
+      s"""WITH bm AS ($bm25Sql),
+         | lex AS (SELECT doc_id, round(bm25_score, 6) AS s FROM bm
+         |   ORDER BY s DESC, doc_id ASC LIMIT $RrfDepth),
+         | lexr AS (SELECT doc_id,
+         |     row_number() OVER (ORDER BY s DESC, doc_id ASC) AS bm25_rank
+         |   FROM lex),
+         | td AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+         |   FROM documents),
+         | ji AS (SELECT doc_id,
+         |     CAST(len(list_intersect(t, ${Bm25Query.map(w => s"'$w'")
+              .mkString("[", ", ", "]")})) AS BIGINT) AS inter,
+         |     CAST(len(t) AS BIGINT) AS nt FROM td),
+         | jt AS (SELECT doc_id,
+         |     CAST(inter AS DOUBLE) / (nt + ${Bm25Query.size} - inter) AS j
+         |   FROM ji WHERE inter > 0
+         |   ORDER BY j DESC, doc_id ASC LIMIT $RrfDepth),
+         | jr AS (SELECT doc_id,
+         |     row_number() OVER (ORDER BY j DESC, doc_id ASC) AS jaccard_rank
+         |   FROM jt)
+         | SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id,
+         |   COALESCE(CAST(1 AS DOUBLE) / (l.bm25_rank + $RrfK), CAST(0 AS DOUBLE))
+         |     + COALESCE(CAST(1 AS DOUBLE) / (r.jaccard_rank + $RrfK), CAST(0 AS DOUBLE))
+         |     AS rrf_score,
+         |   l.bm25_rank, r.jaccard_rank
+         | FROM lexr l FULL OUTER JOIN jr r ON l.doc_id = r.doc_id
+         | ORDER BY rrf_score DESC, doc_id ASC LIMIT $RrfTopK""".stripMargin,
 
     "text_vocab_coverage" ->
       s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -61,6 +61,29 @@ class EventsSpec extends SparkSpec {
     out((7L, 2L)) shouldBe ((1L, 0L, 9.0, 0.0))
   }
 
+  test("session sequences: time-ordered journeys, one row per session") {
+    val out = Events.sessionSequences(eventsDf(Seq(
+      (2L, us(5), 7L, "click", 1.0, "{}"),      // out of id order: ts decides
+      (1L, us(0), 7L, "view", 1.0, "{}"),
+      (3L, us(30), 7L, "purchase", 1.0, "{}"),
+      (4L, us(300), 7L, "view", 1.0, "{}"),     // 240min gap: new session
+      (5L, us(0), 8L, "signup", 1.0, "{}"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    out((7L, 1L)) shouldBe (("view click purchase", 3L))
+    out((7L, 2L)) shouldBe (("view", 1L))
+    out((8L, 1L)) shouldBe (("signup", 1L))
+    out.size shouldBe 3
+  }
+
+  test("session sequences: simultaneous events break ties by event_id") {
+    val out = Events.sessionSequences(eventsDf(Seq(
+      (2L, us(0), 7L, "b", 1.0, "{}"),
+      (1L, us(0), 7L, "a", 1.0, "{}"))))
+      .collect().map(r => r.getString(2))
+    out.toSeq shouldBe Seq("a b")
+  }
+
   test("funnel: strict first-occurrence ordering decides the reached stage") {
     val rows =
       // user 1: full ordered funnel

