@@ -331,36 +331,36 @@ class PlanShapeSpec extends SparkSpec {
     p should include("Scan ExistingRDD")        // model tables staged once
   }
 
-  test("text_bpe_merges: per-round work is staged; the returned plan is shuffle-free") {
-    // the merge rounds run eagerly inside Staging (pair counting is
-    // two-phase count + TakeOrderedAndProject(1), merge is a 1-row
-    // broadcast rewrite — same building blocks text_bpe_pairs pins); the
-    // RETURNED frame is just the union of the staged 1-row best pairs plus
-    // a map-only format, so it must carry no Exchange, window, or join.
+  test("text_bpe_merges: the registered face serves the memoized model — a local scan, no cluster work") {
+    // training runs (at most) once per session inside trainedMerges; the
+    // RETURNED frame is the ≤6-row driver-local merge table (the model
+    // artifact), so its plan is a LocalTableScan with no Exchange, join,
+    // or window at all. (The training rounds' own shapes — two-phase pair
+    // count + TakeOrderedAndProject(1) + 1-row broadcast rewrite — are
+    // pinned by text_bpe_pairs.)
     val p = planOf("text_bpe_merges")
-    p should include("Union")
-    p should include("Scan ExistingRDD")
+    p should include("LocalTableScan")
     p should not include "Exchange"
     p should not include "SortMergeJoin"
     p should not include "Window"
   }
 
-  test("text_bpe_encode: a pure map over the staged final streams — shuffle-free") {
-    // training rounds run eagerly inside Staging (same machinery
-    // text_bpe_merges pins); the RETURNED plan is the final staged stream
-    // scan plus a map-only projection (counts come from the stream string
-    // itself, no join back to the source)
+  test("text_bpe_encode: frozen merges replayed as a 1-row broadcast fold — map-only over the corpus") {
+    // bpeApply packs the memoized merge table into ONE row attached by
+    // broadcast; the encode itself is a per-row aggregate fold. The corpus
+    // never hash-shuffles and nothing sorts or windows (the only Exchange
+    // is spread()'s round-robin widen of the single-row-group scan).
     val p = planOf("text_bpe_encode")
-    p should include("Scan ExistingRDD")
-    p should not include "Exchange"
-    p should not include "Join"
+    p should include("BroadcastNestedLoopJoin") // corpus × 1-row packed merges
+    p should not include "Exchange hashpartitioning"
+    p should not include "SortMergeJoin"
     p should not include "Window"
   }
 
-  test("text_bpe_vocab: two-phase token count over the staged final streams") {
+  test("text_bpe_vocab: two-phase token count over the map-only encode") {
     val p = planOf("text_bpe_vocab")
-    p should include("Scan ExistingRDD")
-    p should include("partial_count")
+    p should include("BroadcastNestedLoopJoin") // the encode leg, as above
+    p should include("partial_count")           // map-side combined token count
     p should not include "SortMergeJoin"
     p should not include "Window"
   }
@@ -429,5 +429,23 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "SortMergeJoin"
     p should not include "CartesianProduct"     // never a non-broadcast cartesian
     p should include("partial_count")           // per-cluster rollup map-side combined
+  }
+
+  test("text_hybrid_rrf: both ranker legs end in TakeOrderedAndProject; windows only on the bounded lists") {
+    val p = planOf("text_hybrid_rrf")
+    // top-N cuts are TakeOrderedAndProject (no full corpus sort feeds a window)
+    countOf(p, "TakeOrderedAndProject") should be >= 2
+    p should not include "Exchange rangepartitioning" // no global sort of a ranking
+    p should not include "CartesianProduct"
+  }
+
+  test("events_session_sequences: one user-keyed Exchange family, no extra corpus shuffle") {
+    val p = planOf("events_session_sequences")
+    // sessionize's window + the rollup both key on user_id — the raw event
+    // stream enters hashpartitioning(user_id...) and nothing else
+    countOf(p, "Exchange hashpartitioning") should be <= 3 // window + join + agg reuse
+    p should include("Window")
+    p should not include "CartesianProduct"
+    p should not include "Exchange rangepartitioning"
   }
 }
