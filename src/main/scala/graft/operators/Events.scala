@@ -83,6 +83,54 @@ object Events {
           e => e.getField("event_type"))).as("sequence"),
         count(lit(1)).as("n_events"))
 
+  /** Within-session first-order transition matrix — [[sessionSequences]]'
+    * aggregate face: for every (from_type → to_type) pair of CONSECUTIVE
+    * events inside one session, the corpus-wide transition count and the
+    * conditional probability p(to | from) (row-normalized over observed
+    * from-types). The Markov-chain summary next-action models and journey
+    * dashboards both start from. Output: (from_type, to_type,
+    * n_transitions, p).
+    *
+    * 100 TB shape: session assignment and the successor lookups are
+    * windows over the SAME (user_id) partitioning and (ts, event_id)
+    * sort, so the raw stream pays one Exchange + one partition-local
+    * sort for all of them; the transition frame is ≤ |types|² rows,
+    * its row totals broadcast back. */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val prev = lag(col("ts"), 1).over(byUserTime)
+    val isStart = prev.isNull || col("ts") > prev + lit(SessionGapMicros)
+    val pairs = events
+      .withColumn("session_seq", sum(when(isStart, 1L).otherwise(0L)).over(byUserTime))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUserTime))
+      .withColumn("next_seq", lead(col("session_seq"), 1).over(byUserTime))
+      .where(col("next_type").isNotNull && col("next_seq") === col("session_seq"))
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = pairs.groupBy("from_type").agg(sum("n_transitions").as("n_from"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        (col("n_transitions").cast("double") / col("n_from")).as("p"))
+  }
+
+  /** Top journeys for [[topJourneys]]. */
+  val TopJourneysK = 20
+
+  /** The [[TopJourneysK]] most common complete session journeys — which
+    * exact paths dominate the product (the companion readout to
+    * [[markovTransitions]]' one-step matrix: the matrix says what tends
+    * to follow what, this says which whole walks actually recur).
+    * Deterministic tail: count desc, sequence asc. Output: (sequence,
+    * n_sessions).
+    *
+    * 100 TB shape: [[sessionSequences]]' single user-keyed shuffle, a
+    * map-side-combined count per distinct journey string, and a
+    * TakeOrderedAndProject head — no global sort. */
+  def topJourneys(events: DataFrame): DataFrame =
+    sessionSequences(events)
+      .groupBy("sequence").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("sequence").asc)
+      .limit(TopJourneysK)
+
   /** The funnel stages, in order. */
   val FunnelStages: Seq[String] = Seq("signup", "view", "click", "purchase")
 
@@ -401,6 +449,8 @@ object Events {
     "events_sessionize"    -> ((s, d) => sessionize(Tables.events(s, d))),
     "events_session_stats" -> ((s, d) => sessionStats(Tables.events(s, d))),
     "events_session_sequences" -> ((s, d) => sessionSequences(Tables.events(s, d))),
+    "events_markov_transitions" -> ((s, d) => markovTransitions(Tables.events(s, d))),
+    "events_top_journeys" -> ((s, d) => topJourneys(Tables.events(s, d))),
     "events_funnel"        -> ((s, d) => funnel(Tables.events(s, d))),
     "events_props_extract" -> ((s, d) => propsExtract(Tables.events(s, d))),
   )
@@ -574,6 +624,32 @@ object Events {
          |   string_agg(event_type, ' ' ORDER BY ts, event_id) AS sequence,
          |   CAST(COUNT(*) AS BIGINT) AS n_events
          | FROM sess GROUP BY user_id, session_seq""".stripMargin,
+
+    "events_markov_transitions" ->
+      s"""WITH $sessSqlWith,
+         | nxt AS (SELECT event_type AS from_type,
+         |     LEAD(event_type) OVER w AS to_type,
+         |     session_seq, LEAD(session_seq) OVER w AS next_seq
+         |   FROM sess
+         |   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         | tr AS (SELECT from_type, to_type,
+         |     CAST(COUNT(*) AS BIGINT) AS n_transitions
+         |   FROM nxt WHERE to_type IS NOT NULL AND next_seq = session_seq
+         |   GROUP BY 1, 2),
+         | tot AS (SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+         |   FROM tr GROUP BY 1)
+         | SELECT tr.from_type, tr.to_type, tr.n_transitions,
+         |   CAST(tr.n_transitions AS DOUBLE) / tot.n_from AS p
+         | FROM tr JOIN tot USING (from_type)""".stripMargin,
+
+    "events_top_journeys" ->
+      s"""WITH $sessSqlWith,
+         | seqs AS (SELECT user_id, session_seq,
+         |     string_agg(event_type, ' ' ORDER BY ts, event_id) AS sequence
+         |   FROM sess GROUP BY user_id, session_seq)
+         | SELECT sequence, CAST(COUNT(*) AS BIGINT) AS n_sessions
+         | FROM seqs GROUP BY sequence
+         | ORDER BY n_sessions DESC, sequence ASC LIMIT $TopJourneysK""".stripMargin,
 
     "events_funnel" ->
       s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),

@@ -84,6 +84,36 @@ class EventsSpec extends SparkSpec {
     out.toSeq shouldBe Seq("a b")
   }
 
+  test("markov transitions: session-bounded pairs, row-normalized probabilities") {
+    val out = Events.markovTransitions(eventsDf(Seq(
+      (1L, us(0), 7L, "view", 0.0, "{}"),
+      (2L, us(10), 7L, "click", 0.0, "{}"),
+      (3L, us(20), 7L, "view", 0.0, "{}"),
+      (4L, us(400), 7L, "view", 0.0, "{}"),      // new session: 3->4 must NOT count
+      (5L, us(0), 8L, "view", 0.0, "{}"),
+      (6L, us(5), 8L, "purchase", 0.0, "{}"))))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // from 'view': ->click and ->purchase, one each (the session-crossing
+    // view->view pair is excluded), so p = 0.5 each
+    out(("view", "click")) shouldBe ((1L, 0.5))
+    out(("view", "purchase")) shouldBe ((1L, 0.5))
+    out(("click", "view")) shouldBe ((1L, 1.0))
+    out.size shouldBe 3
+  }
+
+  test("top journeys: recurring whole-session paths ranked by count, tiebreak on the path") {
+    val rows = Seq(
+      (1L, us(0), 1L, "view", 0.0, "{}"), (2L, us(5), 1L, "click", 0.0, "{}"),
+      (3L, us(0), 2L, "view", 0.0, "{}"), (4L, us(5), 2L, "click", 0.0, "{}"),
+      (5L, us(0), 3L, "signup", 0.0, "{}"))
+    val out = Events.topJourneys(eventsDf(rows)).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    out.head shouldBe (("view click", 2L))
+    out.toSet should contain(("signup", 1L))
+    out.length shouldBe 2
+  }
+
   test("funnel: strict first-occurrence ordering decides the reached stage") {
     val rows =
       // user 1: full ordered funnel
