@@ -354,6 +354,53 @@ object Corpus {
         (col("cum_before") % SeqTokenBudget).as("tok_offset"))
   }
 
+  /** Execute the packing plan — [[packPlan]] made material, completing the
+    * plan→apply pairs ([[mixPlan]]/[[mixApply]], [[shardPlan]]/
+    * `writeSharded`, [[dsirWeights]]/[[dsirApply]]): every document's
+    * token stream is cut at the [[SeqTokenBudget]] boundaries the plan
+    * assigned (a document spanning a boundary contributes a piece to EACH
+    * sequence it crosses — the concat-and-chunk discipline that gives
+    * training sequences with zero padding), and each (shard, seq_id)
+    * collects its pieces in doc_id order into the packed sequence text.
+    * Output: (shard, seq_id, n_docs, n_tokens, seq_text); every sequence
+    * except each shard's last carries exactly the budget
+    * (`CrossOpInvariantSpec` pins this and total token conservation).
+    *
+    * 100 TB shape: the same per-shard running-sum window as the plan (32
+    * independent partitions — parallelism is the shard count, no global
+    * sort), a bounded explode (a doc touches ⌈n_tok/budget⌉+1 sequences),
+    * and one groupBy(shard, seq_id) whose per-group state is one
+    * budget-sized sequence. Writing shard-partitioned output then prunes
+    * at the directory level exactly like `writeSharded`. */
+  def packApply(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val planned = Tables.spread(documents)
+      .select(col("doc_id"), shardCol.as("shard"), split(col("text"), " ").as("t"))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+    val B = SeqTokenBudget
+    val pieces = planned
+      .select(col("shard"), col("doc_id"), col("t"), col("n_tok"), col("cum_before"),
+        explode(sequence(expr(s"cum_before div $B"),
+          expr(s"(cum_before + n_tok - 1) div $B"))).as("seq_id"))
+      .select(col("shard"), col("seq_id"), col("doc_id"),
+        greatest(lit(0L), col("seq_id") * B - col("cum_before")).as("p_start"),
+        least(col("n_tok"), (col("seq_id") + 1) * B - col("cum_before")).as("p_end"),
+        col("t"))
+      .select(col("shard"), col("seq_id"), col("doc_id"),
+        (col("p_end") - col("p_start")).as("p_len"),
+        concat_ws(" ", slice(col("t"), (col("p_start") + 1).cast("int"),
+          (col("p_end") - col("p_start")).cast("int"))).as("piece"))
+    pieces.groupBy("shard", "seq_id").agg(
+      count(lit(1)).as("n_docs"),
+      sum("p_len").as("n_tokens"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("doc_id"), col("piece")))),
+        x => x.getField("piece"))).as("seq_text"))
+  }
+
   /** Chunk width in tokens for [[chunkPlan]] (a real pipeline uses the
     * embedding-model context length, e.g. 512). */
   val ChunkTokens = 64
@@ -594,6 +641,7 @@ object Corpus {
     "corpus_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "corpus_near_decontaminate" -> ((s, d) => nearDecontaminate(Tables.documents(s, d))),
     "corpus_pack_plan"  -> ((s, d) => packPlan(Tables.documents(s, d))),
+    "corpus_pack_apply" -> ((s, d) => packApply(Tables.documents(s, d))),
     "corpus_chunk_plan" -> ((s, d) => chunkPlan(Tables.documents(s, d))),
     "corpus_mix_plan"   -> ((s, d) => mixPlan(Tables.documents(s, d))),
     "corpus_mix_apply"  -> ((s, d) => mixApply(Tables.documents(s, d))),
@@ -791,6 +839,33 @@ object Corpus {
          |   CAST(cum_before // $SeqTokenBudget AS BIGINT) AS seq_id,
          |   CAST(cum_before % $SeqTokenBudget AS BIGINT) AS tok_offset
          | FROM c""".stripMargin,
+
+    "corpus_pack_apply" ->
+      s"""WITH d AS (SELECT doc_id,
+         |     ('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |       % $NumShards AS shard,
+         |     string_split(text, ' ') AS t
+         |   FROM documents),
+         | base AS (SELECT doc_id, shard, t, CAST(len(t) AS BIGINT) AS n_tok FROM d),
+         | pl AS (SELECT doc_id, shard, t, n_tok,
+         |     CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |       AS cum_before
+         |   FROM base),
+         | pieces AS (SELECT shard, doc_id, t, n_tok, cum_before,
+         |     unnest(range(cum_before // $SeqTokenBudget,
+         |       (cum_before + n_tok - 1) // $SeqTokenBudget + 1)) AS seq_id
+         |   FROM pl),
+         | cut AS (SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id, t,
+         |     GREATEST(0, seq_id * $SeqTokenBudget - cum_before) AS p_start,
+         |     LEAST(n_tok, (seq_id + 1) * $SeqTokenBudget - cum_before) AS p_end
+         |   FROM pieces)
+         | SELECT shard, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |   CAST(SUM(p_end - p_start) AS BIGINT) AS n_tokens,
+         |   string_agg(
+         |     array_to_string(t[CAST(p_start + 1 AS INTEGER) : CAST(p_end AS INTEGER)], ' '),
+         |     ' ' ORDER BY doc_id) AS seq_text
+         | FROM cut GROUP BY shard, seq_id""".stripMargin,
 
     "corpus_chunk_plan" ->
       s"""WITH d AS (SELECT doc_id,

@@ -111,6 +111,26 @@ class CrossOpInvariantSpec extends SparkSpec {
     }
   }
 
+  test("pack apply conserves tokens and fills every non-final sequence to the budget") {
+    val seqs = Corpus.packApply(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getString(4)))
+    // token conservation: Σ sequence tokens == Σ document tokens
+    val corpusTok = TextAnalysis.tokenStats(docs).collect().map(_.getLong(2)).sum
+    seqs.map(_._3).sum shouldBe corpusTok
+    // packing discipline: within a shard, all but the last sequence carry
+    // exactly the budget (zero padding is the point of concat-and-chunk)
+    seqs.groupBy(_._1).values.foreach { rs =>
+      val lastSeq = rs.map(_._2).max
+      rs.filter(_._2 != lastSeq).foreach(_._3 shouldBe Corpus.SeqTokenBudget.toLong)
+    }
+    // the text really carries n_tokens tokens
+    seqs.foreach { case (_, _, n, text) => text.split(" ").length.toLong shouldBe n }
+    // and the sequence ids per shard are dense from 0
+    seqs.groupBy(_._1).values.foreach { rs =>
+      rs.map(_._2).sorted.toSeq shouldBe (0L until rs.length).toSeq
+    }
+  }
+
   test("dsir apply resamples the kept mass toward the target domain") {
     val kept = Corpus.dsirApply(docs).collect()
     val weights = Corpus.dsirWeights(docs).collect()
