@@ -333,6 +333,31 @@ object Events {
     conversionLag(events.where(
       !(col("event_type") === "purchase" && col("user_id") % 2 === 0)))
 
+  /** RFM user metrics — the classic segmentation triple every behavioral
+    * pipeline computes: per user, days since last activity (recency,
+    * anchored to the corpus's latest event — the batch-closed-world analog
+    * of "as of now"), total events (frequency), and purchase value mass
+    * (monetary). Downstream segmentation (quintile labels, champions/
+    * at-risk grids) is a rank exercise over these exact metrics. Output:
+    * (user_id, recency_days, frequency, monetary).
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(user) over the stream;
+    * the 1-row corpus anchor broadcasts back. Day grain is the family's
+    * exact integer-µs division. */
+  def rfm(events: DataFrame): DataFrame = {
+    val per = events.groupBy("user_id").agg(
+      max("ts").as("last_ts"),
+      count(lit(1)).as("frequency"),
+      sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
+        .as("monetary"))
+    val anchor = per.agg(max("last_ts").as("corpus_last"))
+    per.crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        expr(s"(corpus_last div $UsPerDay) - (last_ts div $UsPerDay)")
+          .as("recency_days"),
+        col("frequency"), col("monetary"))
+  }
+
   /** Rolling window width in days for [[rollingActives]]. */
   val RollingDays = 7
 
@@ -451,6 +476,7 @@ object Events {
     "events_session_sequences" -> ((s, d) => sessionSequences(Tables.events(s, d))),
     "events_markov_transitions" -> ((s, d) => markovTransitions(Tables.events(s, d))),
     "events_top_journeys" -> ((s, d) => topJourneys(Tables.events(s, d))),
+    "events_rfm" -> ((s, d) => rfm(Tables.events(s, d))),
     "events_funnel"        -> ((s, d) => funnel(Tables.events(s, d))),
     "events_props_extract" -> ((s, d) => propsExtract(Tables.events(s, d))),
   )
@@ -577,6 +603,18 @@ object Events {
          |        THEN n_events * $AnomalySpike ELSE n_events END AS n_events
          |   FROM daily)
          | ${anomalyScoreSql("spiked")}""".stripMargin,
+
+    "events_rfm" ->
+      s"""WITH per AS (SELECT user_id, MAX(epoch_us(ts)) AS last_ts,
+         |     CAST(COUNT(*) AS BIGINT) AS frequency,
+         |     SUM(CASE WHEN event_type = 'purchase' THEN value
+         |         ELSE CAST(0 AS DOUBLE) END) AS monetary
+         |   FROM events GROUP BY user_id),
+         | a AS (SELECT MAX(last_ts) AS corpus_last FROM per)
+         | SELECT user_id,
+         |   (corpus_last // $UsPerDay) - (last_ts // $UsPerDay) AS recency_days,
+         |   frequency, monetary
+         | FROM per CROSS JOIN a""".stripMargin,
 
     "events_asof_click" ->
       s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts, event_type,

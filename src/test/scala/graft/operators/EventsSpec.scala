@@ -84,6 +84,19 @@ class EventsSpec extends SparkSpec {
     out.toSeq shouldBe Seq("a b")
   }
 
+  test("rfm: recency anchored to the corpus's last event; purchase-only monetary") {
+    def dus(day: Long): Long = day * 86400L * 1000000L
+    val out = Events.rfm(eventsDf(Seq(
+      (1L, dus(0), 7L, "view", 5.0, "{}"),       // views never count as monetary
+      (2L, dus(2), 7L, "purchase", 9.5, "{}"),
+      (3L, dus(3), 7L, "purchase", 0.5, "{}"),
+      (4L, dus(10), 8L, "view", 3.0, "{}"))))    // corpus anchor; no purchases
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out(7L) shouldBe ((7L, 3L, 10.0))  // last active day 3, anchor day 10
+    out(8L) shouldBe ((0L, 1L, 0.0))
+  }
+
   test("markov transitions: session-bounded pairs, row-normalized probabilities") {
     val out = Events.markovTransitions(eventsDf(Seq(
       (1L, us(0), 7L, "view", 0.0, "{}"),
