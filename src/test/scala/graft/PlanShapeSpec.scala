@@ -439,6 +439,24 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("corpus_pack_apply: per-shard window + bounded explode, no global sort") {
+    val p = planOf("corpus_pack_apply")
+    p should include("Window")                        // the per-shard running sum
+    p should include("Generate explode")              // bounded piece fan-out
+    p should not include "Exchange rangepartitioning" // parallelism = shard count, no sort
+    p should not include "CartesianProduct"
+    p should not include "SortMergeJoin"
+  }
+
+  test("events_rfm: one map-side-combined user rollup, 1-row anchor broadcast") {
+    val p = planOf("events_rfm")
+    p should include("partial_count")                 // groupBy(user) map-side combined
+    p should include("BroadcastNestedLoopJoin")       // × 1-row corpus anchor
+    p should not include "Window"
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
   test("events_session_sequences: one user-keyed Exchange family, no extra corpus shuffle") {
     val p = planOf("events_session_sequences")
     // sessionize's window + the rollup both key on user_id — the raw event
