@@ -92,6 +92,37 @@ object Similarity {
   private def topKPerQuery(scored: DataFrame): DataFrame =
     graft.functions.TopKByScore.perGroup(scored, TopK)
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query vector, the [[TopK]] MOST similar corpus vectors carrying a
+    * DIFFERENT label. These near-but-wrong neighbors are exactly the
+    * negatives metric-learning / embedding-model training wants (random
+    * negatives are trivially separable; the hard ones define the margin —
+    * the in-batch-negatives upgrade every retrieval-model pipeline mines
+    * offline). Same output contract as [[cosineTopK]]: (query_id,
+    * neighbor_id, rank, cosine_sim).
+    *
+    * 100 TB shape: identical to [[cosineTopK]] — queries broadcast with
+    * their labels, the corpus is scanned once and never shuffles vectors,
+    * the label-mismatch predicate rides the broadcast join, and the
+    * finisher is the bounded per-group top-k aggregator. The label here
+    * is the class column the synthetic corpus ships; in production it is
+    * "same source document / same near-dup cluster", i.e. any
+    * positive-pair relation. */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = Tables.spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val queries = vs.where(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = vs.join(broadcast(queries),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine_sim"))
+    topKPerQuery(scored)
+  }
+
   /** Deterministic Rademacher (+1/-1) hyperplanes, generated host-side from a
     * splitmix64-style mix of (plane, dim) — public-domain constant mixing, no
     * RNG state. */
@@ -674,6 +705,7 @@ object Similarity {
     "sim_pq" -> (pqCodes _),
     "sim_pq_adc_topk" -> (pqAdcTopK _),
     "sim_cosine_topk" -> (cosineTopK _),
+    "sim_hard_negatives" -> (hardNegatives _),
     "sim_ann_lsh_topk" -> (annLshTopK _),
     "sim_ann_recall" -> (annRecall _),
     "sim_ivf_topk" -> (ivfTopK _),
@@ -1020,6 +1052,22 @@ object Similarity {
          | scored AS (SELECT q.query_id, vs.vec_id AS neighbor_id,
          |   list_dot_product(vs.v, q.qv) / (vs.nrm * q.qn) AS cosine_sim
          |   FROM vs CROSS JOIN q WHERE vs.vec_id <> q.query_id)
+         | SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim
+         | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM scored)
+         | WHERE rank <= $TopK""".stripMargin,
+
+    "sim_hard_negatives" ->
+      s"""WITH vs AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                         CAST(embedding AS DOUBLE[]))) AS nrm
+         |   FROM embeddings),
+         | q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv, nrm AS qn
+         |   FROM vs WHERE vec_id < $NumQueryVectors),
+         | scored AS (SELECT q.query_id, vs.vec_id AS neighbor_id,
+         |   list_dot_product(vs.v, q.qv) / (vs.nrm * q.qn) AS cosine_sim
+         |   FROM vs CROSS JOIN q
+         |   WHERE vs.vec_id <> q.query_id AND vs.label <> q.q_label)
          | SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim
          | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM scored)

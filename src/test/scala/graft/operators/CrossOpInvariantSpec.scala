@@ -111,6 +111,27 @@ class CrossOpInvariantSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: never the query's label, never beating the unrestricted top-1") {
+    val labels = Tables.embeddings(spark, sf).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    val hn = Similarity.hardNegatives(spark, sf).collect()
+    hn.nonEmpty shouldBe true
+    hn.foreach { r =>
+      withClue(s"query ${r.getLong(0)} neighbor ${r.getLong(1)}: ") {
+        labels(r.getLong(1)) should not be labels(r.getLong(0))
+      }
+    }
+    val cosBest = Similarity.cosineTopK(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(3)).max).toMap
+    hn.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      // ranks dense 1..k, sims non-increasing, constrained best ≤ unrestricted best
+      rs.map(_.getInt(2)).sorted.toSeq shouldBe (1 to rs.length)
+      val sims = rs.sortBy(_.getInt(2)).map(_.getDouble(3))
+      sims.zip(sims.drop(1)).foreach { case (a, b) => a should be >= b }
+      sims.head should be <= cosBest(q) + 1e-12
+    }
+  }
+
   test("pack apply conserves tokens and fills every non-final sequence to the budget") {
     val seqs = Corpus.packApply(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getString(4)))
