@@ -606,6 +606,34 @@ object Corpus {
   def loadDsirModel(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** Number of curriculum phases (quartiles of the difficulty proxy). */
+  val CurriculumPhases = 4
+
+  /** Curriculum-learning phase assignment — order the corpus easy→hard
+    * by the LM-surprisal difficulty proxy (curriculum training feeds
+    * predictable text first and rare/complex text later; unigram
+    * cross-entropy is the engine's exactly-computable stand-in for the
+    * reference-LM difficulty score): each document gets the quartile of
+    * its [[TextAnalysis.unigramSurprisal]] cross-entropy, phase 1 =
+    * most predictable. The score is 1e-6-rounded BEFORE the exact
+    * quantile thresholds are taken and compared — the
+    * [[TextAnalysis.qualityDeciles]] discipline, so cross-engine
+    * interpolation ulps cannot flip a phase. Output: (doc_id, ce,
+    * phase).
+    *
+    * 100 TB shape: the surprisal pipeline's one term-keyed shuffle, then
+    * a 1-row broadcast threshold frame and a per-row fold — labeling
+    * adds no shuffle. */
+  def curriculum(documents: DataFrame): DataFrame = {
+    val scored = TextAnalysis.unigramSurprisal(documents)
+      .select(col("doc_id"), round(col("cross_entropy"), 6).as("ce"))
+    val qs = (1 until CurriculumPhases).map(_.toDouble / CurriculumPhases)
+    val ths = scored.agg(percentile(col("ce"), typedLit(qs)).as("ths"))
+    scored.join(broadcast(ths))
+      .select(col("doc_id"), col("ce"),
+        (size(filter(col("ths"), t => col("ce") >= t)) + 1).as("phase"))
+  }
+
   /** Execute the DSIR selection — importance RESAMPLING over
     * [[dsirWeights]]' oracle-checked scores, closing the loop the paper's
     * name promises (Xie et al. 2023: score, then resample): each document
@@ -648,6 +676,7 @@ object Corpus {
     "corpus_dsir_weights" -> ((s, d) => dsirWeights(Tables.documents(s, d))),
     "corpus_dsir_probe" -> ((s, d) => dsirProbe(Tables.documents(s, d))),
     "corpus_dsir_apply" -> ((s, d) => dsirApply(Tables.documents(s, d))),
+    "corpus_curriculum" -> ((s, d) => curriculum(Tables.documents(s, d))),
     "corpus_e2e"        -> ((s, d) => endToEnd(Tables.documents(s, d))),
   )
 
@@ -940,6 +969,18 @@ object Corpus {
 
     "corpus_dsir_weights" -> dsirSql(s"lang = '$DsirTargetLang'"),
     "corpus_dsir_probe" -> dsirSql(s"doc_id % $DsirProbeMod = 0"),
+
+    // the surprisal pipeline verbatim (nested CTE), then the
+    // text_quality_deciles threshold discipline at quartile grain
+    "corpus_curriculum" ->
+      s"""WITH sc AS (${TextAnalysis.unigramSurprisalSql}),
+         | q AS (SELECT doc_id, round(cross_entropy, 6) AS ce FROM sc),
+         | th AS (SELECT quantile_cont(ce,
+         |   [${(1 until CurriculumPhases).map(_.toDouble / CurriculumPhases).mkString(", ")}])
+         |   AS ths FROM q)
+         | SELECT q.doc_id, q.ce,
+         |   CAST(len(list_filter(th.ths, t -> q.ce >= t)) + 1 AS INTEGER) AS phase
+         | FROM q, th""".stripMargin,
 
     // the weight pipeline verbatim (nested CTE), then the resampling
     // predicate in the same salted-hash convention as corpus_mix_apply

@@ -1046,6 +1046,22 @@ object TextAnalysis {
   private def inList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** [[unigramSurprisal]]'s SQL mirror — one text shared by the
+    * `text_unigram_surprisal` oracle and `corpus_curriculum`'s scoring
+    * leg (the drift-proofing convention of [[bm25Sql]]). */
+  private[operators] def unigramSurprisalSql: String =
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |   FROM documents),
+       | tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM tk GROUP BY term),
+       | tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM tf),
+       | d AS (SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |     SUM(ln(CAST(freq AS DOUBLE))) AS slf
+       |   FROM tk JOIN tf USING (term) GROUP BY tk.doc_id)
+       | SELECT doc_id, n_tokens,
+       |   ln(CAST(tot.total AS DOUBLE)) - slf / n_tokens AS cross_entropy,
+       |   exp(ln(CAST(tot.total AS DOUBLE)) - slf / n_tokens) AS perplexity
+       | FROM d CROSS JOIN tot""".stripMargin
+
   /** [[bm25Search]]'s SQL mirror — one text shared by the
     * `text_bm25_search` oracle and the lexical leg of `text_hybrid_rrf`. */
   private def bm25Sql: String =
@@ -1242,18 +1258,7 @@ object TextAnalysis {
          | SELECT doc_id, n_tokens, cross_entropy,
          |   exp(cross_entropy) AS perplexity FROM d""".stripMargin,
 
-    "text_unigram_surprisal" ->
-      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-         |   FROM documents),
-         | tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM tk GROUP BY term),
-         | tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM tf),
-         | d AS (SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         |     SUM(ln(CAST(freq AS DOUBLE))) AS slf
-         |   FROM tk JOIN tf USING (term) GROUP BY tk.doc_id)
-         | SELECT doc_id, n_tokens,
-         |   ln(CAST(tot.total AS DOUBLE)) - slf / n_tokens AS cross_entropy,
-         |   exp(ln(CAST(tot.total AS DOUBLE)) - slf / n_tokens) AS perplexity
-         | FROM d CROSS JOIN tot""".stripMargin,
+    "text_unigram_surprisal" -> unigramSurprisalSql,
 
     "text_bm25_search" -> bm25Sql,
 

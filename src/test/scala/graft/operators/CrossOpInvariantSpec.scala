@@ -111,6 +111,22 @@ class CrossOpInvariantSpec extends SparkSpec {
     }
   }
 
+  test("curriculum: phases are ordered by difficulty and cover the corpus") {
+    val rows = Corpus.curriculum(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    rows.length shouldBe docs.count()
+    rows.map(_._3).toSet shouldBe (1 to Corpus.CurriculumPhases).toSet
+    // difficulty ordering: every doc in phase k scores ≤ every doc in k+1
+    val byPhase = rows.groupBy(_._3)
+    (1 until Corpus.CurriculumPhases).foreach { k =>
+      byPhase(k).map(_._2).max should be <= byPhase(k + 1).map(_._2).min
+    }
+    // quartiles of a mostly-distinct score split roughly evenly
+    byPhase.values.foreach { ph =>
+      ph.length should be >= (rows.length / Corpus.CurriculumPhases / 2)
+    }
+  }
+
   test("hard negatives: never the query's label, never beating the unrestricted top-1") {
     val labels = Tables.embeddings(spark, sf).select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.get(1)).toMap
