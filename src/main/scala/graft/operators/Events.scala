@@ -358,6 +358,67 @@ object Events {
         col("frequency"), col("monetary"))
   }
 
+  /** Hopping-window size / advance (minutes) for [[hoppingCounts]] — a
+    * 1-hour window advancing every 15 minutes, the overlap ratio Kafka
+    * Streams' own hopping-window examples use. */
+  val HopWindowMinutes = 60
+  val HopAdvanceMinutes = 15
+
+  /** Hopping (overlapping) windowed counts — the Kafka Streams windowing
+    * primitive the reference's tumbling queries (Q11/Q12) do NOT
+    * exercise: each event lands in `size/advance` = 4 overlapping
+    * windows, and every (window, event_type) cell reports its event
+    * count and value mass. Implemented with Spark's NATIVE sliding
+    * `window()` — Catalyst plans the hop assignment as one `Expand` (a
+    * constant ×4 row multiply, no shuffle) followed by a single
+    * map-side-combined aggregation; the identical expression runs
+    * unchanged under Structured Streaming with a watermark
+    * (`StreamingHoppingSpec`). Window starts are emitted as epoch-µs
+    * longs (exact integer math on both engines: Spark aligns sliding
+    * windows to epoch multiples of the advance). Output: (win_start_us,
+    * event_type, n_events, value_sum).
+    *
+    * 100 TB shape: Expand is map-local and the only shuffle is the final
+    * hash((window, type)) partial-agg exchange — the classic "explode the
+    * hops, aggregate once" rewrite, delegated to the engine. */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        window(timestamp_micros(col("ts")),
+          s"$HopWindowMinutes minutes", s"$HopAdvanceMinutes minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("value_sum"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n_events"), col("value_sum"))
+
+  /** SCD2 history build — change-data-capture compaction of the event
+    * stream into a type-2 slowly-changing dimension: per user, each run
+    * of consecutive equal values of the `props.k` attribute becomes one
+    * validity interval [valid_from_us, valid_to_us) (half-open, closed by
+    * the NEXT change; the latest run is open-ended with `is_current`).
+    * This is the standard warehouse dimension-history operator (latest
+    * per key is [[TransitQueries]]' `latest_per_key`; this keeps the full
+    * history instead of the head). Output: (user_id, k, valid_from_us,
+    * valid_to_us, is_current).
+    *
+    * 100 TB shape: both windows ride ONE hash(user_id) Exchange and the
+    * same (ts, event_id) partition-local sort — change-point detection
+    * (`lag`), then interval closing (`lead`) over the already-filtered
+    * change points. No self-join, no per-user collect. */
+  def scd2History(events: DataFrame): DataFrame = {
+    val attr = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .where(col("k").isNotNull)
+    val changes = attr
+      .withColumn("prev_k", lag(col("k"), 1).over(byUserTime))
+      .where(col("prev_k").isNull || col("k") =!= col("prev_k"))
+    changes
+      .select(col("user_id"), col("k"), col("ts").as("valid_from_us"),
+        lead(col("ts"), 1).over(byUserTime).as("valid_to_us"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
   /** Rolling window width in days for [[rollingActives]]. */
   val RollingDays = 7
 
@@ -479,6 +540,8 @@ object Events {
     "events_rfm" -> ((s, d) => rfm(Tables.events(s, d))),
     "events_funnel"        -> ((s, d) => funnel(Tables.events(s, d))),
     "events_props_extract" -> ((s, d) => propsExtract(Tables.events(s, d))),
+    "events_hopping"       -> ((s, d) => hoppingCounts(Tables.events(s, d))),
+    "events_scd2"          -> ((s, d) => scd2History(Tables.events(s, d))),
   )
 
   /** Shared sessionization CTE ending in relation
@@ -715,5 +778,36 @@ object Events {
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         | FROM events""".stripMargin,
+
+    "events_hopping" -> {
+      val advanceUs = HopAdvanceMinutes * 60L * 1000000L
+      val hops = (0 until HopWindowMinutes / HopAdvanceMinutes)
+        .map(i => s"($i)").mkString(", ")
+      s"""WITH ev AS (SELECT epoch_us(ts) AS ts, event_type, value FROM events),
+         | hops(i) AS (VALUES $hops),
+         | w AS (SELECT (ts // $advanceUs - i) * $advanceUs AS win_start_us,
+         |     event_type, value
+         |   FROM ev CROSS JOIN hops)
+         | SELECT win_start_us, event_type,
+         |   CAST(COUNT(*) AS BIGINT) AS n_events, SUM(value) AS value_sum
+         | FROM w GROUP BY 1, 2""".stripMargin
+    },
+
+    "events_scd2" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts, event_id,
+        |     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |   FROM events),
+        | attr AS (SELECT * FROM ev WHERE k IS NOT NULL),
+        | marked AS (SELECT user_id, ts, event_id, k,
+        |     LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_k
+        |   FROM attr),
+        | chg AS (SELECT user_id, ts, event_id, k FROM marked
+        |   WHERE prev_k IS NULL OR k <> prev_k)
+        | SELECT user_id, k, ts AS valid_from_us,
+        |   LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |     AS valid_to_us,
+        |   (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) IS NULL
+        |     AS is_current
+        | FROM chg""".stripMargin,
   )
 }

@@ -272,6 +272,40 @@ class EventsSpec extends SparkSpec {
     (1L until 18L).foreach(out(_) shouldBe false)
   }
 
+  test("hopping: each event lands in window/advance overlapping windows") {
+    // advance 15min, size 60min -> 4 hops per event
+    val out = Events.hoppingCounts(eventsDf(Seq(
+      (1L, us(0), 7L, "view", 1.0, "{}"),
+      (2L, us(20), 8L, "view", 2.0, "{}"))))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // event@0 -> starts {-45,-30,-15,0}min; event@20 -> starts {-30,-15,0,15}
+    out(us(-45)) shouldBe ((1L, 1.0))
+    out(us(-30)) shouldBe ((2L, 3.0))
+    out(us(-15)) shouldBe ((2L, 3.0))
+    out(us(0)) shouldBe ((2L, 3.0))
+    out(us(15)) shouldBe ((1L, 2.0))
+    out.size shouldBe 5
+  }
+
+  test("scd2: equal-value runs compact to half-open intervals, last one current") {
+    def p(k: Long) = s"""{"k": $k}"""
+    val out = Events.scd2History(eventsDf(Seq(
+      (1L, us(0), 7L, "view", 0.0, p(5)),
+      (2L, us(10), 7L, "view", 0.0, p(5)),    // same k: absorbed into the run
+      (3L, us(20), 7L, "view", 0.0, p(9)),    // change point
+      (4L, us(30), 7L, "view", 0.0, p(5)),    // back to 5: a NEW interval
+      (5L, us(5), 8L, "view", 0.0, "{}"),     // no k: ignored entirely
+      (6L, us(15), 8L, "view", 0.0, p(3)))))
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))))
+      .toMap
+    out((7L, us(0))) shouldBe ((5L, us(20), false))
+    out((7L, us(20))) shouldBe ((9L, us(30), false))
+    out((7L, us(30))) shouldBe ((5L, -1L, true))
+    out((8L, us(15))) shouldBe ((3L, -1L, true))
+    out.size shouldBe 4
+  }
+
   test("conversion probe: even users with views come back unconverted, null lag") {
     val out = Events.conversionProbe(eventsDf(Seq(
       (1L, us(0), 2L, "view", 0.0, "{}"),
