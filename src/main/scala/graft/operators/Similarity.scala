@@ -123,6 +123,30 @@ object Similarity {
     topKPerQuery(scored)
   }
 
+  /** Maximum-inner-product top-k (MIPS) — the recommender-serving
+    * semantics (user·item score), distinct from [[cosineTopK]]: no norm
+    * division, so long vectors legitimately outrank near-parallel short
+    * ones. Exact brute force here (the oracle-checkable baseline); the
+    * scale path is the standard norm-augmentation reduction (Bachrach et
+    * al., RecSys'14): append dim `sqrt(M²-|x|²)` to corpus vectors and 0
+    * to queries, turning MIPS into cosine so the SAME sign-LSH /
+    * IVF machinery ([[annLshTopK]], [[ivfTrainedTopK]]) serves it — the
+    * augmentation is a map-only column rewrite of the staged corpus.
+    * Output: (query_id, neighbor_id, rank, inner_product).
+    *
+    * 100 TB shape: identical to [[cosineTopK]] — queries broadcast, the
+    * corpus scans once and never shuffles vectors, bounded per-group
+    * top-k aggregation finishes. */
+  def mipsTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = vectors(spark, sfDir)
+    val queries = vs.where(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = vs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("v"), col("qv")).as("cosine_sim"))
+    topKPerQuery(scored).withColumnRenamed("cosine_sim", "inner_product")
+  }
+
   /** Deterministic Rademacher (+1/-1) hyperplanes, generated host-side from a
     * splitmix64-style mix of (plane, dim) — public-domain constant mixing, no
     * RNG state. */
@@ -203,23 +227,38 @@ object Similarity {
     * — never the vectors; the cosine verify touches candidate pairs only;
     * [[MaxVecBucket]] bounds the fan-out on any distribution; components
     * close in O(log n) rounds ([[ConnectedComponents.minLabel]]). */
-  def embeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val vs = Staging.stage(vectors(spark, sfDir)
-      .withColumn("bands", signatureBands(col("v"), 64, DedupPlanes, DedupBands))
-    ) // feeds the band join, both verify sides, labeling
+  /** Sign-LSH candidate pairs over a STAGED normed+banded vector frame
+    * (must carry vec_id, v, nrm, bands): bucket by (band, band-value)
+    * with the [[MaxVecBucket]] frequency cap, emit each co-bucketed
+    * (a < b) pair once. Shared verbatim by [[embeddingDedup]] and
+    * [[rangeSimJoin]] so the blocking cannot drift between them. */
+  private def lshCandidatePairs(vs: DataFrame): DataFrame = {
     val banded = vs.select(col("vec_id"), posexplode(col("bands")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
     val ok = banded.groupBy("band", "bv").agg(count(lit(1)).as("n"))
       .where(col("n").between(2, MaxVecBucket)).select("band", "bv")
     val in2 = banded.join(ok, Seq("band", "bv"))
-    val cand = in2.select(col("band"), col("bv"), col("vec_id").as("a"))
+    in2.select(col("band"), col("bv"), col("vec_id").as("a"))
       .join(in2.select(col("band"), col("bv"), col("vec_id").as("b")),
         Seq("band", "bv"))
       .where(col("a") < col("b")).select("a", "b").distinct()
-    val edges = cand
+  }
+
+  /** Exact cosine for candidate pairs: attach both vectors once each,
+    * sequential-fold dot product. Output (a, b, cosine_sim). */
+  private def pairCosines(vs: DataFrame, cand: DataFrame): DataFrame =
+    cand
       .join(vs.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
       .join(vs.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
-      .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= CosDupThreshold)
+      .select(col("a"), col("b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine_sim"))
+
+  def embeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = Staging.stage(vectors(spark, sfDir)
+      .withColumn("bands", signatureBands(col("v"), 64, DedupPlanes, DedupBands))
+    ) // feeds the band join, both verify sides, labeling
+    val edges = pairCosines(vs, lshCandidatePairs(vs))
+      .where(col("cosine_sim") >= CosDupThreshold)
       .select("a", "b")
     val comp = ConnectedComponents.minLabel(edges).withColumnRenamed("id", "vec_id")
     val labeled = vs.select("vec_id").join(comp, Seq("vec_id"), "left")
@@ -228,6 +267,34 @@ object Similarity {
     val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
     labeled.join(sizes, "cluster_id")
       .select(col("vec_id"), col("cluster_id"), (col("sz") - 1).as("n_dups"))
+  }
+
+  /** Similarity threshold for [[rangeSimJoin]] — deliberately looser than
+    * [[CosDupThreshold]]: a range join reports RELATED pairs (link
+    * discovery, weak supervision, graph building), not just duplicates. */
+  val RangeSimTau = 0.30
+
+  /** Threshold similarity self-join (ε-range join): EVERY pair of corpus
+    * vectors with cosine ≥ [[RangeSimTau]], not a per-query top-k — the
+    * all-pairs similarity-join primitive (record linkage, near-dup GRAPH
+    * construction, contrastive positive mining) that a naive engine writes
+    * as an O(n²) cross join. Blocking is the shared sign-LSH machinery of
+    * [[embeddingDedup]] ([[lshCandidatePairs]] — banded signatures,
+    * frequency-capped buckets), then one exact cosine per surviving
+    * candidate; the oracle mirrors the blocking bit for bit, so the
+    * reported pair set is deterministic on both engines. Output:
+    * (a, b, cosine_sim) with a < b.
+    *
+    * 100 TB shape: candidate generation is the banded self-join on
+    * (band, bv) keys with per-bucket caps (no quadratic blowup — the cap
+    * bounds each bucket's fan-out; recall comes from band count); vectors
+    * attach to the capped candidate set only. The one full-width shuffle
+    * is hash(vec_id) at the two attach joins. */
+  def rangeSimJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = Staging.stage(vectors(spark, sfDir)
+      .withColumn("bands", signatureBands(col("v"), 64, DedupPlanes, DedupBands)))
+    pairCosines(vs, lshCandidatePairs(vs))
+      .where(col("cosine_sim") >= RangeSimTau)
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
@@ -706,6 +773,8 @@ object Similarity {
     "sim_pq_adc_topk" -> (pqAdcTopK _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_hard_negatives" -> (hardNegatives _),
+    "sim_mips_topk" -> (mipsTopK _),
+    "sim_range_join" -> (rangeSimJoin _),
     "sim_ann_lsh_topk" -> (annLshTopK _),
     "sim_ann_recall" -> (annRecall _),
     "sim_ivf_topk" -> (ivfTopK _),
@@ -920,6 +989,21 @@ object Similarity {
          |   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM scored)
          | WHERE rank <= $TopK""".stripMargin,
 
+    "sim_range_join" ->
+      s"""WITH ${bandsSqlWith(DedupPlanes, DedupPlanes / DedupBands)},
+         | okb AS (SELECT band, bv FROM bands GROUP BY band, bv
+         |   HAVING COUNT(*) BETWEEN 2 AND $MaxVecBucket),
+         | cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |   FROM bands x
+         |   JOIN okb o ON x.band = o.band AND x.bv = o.bv
+         |   JOIN bands y ON y.band = x.band AND y.bv = x.bv
+         |   WHERE x.vec_id < y.vec_id)
+         | SELECT c.a, c.b,
+         |   list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cosine_sim
+         | FROM cand c
+         |   JOIN vs x ON x.vec_id = c.a JOIN vs y ON y.vec_id = c.b
+         | WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= $RangeSimTau""".stripMargin,
+
     "dedup_embedding" ->
       s"""WITH RECURSIVE ${bandsSqlWith(DedupPlanes, DedupPlanes / DedupBands)},
          | okb AS (SELECT band, bv FROM bands GROUP BY band, bv
@@ -1071,6 +1155,20 @@ object Similarity {
          | SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim
          | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM scored)
+         | WHERE rank <= $TopK""".stripMargin,
+
+    "sim_mips_topk" ->
+      s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |   FROM embeddings),
+         | q AS (SELECT vec_id AS query_id, v AS qv FROM vs
+         |   WHERE vec_id < $NumQueryVectors),
+         | scored AS (SELECT q.query_id, vs.vec_id AS neighbor_id,
+         |   list_dot_product(vs.v, q.qv) AS inner_product
+         |   FROM vs CROSS JOIN q WHERE vs.vec_id <> q.query_id)
+         | SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+         |   inner_product
+         | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY inner_product DESC, neighbor_id ASC) AS rank FROM scored)
          | WHERE rank <= $TopK""".stripMargin,
 
     "sim_kmeans_train" ->

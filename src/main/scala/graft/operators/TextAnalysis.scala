@@ -311,6 +311,56 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("ngram").asc)
       .limit(TopNgrams)
 
+  /** Minimum pair instances for a collocation candidate (rarer pairs are
+    * statistical noise at any corpus size). */
+  val CollocMinCount = 3
+  /** Collocation report size. */
+  val CollocTopN = 100
+
+  /** Lift-scored collocations — the PMI-style bigram-association mining
+    * every phrase/tokenizer-vocabulary pipeline runs: for each adjacent
+    * lowercase token pair seen at least [[CollocMinCount]] times, the
+    * association lift n_xy·N / (n_x·n_y) (the exponential of PMI up to
+    * the constant pair-mass/token-mass ratio — monotone in PMI, so the
+    * ranking is PMI's ranking). The customary log is deliberately NOT
+    * applied: one integer multiply + one IEEE division is bit-identical
+    * across engines ([[topTerms]]' discipline), while `ln` differs in
+    * last-ulp between libms. Output: top [[CollocTopN]] by lift —
+    * (w1, w2, n_xy, n_x, n_y, lift).
+    *
+    * 100 TB shape: two map-side-combined counts (pair grain, unigram
+    * grain), the unigram relation joins the already-thresholded pair
+    * relation on a word key (AQE broadcasts it when the vocabulary is
+    * broadcast-sized — it is, after the pair table was the thing that was
+    * big), one scalar total broadcast, TakeOrderedAndProject top-N. The
+    * exact-integer lift products fit int64 while per-token counts stay
+    * under ~3e9; past that, flip the doc'd cast-first variant. */
+  def collocations(documents: DataFrame): DataFrame = {
+    val docs = graft.sources.Tables.spread(documents)
+    val t = toks(col("text"))
+    val uni = docs.select(explode(toks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val totals = uni.agg(sum("n_w").as("n_tok"))
+    val pairs = docs
+      .select(explode(when(size(t) >= 2,
+        transform(sequence(lit(0), size(t) - 2),
+          i => concat_ws(" ", get(t, i), get(t, i + 1))))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_xy"))
+      .where(col("n_xy") >= CollocMinCount)
+      .select(element_at(split(col("pair"), " "), 1).as("w1"),
+        element_at(split(col("pair"), " "), 2).as("w2"), col("n_xy"))
+    pairs
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_y")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+        ((col("n_xy") * col("n_tok")).cast("double")
+          / (col("n_x") * col("n_y"))).as("lift"))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(CollocTopN)
+  }
+
   /** Adjacent-pair table size for [[bpePairs]]. */
   val TopPairs = 100
 
@@ -1023,6 +1073,7 @@ object TextAnalysis {
     "text_quality"     -> ((s, d) => quality(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
     "text_ngram_freq"  -> ((s, d) => ngramFreq(Tables.documents(s, d))),
+    "text_collocations" -> ((s, d) => collocations(Tables.documents(s, d))),
     "text_bpe_pairs"   -> ((s, d) => bpePairs(Tables.documents(s, d))),
     // the tokenizer family trains ONCE per (session, dir) via the merge
     // memo; encode and vocab replay the frozen model with bpeApply's
@@ -1431,6 +1482,24 @@ object TextAnalysis {
          | g AS (SELECT unnest(sh) AS ngram FROM sh)
          | SELECT ngram, CAST(COUNT(*) AS BIGINT) AS freq FROM g GROUP BY ngram
          | ORDER BY freq DESC, ngram ASC LIMIT $TopNgrams""".stripMargin,
+
+    "text_collocations" ->
+      s"""WITH toks AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+         | uni AS (SELECT unnest(t) AS w FROM toks),
+         | nw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM uni GROUP BY 1),
+         | tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_tok FROM nw),
+         | pr AS (SELECT unnest(CASE WHEN len(t) >= 2
+         |   THEN list_transform(range(len(t) - 1), i -> t[i + 1] || ' ' || t[i + 2])
+         |   ELSE []::VARCHAR[] END) AS pair FROM toks),
+         | np0 AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_xy FROM pr
+         |   GROUP BY pair HAVING COUNT(*) >= $CollocMinCount),
+         | np AS (SELECT string_split(pair, ' ')[1] AS w1,
+         |     string_split(pair, ' ')[2] AS w2, n_xy FROM np0)
+         | SELECT np.w1, np.w2, np.n_xy, a.n_w AS n_x, b.n_w AS n_y,
+         |   CAST(np.n_xy * tot.n_tok AS DOUBLE) / (a.n_w * b.n_w) AS lift
+         | FROM np JOIN nw a ON a.w = np.w1 JOIN nw b ON b.w = np.w2
+         |   CROSS JOIN tot
+         | ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT $CollocTopN""".stripMargin,
 
     "text_bpe_pairs" ->
       s"""WITH toks AS (SELECT string_split(lower(text), ' ') AS t FROM documents),

@@ -268,4 +268,47 @@ class SimilaritySpec extends SparkSpec {
     info(f"trained-IVF recall@5 = $recall%.3f")
     recall should be >= 0.5
   }
+
+  test("MIPS top-k matches a driver-side exact inner-product ranking") {
+    val vs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def ip(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val expected = (0L until Similarity.NumQueryVectors.toLong).flatMap { q =>
+      vs.keys.filter(_ != q).toSeq
+        .sortBy(n => (-ip(vs(q), vs(n)), n)).take(Similarity.TopK)
+        .zipWithIndex.map { case (n, i) => (q, n, i + 1) }
+    }.toSet
+    val got = Similarity.mipsTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    got shouldBe expected
+  }
+
+  test("range join: sound (every pair truly >= tau, exact cosine), decent recall") {
+    val vs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      def ip(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      ip(a, b) / (math.sqrt(ip(a, a)) * math.sqrt(ip(b, b)))
+    }
+    val out = Similarity.rangeSimJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.foreach { case (a, b, s) =>
+      a should be < b
+      s should be >= Similarity.RangeSimTau
+      s shouldBe cos(vs(a), vs(b)) +- 1e-9
+    }
+    val ids = vs.keys.toSeq.sorted
+    val truth = (for {
+      i <- ids; j <- ids if i < j && cos(vs(i), vs(j)) >= Similarity.RangeSimTau
+    } yield (i, j)).toSet
+    val got = out.map(t => (t._1, t._2)).toSet
+    (got -- truth) shouldBe empty // soundness: no false pair survives verify
+    val recall = (got intersect truth).size.toDouble / truth.size
+    info(f"range-join recall@tau=${Similarity.RangeSimTau} = $recall%.3f over ${truth.size}")
+    recall should be >= 0.2
+  }
 }

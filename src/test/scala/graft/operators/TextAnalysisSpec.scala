@@ -445,4 +445,27 @@ class TextAnalysisSpec extends SparkSpec {
       (Option(r.get(2)).nonEmpty || Option(r.get(3)).nonEmpty) shouldBe true
     }
   }
+
+  test("collocations: lift = n_xy*N/(n_x*n_y); sub-threshold pairs drop") {
+    // "new york" appears 3x (== CollocMinCount); every other pair 1x
+    val out = TextAnalysis.collocations(docs(
+      1L -> "new york a",
+      2L -> "new york b",
+      3L -> "new york new c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // N = 10 tokens; n_new = 4, n_york = 3, n_xy = 3
+    out(("new", "york")) shouldBe ((3L, 4L, 3L, 3.0 * 10 / (4 * 3)))
+    out.size shouldBe 1
+  }
+
+  test("collocations: case folds and the ranking is lift-desc, pair-asc") {
+    val out = TextAnalysis.collocations(docs(
+      1L -> "A b A b A b",    // (a,b) x3, (b,a) x2
+      2L -> "b a c c c c")).collect()   // (b,a) reaches 3; (c,c) x3
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(5)))
+    // N=12, all unigrams count 4: every lift = 3*12/(4*4) -> tie, pair asc
+    out.map(t => (t._1, t._2)) shouldBe Seq(("a", "b"), ("b", "a"), ("c", "c"))
+    out.foreach(_._3 shouldBe 2.25)
+  }
 }
