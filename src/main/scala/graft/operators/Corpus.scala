@@ -228,6 +228,58 @@ object Corpus {
         (coalesce(col("n_hit_shingles"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Bloom-gated decontamination — [[decontaminate]] with the
+    * 100 TB-scale membership pre-filter in front of the exact verify: the
+    * eval split's distinct shingle hashes build ONE Bloom filter
+    * (distributed `stat.bloomFilter` tree-aggregate; the filter is the
+    * MODEL — kilobytes-to-megabytes sized by the eval set, which is small
+    * by nature), and every training shingle passes the codegen'd native
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * gate BEFORE reaching the broadcast verify join. Bloom filters have
+    * no false negatives, and every gated survivor is still exactly
+    * verified, so the output is IDENTICAL to [[decontaminate]] — same
+    * oracle — while the join input shrinks by ~(1 − fpp) of the clean
+    * shingle mass. This is the standard big-data decontamination shape:
+    * at 100 TB the per-row filter probe is cheap scan-side work and the
+    * verify join sees only real + fpp·clean candidates.
+    *
+    * Output: (doc_id, n_hit_shingles, contaminated) per training doc. */
+  def bloomDecontaminate(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.bridge
+    import org.apache.spark.sql.types.BinaryType
+    val isEval = col("doc_id") % EvalMod === EvalRem
+    def shingled(d: DataFrame): DataFrame =
+      d.select(col("doc_id"),
+        explode(Dedup.hashedShingles(col("text"), DecontShingleSize)).as("s"))
+    // staged: feeds the filter build AND the exact-verify join
+    val evalSh = graft.engine.Staging.stage(
+      shingled(documents.where(isEval)).select("s").distinct())
+    // sized to the actual eval-shingle cardinality (a count on the staged
+    // frame, not a second scan); 1% fpp only affects pre-filter
+    // selectivity, never the result
+    val nEval = evalSh.count()
+    val train = Tables.spread(documents.where(!isEval))
+    if (nEval == 0) // stat.bloomFilter rejects empty input; the answer is known
+      return train.select(col("doc_id"), lit(0L).as("n_hit_shingles"),
+        lit(false).as("contaminated"))
+    val bf = evalSh.stat.bloomFilter("s", nEval, 0.01)
+    val bfBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    val mightHit = bridge.column(BloomFilterMightContain(
+      Literal(bfBytes, BinaryType), bridge.expression(col("s"))))
+    val hits = shingled(train).where(mightHit)
+      .join(broadcast(evalSh), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit_shingles"))
+    train.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_shingles"), lit(0L)).as("n_hit_shingles"),
+        (coalesce(col("n_hit_shingles"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** NEAR decontamination — the fuzzy companion of [[decontaminate]]:
     * exact 8-gram overlap catches verbatim leakage, but a lightly
     * paraphrased benchmark item shares no exact 8-gram while its 3-gram
@@ -667,6 +719,7 @@ object Corpus {
     "sample_holdout_split" -> ((s, d) => holdoutSplit(Tables.documents(s, d))),
     "shard_plan"        -> ((s, d) => shardPlan(Tables.documents(s, d))),
     "corpus_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
+    "corpus_bloom_decontaminate" -> ((s, d) => bloomDecontaminate(Tables.documents(s, d))),
     "corpus_near_decontaminate" -> ((s, d) => nearDecontaminate(Tables.documents(s, d))),
     "corpus_pack_plan"  -> ((s, d) => packPlan(Tables.documents(s, d))),
     "corpus_pack_apply" -> ((s, d) => packApply(Tables.documents(s, d))),
@@ -712,6 +765,28 @@ object Corpus {
   private def ratesCaseSql =
     SampleRatesPerMille.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
       .mkString(" ")
+
+  /** One oracle text for `corpus_decontaminate` AND
+    * `corpus_bloom_decontaminate`: the Bloom gate is a no-false-negative
+    * pre-filter in front of the same exact verify, so both queries must
+    * produce this exact relation. */
+  private val decontaminateOracleSql: String =
+    s"""WITH ev AS (SELECT doc_id, text FROM documents
+       |     WHERE doc_id % $EvalMod = $EvalRem),
+       | tr AS (SELECT doc_id, text FROM documents
+       |     WHERE doc_id % $EvalMod <> $EvalRem),
+       | ${Dedup.shingleWith("ev", DecontShingleSize, "etoks", "esh")},
+       | ${Dedup.shingleWith("tr", DecontShingleSize, "ttoks", "tsh")},
+       | evset AS (SELECT DISTINCT unnest(list_distinct(list_transform(sh,
+       |     s -> ${Dedup.h32SqlOf("s")} % ${Dedup.P}))) AS s FROM esh),
+       | trx AS (SELECT doc_id, unnest(list_distinct(list_transform(sh,
+       |     s -> ${Dedup.h32SqlOf("s")} % ${Dedup.P}))) AS s FROM tsh),
+       | hits AS (SELECT t.doc_id, COUNT(*) AS n FROM trx t
+       |   JOIN evset e ON t.s = e.s GROUP BY t.doc_id)
+       | SELECT tr.doc_id,
+       |   CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_hit_shingles,
+       |   COALESCE(hits.n, 0) > 0 AS contaminated
+       | FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "corpus_source_profile" ->
@@ -805,23 +880,13 @@ object Corpus {
          |   CAST(SUM(n_chars) AS BIGINT) AS total_chars
          | FROM documents GROUP BY 1""".stripMargin,
 
-    "corpus_decontaminate" ->
-      s"""WITH ev AS (SELECT doc_id, text FROM documents
-         |     WHERE doc_id % $EvalMod = $EvalRem),
-         | tr AS (SELECT doc_id, text FROM documents
-         |     WHERE doc_id % $EvalMod <> $EvalRem),
-         | ${Dedup.shingleWith("ev", DecontShingleSize, "etoks", "esh")},
-         | ${Dedup.shingleWith("tr", DecontShingleSize, "ttoks", "tsh")},
-         | evset AS (SELECT DISTINCT unnest(list_distinct(list_transform(sh,
-         |     s -> ${Dedup.h32SqlOf("s")} % ${Dedup.P}))) AS s FROM esh),
-         | trx AS (SELECT doc_id, unnest(list_distinct(list_transform(sh,
-         |     s -> ${Dedup.h32SqlOf("s")} % ${Dedup.P}))) AS s FROM tsh),
-         | hits AS (SELECT t.doc_id, COUNT(*) AS n FROM trx t
-         |   JOIN evset e ON t.s = e.s GROUP BY t.doc_id)
-         | SELECT tr.doc_id,
-         |   CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_hit_shingles,
-         |   COALESCE(hits.n, 0) > 0 AS contaminated
-         | FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id""".stripMargin,
+    "corpus_decontaminate" -> decontaminateOracleSql,
+
+    // a Bloom filter has no false negatives and every gated candidate is
+    // exactly verified, so the Bloom-pre-filtered result IS decontaminate's
+    // result — one oracle text for both (the memo convention: the faster
+    // plan must prove it computes the same relation)
+    "corpus_bloom_decontaminate" -> decontaminateOracleSql,
 
     // the incremental-minhash oracle chain verbatim with the roles
     // flipped: corpus side = the eval split, incoming side = training

@@ -466,4 +466,51 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "CartesianProduct"
     p should not include "Exchange rangepartitioning"
   }
+
+  test("events_hopping: native sliding window is a map-local Expand + one two-phase agg") {
+    val p = planOf("events_hopping")
+    p should include("Expand") // the x4 hop assignment — no shuffle, no join
+    countOf(p, "Exchange hashpartitioning") shouldBe 1 // (window, type) agg only
+    p should include("partial_count")
+    p should not include "CartesianProduct"
+  }
+
+  test("events_scd2: both windows ride one hash(user) exchange; no self-join") {
+    val p = planOf("events_scd2")
+    countOf(p, "Exchange hashpartitioning") shouldBe 1
+    countOf(p, "Window") should be >= 2 // lag (change points) + lead (closing)
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("text_collocations: top-N is TakeOrderedAndProject; thresholded pair relation joins the vocab") {
+    val p = planOf("text_collocations")
+    p should include("TakeOrderedAndProject") // never a global sort of all pairs
+    p should include("partial_count")         // map-side combine on both grains
+    p should not include "CartesianProduct"
+  }
+
+  test("sim_mips_topk: bounded top-k aggregation; queries broadcast, corpus unshuffled") {
+    val p = planOf("sim_mips_topk")
+    p should not include "Window"
+    p should include("ObjectHashAggregate")
+    p should include("BroadcastExchange")
+    p should not include "CartesianProduct"
+  }
+
+  test("sim_range_join: banded candidates with caps; no cartesian, no corpus-wide SMJ on vectors") {
+    val p = planOf("sim_range_join")
+    p should not include "CartesianProduct"
+    // the verify attaches vectors to the capped candidate set by vec_id —
+    // hash joins (broadcast or shuffled-hash under AQE), never a global sort
+    p should not include "Exchange rangepartitioning"
+  }
+
+  test("corpus_bloom_decontaminate: the native might_contain gate sits before the broadcast verify") {
+    val p = planOf("corpus_bloom_decontaminate")
+    p should include("might_contain") // codegen'd Bloom probe on the scan side
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
 }

@@ -244,6 +244,26 @@ class CorpusSpec extends SparkSpec {
     out(1L) shouldBe 5L
   }
 
+  test("bloom decontaminate: identical relation to the exact query (no false negatives)") {
+    val evalWords = (1 to 30).map(i => s"e$i")
+    val docs = docsDf(Seq(
+      (7L, evalWords.mkString(" "), "en", "web"),                  // eval
+      (1L, evalWords.slice(2, 14).mkString(" "), "en", "web"),     // leaked span
+      (2L, (1 to 15).map(i => s"z$i").mkString(" "), "en", "web"), // clean
+      (3L, "short", "en", "web")))                                 // no 8-gram at all
+    assertSameRows(Corpus.bloomDecontaminate(docs), Corpus.decontaminate(docs))
+  }
+
+  test("bloom decontaminate: empty eval split means nothing is contaminated") {
+    // no doc_id % 20 == 7 -> empty filter; gate must yield all-false, not crash
+    val out = Corpus.bloomDecontaminate(docsDf(Seq(
+      (1L, (1 to 12).map(i => s"a$i").mkString(" "), "en", "web"),
+      (2L, (1 to 12).map(i => s"b$i").mkString(" "), "en", "web"))))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    out(1L) shouldBe ((0L, false))
+    out(2L) shouldBe ((0L, false))
+  }
+
   test("near decontamination: a lightly-edited eval text is flagged with its match") {
     val base = (1 to 30).map(i => s"e$i")
     val out = Corpus.nearDecontaminate(docsDf(Seq(
