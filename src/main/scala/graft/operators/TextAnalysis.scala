@@ -37,7 +37,7 @@ object TextAnalysis {
   val EnStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "is", "in", "it", "that", "for", "on")
 
-  private def toks(c: Column): Column = split(lower(c), " ")
+  private[graft] def toks(c: Column): Column = split(lower(c), " ")
 
   private def profileScore(toksCol: Column, words: Seq[String]): Column =
     size(filter(toksCol, t => t.isin(words: _*)))
@@ -359,6 +359,69 @@ object TextAnalysis {
           / (col("n_x") * col("n_y"))).as("lift"))
       .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
       .limit(CollocTopN)
+  }
+
+  /** Heavy-hitter threshold denominator: a term is heavy iff
+    * freq · denom > N (exact integer comparison on both engines). */
+  val HeavyDenom = 200
+  /** Misra-Gries capacity for [[heavyHitters]] — k+1 ≥ [[HeavyDenom]]
+    * guarantees the sketch candidates are a superset of the true heavy
+    * hitters, with 2× headroom. */
+  val MgCapacity = 400
+  /** Probe-sized sketch: capacity 8 against a 31-term vocabulary forces
+    * the cancellation/eviction branches to fire at the oracle. */
+  val MgProbeCapacity = 8
+  /** Probe threshold: > 1/5 of the stream — only the planted token. */
+  val HeavyProbeDenom = 5
+  /** Planted-token repetitions for [[heavyProbe]]. */
+  val HeavyPlantReps = 5000
+
+  /** Exact heavy hitters through a sketch: pass 1 runs the bounded-state
+    * [[graft.functions.MisraGries]] aggregate (≤ `capacity` counters per
+    * partial state — never a full vocabulary shuffle), pass 2 exactly
+    * recounts ONLY the ≤ `capacity` surviving candidates and keeps those
+    * with freq · denom > N. Because MG has no false negatives when
+    * capacity+1 ≥ denom (undercount ≤ N/(k+1) < N/denom), the output
+    * EQUALS the naive full groupBy's answer — deterministically, although
+    * intermediate sketch states depend on merge order — so the query is
+    * exactly oracle-checkable while carrying the 100 TB plan. Output:
+    * (term, freq, n_tok). */
+  private[operators] def heavyHittersOver(docsText: DataFrame,
+                                          capacity: Int, denom: Int): DataFrame = {
+    require(capacity + 1 >= denom,
+      s"capacity $capacity cannot guarantee heavy hitters at 1/$denom")
+    val toksDf = graft.engine.Staging.stage(
+      graft.sources.Tables.spread(docsText)
+        .select(explode(toks(col("text"))).as("term")))
+    val cand = toksDf
+      .agg(graft.functions.MisraGries.of(capacity)(col("term")).as("cands"))
+      .select(explode(col("cands")).as("c"))
+      .select(col("c.item").as("term"))
+    val counts = toksDf.join(broadcast(cand), "term")
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val n = toksDf.agg(count(lit(1)).as("n_tok"))
+    counts.crossJoin(broadcast(n))
+      .where(col("freq") * denom > col("n_tok"))
+      .select(col("term"), col("freq"), col("n_tok"))
+  }
+
+  /** Corpus heavy hitters: terms above 1/[[HeavyDenom]] of the token
+    * stream, via [[heavyHittersOver]]'s sketch-then-recount. */
+  def heavyHitters(documents: DataFrame): DataFrame =
+    heavyHittersOver(documents.select("text"), MgCapacity, HeavyDenom)
+
+  /** Heavy-hitter recovery probe: the corpus vocabulary is near-uniform
+    * (no term clears 1/[[HeavyProbeDenom]]), so the positive branch — and
+    * the sketch's cancellation path — never fire there. A planted token
+    * repeated [[HeavyPlantReps]]× is unioned onto the corpus ON BOTH
+    * ENGINES, and the probe-sized sketch (capacity [[MgProbeCapacity]] <
+    * vocabulary, so evictions genuinely happen) must surface exactly the
+    * planted token through the same recount. */
+  def heavyProbe(documents: DataFrame): DataFrame = {
+    val planted = documents.sparkSession.range(1)
+      .select(expr(s"repeat('hh ', $HeavyPlantReps)").as("text"))
+    heavyHittersOver(documents.select("text").unionAll(planted),
+      MgProbeCapacity, HeavyProbeDenom)
   }
 
   /** Adjacent-pair table size for [[bpePairs]]. */
@@ -1074,6 +1137,8 @@ object TextAnalysis {
     "text_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
     "text_ngram_freq"  -> ((s, d) => ngramFreq(Tables.documents(s, d))),
     "text_collocations" -> ((s, d) => collocations(Tables.documents(s, d))),
+    "text_heavy_hitters" -> ((s, d) => heavyHitters(Tables.documents(s, d))),
+    "text_heavy_probe" -> ((s, d) => heavyProbe(Tables.documents(s, d))),
     "text_bpe_pairs"   -> ((s, d) => bpePairs(Tables.documents(s, d))),
     // the tokenizer family trains ONCE per (session, dir) via the merge
     // memo; encode and vocab replay the frozen model with bpeApply's
@@ -1482,6 +1547,25 @@ object TextAnalysis {
          | g AS (SELECT unnest(sh) AS ngram FROM sh)
          | SELECT ngram, CAST(COUNT(*) AS BIGINT) AS freq FROM g GROUP BY ngram
          | ORDER BY freq DESC, ngram ASC LIMIT $TopNgrams""".stripMargin,
+
+    // the sketch is a no-false-negative candidate pass in front of an
+    // exact recount, so the heavy-hitter relation is the naive exact one
+    "text_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+         |   FROM documents),
+         | c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM tk GROUP BY 1),
+         | n AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_tok FROM c)
+         | SELECT term, freq, n_tok FROM c CROSS JOIN n
+         | WHERE freq * $HeavyDenom > n_tok""".stripMargin,
+
+    "text_heavy_probe" ->
+      s"""WITH d2 AS (SELECT text FROM documents
+         |   UNION ALL SELECT repeat('hh ', $HeavyPlantReps) AS text),
+         | tk AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM d2),
+         | c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM tk GROUP BY 1),
+         | n AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_tok FROM c)
+         | SELECT term, freq, n_tok FROM c CROSS JOIN n
+         | WHERE freq * $HeavyProbeDenom > n_tok""".stripMargin,
 
     "text_collocations" ->
       s"""WITH toks AS (SELECT string_split(lower(text), ' ') AS t FROM documents),

@@ -506,6 +506,14 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
   }
 
+  test("text_heavy_hitters: bounded sketch aggregate, then candidates broadcast for the exact recount") {
+    val p = planOf("text_heavy_hitters")
+    p should include("ObjectHashAggregate") // the typed Misra-Gries pass
+    p should include("BroadcastHashJoin")   // <=k candidates recount join
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
   test("corpus_bloom_decontaminate: the native might_contain gate sits before the broadcast verify") {
     val p = planOf("corpus_bloom_decontaminate")
     p should include("might_contain") // codegen'd Bloom probe on the scan side

@@ -446,6 +446,27 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("heavy hitters: sketch+recount equals the naive exact answer") {
+    // vocabulary of 40 > probe capacity 8; "hot" holds 25% of the stream
+    val body = (1 to 39).flatMap(i => Seq.fill(2)(s"w$i")) // 78 tokens
+    val hot = Seq.fill(26)("hot")                          // 26 of 104 = 25%
+    val text = scala.util.Random.shuffle(body ++ hot).mkString(" ")
+    val out = TextAnalysis.heavyHittersOver(
+      docs(1L -> text).select("text"), capacity = 8, denom = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.toSeq shouldBe Seq(("hot", 26L, 104L)) // 26*5 > 104; no w_i qualifies
+  }
+
+  test("heavy probe: the planted token is recovered through eviction pressure") {
+    val corpus = docs(
+      1L -> (1 to 30).map(i => s"w$i").mkString(" "),
+      2L -> (1 to 30).map(i => s"w$i").mkString(" "))
+    val out = TextAnalysis.heavyProbe(corpus).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.keySet shouldBe Set("hh")
+    out("hh") shouldBe TextAnalysis.HeavyPlantReps.toLong
+  }
+
   test("collocations: lift = n_xy*N/(n_x*n_y); sub-threshold pairs drop") {
     // "new york" appears 3x (== CollocMinCount); every other pair 1x
     val out = TextAnalysis.collocations(docs(
