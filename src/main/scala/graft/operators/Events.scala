@@ -191,6 +191,21 @@ object Events {
         col("q").getItem(1).as("p95"),
         col("q").getItem(2).as("p99"))
 
+  /** The 100 TB swap-in [[valueQuantiles]] documents: mergeable
+    * approximate percentiles (Spark's `percentile_approx` sketch — no
+    * per-group sort, partial states merge map-side). NOT registered at
+    * the oracle: the sketch is engine-specific; `EventsSpec` pins its
+    * error against the exact query instead (the [[TransitQueries.q2Approx]]
+    * convention for approximate twins). */
+  def valueQuantilesApprox(events: DataFrame, accuracy: Int = 10000): DataFrame =
+    events.groupBy("event_type")
+      .agg(percentile_approx(col("value"),
+        array(QuantileProbes.map(lit): _*), lit(accuracy)).as("q"))
+      .select(col("event_type"),
+        col("q").getItem(0).as("p50"),
+        col("q").getItem(1).as("p95"),
+        col("q").getItem(2).as("p99"))
+
   /** Microseconds per day (for the portable integer day index). */
   private val UsPerDay = 86400L * 1000L * 1000L
 
@@ -419,6 +434,31 @@ object Events {
       .withColumn("is_current", col("valid_to_us").isNull)
   }
 
+  /** Redelivery jitter (µs) simulated by [[replayDedup]]'s duplicated leg. */
+  val ReplayJitterUs = 1000L
+
+  /** At-least-once replay compaction — the ingestion-dedup operator every
+    * pipeline consuming an at-least-once transport needs (the reference's
+    * Kafka consumers simply tolerate duplicates): the stream is unioned
+    * with a jittered redelivery of itself ON BOTH ENGINES (every event
+    * redelivered [[ReplayJitterUs]] later — the deterministic stand-in for
+    * broker retries, since the synthetic feed itself is exactly-once) and
+    * compacted back to one row per event_id keeping the EARLIEST arrival.
+    * Deterministic, unlike `dropDuplicates` (which keeps an arbitrary
+    * copy). The continuous face is Spark's native
+    * `dropDuplicatesWithinWatermark` ([[graft.streaming.StreamingExactDedup]])
+    * with watermark-bounded id state. Output: (event_id, ts, n_copies).
+    *
+    * 100 TB shape: one map-side-combined groupBy(event_id) — min and
+    * count both decompose; the union is a scan concat, not a join. */
+  def replayDedup(events: DataFrame): DataFrame = {
+    val arrivals = events.select(col("event_id"), col("ts"))
+    val replayed = arrivals.unionAll(
+      arrivals.select(col("event_id"), (col("ts") + ReplayJitterUs).as("ts")))
+    replayed.groupBy("event_id")
+      .agg(min("ts").as("ts"), count(lit(1)).as("n_copies"))
+  }
+
   /** Rolling window width in days for [[rollingActives]]. */
   val RollingDays = 7
 
@@ -542,6 +582,7 @@ object Events {
     "events_props_extract" -> ((s, d) => propsExtract(Tables.events(s, d))),
     "events_hopping"       -> ((s, d) => hoppingCounts(Tables.events(s, d))),
     "events_scd2"          -> ((s, d) => scd2History(Tables.events(s, d))),
+    "events_dedup"         -> ((s, d) => replayDedup(Tables.events(s, d))),
   )
 
   /** Shared sessionization CTE ending in relation
@@ -792,6 +833,13 @@ object Events {
          |   CAST(COUNT(*) AS BIGINT) AS n_events, SUM(value) AS value_sum
          | FROM w GROUP BY 1, 2""".stripMargin
     },
+
+    "events_dedup" ->
+      s"""WITH r AS (SELECT event_id, epoch_us(ts) AS ts FROM events
+         | UNION ALL
+         | SELECT event_id, epoch_us(ts) + $ReplayJitterUs AS ts FROM events)
+         | SELECT event_id, MIN(ts) AS ts, CAST(COUNT(*) AS BIGINT) AS n_copies
+         | FROM r GROUP BY event_id""".stripMargin,
 
     "events_scd2" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts, event_id,

@@ -506,6 +506,14 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
   }
 
+  test("events_dedup: union is a scan concat; one two-phase agg on event_id — no join") {
+    val p = planOf("events_dedup")
+    p should include("Union")
+    p should include("partial_min") // map-side combine before the id shuffle
+    countOf(p, "Exchange hashpartitioning") shouldBe 1
+    p should not include "Join"
+  }
+
   test("text_heavy_hitters: bounded sketch aggregate, then candidates broadcast for the exact recount") {
     val p = planOf("text_heavy_hitters")
     p should include("ObjectHashAggregate") // the typed Misra-Gries pass

@@ -306,6 +306,33 @@ class EventsSpec extends SparkSpec {
     out.size shouldBe 4
   }
 
+  test("replay dedup: every id collapses to its earliest arrival, copies counted") {
+    val out = Events.replayDedup(eventsDf(Seq(
+      (1L, us(10), 7L, "view", 0.0, "{}"),
+      (2L, us(20), 7L, "view", 0.0, "{}"))))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out(1L) shouldBe ((us(10), 2L)) // the +1ms replay never wins the min
+    out(2L) shouldBe ((us(20), 2L))
+    out.size shouldBe 2
+  }
+
+  test("approx quantiles stay within tolerance of the exact sort-based answer") {
+    val rows = (1 to 2000).map(i =>
+      (i.toLong, us(i.toLong), 1L, "view", i.toDouble, "{}"))
+    val exact = Events.valueQuantiles(eventsDf(rows)).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val approx = Events.valueQuantilesApprox(eventsDf(rows)).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val (e50, e95, e99) = exact("view")
+    val (a50, a95, a99) = approx("view")
+    // accuracy=10000 on 2000 distinct values: rank error <= n/accuracy < 1,
+    // so the sketch may only land on a neighboring value (exact uses
+    // linear interpolation, the sketch snaps to an observed value)
+    math.abs(a50 - e50) should be <= 2.0
+    math.abs(a95 - e95) should be <= 2.0
+    math.abs(a99 - e99) should be <= 2.0
+  }
+
   test("conversion probe: even users with views come back unconverted, null lag") {
     val out = Events.conversionProbe(eventsDf(Seq(
       (1L, us(0), 2L, "view", 0.0, "{}"),
