@@ -434,6 +434,23 @@ object Events {
       .withColumn("is_current", col("valid_to_us").isNull)
   }
 
+  /** Running lifetime value — the cumulative per-user ledger every
+    * monetization dashboard reads: after each event, the user's running
+    * purchase-value total and how many events preceded it. The frame is
+    * the default cumulative `rows unbounded preceding → current row`
+    * with the family's deterministic (ts, event_id) order, so ties
+    * cannot reorder the running sum between engines. Output: (event_id,
+    * user_id, n_prior_events, ltv_after).
+    *
+    * 100 TB shape: ONE hash(user_id) exchange + partition-local sort —
+    * the same single window family as sessionize/as-of; no join, no
+    * second shuffle. */
+  def runningLtv(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("user_id"),
+      (row_number().over(byUserTime) - 1).cast("long").as("n_prior_events"),
+      sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
+        .over(byUserTime).as("ltv_after"))
+
   /** Redelivery jitter (µs) simulated by [[replayDedup]]'s duplicated leg. */
   val ReplayJitterUs = 1000L
 
@@ -458,6 +475,30 @@ object Events {
     replayed.groupBy("event_id")
       .agg(min("ts").as("ts"), count(lit(1)).as("n_copies"))
   }
+
+  /** Sketch-rollup face of distinct-user counting — the warehouse
+    * pattern [[rollingActives]]' exact counts graduate to at 100 TB:
+    * per-day Apache DataSketches HLL sketches (Spark's native
+    * `hll_sketch_agg`), each day's DAU estimated from its own sketch,
+    * and ANY day range answered later by `hll_union_agg` over the stored
+    * sketches — no rescan of the event stream, mergeable across
+    * partitions and days by construction. Unregistered at the oracle
+    * (the sketch binary is engine-specific; DuckDB cannot replay it);
+    * `EventsSpec` pins the estimates against the exact distinct counts
+    * instead, the [[valueQuantilesApprox]] convention. Output: one row
+    * per day — (day, sketch, dau_est). */
+  def dauSketches(events: DataFrame, lgK: Int = 12): DataFrame =
+    events
+      .select(expr(s"ts div $UsPerDay").as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(expr(s"hll_sketch_agg(user_id, $lgK)").as("sketch"))
+      .withColumn("dau_est", expr("hll_sketch_estimate(sketch)"))
+
+  /** Fold stored per-day sketches into one range-wide distinct estimate
+    * (here the whole table; a real rollup filters `day` first). */
+  def distinctFromSketches(daily: DataFrame): DataFrame =
+    daily.agg(expr("hll_sketch_estimate(hll_union_agg(sketch))")
+      .as("distinct_users_est"))
 
   /** Rolling window width in days for [[rollingActives]]. */
   val RollingDays = 7
@@ -583,6 +624,7 @@ object Events {
     "events_hopping"       -> ((s, d) => hoppingCounts(Tables.events(s, d))),
     "events_scd2"          -> ((s, d) => scd2History(Tables.events(s, d))),
     "events_dedup"         -> ((s, d) => replayDedup(Tables.events(s, d))),
+    "events_running_ltv"   -> ((s, d) => runningLtv(Tables.events(s, d))),
   )
 
   /** Shared sessionization CTE ending in relation
@@ -833,6 +875,17 @@ object Events {
          |   CAST(COUNT(*) AS BIGINT) AS n_events, SUM(value) AS value_sum
          | FROM w GROUP BY 1, 2""".stripMargin
     },
+
+    "events_running_ltv" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts,
+        |     event_type, value FROM events)
+        | SELECT event_id, user_id,
+        |   CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS n_prior_events,
+        |   SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END)
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS ltv_after
+        | FROM ev
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
 
     "events_dedup" ->
       s"""WITH r AS (SELECT event_id, epoch_us(ts) AS ts FROM events

@@ -333,6 +333,33 @@ class EventsSpec extends SparkSpec {
     math.abs(a99 - e99) should be <= 2.0
   }
 
+  test("running ltv: cumulative purchase mass and prior-event count per user") {
+    val out = Events.runningLtv(eventsDf(Seq(
+      (1L, us(0), 7L, "view", 9.0, "{}"),      // views never count
+      (2L, us(10), 7L, "purchase", 2.5, "{}"),
+      (3L, us(20), 7L, "purchase", 1.5, "{}"),
+      (4L, us(5), 8L, "purchase", 4.0, "{}"))))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    out(1L) shouldBe ((0L, 0.0))
+    out(2L) shouldBe ((1L, 2.5))
+    out(3L) shouldBe ((2L, 4.0))
+    out(4L) shouldBe ((0L, 4.0))
+  }
+
+  test("hll day sketches estimate dau, and their union answers the range query") {
+    def dus(day: Long, m: Long) = day * 86400L * 1000000L + us(m)
+    // day 0: users 1..50; day 1: users 26..75 -> distinct overall 75
+    val rows = (1L to 50L).map(u => (u, dus(0, u), u, "view", 0.0, "{}")) ++
+      (26L to 75L).map(u => (1000L + u, dus(1, u), u, "view", 0.0, "{}"))
+    val daily = Events.dauSketches(eventsDf(rows))
+    val ests = daily.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // lgK=12 on 50 items: HLL is exact-ish; allow 2%
+    ests(0L).toDouble shouldBe 50.0 +- 1.0
+    ests(1L).toDouble shouldBe 50.0 +- 1.0
+    val total = Events.distinctFromSketches(daily).collect()(0).getLong(0)
+    total.toDouble shouldBe 75.0 +- 2.0
+  }
+
   test("conversion probe: even users with views come back unconverted, null lag") {
     val out = Events.conversionProbe(eventsDf(Seq(
       (1L, us(0), 2L, "view", 0.0, "{}"),
