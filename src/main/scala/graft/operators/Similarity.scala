@@ -253,15 +253,39 @@ object Similarity {
       .select(col("a"), col("b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine_sim"))
 
+  /** Pair-once / consume-many memo for the registered pair-cosine
+    * consumers ([[Dedup.lshClusterArtifact]]'s convention on the
+    * embedding side): the banded-candidate cosines — UNthresholded, so
+    * every consumer's own τ filter applies to the same relation — are
+    * materialized once per (session, dir) as a parquet artifact and
+    * reopened as a columnar scan by [[embeddingDedup]] (τ =
+    * [[CosDupThreshold]]) and [[rangeSimJoin]] (τ = [[RangeSimTau]]). */
+  private val pairMemo =
+    new scala.collection.concurrent.TrieMap[(String, String), String]
+
+  /** All banded-candidate pair cosines for a corpus dir — built at most
+    * once per session (doubles round-trip parquet exactly). */
+  def pairCosineArtifact(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = pairMemo.getOrElseUpdate((spark.sparkContext.applicationId, sfDir), {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-paircos-${spark.sparkContext.applicationId}-${math.abs(sfDir.hashCode)}")
+        .getAbsolutePath
+      val vs = Staging.stage(vectors(spark, sfDir)
+        .withColumn("bands", signatureBands(col("v"), 64, DedupPlanes, DedupBands)))
+      pairCosines(vs, lshCandidatePairs(vs))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+    spark.read.parquet(path)
+  }
+
   def embeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val vs = Staging.stage(vectors(spark, sfDir)
-      .withColumn("bands", signatureBands(col("v"), 64, DedupPlanes, DedupBands))
-    ) // feeds the band join, both verify sides, labeling
-    val edges = pairCosines(vs, lshCandidatePairs(vs))
+    val edges = pairCosineArtifact(spark, sfDir)
       .where(col("cosine_sim") >= CosDupThreshold)
       .select("a", "b")
+    val ids = Tables.embeddings(spark, sfDir).select(col("vec_id"))
     val comp = ConnectedComponents.minLabel(edges).withColumnRenamed("id", "vec_id")
-    val labeled = vs.select("vec_id").join(comp, Seq("vec_id"), "left")
+    val labeled = ids.join(comp, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("component"), col("vec_id")).as("cluster_id"))
     val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
@@ -290,12 +314,9 @@ object Similarity {
     * bounds each bucket's fan-out; recall comes from band count); vectors
     * attach to the capped candidate set only. The one full-width shuffle
     * is hash(vec_id) at the two attach joins. */
-  def rangeSimJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val vs = Staging.stage(vectors(spark, sfDir)
-      .withColumn("bands", signatureBands(col("v"), 64, DedupPlanes, DedupBands)))
-    pairCosines(vs, lshCandidatePairs(vs))
+  def rangeSimJoin(spark: SparkSession, sfDir: String): DataFrame =
+    pairCosineArtifact(spark, sfDir)
       .where(col("cosine_sim") >= RangeSimTau)
-  }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster embeddings around a codebook, then mark as duplicate every

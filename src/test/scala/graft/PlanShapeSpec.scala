@@ -239,11 +239,23 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
   }
 
-  test("dedup_minhash_lsh: expansion tail reads staged state, labels broadcast, no global sort") {
+  test("dedup_minhash_lsh: the registered face serves the session cluster artifact — a columnar scan") {
+    // clustering runs at most once per session inside lshClusterArtifact
+    // (the trainedMerges convention at corpus scale); the registered
+    // query reopens the parquet artifact. The machinery's own shape is
+    // pinned below on a direct minhashLsh call.
+    val p = planOf("dedup_minhash_lsh")
+    p should include("Scan parquet")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("minhashLsh machinery: expansion tail reads staged state, labels broadcast, no global sort") {
     // the verify/CC stages run eagerly inside Staging.stage, so the
     // returned frame's plan is the expansion tail — assert ITS shape
     // (the native sig-agreement pre-filter is pinned in SketchesSpec)
-    val p = planOf("dedup_minhash_lsh")
+    val p = finalPlan(graft.operators.Dedup.minhashLsh(
+      spark.read.parquet(s"$sf/documents.parquet")))
     p should include("Scan ExistingRDD")     // staged (doc_id, rep) + component label state
     p should include("BroadcastHashJoin")    // cluster-size attach broadcasts
     p should not include "CartesianProduct"
