@@ -215,4 +215,79 @@ class CrossOpInvariantSpec extends SparkSpec {
     // and the training-loop vocab face equals the apply-derived one
     assertSameRows(TextAnalysis.bpeVocab(docs), vocab)
   }
+
+  test("hopping cells sum to hops-per-event x the event count (vs rollup grand total)") {
+    val hopMass = Events.hoppingCounts(events)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    val grand = Events.dailyRollup(events)
+      .where(col("day_idx").isNull && col("event_type").isNull)
+      .collect()(0).getLong(2)
+    hopMass shouldBe grand * (Events.HopWindowMinutes / Events.HopAdvanceMinutes)
+  }
+
+  test("scd2 intervals tile each user's change history without overlap") {
+    val rows = Events.scd2History(events).collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3), r.getBoolean(4)))
+      .groupBy(_._1)
+    rows.foreach { case (_, ivs) =>
+      val sorted = ivs.sortBy(_._2)
+      sorted.init.zip(sorted.tail).foreach { case (a, b) =>
+        a._3 shouldBe b._2 // half-open: each interval closes at the next
+      }
+      sorted.count(_._4) shouldBe 1       // exactly one current row
+      sorted.last._3 shouldBe Long.MaxValue
+    }
+  }
+
+  test("running ltv's final value per user equals rfm's monetary") {
+    val ltv = Events.runningLtv(events)
+      .groupBy("user_id").agg(max(struct(col("n_prior_events"), col("ltv_after"))).as("m"))
+      .select(col("user_id"), col("m.ltv_after")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rfm = Events.rfm(events).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    rfm.keySet shouldBe ltv.keySet
+    rfm.foreach { case (u, m) => ltv(u) shouldBe m +- 1e-9 }
+  }
+
+  test("replay dedup preserves the id set and the exact min arrival") {
+    val out = Events.replayDedup(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.map(_._3).distinct.toSeq shouldBe Seq(2L) // every id exactly twice
+    val orig = events.select("event_id", "ts").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, ts, _) => ts shouldBe orig(id) }
+  }
+
+  test("every embedding-dedup pair above its tau appears in the range join") {
+    // same banded candidates, lower tau: the range join must contain every
+    // pair the dedup verify accepted
+    val range = Similarity.rangeSimJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dupPairs = Similarity.pairCosineArtifact(spark, sf)
+      .where(col("cosine_sim") >= Similarity.CosDupThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (dupPairs -- range) shouldBe empty
+  }
+
+  test("collocation pair counts never exceed either unigram count") {
+    val rows = TextAnalysis.collocations(docs).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.foreach { case (nxy, nx, ny) =>
+      nxy should be <= nx
+      nxy should be <= ny
+    }
+  }
+
+  test("heavy hitters are exactly the top-terms frequency rows above the line") {
+    val hh = TextAnalysis.heavyHitters(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent exact recount from the raw corpus
+    val exact = docs.select(explode(split(lower(col("text")), " ")).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val expected = exact.filter { case (_, c) => c * TextAnalysis.HeavyDenom > n }
+    hh shouldBe expected
+  }
 }
