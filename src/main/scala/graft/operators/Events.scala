@@ -373,6 +373,179 @@ object Events {
         col("frequency"), col("monetary"))
   }
 
+  /** Lifecycle thresholds for [[churnSegments]]: last activity within
+    * [[ChurnActiveDays]] days of the corpus anchor → `active`, within
+    * [[ChurnAtRiskDays]] → `at_risk`, older → `churned`. */
+  val ChurnActiveDays = 7L
+  val ChurnAtRiskDays = 14L
+
+  /** User-lifecycle segmentation — the churn rollup every retention team
+    * derives from [[rfm]]'s recency axis: bucket each user by days since
+    * their last event (anchored to the corpus's latest event, the
+    * batch-closed-world "now"), then report each segment's population,
+    * event mass, and purchase-value mass. Output one row per non-empty
+    * segment: (segment, n_users, total_events, total_value).
+    *
+    * 100 TB shape: same as [[rfm]] — one map-side-combined groupBy(user)
+    * collapse of the raw stream, a 1-row max anchor broadcast back, then
+    * a 3-row segment aggregation. No join ever carries raw events. */
+  def churnSegments(events: DataFrame): DataFrame = {
+    val per = events.groupBy("user_id").agg(
+      max("ts").as("last_ts"),
+      count(lit(1)).as("n_events"),
+      sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
+        .as("purchase_value"))
+    val anchor = per.agg(max("last_ts").as("corpus_last"))
+    per.crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        expr(s"(corpus_last div $UsPerDay) - (last_ts div $UsPerDay)"))
+      .withColumn("segment",
+        when(col("recency_days") <= ChurnActiveDays, "active")
+          .when(col("recency_days") <= ChurnAtRiskDays, "at_risk")
+          .otherwise("churned"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_users"),
+        sum("n_events").as("total_events"),
+        sum("purchase_value").as("total_value"))
+  }
+
+  /** Churn recovery probe: the synthetic stream's users are all active at
+    * every sf (uniform event times → every last-seen lands within days of
+    * the corpus anchor), so [[churnSegments]]' at-risk/churned branches
+    * never fire against raw testdata. Cap each user's activity at an
+    * absolute offset before the corpus anchor — user%3==1 silenced for
+    * the last 10 days (→ at_risk), user%3==2 for the last 20 (→ churned);
+    * exact integer-µs arithmetic on both engines — so all three segments
+    * materialize and the oracle checks the full CASE. (A user with no
+    * event before their cap drops out on both sides, which only happens
+    * when the corpus spans fewer days than the offset.) */
+  def churnProbe(events: DataFrame): DataFrame = {
+    val bounds = events.agg(max("ts").as("t1"))
+    val cap = col("t1") - when(col("user_id") % 3 === 1, 10L * UsPerDay)
+      .when(col("user_id") % 3 === 2, 20L * UsPerDay)
+      .otherwise(0L)
+    churnSegments(events.crossJoin(broadcast(bounds))
+      .where(col("ts") <= cap)
+      .select(events.columns.map(col): _*))
+  }
+
+  /** Per-user inter-arrival profile — the gap distribution that JUSTIFIES
+    * a sessionization gap parameter ([[SessionGapMinutes]]): for each
+    * user, the count/mean/lower-median/max of consecutive-event gaps and
+    * how many gaps exceed the session gap (each such gap is exactly one
+    * session boundary, so `n_over_gap + 1 == max(session_seq)` — pinned
+    * by `CrossOpInvariantSpec`). The median is the LOWER order statistic
+    * (index ⌊(n-1)/2⌋), an exact integer — not an interpolated float —
+    * so the oracle compare is exact. Output: (user_id, n_gaps,
+    * mean_gap_us, p50_gap_us, max_gap_us, n_over_gap).
+    *
+    * 100 TB shape: one hash(user) exchange feeding a partition-local
+    * sort shared by the lag window, the rank window, and the final
+    * groupBy(user) (Catalyst reuses the sort child for same-spec
+    * windows; the aggregation is partial before any further movement).
+    * A pathological power user is one in-partition sort, not a hotspot. */
+  def interarrival(events: DataFrame): DataFrame = {
+    val gaps = events
+      .withColumn("gap_us", col("ts") - lag(col("ts"), 1).over(byUserTime))
+      .where(col("gap_us").isNotNull)
+    val byUserGap = Window.partitionBy("user_id")
+      .orderBy(col("gap_us"), col("event_id"))
+    val byUser = Window.partitionBy("user_id")
+    gaps
+      .withColumn("rn", row_number().over(byUserGap))
+      .withColumn("n", count(lit(1)).over(byUser))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        (sum("gap_us").cast("double") / count(lit(1))).as("mean_gap_us"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("gap_us")))
+          .as("p50_gap_us"),
+        max("gap_us").as("max_gap_us"),
+        sum(when(col("gap_us") > SessionGapMicros, 1L).otherwise(0L))
+          .as("n_over_gap"))
+  }
+
+  /** Conversion horizon for [[abLift]]: a user "converts" when their
+    * first purchase lands within this window of their first activity.
+    * (Plain "has a purchase" is degenerate on the synthetic stream —
+    * every user eventually buys, p̂=1 zeroes the pooled variance.) */
+  val AbConvHorizonUs: Long = 24L * 3600L * 1000L * 1000L
+
+  /** A/B experiment readout — the two-proportion z-test every growth
+    * experiment ends in, computed engine-side: users hash-split into two
+    * arms (`user_id % 2` — the repo's established deterministic split,
+    * cf. [[conversionProbe]]; production swaps in a salted portable
+    * hash), conversion = first purchase within [[AbConvHorizonUs]] of
+    * first activity, and the single output row carries both arms' rates,
+    * the absolute lift, and the pooled-variance z-score
+    * (z = (rate_b − rate_a) / √(p̂(1−p̂)(1/n_a+1/n_b)), NULL via
+    * `nullif` when the pooled variance degenerates to 0 — identical
+    * guard text on both engines). The split is uncorrelated with
+    * behavior, so the expected readout is a null experiment — lift ≈ 0,
+    * |z| small — which is exactly what validates the statistic. All
+    * doubles derive from integer counts through the same expression
+    * shape on both engines, so the compare is deterministic. Output:
+    * (n_a, n_b, conv_a, conv_b, rate_a, rate_b, lift, z_score).
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(user) collapse (two
+    * min's), a 2-row arm aggregate, a 1-row pivot — after the first
+    * partial aggregation nothing scales with the corpus. */
+  def abLift(events: DataFrame): DataFrame = {
+    val per = events.groupBy("user_id").agg(
+        min("ts").as("first_ts"),
+        min(when(col("event_type") === "purchase", col("ts")))
+          .as("first_purchase"))
+      .select(col("user_id"),
+        (col("first_purchase").isNotNull &&
+          col("first_purchase") <= col("first_ts") + AbConvHorizonUs)
+          .cast("long").as("converted"))
+    val arms = per
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+      .groupBy("arm").agg(
+        count(lit(1)).as("n_users"),
+        sum("converted").as("n_conv"))
+    arms.agg(
+        sum(when(col("arm") === 0, col("n_users"))).as("n_a"),
+        sum(when(col("arm") === 1, col("n_users"))).as("n_b"),
+        sum(when(col("arm") === 0, col("n_conv"))).as("conv_a"),
+        sum(when(col("arm") === 1, col("n_conv"))).as("conv_b"))
+      .withColumn("rate_a", col("conv_a").cast("double") / col("n_a"))
+      .withColumn("rate_b", col("conv_b").cast("double") / col("n_b"))
+      .withColumn("lift", col("rate_b") - col("rate_a"))
+      .withColumn("z_score",
+        col("lift") / nullif(sqrt(
+          ((col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b")))
+            * (lit(1.0) - (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b")))
+            * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), lit(0.0)))
+  }
+
+  /** Day-of-week seasonality profile — the seasonal-index decomposition
+    * behind every traffic forecast: collapse to daily counts, bucket days
+    * by epoch weekday (`day % 7`; day 0 = 1970-01-01, a Thursday — the
+    * label mapping is presentation, the index math is not), and report
+    * each weekday's average daily volume against the corpus-wide average
+    * (seasonal_index = dow_avg / overall_avg). Output: (dow, n_days,
+    * n_events, avg_events, seasonal_index).
+    *
+    * 100 TB shape: the only corpus-sized work is the two-phase collapse
+    * to day grain (map-side partial counts); the 7-row weekday rollup and
+    * the 1-row overall anchor are constant-size from there. */
+  def seasonality(events: DataFrame): DataFrame = {
+    val daily = events.select(expr(s"ts div $UsPerDay").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val per = daily
+      .withColumn("dow", expr("day % 7").cast("int"))
+      .groupBy("dow").agg(
+        count(lit(1)).as("n_days"),
+        sum("n").as("n_events"),
+        (sum("n").cast("double") / count(lit(1))).as("avg_events"))
+    val overall = daily.agg(
+      (sum("n").cast("double") / count(lit(1))).as("overall_avg"))
+    per.crossJoin(broadcast(overall))
+      .select(col("dow"), col("n_days"), col("n_events"), col("avg_events"),
+        (col("avg_events") / col("overall_avg")).as("seasonal_index"))
+  }
+
   /** Hopping-window size / advance (minutes) for [[hoppingCounts]] — a
     * 1-hour window advancing every 15 minutes, the overlap ratio Kafka
     * Streams' own hopping-window examples use. */
@@ -619,6 +792,11 @@ object Events {
     "events_markov_transitions" -> ((s, d) => markovTransitions(Tables.events(s, d))),
     "events_top_journeys" -> ((s, d) => topJourneys(Tables.events(s, d))),
     "events_rfm" -> ((s, d) => rfm(Tables.events(s, d))),
+    "events_churn_segments" -> ((s, d) => churnSegments(Tables.events(s, d))),
+    "events_churn_probe" -> ((s, d) => churnProbe(Tables.events(s, d))),
+    "events_ab_lift" -> ((s, d) => abLift(Tables.events(s, d))),
+    "events_seasonality" -> ((s, d) => seasonality(Tables.events(s, d))),
+    "events_interarrival" -> ((s, d) => interarrival(Tables.events(s, d))),
     "events_funnel"        -> ((s, d) => funnel(Tables.events(s, d))),
     "events_props_extract" -> ((s, d) => propsExtract(Tables.events(s, d))),
     "events_hopping"       -> ((s, d) => hoppingCounts(Tables.events(s, d))),
@@ -626,6 +804,27 @@ object Events {
     "events_dedup"         -> ((s, d) => replayDedup(Tables.events(s, d))),
     "events_running_ltv"   -> ((s, d) => runningLtv(Tables.events(s, d))),
   )
+
+  /** The [[churnSegments]] oracle body over event relation `rel` — one
+    * text for the raw and probe faces so the segmentation can never
+    * drift between them. */
+  private def churnSqlBody(rel: String): String =
+    s"""per AS (SELECT user_id, MAX(epoch_us(ts)) AS last_ts,
+       |     CAST(COUNT(*) AS BIGINT) AS n_events,
+       |     SUM(CASE WHEN event_type = 'purchase' THEN value
+       |         ELSE CAST(0 AS DOUBLE) END) AS purchase_value
+       |   FROM $rel GROUP BY user_id),
+       | a AS (SELECT MAX(last_ts) AS corpus_last FROM per),
+       | seg AS (SELECT *,
+       |     (corpus_last // $UsPerDay) - (last_ts // $UsPerDay) AS recency_days
+       |   FROM per CROSS JOIN a)
+       | SELECT CASE WHEN recency_days <= $ChurnActiveDays THEN 'active'
+       |     WHEN recency_days <= $ChurnAtRiskDays THEN 'at_risk'
+       |     ELSE 'churned' END AS segment,
+       |   CAST(COUNT(*) AS BIGINT) AS n_users,
+       |   CAST(SUM(n_events) AS BIGINT) AS total_events,
+       |   SUM(purchase_value) AS total_value
+       | FROM seg GROUP BY 1""".stripMargin
 
   /** Shared sessionization CTE ending in relation
     * `sess(event_id, user_id, session_seq, is_session_start)`. */
@@ -761,6 +960,84 @@ object Events {
          |   (corpus_last // $UsPerDay) - (last_ts // $UsPerDay) AS recency_days,
          |   frequency, monetary
          | FROM per CROSS JOIN a""".stripMargin,
+
+    "events_churn_segments" -> s"WITH ${churnSqlBody("events")}",
+
+    "events_churn_probe" ->
+      s"""WITH b AS (SELECT MAX(epoch_us(ts)) AS t1 FROM events),
+         | ev AS (SELECT e.* FROM events e CROSS JOIN b
+         |   WHERE epoch_us(e.ts) <= b.t1 - CASE e.user_id % 3
+         |     WHEN 1 THEN 10 * ${UsPerDay}::BIGINT
+         |     WHEN 2 THEN 20 * ${UsPerDay}::BIGINT
+         |     ELSE 0 END),
+         | ${churnSqlBody("ev")}""".stripMargin,
+
+    "events_ab_lift" ->
+      s"""WITH firsts AS (SELECT user_id, MIN(epoch_us(ts)) AS first_ts,
+         |     MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+         |       AS first_purchase
+         |   FROM events GROUP BY user_id),
+         | per AS (SELECT user_id,
+         |     CASE WHEN first_purchase IS NOT NULL
+         |       AND first_purchase <= first_ts + ${AbConvHorizonUs}::BIGINT
+         |       THEN 1 ELSE 0 END AS converted
+         |   FROM firsts),
+         | arms AS (SELECT user_id % 2 AS arm,
+         |     CAST(COUNT(*) AS BIGINT) AS n_users,
+         |     CAST(SUM(converted) AS BIGINT) AS n_conv
+         |   FROM per GROUP BY 1),
+         | w AS (SELECT
+         |     CAST(SUM(CASE WHEN arm = 0 THEN n_users END) AS BIGINT) AS n_a,
+         |     CAST(SUM(CASE WHEN arm = 1 THEN n_users END) AS BIGINT) AS n_b,
+         |     CAST(SUM(CASE WHEN arm = 0 THEN n_conv END) AS BIGINT) AS conv_a,
+         |     CAST(SUM(CASE WHEN arm = 1 THEN n_conv END) AS BIGINT) AS conv_b
+         |   FROM arms)
+         | SELECT n_a, n_b, conv_a, conv_b,
+         |   CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+         |   CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+         |   CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a
+         |     AS lift,
+         |   (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+         |     / nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+         |       * (CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+         |       * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)),
+         |       CAST(0 AS DOUBLE)) AS z_score
+         | FROM w""".stripMargin,
+
+    "events_seasonality" ->
+      s"""WITH daily AS (SELECT epoch_us(ts) // ${UsPerDay}::BIGINT AS day,
+         |     CAST(COUNT(*) AS BIGINT) AS n
+         |   FROM events GROUP BY 1),
+         | per AS (SELECT CAST(day % 7 AS INTEGER) AS dow,
+         |     CAST(COUNT(*) AS BIGINT) AS n_days,
+         |     CAST(SUM(n) AS BIGINT) AS n_events,
+         |     CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_events
+         |   FROM daily GROUP BY 1),
+         | o AS (SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS overall_avg
+         |   FROM daily)
+         | SELECT dow, n_days, n_events, avg_events,
+         |   avg_events / overall_avg AS seasonal_index
+         | FROM per CROSS JOIN o""".stripMargin,
+
+    "events_interarrival" ->
+      s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events),
+         | g AS (SELECT user_id, event_id,
+         |     ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |       AS gap_us
+         |   FROM ev),
+         | gaps AS (SELECT * FROM g WHERE gap_us IS NOT NULL),
+         | r AS (SELECT user_id, gap_us,
+         |     ROW_NUMBER() OVER (PARTITION BY user_id
+         |       ORDER BY gap_us, event_id) AS rn,
+         |     COUNT(*) OVER (PARTITION BY user_id) AS n
+         |   FROM gaps)
+         | SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         |   CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS mean_gap_us,
+         |   MIN(CASE WHEN rn = (n + 1) // 2 THEN gap_us END) AS p50_gap_us,
+         |   MAX(gap_us) AS max_gap_us,
+         |   CAST(SUM(CASE WHEN gap_us > $SessionGapMicros THEN 1 ELSE 0 END)
+         |     AS BIGINT) AS n_over_gap
+         | FROM r GROUP BY user_id""".stripMargin,
 
     "events_asof_click" ->
       s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts, event_type,

@@ -123,6 +123,40 @@ object Similarity {
     topKPerQuery(scored)
   }
 
+  /** kNN majority-vote classification — the label-propagation face of the
+    * similarity family (the workhorse of weak-labelling / seed-expansion
+    * passes over a training corpus: label a few exemplars, kNN-vote the
+    * rest). Each query vector's [[TopK]] exact cosine neighbors vote with
+    * their `label`; the majority wins, ties broken toward the smaller
+    * label. The query's own label rides along so the output doubles as a
+    * leave-one-out accuracy report. Output: (query_id, predicted_label,
+    * n_votes, true_label, correct).
+    *
+    * 100 TB shape: the neighbor search is exactly [[cosineTopK]] (queries
+    * broadcast, corpus scans once, bounded per-group top-k); the
+    * label-attach join broadcasts the Q×k result against a 2-column
+    * corpus projection — the corpus is never shuffled, and the vote /
+    * winner aggregations run over Q×k rows. Swapping the exact search
+    * for [[annLshTopK]]/[[ivfTrainedTopK]] changes nothing downstream. */
+  def knnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val neighbors = cosineTopK(spark, sfDir)
+    val voted = labels
+      .join(broadcast(neighbors), col("vec_id") === col("neighbor_id"))
+      .groupBy("query_id", "label")
+      .agg(count(lit(1)).as("n_votes"))
+    val winner = voted
+      .groupBy("query_id")
+      .agg(max(struct(col("n_votes"), (-col("label")).as("neg_label"))).as("w"))
+      .select(col("query_id"), (-col("w.neg_label")).as("predicted_label"),
+        col("w.n_votes").as("n_votes"))
+    winner
+      .join(broadcast(labels.where(col("vec_id") < NumQueryVectors)
+        .select(col("vec_id").as("query_id"), col("label").as("true_label"))),
+        "query_id")
+      .withColumn("correct", col("predicted_label") === col("true_label"))
+  }
+
   /** Maximum-inner-product top-k (MIPS) — the recommender-serving
     * semantics (user·item score), distinct from [[cosineTopK]]: no norm
     * division, so long vectors legitimately outrank near-parallel short
@@ -794,6 +828,7 @@ object Similarity {
     "sim_pq_adc_topk" -> (pqAdcTopK _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_hard_negatives" -> (hardNegatives _),
+    "sim_knn_classify" -> (knnClassify _),
     "sim_mips_topk" -> (mipsTopK _),
     "sim_range_join" -> (rangeSimJoin _),
     "sim_ann_lsh_topk" -> (annLshTopK _),
@@ -1177,6 +1212,35 @@ object Similarity {
          | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM scored)
          | WHERE rank <= $TopK""".stripMargin,
+
+    "sim_knn_classify" ->
+      s"""WITH vs AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                         CAST(embedding AS DOUBLE[]))) AS nrm
+         |   FROM embeddings),
+         | q AS (SELECT vec_id AS query_id, label AS true_label, v AS qv,
+         |     nrm AS qn
+         |   FROM vs WHERE vec_id < $NumQueryVectors),
+         | scored AS (SELECT q.query_id, q.true_label,
+         |   vs.vec_id AS neighbor_id, vs.label,
+         |   list_dot_product(vs.v, q.qv) / (vs.nrm * q.qn) AS cosine_sim
+         |   FROM vs CROSS JOIN q WHERE vs.vec_id <> q.query_id),
+         | topk AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+         |     (PARTITION BY query_id
+         |      ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+         |   FROM scored) WHERE rank <= $TopK),
+         | votes AS (SELECT query_id, true_label, label,
+         |     COUNT(*) AS n_votes
+         |   FROM topk GROUP BY 1, 2, 3),
+         | winner AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+         |     (PARTITION BY query_id
+         |      ORDER BY n_votes DESC, label ASC) AS rn
+         |   FROM votes) WHERE rn = 1)
+         | SELECT query_id, CAST(label AS INTEGER) AS predicted_label,
+         |   CAST(n_votes AS BIGINT) AS n_votes,
+         |   CAST(true_label AS INTEGER) AS true_label,
+         |   label = true_label AS correct
+         | FROM winner""".stripMargin,
 
     "sim_mips_topk" ->
       s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

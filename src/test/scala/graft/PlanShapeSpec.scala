@@ -541,4 +541,30 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "SortMergeJoin"
     p should not include "CartesianProduct"
   }
+
+  test("events_churn_segments: user collapse with partial agg, 1-row anchor broadcast, no SMJ") {
+    val p = planOf("events_churn_segments")
+    p should include("partial_max") // map-side combine before the user shuffle
+    p should include("BroadcastNestedLoopJoin") // the 1-row corpus anchor
+    p should not include "SortMergeJoin"
+    p should not include "Exchange rangepartitioning"
+  }
+
+  test("events_interarrival: ONE user exchange shared by both windows and the final agg") {
+    val p = planOf("events_interarrival")
+    // lag window, rank window, and groupBy(user) all hash(user_id):
+    // Catalyst must plan a single exchange, not one per consumer
+    countOf(p, "Exchange hashpartitioning") shouldBe 1
+    p should not include "Join"
+    p should not include "Exchange rangepartitioning" // no global sort
+  }
+
+  test("sim_knn_classify: corpus never shuffles — neighbors and labels ride broadcasts") {
+    val p = planOf("sim_knn_classify")
+    p should include("ObjectHashAggregate") // the bounded top-k core
+    p should include("BroadcastHashJoin")   // label attach + true-label join
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    p should not include "Window" // winner via max(struct), not a rank window
+  }
 }

@@ -290,4 +290,30 @@ class CrossOpInvariantSpec extends SparkSpec {
     val expected = exact.filter { case (_, c) => c * TextAnalysis.HeavyDenom > n }
     hh shouldBe expected
   }
+
+  test("interarrival's over-gap count is exactly the user's session count minus one") {
+    // each gap beyond SessionGapMicros is one session boundary, so
+    // n_over_gap + 1 == max(session_seq) for every multi-event user
+    val sessions = Events.sessionize(events)
+      .groupBy("user_id").agg(max("session_seq").as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gaps = Events.interarrival(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    gaps should not be empty
+    gaps.foreach { case (u, nOver) => nOver + 1 shouldBe sessions(u) }
+  }
+
+  test("churn segments partition rfm's users, with consistent recency bucketing") {
+    val rfm = Events.rfm(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = rfm.groupBy { case (_, rec, _) =>
+      if (rec <= Events.ChurnActiveDays) "active"
+      else if (rec <= Events.ChurnAtRiskDays) "at_risk" else "churned"
+    }.view.mapValues(g => (g.size.toLong, g.map(_._3).sum)).toMap
+    val got = Events.churnSegments(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got.view.mapValues(_._1).toMap shouldBe expected.view.mapValues(_._1).toMap
+    got.foreach { case (seg, (_, nEvents)) => nEvents shouldBe expected(seg)._2 }
+    got.values.map(_._1).sum shouldBe rfm.size.toLong
+  }
 }

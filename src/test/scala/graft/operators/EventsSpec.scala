@@ -370,4 +370,80 @@ class EventsSpec extends SparkSpec {
     out(2L) shouldBe ((false, true))
     out(3L) shouldBe ((true, false))
   }
+
+  test("churn segments: recency buckets split on the active/at-risk day bounds") {
+    def dus(day: Long, m: Long = 0) = day * 86400L * 1000000L + us(m)
+    // anchor = day 20 (user 1). user 1 active (0d), user 2 at 13d -> at_risk,
+    // user 3 at 20d -> churned, user 4 at 7d -> active (boundary inclusive)
+    val out = Events.churnSegments(eventsDf(Seq(
+      (1L, dus(20), 1L, "purchase", 10.0, "{}"),
+      (2L, dus(19), 1L, "view", 0.0, "{}"),
+      (3L, dus(7), 2L, "purchase", 5.0, "{}"),
+      (4L, dus(0), 3L, "view", 0.0, "{}"),
+      (5L, dus(13), 4L, "click", 0.0, "{}"))))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out("active") shouldBe ((2L, 3L, 10.0))   // users 1 (0d) and 4 (7d)
+    out("at_risk") shouldBe ((1L, 1L, 5.0))   // user 2 (13d)
+    out("churned") shouldBe ((1L, 1L, 0.0))   // user 3 (20d)
+  }
+
+  test("ab lift: horizon conversion per arm; a symmetric split zeroes lift and z") {
+    def h(hours: Long) = hours * 3600L * 1000000L
+    val out = Events.abLift(eventsDf(Seq(
+      (1L, h(0), 0L, "view", 0.0, "{}"),
+      (2L, h(1), 0L, "purchase", 1.0, "{}"),   // arm A, converts (1h)
+      (3L, h(0), 2L, "view", 0.0, "{}"),
+      (4L, h(30), 2L, "purchase", 1.0, "{}"),  // arm A, too late (30h)
+      (5L, h(0), 1L, "view", 0.0, "{}"),
+      (6L, h(23), 1L, "purchase", 1.0, "{}"),  // arm B, converts (23h)
+      (7L, h(0), 3L, "view", 0.0, "{}"))))     // arm B, never buys
+      .collect()
+    out.length shouldBe 1
+    val r = out(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe ((2L, 2L, 1L, 1L))
+    r.getDouble(4) shouldBe 0.5
+    r.getDouble(5) shouldBe 0.5
+    r.getDouble(6) shouldBe 0.0
+    r.getDouble(7) shouldBe 0.0 // se = 0.5 > 0, so z is defined and exactly 0
+  }
+
+  test("ab lift: a fully-converted corpus degenerates to a NULL z, not an error") {
+    val out = Events.abLift(eventsDf(Seq(
+      (1L, us(0), 0L, "purchase", 1.0, "{}"),
+      (2L, us(0), 1L, "purchase", 1.0, "{}"))))
+      .collect()(0)
+    out.getDouble(6) shouldBe 0.0 // lift
+    out.isNullAt(7) shouldBe true // pooled variance 0 -> nullif guard
+  }
+
+  test("seasonality: weekday averages against the overall daily mean") {
+    // two full epoch-weeks; day d carries (d%7)+1 events
+    val rows = for {
+      d <- 0L until 14L
+      i <- 0L until (d % 7) + 1
+    } yield (d * 100 + i, d * 86400L * 1000000L + us(i), i, "view", 0.0, "{}")
+    val out = Events.seasonality(eventsDf(rows))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    out.keySet shouldBe (0 to 6).toSet
+    (0 to 6).foreach { dow =>
+      // overall avg = (1+..+7)*2/14 = 4 events/day
+      out(dow) shouldBe ((2L, 2L * (dow + 1), (dow + 1).toDouble, (dow + 1) / 4.0))
+    }
+  }
+
+  test("interarrival: lower-median gap, session-gap exceedances, per user") {
+    // user 7 gaps: 30m, 60m, 240m (one over the 120m session gap)
+    val out = Events.interarrival(eventsDf(Seq(
+      (1L, us(0), 7L, "view", 0.0, "{}"),
+      (2L, us(30), 7L, "view", 0.0, "{}"),
+      (3L, us(90), 7L, "view", 0.0, "{}"),
+      (4L, us(330), 7L, "view", 0.0, "{}"),
+      (5L, us(0), 8L, "view", 0.0, "{}"))))   // single event: no gaps, absent
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    out(7L) shouldBe ((3L, us(110).toDouble, us(60), us(240), 1L))
+    out.contains(8L) shouldBe false
+  }
 }

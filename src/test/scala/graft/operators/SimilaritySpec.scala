@@ -311,4 +311,26 @@ class SimilaritySpec extends SparkSpec {
     info(f"range-join recall@tau=${Similarity.RangeSimTau} = $recall%.3f over ${truth.size}")
     recall should be >= 0.2
   }
+
+  test("knn classify: prediction is the driver-side majority vote over exact top-k") {
+    val labels = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val topk = Similarity.cosineTopK(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    val expected = topk.map { case (q, ns) =>
+      val votes = ns.groupBy(labels).view.mapValues(_.size).toMap
+      // majority, ties toward the smaller label — the operator's contract
+      q -> votes.toSeq.sortBy { case (l, n) => (-n, l) }.head
+    }
+    val got = Similarity.knnClassify(spark, sfDir).collect()
+    got.length shouldBe Similarity.NumQueryVectors
+    got.foreach { r =>
+      val (lbl, n) = expected(r.getLong(0))
+      r.getInt(1) shouldBe lbl
+      r.getLong(2) shouldBe n.toLong
+      r.getInt(3) shouldBe labels(r.getLong(0))
+      r.getBoolean(4) shouldBe (lbl == labels(r.getLong(0)))
+    }
+  }
 }
