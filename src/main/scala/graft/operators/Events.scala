@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -389,25 +389,35 @@ object Events {
     * 100 TB shape: same as [[rfm]] — one map-side-combined groupBy(user)
     * collapse of the raw stream, a 1-row max anchor broadcast back, then
     * a 3-row segment aggregation. No join ever carries raw events. */
-  def churnSegments(events: DataFrame): DataFrame = {
-    val per = events.groupBy("user_id").agg(
-      max("ts").as("last_ts"),
-      count(lit(1)).as("n_events"),
-      sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
-        .as("purchase_value"))
-    val anchor = per.agg(max("last_ts").as("corpus_last"))
-    per.crossJoin(broadcast(anchor))
+  /** The lifecycle CASE over a recency-in-days column — ONE definition
+    * shared by [[churnSegments]] and the continuous ledger face
+    * ([[graft.streaming.StreamingChurn]]) so the boundaries can't drift. */
+  def segmentOf(recencyDays: Column): Column =
+    when(recencyDays <= ChurnActiveDays, "active")
+      .when(recencyDays <= ChurnAtRiskDays, "at_risk")
+      .otherwise("churned")
+
+  /** Segment rollup over a per-user ledger (user_id, last_ts, n_events,
+    * purchase_value) against an anchor — the second half of
+    * [[churnSegments]], callable on a continuously-maintained ledger. */
+  def segmentsOfLedger(ledger: DataFrame): DataFrame = {
+    val anchor = ledger.agg(max("last_ts").as("corpus_last"))
+    ledger.crossJoin(broadcast(anchor))
       .withColumn("recency_days",
         expr(s"(corpus_last div $UsPerDay) - (last_ts div $UsPerDay)"))
-      .withColumn("segment",
-        when(col("recency_days") <= ChurnActiveDays, "active")
-          .when(col("recency_days") <= ChurnAtRiskDays, "at_risk")
-          .otherwise("churned"))
+      .withColumn("segment", segmentOf(col("recency_days")))
       .groupBy("segment")
       .agg(count(lit(1)).as("n_users"),
         sum("n_events").as("total_events"),
         sum("purchase_value").as("total_value"))
   }
+
+  def churnSegments(events: DataFrame): DataFrame =
+    segmentsOfLedger(events.groupBy("user_id").agg(
+      max("ts").as("last_ts"),
+      count(lit(1)).as("n_events"),
+      sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
+        .as("purchase_value")))
 
   /** Churn recovery probe: the synthetic stream's users are all active at
     * every sf (uniform event times → every last-seen lands within days of
@@ -544,6 +554,45 @@ object Events {
     per.crossJoin(broadcast(overall))
       .select(col("dow"), col("n_days"), col("n_events"), col("avg_events"),
         (col("avg_events") / col("overall_avg")).as("seasonal_index"))
+  }
+
+  /** Key-skew audit — the diagnosis that decides whether a 100 TB join
+    * or window needs salting BEFORE it runs: collapse the stream to
+    * per-key (user) row counts, then report the distribution's shape in
+    * one row — key count, row mass, max/avg, exact p50/p99, the hottest
+    * key's share, the max/avg hot-key ratio, and the coefficient of
+    * variation from exact integer moment sums (the [[dailyAnomaly]]
+    * discipline: no engine-specific stddev merge order, every double
+    * derives from integer sums through the same expression shape on both
+    * engines; the lone 1/(n−1) division is nullif-guarded). Output:
+    * (n_keys, n_rows, max_rows, avg_rows, p50_rows, p99_rows,
+    * top1_share, hot_ratio, cv).
+    *
+    * 100 TB shape: the corpus-sized work is ONE map-side-combined
+    * groupBy(key); the finisher aggregates |keys| small rows. The exact
+    * `percentile` buffers the per-key counts on the single final
+    * reducer — fine to ~10⁷ keys; beyond that swap `percentile_approx`
+    * (the [[valueQuantilesApprox]] convention) and the rest is
+    * unchanged. */
+  def skewProfile(events: DataFrame): DataFrame = {
+    val per = events.groupBy("user_id").agg(count(lit(1)).as("n"))
+    per.agg(
+        count(lit(1)).as("n_keys"),
+        sum("n").as("n_rows"),
+        max("n").as("max_rows"),
+        sum(col("n") * col("n")).as("sum_sq"),
+        percentile(col("n"), array(lit(0.5), lit(0.99))).as("q"))
+      .select(col("n_keys"), col("n_rows"), col("max_rows"),
+        (col("n_rows").cast("double") / col("n_keys")).as("avg_rows"),
+        col("q").getItem(0).as("p50_rows"),
+        col("q").getItem(1).as("p99_rows"),
+        (col("max_rows").cast("double") / col("n_rows")).as("top1_share"),
+        (col("max_rows").cast("double") * col("n_keys") / col("n_rows"))
+          .as("hot_ratio"),
+        (sqrt((col("sum_sq").cast("double")
+            - col("n_rows").cast("double") * col("n_rows") / col("n_keys"))
+          / nullif((col("n_keys") - 1).cast("double"), lit(0.0)))
+          / (col("n_rows").cast("double") / col("n_keys"))).as("cv"))
   }
 
   /** Hopping-window size / advance (minutes) for [[hoppingCounts]] — a
@@ -796,6 +845,7 @@ object Events {
     "events_churn_probe" -> ((s, d) => churnProbe(Tables.events(s, d))),
     "events_ab_lift" -> ((s, d) => abLift(Tables.events(s, d))),
     "events_seasonality" -> ((s, d) => seasonality(Tables.events(s, d))),
+    "events_skew_profile" -> ((s, d) => skewProfile(Tables.events(s, d))),
     "events_interarrival" -> ((s, d) => interarrival(Tables.events(s, d))),
     "events_funnel"        -> ((s, d) => funnel(Tables.events(s, d))),
     "events_props_extract" -> ((s, d) => propsExtract(Tables.events(s, d))),
@@ -1018,6 +1068,27 @@ object Events {
          | SELECT dow, n_days, n_events, avg_events,
          |   avg_events / overall_avg AS seasonal_index
          | FROM per CROSS JOIN o""".stripMargin,
+
+    "events_skew_profile" ->
+      s"""WITH per AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+         |   FROM events GROUP BY user_id),
+         | m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |     CAST(SUM(n) AS BIGINT) AS n_rows,
+         |     MAX(n) AS max_rows,
+         |     CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+         |     quantile_cont(n, 0.5) AS p50_rows,
+         |     quantile_cont(n, 0.99) AS p99_rows
+         |   FROM per)
+         | SELECT n_keys, n_rows, max_rows,
+         |   CAST(n_rows AS DOUBLE) / n_keys AS avg_rows,
+         |   p50_rows, p99_rows,
+         |   CAST(max_rows AS DOUBLE) / n_rows AS top1_share,
+         |   CAST(max_rows AS DOUBLE) * n_keys / n_rows AS hot_ratio,
+         |   sqrt((CAST(sum_sq AS DOUBLE)
+         |       - CAST(n_rows AS DOUBLE) * n_rows / n_keys)
+         |     / nullif(CAST(n_keys - 1 AS DOUBLE), CAST(0 AS DOUBLE)))
+         |     / (CAST(n_rows AS DOUBLE) / n_keys) AS cv
+         | FROM m""".stripMargin,
 
     "events_interarrival" ->
       s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events),

@@ -433,6 +433,25 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("skew profile: distribution shape from exact moments; degenerate cv is null") {
+    // per-user counts 1,2,3,4
+    val rows = for {
+      (u, k) <- Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4))
+      i <- 0 until k
+    } yield (u * 100 + i, us(i.toLong), u, "view", 0.0, "{}")
+    val r = Events.skewProfile(eventsDf(rows)).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe ((4L, 10L, 4L))
+    r.getDouble(3) shouldBe 2.5 // avg
+    r.getDouble(4) shouldBe 2.5 // p50 of {1,2,3,4}, interpolated
+    r.getDouble(6) shouldBe 0.4 // top1_share
+    r.getDouble(7) shouldBe 1.6 // hot_ratio = max/avg
+    r.getDouble(8) shouldBe math.sqrt(5.0 / 3.0) / 2.5 +- 1e-12 // cv
+
+    val one = Events.skewProfile(eventsDf(Seq((1L, us(0), 9L, "view", 0.0, "{}"))))
+      .collect()(0)
+    one.isNullAt(8) shouldBe true // n_keys = 1: variance undefined, not an error
+  }
+
   test("interarrival: lower-median gap, session-gap exceedances, per user") {
     // user 7 gaps: 30m, 60m, 240m (one over the 120m session gap)
     val out = Events.interarrival(eventsDf(Seq(
