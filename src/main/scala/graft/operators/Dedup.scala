@@ -648,7 +648,24 @@ object Dedup {
         col("n_occurrences"), (col("n_occurrences") > 1).as("duplicated"))
   }
 
+  /** Cluster-size histogram over an already-clustered table — the
+    * duplication report every curation run publishes next to the cluster
+    * ledger: how many clusters of each size, how many documents they
+    * absorb (singletons = unique docs; the tail tells you the dedup
+    * rate). One row per distinct size: (cluster_size, n_clusters,
+    * n_docs).
+    *
+    * 100 TB shape: consumes the session cluster artifact
+    * ([[lshClusterArtifact]]) — a columnar id scan, never a re-cluster —
+    * then two map-side-combined aggregations over id-sized rows. */
+  def clusterStats(clusters: DataFrame): DataFrame =
+    clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_stats" -> ((s, d) =>
+      clusterStats(lshClusterArtifact(s, d).select("doc_id", "cluster_id"))),
     "dedup_chunk_exact"   -> ((s, d) => chunkExact(Tables.documents(s, d))),
     "dedup_exact"         -> ((s, d) => exact(Tables.documents(s, d))),
     "dedup_exact_probe"   -> ((s, d) => exactProbe(Tables.documents(s, d))),
@@ -789,6 +806,19 @@ object Dedup {
          | $closureTail
          | SELECT l.doc_id, l.cluster_id, CAST(s.sz - 1 AS BIGINT) AS n_dups
          | FROM labeled l JOIN sizes s ON l.cluster_id = s.cluster_id""".stripMargin,
+
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $repsWith,
+         | ${shingleWith("reps")},
+         | $minhashBandsSqlWith,
+         | ${cappedPairsSql("bands")},
+         | $sigEstVerSqlWith,
+         | edges AS (SELECT a, b FROM ver WHERE jaccard >= $JaccardThreshold),
+         | $closureTail
+         | SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |   CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |   CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+         | FROM sizes GROUP BY sz""".stripMargin,
 
     "dedup_quality_keeper" ->
       s"""WITH RECURSIVE $repsWith,

@@ -177,4 +177,18 @@ class DedupSpec extends SparkSpec {
       .collect()
     plan.length shouldBe out.keys.count(_._1 == 2L)
   }
+
+  test("cluster stats: histogram tiles the clustered corpus exactly") {
+    val docs = docsDf(chain)
+    val clusters = Dedup.minhashLsh(docs).select("doc_id", "cluster_id")
+    val hist = Dedup.clusterStats(clusters).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // independent recount from the cluster table itself
+    val expected = clusters.collect().map(_.getLong(1))
+      .groupBy(identity).values.map(_.length.toLong)
+      .groupBy(identity).map { case (sz, g) => sz -> ((g.size.toLong, sz * g.size)) }
+    hist shouldBe expected
+    // partition property: histogram doc mass == corpus size
+    hist.values.map(_._2).sum shouldBe docs.count()
+  }
 }
