@@ -709,7 +709,31 @@ object Corpus {
         < col("rate") * 1000.0)
   }
 
+  /** Effective sample size of the DSIR importance weights — the one-row
+    * health check importance sampling REQUIRES before anyone trains on
+    * the resampled corpus: ESS = (Σw)²/Σw² over w = exp(log_weight).
+    * ess_frac near 1 means the weights are flat (resampling is safe but
+    * pointless); near 0 means a few documents dominate the target mass
+    * (variance blows up — clip or retrain the model before trusting
+    * [[dsirApply]]'s selection). Output: (n_docs, ess, ess_frac,
+    * mean_w, max_w).
+    *
+    * 100 TB shape: rides the weight computation (broadcast bucket model,
+    * map-side partial sums); the finisher is a single global aggregate
+    * of four running sums — constant state at any corpus size. */
+  def dsirEss(documents: DataFrame): DataFrame =
+    dsirWeights(documents)
+      .select(exp(col("log_weight")).as("w"))
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("sw"),
+        sum(col("w") * col("w")).as("sw2"), max("w").as("max_w"))
+      .select(col("n_docs"),
+        (col("sw") * col("sw") / col("sw2")).as("ess"),
+        (col("sw") * col("sw") / col("sw2") / col("n_docs")).as("ess_frac"),
+        (col("sw") / col("n_docs")).as("mean_w"),
+        col("max_w"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_dsir_ess" -> ((s, d) => dsirEss(Tables.documents(s, d))),
     "corpus_source_profile" -> ((s, d) => sourceProfile(Tables.documents(s, d))),
     "corpus_clean"      -> ((s, d) => clean(Tables.documents(s, d))),
     "corpus_clean_clf"  -> ((s, d) => clean(Tables.documents(s, d), learnedGate = true)),
@@ -1034,6 +1058,18 @@ object Corpus {
 
     "corpus_dsir_weights" -> dsirSql(s"lang = '$DsirTargetLang'"),
     "corpus_dsir_probe" -> dsirSql(s"doc_id % $DsirProbeMod = 0"),
+
+    "corpus_dsir_ess" ->
+      s"""SELECT n_docs,
+         |   sw * sw / sw2 AS ess,
+         |   sw * sw / sw2 / n_docs AS ess_frac,
+         |   sw / n_docs AS mean_w,
+         |   max_w
+         | FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |     SUM(exp(log_weight)) AS sw,
+         |     SUM(exp(log_weight) * exp(log_weight)) AS sw2,
+         |     MAX(exp(log_weight)) AS max_w
+         |   FROM (${dsirSql(s"lang = '$DsirTargetLang'")}) base) agg""".stripMargin,
 
     // the surprisal pipeline verbatim (nested CTE), then the
     // text_quality_deciles threshold discipline at quartile grain

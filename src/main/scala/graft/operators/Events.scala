@@ -543,14 +543,19 @@ object Events {
   def seasonality(events: DataFrame): DataFrame = {
     val daily = events.select(expr(s"ts div $UsPerDay").as("day"))
       .groupBy("day").agg(count(lit(1)).as("n"))
-    val per = daily
+    // staged: the 7-row dow table feeds BOTH the overall anchor and the
+    // final select — without staging each consumer re-collapses the
+    // corpus to day grain (the PlanShapeSpec pin caught the double scan)
+    val per = graft.engine.Staging.stage(daily
       .withColumn("dow", expr("day % 7").cast("int"))
       .groupBy("dow").agg(
         count(lit(1)).as("n_days"),
         sum("n").as("n_events"),
-        (sum("n").cast("double") / count(lit(1))).as("avg_events"))
-    val overall = daily.agg(
-      (sum("n").cast("double") / count(lit(1))).as("overall_avg"))
+        (sum("n").cast("double") / count(lit(1))).as("avg_events")))
+    // Σ n_events / Σ n_days ≡ the all-days average (same integer sums,
+    // same single division), derived from the staged 7 rows for free
+    val overall = per.agg(
+      (sum("n_events").cast("double") / sum("n_days")).as("overall_avg"))
     per.crossJoin(broadcast(overall))
       .select(col("dow"), col("n_days"), col("n_events"), col("avg_events"),
         (col("avg_events") / col("overall_avg")).as("seasonal_index"))
@@ -1063,8 +1068,9 @@ object Events {
          |     CAST(SUM(n) AS BIGINT) AS n_events,
          |     CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_events
          |   FROM daily GROUP BY 1),
-         | o AS (SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS overall_avg
-         |   FROM daily)
+         | o AS (SELECT CAST(SUM(n_events) AS DOUBLE) / SUM(n_days)
+         |     AS overall_avg
+         |   FROM per)
          | SELECT dow, n_days, n_events, avg_events,
          |   avg_events / overall_avg AS seasonal_index
          | FROM per CROSS JOIN o""".stripMargin,

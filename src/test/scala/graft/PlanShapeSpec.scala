@@ -559,6 +559,48 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning" // no global sort
   }
 
+  test("events_ab_lift: two collapses (user, arm) then constant-size math — no join of raw rows") {
+    val p = planOf("events_ab_lift")
+    countOf(p, "Exchange hashpartitioning") shouldBe 2 // hash(user), hash(arm)
+    p should include("partial_min") // map-side combine on the user collapse
+    p should not include "SortMergeJoin"
+    p should not include "Exchange rangepartitioning"
+  }
+
+  test("events_seasonality: the staged dow table feeds anchor and select — no second corpus pass") {
+    val p = planOf("events_seasonality")
+    // the day+dow collapse ran ONCE inside the staging job; the final
+    // plan only combines the staged 7 rows with their 1-row anchor
+    countOf(p, "Exchange hashpartitioning") shouldBe 0
+    p should include("BroadcastNestedLoopJoin") // the 1-row overall average
+    p should not include "SortMergeJoin"
+    p should not include "Exchange rangepartitioning"
+  }
+
+  test("events_skew_profile: ONE corpus exchange (the key collapse); percentile without a sort") {
+    val p = planOf("events_skew_profile")
+    countOf(p, "Exchange hashpartitioning") shouldBe 1 // hash(user) only
+    p should include("ObjectHashAggregate") // exact percentile buffers per-key rows
+    p should not include "Join"
+    p should not include "Exchange rangepartitioning" // never a global sort
+  }
+
+  test("dedup_cluster_stats: columnar artifact scan + two-phase aggs, no re-cluster") {
+    val p = planOf("dedup_cluster_stats")
+    p should include("Scan parquet") // the session cluster artifact
+    p should include("partial_count")
+    p should not include "Join"   // a join would mean re-deriving clusters
+    p should not include "Window"
+  }
+
+  test("corpus_dsir_ess: bucket model broadcasts; the finisher is one global running-sum agg") {
+    val p = planOf("corpus_dsir_ess")
+    p should include("BroadcastHashJoin") // model + totals attach
+    p should include("Exchange SinglePartition") // 4-sum finisher, constant state
+    p should not include "SortMergeJoin"
+    p should not include "Exchange rangepartitioning"
+  }
+
   test("sim_knn_classify: corpus never shuffles — neighbors and labels ride broadcasts") {
     val p = planOf("sim_knn_classify")
     p should include("ObjectHashAggregate") // the bounded top-k core
