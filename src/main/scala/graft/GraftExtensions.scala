@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, HashedShingles, MinHashSignatures, RepetitionStats, SigAgreement, SimHash60, SortedIntersectCount}
+import graft.functions.{DeflateLength, DotProduct, HashedShingles, MinHashSignatures, RepetitionStats, SigAgreement, SimHash60, SortedIntersectCount}
 
 /** Session extensions for the engine's native expressions — wire with
   * `spark.sql.extensions=graft.GraftExtensions` (or pass to
@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shinglesFunction)
     ext.injectFunction(GraftExtensions.sigAgreementFunction)
     ext.injectFunction(GraftExtensions.sortedIntersectFunction)
+    ext.injectFunction(GraftExtensions.deflateFunction)
   }
 }
 
@@ -60,6 +61,12 @@ object GraftExtensions {
     (FunctionIdentifier("graft_sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect_count"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1)))
+
+  /** `graft_deflate_len(string) -> long` ([[DeflateLength]]). */
+  val deflateFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLength].getName, "graft_deflate_len"),
+      (exprs: Seq[Expression]) => DeflateLength(exprs.head))
 
   /** `graft_hashed_shingles(string, k) -> array<long>` ([[HashedShingles]]).
     * k must be a foldable int literal. */

@@ -138,6 +138,40 @@ object TextAnalysis {
       stopwordRatioCol.as("stopword_ratio"),
       qualityScoreCol.as("quality_score"))
 
+  /** Compression-ratio quality signal — the byte-level redundancy gate
+    * the C4/Gopher lineage applies beside token-level repetition: per
+    * document, `deflate_len / raw_len` via the native
+    * [[graft.functions.DeflateLength]] expression, flagged at both
+    * tails (far below the healthy band → boilerplate/repetition DEFLATE
+    * sees but token n-grams can miss; ≥1 → binary or already-compressed
+    * junk). Output: (doc_id, n_bytes, deflate_bytes, compression_ratio,
+    * too_repetitive, incompressible).
+    *
+    * NOT oracle-registered (DuckDB has no compression scalar) — the
+    * `valueQuantilesApprox` convention: spec-pinned behaviorally instead
+    * (`TextAnalysisSpec`: ordering vs crafted redundancy, both flag
+    * directions, engine determinism).
+    *
+    * 100 TB shape: a map-only projection — one codegen'd scan, no
+    * exchange; the per-row zlib call dominates and parallelizes
+    * embarrassingly. */
+  def compressionRatio(documents: DataFrame): DataFrame = {
+    val nBytes = octet_length(col("text")).cast("long")
+    Tables.spread(documents).select(
+        col("doc_id"), nBytes.as("n_bytes"),
+        graft.functions.DeflateLength.of(col("text")).as("deflate_bytes"))
+      .withColumn("compression_ratio",
+        when(col("n_bytes") === 0L, lit(1.0))
+          .otherwise(col("deflate_bytes").cast("double") / col("n_bytes")))
+      .withColumn("too_repetitive", col("compression_ratio") < CompressionRatioMin)
+      .withColumn("incompressible", col("compression_ratio") >= 1.0)
+  }
+
+  /** Lower flag bound for [[compressionRatio]] — prose deflates to
+    * roughly 0.3-0.6 of its bytes; materially below that means machine
+    * redundancy, not language. */
+  val CompressionRatioMin = 0.2
+
   /** Decile quantile points for [[qualityDeciles]]. */
   val DecileQs: Seq[Double] = (1 to 9).map(_ / 10.0)
 
