@@ -561,6 +561,35 @@ object Events {
         (col("avg_events") / col("overall_avg")).as("seasonal_index"))
   }
 
+  /** Seasonal-naive forecast backtest — the baseline every traffic
+    * forecasting effort must beat, and the measurement harness that says
+    * by how much: forecast(type, day) = the same type's count seven days
+    * earlier, scored on every day where both sides exist. Per type:
+    * match count, mean absolute error, mean absolute percentage error,
+    * and signed bias (positive = the naive model overshoots, i.e. volume
+    * is shrinking week-over-week). Output: (event_type, n_scored, mae,
+    * mape, bias).
+    *
+    * 100 TB shape: the corpus collapses ONCE to the staged (type, day)
+    * grain — |types|×|days| rows, small at any corpus scale — and the
+    * lag-7 self-join runs on that staged table (AQE broadcasts it), so
+    * the raw stream is scanned exactly once. */
+  def forecastBacktest(events: DataFrame): DataFrame = {
+    val daily = graft.engine.Staging.stage(dailyCounts(events))
+    val forecast = daily.select(col("event_type"),
+      (col("day") + 7).as("day"), col("n_events").as("forecast"))
+    daily.join(forecast, Seq("event_type", "day"))
+      .select(col("event_type"), col("n_events"), col("forecast"),
+        abs(col("n_events") - col("forecast")).as("err"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        (sum("err").cast("double") / count(lit(1))).as("mae"),
+        (sum(col("err").cast("double") / col("n_events")) / count(lit(1)))
+          .as("mape"),
+        (sum(col("forecast") - col("n_events")).cast("double") / count(lit(1)))
+          .as("bias"))
+  }
+
   /** Key-skew audit — the diagnosis that decides whether a 100 TB join
     * or window needs salting BEFORE it runs: collapse the stream to
     * per-key (user) row counts, then report the distribution's shape in
@@ -851,6 +880,7 @@ object Events {
     "events_ab_lift" -> ((s, d) => abLift(Tables.events(s, d))),
     "events_seasonality" -> ((s, d) => seasonality(Tables.events(s, d))),
     "events_skew_profile" -> ((s, d) => skewProfile(Tables.events(s, d))),
+    "events_forecast_backtest" -> ((s, d) => forecastBacktest(Tables.events(s, d))),
     "events_interarrival" -> ((s, d) => interarrival(Tables.events(s, d))),
     "events_funnel"        -> ((s, d) => funnel(Tables.events(s, d))),
     "events_props_extract" -> ((s, d) => propsExtract(Tables.events(s, d))),
@@ -1074,6 +1104,19 @@ object Events {
          | SELECT dow, n_days, n_events, avg_events,
          |   avg_events / overall_avg AS seasonal_index
          | FROM per CROSS JOIN o""".stripMargin,
+
+    "events_forecast_backtest" ->
+      s"""WITH daily AS ($dailyCountsSql),
+         | f AS (SELECT event_type, day + 7 AS day, n_events AS forecast
+         |   FROM daily),
+         | s AS (SELECT d.event_type, d.n_events, f.forecast,
+         |     abs(d.n_events - f.forecast) AS err
+         |   FROM daily d JOIN f USING (event_type, day))
+         | SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+         |   CAST(SUM(err) AS DOUBLE) / COUNT(*) AS mae,
+         |   SUM(CAST(err AS DOUBLE) / n_events) / COUNT(*) AS mape,
+         |   CAST(SUM(forecast - n_events) AS DOUBLE) / COUNT(*) AS bias
+         | FROM s GROUP BY event_type""".stripMargin,
 
     "events_skew_profile" ->
       s"""WITH per AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n

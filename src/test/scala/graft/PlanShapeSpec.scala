@@ -601,6 +601,15 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
   }
 
+  test("events_forecast_backtest: the staged day grain self-joins small — one final agg exchange") {
+    val p = planOf("events_forecast_backtest")
+    // corpus collapsed once inside staging; the visible plan joins the
+    // staged |types|x|days| table with itself and aggregates per type
+    countOf(p, "Exchange hashpartitioning") should be <= 1
+    p should not include "SortMergeJoin"
+    p should not include "Exchange rangepartitioning"
+  }
+
   test("sim_knn_classify: corpus never shuffles — neighbors and labels ride broadcasts") {
     val p = planOf("sim_knn_classify")
     p should include("ObjectHashAggregate") // the bounded top-k core

@@ -433,6 +433,26 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("forecast backtest: lag-7 seasonal naive scored only where history exists") {
+    def dus(day: Long, m: Long) = day * 86400L * 1000000L + us(m)
+    // "view": day d carries d+1 events (growing) -> err 7 on every scored day
+    // "click": constant 2/day -> perfect naive forecast
+    val rows =
+      (for { d <- 0L until 14L; i <- 0L to d }
+        yield (d * 1000 + i, dus(d, i), i, "view", 0.0, "{}")) ++
+      (for { d <- 0L until 14L; i <- 0L until 2L }
+        yield (100000 + d * 10 + i, dus(d, 30 + i), i, "click", 0.0, "{}"))
+    val out = Events.forecastBacktest(eventsDf(rows)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (nV, maeV, mapeV, biasV) = out("view")
+    nV shouldBe 7L
+    maeV shouldBe 7.0
+    biasV shouldBe -7.0 // actual outgrows the naive forecast
+    mapeV shouldBe (8 to 14).map(a => 7.0 / a).sum / 7 +- 1e-12
+    out("click") shouldBe ((7L, 0.0, 0.0, 0.0))
+  }
+
   test("skew profile: distribution shape from exact moments; degenerate cv is null") {
     // per-user counts 1,2,3,4
     val rows = for {
