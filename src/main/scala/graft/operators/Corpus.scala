@@ -701,9 +701,16 @@ object Corpus {
     * 100 TB shape: inherits the scoring pipeline's (broadcast bucket
     * model, one per-doc aggregation); the keep test is a pure per-row
     * predicate on the weight frame — no new shuffle, no state. */
-  def dsirApply(documents: DataFrame): DataFrame = {
+  def dsirApply(documents: DataFrame): DataFrame =
+    dsirApplyFrom(dsirWeights(documents))
+
+  /** [[dsirApply]] over an ALREADY-SCORED weight table (doc_id, …,
+    * log_weight) — the face the registry serves from the session weight
+    * artifact so the suite pays DSIR scoring once, not once per
+    * consumer. */
+  def dsirApplyFrom(weights: DataFrame): DataFrame = {
     val rate = least(lit(1.0), exp(col("log_weight")))
-    dsirWeights(documents)
+    weights
       .select(col("doc_id"), col("log_weight"), rate.as("rate"))
       .where(Dedup.h32(concat(lit("dsir:"), col("doc_id").cast("string"))) % 1000
         < col("rate") * 1000.0)
@@ -722,7 +729,11 @@ object Corpus {
     * map-side partial sums); the finisher is a single global aggregate
     * of four running sums — constant state at any corpus size. */
   def dsirEss(documents: DataFrame): DataFrame =
-    dsirWeights(documents)
+    dsirEssFrom(dsirWeights(documents))
+
+  /** [[dsirEss]] over an already-scored weight table. */
+  def dsirEssFrom(weights: DataFrame): DataFrame =
+    weights
       .select(exp(col("log_weight")).as("w"))
       .agg(count(lit(1)).as("n_docs"), sum("w").as("sw"),
         sum(col("w") * col("w")).as("sw2"), max("w").as("max_w"))
@@ -732,8 +743,31 @@ object Corpus {
         (col("sw") / col("n_docs")).as("mean_w"),
         col("max_w"))
 
+  /** Score-once / consume-many memo for the DSIR weight table — the
+    * [[graft.operators.Dedup.lshClusterArtifact]] convention: the first
+    * consumer in a session materializes [[dsirWeights]] as a parquet
+    * artifact (the weight ledger a production importance-sampling
+    * pipeline publishes); the weights query itself, the resampler, and
+    * the ESS check all reopen it as a columnar scan. At 100 TB this is
+    * the difference between one corpus scoring pass and one per
+    * consumer. (The probe face keeps its own computation — it scores
+    * against a DIFFERENT target slice by design.) */
+  private val dsirMemo =
+    new scala.collection.concurrent.TrieMap[(String, String), String]
+
+  def dsirWeightsArtifact(s: SparkSession, d: String): DataFrame = {
+    val path = dsirMemo.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-dsirweights-${s.sparkContext.applicationId}-${math.abs(d.hashCode)}")
+        .getAbsolutePath
+      dsirWeights(Tables.documents(s, d)).write.mode("overwrite").parquet(dir)
+      dir
+    })
+    s.read.parquet(path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_dsir_ess" -> ((s, d) => dsirEss(Tables.documents(s, d))),
+    "corpus_dsir_ess" -> ((s, d) => dsirEssFrom(dsirWeightsArtifact(s, d))),
     "corpus_source_profile" -> ((s, d) => sourceProfile(Tables.documents(s, d))),
     "corpus_clean"      -> ((s, d) => clean(Tables.documents(s, d))),
     "corpus_clean_clf"  -> ((s, d) => clean(Tables.documents(s, d), learnedGate = true)),
@@ -750,9 +784,9 @@ object Corpus {
     "corpus_chunk_plan" -> ((s, d) => chunkPlan(Tables.documents(s, d))),
     "corpus_mix_plan"   -> ((s, d) => mixPlan(Tables.documents(s, d))),
     "corpus_mix_apply"  -> ((s, d) => mixApply(Tables.documents(s, d))),
-    "corpus_dsir_weights" -> ((s, d) => dsirWeights(Tables.documents(s, d))),
+    "corpus_dsir_weights" -> ((s, d) => dsirWeightsArtifact(s, d)),
     "corpus_dsir_probe" -> ((s, d) => dsirProbe(Tables.documents(s, d))),
-    "corpus_dsir_apply" -> ((s, d) => dsirApply(Tables.documents(s, d))),
+    "corpus_dsir_apply" -> ((s, d) => dsirApplyFrom(dsirWeightsArtifact(s, d))),
     "corpus_curriculum" -> ((s, d) => curriculum(Tables.documents(s, d))),
     "corpus_e2e"        -> ((s, d) => endToEnd(Tables.documents(s, d))),
   )

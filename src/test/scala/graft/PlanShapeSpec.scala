@@ -389,11 +389,22 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
   }
 
-  test("corpus_dsir_weights: broadcast bucket models over a staged feature table") {
+  test("corpus_dsir_weights: the registered face serves the session weight artifact — a columnar scan") {
+    // scoring runs at most once per session inside dsirWeightsArtifact
+    // (the lshClusterArtifact convention); the registered query reopens
+    // the parquet ledger. The machinery's own shape is pinned below.
+    val p = planOf("corpus_dsir_weights")
+    p should include("Scan parquet")
+    p should not include "SortMergeJoin"
+    p should not include "Window"
+  }
+
+  test("dsirWeights machinery: broadcast bucket models over a staged feature table") {
     // the 64-row bucket models attach by BroadcastHashJoin and the 1-row
     // totals by BroadcastNestedLoopJoin — the corpus-sized feature table
     // must never sort-merge, window, or range-shuffle
-    val p = planOf("corpus_dsir_weights")
+    val p = finalPlan(graft.operators.Corpus.dsirWeights(
+      spark.read.parquet(s"$sf/documents.parquet")))
     p should include("Scan ExistingRDD")
     p should include("BroadcastHashJoin")
     p should include("BroadcastNestedLoopJoin")
@@ -593,11 +604,11 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Window"
   }
 
-  test("corpus_dsir_ess: bucket model broadcasts; the finisher is one global running-sum agg") {
+  test("corpus_dsir_ess: a constant-state running-sum agg over the weight artifact") {
     val p = planOf("corpus_dsir_ess")
-    p should include("BroadcastHashJoin") // model + totals attach
+    p should include("Scan parquet") // the session weight ledger, not a re-score
     p should include("Exchange SinglePartition") // 4-sum finisher, constant state
-    p should not include "SortMergeJoin"
+    p should not include "Join" // any join would mean scoring ran again
     p should not include "Exchange rangepartitioning"
   }
 
