@@ -574,8 +574,16 @@ object Events {
     * grain — |types|×|days| rows, small at any corpus scale — and the
     * lag-7 self-join runs on that staged table (AQE broadcasts it), so
     * the raw stream is scanned exactly once. */
-  def forecastBacktest(events: DataFrame): DataFrame = {
-    val daily = graft.engine.Staging.stage(dailyCounts(events))
+  def forecastBacktest(events: DataFrame): DataFrame =
+    forecastFromDaily(graft.engine.Staging.stage(dailyCounts(events)))
+
+  /** [[forecastBacktest]] over an already-materialized (event_type, day,
+    * n_events) grain — shared verbatim with the continuous monitor
+    * ([[graft.streaming.StreamingDailyForecast]] scores its accumulated
+    * counter table with THIS function), so batch and streamed backtests
+    * cannot drift. Callers pass a staged/compact frame: the lag join
+    * consumes it twice. */
+  def forecastFromDaily(daily: DataFrame): DataFrame = {
     val forecast = daily.select(col("event_type"),
       (col("day") + 7).as("day"), col("n_events").as("forecast"))
     daily.join(forecast, Seq("event_type", "day"))
