@@ -303,6 +303,66 @@ class CrossOpInvariantSpec extends SparkSpec {
     gaps.foreach { case (u, nOver) => nOver + 1 shouldBe sessions(u) }
   }
 
+  test("skew profile agrees with rfm on the per-user count distribution") {
+    val rfm = Events.rfm(events).collect().map(r => r.getLong(2))
+    val p = Events.skewProfile(events).collect()(0)
+    p.getLong(0) shouldBe rfm.length.toLong      // n_keys == rfm's user count
+    p.getLong(1) shouldBe rfm.sum                // n_rows == Σ frequency
+    p.getLong(2) shouldBe rfm.max                // max_rows == max frequency
+    p.getDouble(3) shouldBe rfm.sum.toDouble / rfm.length // avg
+  }
+
+  test("seasonality's weekday masses tile the rollup grand total and the day set") {
+    val seas = Events.seasonality(events).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val grand = Events.dailyRollup(events)
+      .where(col("day_idx").isNull && col("event_type").isNull)
+      .collect()(0).getLong(2)
+    seas.map(_._2).sum shouldBe grand            // Σ n_events == all events
+    val nDays = events.select(expr("ts div 86400000000").as("d"))
+      .distinct().count()
+    seas.map(_._1).sum shouldBe nDays            // Σ n_days == distinct days
+  }
+
+  test("forecast backtest scores exactly the lag-7-covered days; |bias| never beats mae") {
+    val daily = Events.dailyCounts(events).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val coverable = daily.count { case (t, d) => daily.contains((t, d - 7)) }
+    val bt = Events.forecastBacktest(events).collect()
+    bt.map(_.getLong(1)).sum shouldBe coverable.toLong
+    bt.foreach { r =>
+      val (mae, bias) = (r.getDouble(2), r.getDouble(4))
+      mae should be >= 0.0
+      math.abs(bias) should be <= mae + 1e-9 // |Σe| ≤ Σ|e| per type
+    }
+  }
+
+  test("ab lift's arm totals and conversions recount from first principles") {
+    val firsts = events.groupBy("user_id").agg(
+        min("ts").as("ft"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("fp"))
+      .collect().map(r => (r.getLong(0),
+        r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val conv = firsts.filter { case (_, ft, fp) =>
+      fp.exists(_ <= ft + Events.AbConvHorizonUs) }.map(_._1).toSet
+    val r = Events.abLift(events).collect()(0)
+    r.getLong(0) shouldBe firsts.count(_._1 % 2 == 0).toLong // n_a
+    r.getLong(1) shouldBe firsts.count(_._1 % 2 == 1).toLong // n_b
+    r.getLong(2) shouldBe conv.count(_ % 2 == 0).toLong      // conv_a
+    r.getLong(3) shouldBe conv.count(_ % 2 == 1).toLong      // conv_b
+  }
+
+  test("the duplication histogram tiles the minhash cluster ledger") {
+    val clusters = Dedup.minhashLsh(docs).select("doc_id", "cluster_id")
+    val hist = Dedup.clusterStats(clusters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    hist.map(_._3).sum shouldBe docs.count()      // doc mass conserved
+    hist.foreach { case (sz, n, nd) => nd shouldBe sz * n }
+    // singleton count agrees with the lsh query's own n_dups == 0 rows
+    val singles = Dedup.minhashLsh(docs).where(col("n_dups") === 0).count()
+    hist.find(_._1 == 1L).map(_._2).getOrElse(0L) shouldBe singles
+  }
+
   test("churn segments partition rfm's users, with consistent recency bucketing") {
     val rfm = Events.rfm(events).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
