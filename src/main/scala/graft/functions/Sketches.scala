@@ -27,11 +27,20 @@ object MinHashSeeds {
   }
   def b(i: Int): Long = (69069L * (i + 7) + 54321L) % P
 
+  /** Per-thread MD5 instance: `MessageDigest.getInstance` is a JCA
+    * provider lookup + allocation per call — measurable when every token
+    * of every document hashes through here. `digest()` resets the
+    * instance, so reuse is safe; thread confinement makes it
+    * codegen-safe (generated code runs the task's thread). */
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
   /** First 8 hex chars of md5 as a non-negative int64 in [0, 2^32) — the
     * row-at-a-time mirror of Dedup.h32 (= first 4 digest bytes, big-endian
     * unsigned). */
   def h32(s: UTF8String): Long = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes)
+    val d = md5.get().digest(s.getBytes)
     ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) | ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
   }
 
@@ -39,7 +48,7 @@ object MinHashSeeds {
     * first 8 digest bytes big-endian, dropped low nibble. DuckDB mirror:
     * `('0x' || substring(md5(s), 1, 15))::BIGINT`. */
   def h60(s: UTF8String): Long = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes)
+    val d = md5.get().digest(s.getBytes)
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
@@ -486,19 +495,32 @@ case class SimHash60(child: Expression) extends UnaryExpression {
 object SimHash60 {
   val Bits = 60
 
-  /** Shared by eval and generated code. */
+  /** Shared by eval and generated code. Bit votes are summed per
+    * DISTINCT token weighted by its occurrence count — algebraically
+    * identical to voting once per occurrence (the sum commutes), but
+    * md5 runs once per distinct token: on natural text, where stopword
+    * repetition dominates, that is most of this expression's cost. */
   def ofTokens(tokens: ArrayData): Long = {
-    val votes = new Array[Int](Bits)
     val n = tokens.numElements()
+    val counts = new java.util.HashMap[UTF8String, Integer](math.min(n, 64))
     var j = 0
     while (j < n) {
-      val h = MinHashSeeds.h60(tokens.getUTF8String(j))
+      val t = tokens.getUTF8String(j)
+      val c = counts.get(t)
+      counts.put(t, if (c == null) 1 else c + 1)
+      j += 1
+    }
+    val votes = new Array[Int](Bits)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val h = MinHashSeeds.h60(e.getKey)
+      val w = e.getValue.intValue()
       var i = 0
       while (i < Bits) {
-        if (((h >> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        if (((h >> i) & 1L) == 1L) votes(i) += w else votes(i) -= w
         i += 1
       }
-      j += 1
     }
     var res = 0L
     var i = 0
