@@ -117,6 +117,35 @@ object Corpus {
       .limit(FixedSampleN)
       .select("doc_id", "lang", "source")
 
+  /** Sample size for [[sampleWeighted]]. */
+  val WeightedSampleN = 100
+
+  /** Quality-weighted sampling WITHOUT replacement — Efraimidis–Spirakis
+    * A-ES: each document draws priority ln(u)/w (u a salted-hash uniform
+    * in (0,1), w its composite quality score), and the [[WeightedSampleN]]
+    * largest priorities win. Inclusion probability is exactly
+    * proportional-to-weight WOR — the principled "oversample good text"
+    * step between uniform sampling ([[sampleFixedN]]) and full
+    * importance resampling ([[dsirApply]]); unlike rejection thinning it
+    * returns an exact-size sample. Deterministic: the uniform is the
+    * family's salted portable hash, the score is 1e-6-rounded (deciles
+    * discipline), the priority 1e-9-rounded with doc_id tiebreak.
+    * Output: (doc_id, weight, priority).
+    *
+    * 100 TB shape: a map-only projection into a global top-N —
+    * `TakeOrderedAndProject` keeps N rows per partition then N total;
+    * no shuffle of the corpus, no full sort. */
+  def sampleWeighted(documents: DataFrame): DataFrame =
+    Tables.spread(documents)
+      .select(col("doc_id"),
+        greatest(round(TextAnalysis.qualityScoreCol, 6), lit(1e-6)).as("weight"),
+        Dedup.h32(concat(lit("wsm:"), col("doc_id").cast("string"))).as("h"))
+      .select(col("doc_id"), col("weight"),
+        round(log((col("h") + 0.5) / lit(4294967296.0)) / col("weight"), 9)
+          .as("priority"))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(WeightedSampleN)
+
   /** Per-stratum sample size for [[sampleStratifiedN]]. */
   val PerStratumN = 40
 
@@ -773,6 +802,7 @@ object Corpus {
     "corpus_clean_clf"  -> ((s, d) => clean(Tables.documents(s, d), learnedGate = true)),
     "sample_stratified" -> ((s, d) => sampleStratified(Tables.documents(s, d))),
     "sample_fixed_n"    -> ((s, d) => sampleFixedN(Tables.documents(s, d))),
+    "sample_weighted"   -> ((s, d) => sampleWeighted(Tables.documents(s, d))),
     "sample_stratified_n" -> ((s, d) => sampleStratifiedN(Tables.documents(s, d))),
     "sample_holdout_split" -> ((s, d) => holdoutSplit(Tables.documents(s, d))),
     "shard_plan"        -> ((s, d) => shardPlan(Tables.documents(s, d))),
@@ -913,6 +943,18 @@ object Corpus {
          | ORDER BY ('0x' || substring(md5('fix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
          |   doc_id ASC
          | LIMIT $FixedSampleN""".stripMargin,
+
+    "sample_weighted" ->
+      s"""WITH ${TextAnalysis.qualityScoreSqlWith},
+         | p AS (SELECT d.doc_id,
+         |     GREATEST(round(sc.quality_score, 6), 0.000001) AS weight,
+         |     (('0x' || substring(md5('wsm:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |       + 0.5) / 4294967296.0 AS u
+         |   FROM documents d JOIN qscore sc ON sc.doc_id = d.doc_id)
+         | SELECT doc_id, weight, round(ln(u) / weight, 9) AS priority
+         | FROM p
+         | ORDER BY priority DESC, doc_id ASC
+         | LIMIT $WeightedSampleN""".stripMargin,
 
     "sample_stratified_n" ->
       s"""SELECT lang, doc_id, CAST(rank AS INTEGER) AS rank FROM (

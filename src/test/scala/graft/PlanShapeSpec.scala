@@ -201,6 +201,14 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("sample_weighted: A-ES top-N is TakeOrderedAndProject over a map-only projection") {
+    val p = planOf("sample_weighted")
+    p should include("TakeOrderedAndProject")
+    p should not include "Exchange rangepartitioning" // no full sort
+    p should not include "Join"
+    p should not include "Window"
+  }
+
   test("sample_fixed_n: hash-ranked head is TakeOrderedAndProject, no global sort") {
     val p = planOf("sample_fixed_n")
     p should include("TakeOrderedAndProject")

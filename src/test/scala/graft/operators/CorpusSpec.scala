@@ -433,4 +433,27 @@ class CorpusSpec extends SparkSpec {
     ranked.indexWhere(_.getLong(0) == 0L) should be < 3
     out.count(_.getDouble(2) < 0) should be > (out.length / 2)
   }
+
+  test("weighted sampling: exact N, A-ES priorities, weight tilts inclusion") {
+    val good = (1 to 80).map(i => s"the word$i of thing$i").mkString(" ")
+    // 300 docs: even ids carry high-quality text, odd ids a bare stub
+    val corpus = (0L until 300L).map(i =>
+      (i, if (i % 2 == 0) good else "x", "en", "src"))
+    val out = Corpus.sampleWeighted(docsDf(corpus)).collect()
+    out.length shouldBe Corpus.WeightedSampleN
+    // every priority is ln(u)/w recomputed driver-side
+    out.foreach { r =>
+      val (id, w, p) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+      val h = graft.functions.MinHashSeeds.h32(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"wsm:$id"))
+      val u = (h + 0.5) / 4294967296.0
+      p shouldBe BigDecimal(math.log(u) / w)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+    }
+    // weight tilts inclusion: high-quality docs (half the corpus) must
+    // take well over half the sample
+    val nGood = out.count(_.getLong(0) % 2 == 0)
+    nGood should be > 60
+    nGood should be < 100 // but low-weight docs still appear (it's WOR sampling, not a cutoff)
+  }
 }
