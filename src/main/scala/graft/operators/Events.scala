@@ -373,6 +373,30 @@ object Events {
         col("frequency"), col("monetary"))
   }
 
+  /** Next-event prediction eval — the sequence-model sibling of
+    * [[forecastBacktest]]: score the first-order Markov model
+    * ([[markovTransitions]]) as a predictor, in-sample top-1. Because
+    * the top-1 prediction for a context is its modal transition, the
+    * whole eval derives from the transition matrix: per from-type, the
+    * predicted next type (modal target, ties to the smaller type), how
+    * many observed transitions it gets right (the modal count), and
+    * accuracy — the number any richer sequence model must beat. Output:
+    * (from_type, n_pairs, predicted_to, n_correct, accuracy).
+    *
+    * 100 TB shape: [[markovTransitions]]' cost (one user-keyed window
+    * pass) plus a |types|²-row rollup — nothing new touches the
+    * corpus. */
+  def markovEval(events: DataFrame): DataFrame =
+    markovTransitions(events)
+      .groupBy("from_type")
+      .agg(sum("n_transitions").as("n_pairs"),
+        // min over (-count, to_type): modal target, ties to smaller type
+        min(struct((-col("n_transitions")).as("neg"), col("to_type"))).as("m"))
+      .select(col("from_type"), col("n_pairs"),
+        col("m.to_type").as("predicted_to"),
+        (-col("m.neg")).as("n_correct"),
+        ((-col("m.neg")).cast("double") / col("n_pairs")).as("accuracy"))
+
   /** Lifecycle thresholds for [[churnSegments]]: last activity within
     * [[ChurnActiveDays]] days of the corpus anchor → `active`, within
     * [[ChurnAtRiskDays]] → `at_risk`, older → `churned`. */
@@ -889,6 +913,7 @@ object Events {
     "events_seasonality" -> ((s, d) => seasonality(Tables.events(s, d))),
     "events_skew_profile" -> ((s, d) => skewProfile(Tables.events(s, d))),
     "events_forecast_backtest" -> ((s, d) => forecastBacktest(Tables.events(s, d))),
+    "events_markov_eval" -> ((s, d) => markovEval(Tables.events(s, d))),
     "events_interarrival" -> ((s, d) => interarrival(Tables.events(s, d))),
     "events_funnel"        -> ((s, d) => funnel(Tables.events(s, d))),
     "events_props_extract" -> ((s, d) => propsExtract(Tables.events(s, d))),
@@ -1230,6 +1255,28 @@ object Events {
          | SELECT tr.from_type, tr.to_type, tr.n_transitions,
          |   CAST(tr.n_transitions AS DOUBLE) / tot.n_from AS p
          | FROM tr JOIN tot USING (from_type)""".stripMargin,
+
+    "events_markov_eval" ->
+      s"""WITH $sessSqlWith,
+         | nxt AS (SELECT event_type AS from_type,
+         |     LEAD(event_type) OVER w AS to_type,
+         |     session_seq, LEAD(session_seq) OVER w AS next_seq
+         |   FROM sess
+         |   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         | tr AS (SELECT from_type, to_type,
+         |     CAST(COUNT(*) AS BIGINT) AS n_transitions
+         |   FROM nxt WHERE to_type IS NOT NULL AND next_seq = session_seq
+         |   GROUP BY 1, 2),
+         | tot AS (SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS n_pairs
+         |   FROM tr GROUP BY 1),
+         | win AS (SELECT from_type, to_type, n_transitions,
+         |     ROW_NUMBER() OVER (PARTITION BY from_type
+         |       ORDER BY n_transitions DESC, to_type ASC) AS rn
+         |   FROM tr)
+         | SELECT w.from_type, tot.n_pairs, w.to_type AS predicted_to,
+         |   w.n_transitions AS n_correct,
+         |   CAST(w.n_transitions AS DOUBLE) / tot.n_pairs AS accuracy
+         | FROM win w JOIN tot USING (from_type) WHERE rn = 1""".stripMargin,
 
     "events_top_journeys" ->
       s"""WITH $sessSqlWith,

@@ -453,6 +453,25 @@ class EventsSpec extends SparkSpec {
     out("click") shouldBe ((7L, 0.0, 0.0, 0.0))
   }
 
+  test("markov eval: modal transition wins with smaller-type tiebreak; accuracy exact") {
+    // user 7 session: v->c, c->v, v->c, c->p  |  user 8: v->p
+    // from v: c twice, p once -> predict c, 2/3
+    // from c: v once, p once  -> tie, predict p? no: smaller type wins -> p? 'p'<'v' -> p, 1/2
+    val out = Events.markovEval(eventsDf(Seq(
+      (1L, us(0), 7L, "v", 0.0, "{}"),
+      (2L, us(1), 7L, "c", 0.0, "{}"),
+      (3L, us(2), 7L, "v", 0.0, "{}"),
+      (4L, us(3), 7L, "c", 0.0, "{}"),
+      (5L, us(4), 7L, "p", 0.0, "{}"),
+      (6L, us(0), 8L, "v", 0.0, "{}"),
+      (7L, us(1), 8L, "p", 0.0, "{}"))))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+    out("v") shouldBe ((3L, "c", 2L, 2.0 / 3))
+    out("c") shouldBe ((2L, "p", 1L, 0.5)) // count tie: 'p' < 'v' wins
+    out.contains("p") shouldBe false       // terminal type: no outgoing pairs
+  }
+
   test("skew profile: distribution shape from exact moments; degenerate cv is null") {
     // per-user counts 1,2,3,4
     val rows = for {
