@@ -366,6 +366,83 @@ object Corpus {
       .repartition(col("shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(outDir)
 
+  /** Salt for [[epochShuffle]]'s epoch-1 permutation (each epoch gets its
+    * own salt, so consecutive epochs see independent orders). */
+  val ShuffleEpoch = 1
+
+  /** Deterministic training-epoch shuffle — the global permutation a
+    * training run needs before sequence packing: every document draws a
+    * per-epoch salted hash, lands in the shard `hash mod NumShards`, and
+    * takes its hash-order position within that shard. Reading shards in
+    * index order, each shard-locally by `pos`, replays a uniformly
+    * pseudorandom permutation of the corpus — reproducible from the
+    * epoch number alone (restart a crashed epoch mid-shard without
+    * re-shuffling), and a different permutation per epoch by salt.
+    * Output: (doc_id, shard, pos).
+    *
+    * 100 TB shape: ONE exchange (hash-partition by shard) and a
+    * shard-local sort — never a global sort. A real build picks
+    * NumShards ≈ corpus/target-shard-size, so the per-shard sort stays
+    * bounded at any corpus size; the window is partitioned by shard,
+    * which Spark executes as sort-within-partition after the exchange. */
+  def epochShuffle(documents: DataFrame, epoch: Int = ShuffleEpoch): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    documents
+      .select(col("doc_id"),
+        Dedup.h32(concat(lit(s"ep$epoch:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("shard", col("h") % NumShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("h").asc, col("doc_id").asc)))
+      .select("doc_id", "shard", "pos")
+  }
+
+  /** Token budget for [[tokenBudget]] (a real run passes the training
+    * budget, e.g. 10B tokens; the selection logic is budget-agnostic). */
+  val TokenBudget = 50000L
+
+  /** Quality-greedy token-budget selection — "take the best documents
+    * until the token budget is spent", the final gate of a data-constrained
+    * training build. Equivalent to ordering the corpus by (quality desc,
+    * doc_id asc) and keeping the maximal prefix whose token mass fits the
+    * budget — but computed WITHOUT a global sort: documents land in
+    * 1/1000-wide quality buckets, a ≤1001-row bucket ledger (broadcast)
+    * decides full buckets map-side, and only the single boundary bucket
+    * pays an ordered prefix-sum window. Output: (doc_id, quality,
+    * n_tokens, keep).
+    *
+    * 100 TB shape: one map-side-combined bucket aggregation, a broadcast
+    * of the tiny ledger, and an exchange carrying ONLY the boundary
+    * bucket (~0.1% of the corpus) into one window sort; every other
+    * document is decided by a codegen'd filter against broadcast state.
+    * The bucket key floors `round(q·1000, 6)` so last-ulp float noise
+    * cannot move a document across a bucket edge between engines. */
+  def tokenBudget(documents: DataFrame, budget: Long = TokenBudget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = lit(budget)
+    val scored = documents.select(col("doc_id"),
+        round(TextAnalysis.qualityScoreCol, 6).as("quality"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("qb", floor(round(col("quality") * 1000, 6)).cast("int"))
+    val wAbove = Window.orderBy(col("qb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ledger = scored.groupBy("qb").agg(sum("n_tokens").as("bucket_tok"))
+      .withColumn("above", coalesce(sum("bucket_tok").over(wAbove), lit(0L)))
+      .withColumn("full", col("above") + col("bucket_tok") <= b)
+      .withColumn("boundary", !col("full") && col("above") < b)
+    val j = scored.join(broadcast(ledger), "qb")
+    val outCols = Seq(col("doc_id"), col("quality"), col("n_tokens"), col("keep"))
+    val decided = j.where(!col("boundary"))
+      .withColumn("keep", col("full")).select(outCols: _*)
+    val wPrefix = Window.partitionBy("qb")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = j.where(col("boundary"))
+      .withColumn("prefix", coalesce(sum("n_tokens").over(wPrefix), lit(0L)))
+      .withColumn("keep", col("above") + col("prefix") + col("n_tokens") <= b)
+      .select(outCols: _*)
+    decided.unionByName(boundary)
+  }
+
   /** Declared target mixture for [[mixPlan]] (shares of training tokens
     * per language; a real pipeline tunes these against eval loss).
     * Languages absent from the map get weight 0 — excluded from the mix. */
@@ -806,6 +883,8 @@ object Corpus {
     "sample_stratified_n" -> ((s, d) => sampleStratifiedN(Tables.documents(s, d))),
     "sample_holdout_split" -> ((s, d) => holdoutSplit(Tables.documents(s, d))),
     "shard_plan"        -> ((s, d) => shardPlan(Tables.documents(s, d))),
+    "corpus_shuffle"    -> ((s, d) => epochShuffle(Tables.documents(s, d))),
+    "corpus_token_budget" -> ((s, d) => tokenBudget(Tables.documents(s, d))),
     "corpus_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "corpus_bloom_decontaminate" -> ((s, d) => bloomDecontaminate(Tables.documents(s, d))),
     "corpus_near_decontaminate" -> ((s, d) => nearDecontaminate(Tables.documents(s, d))),
@@ -979,6 +1058,35 @@ object Corpus {
          |   CAST(COUNT(*) AS BIGINT) AS n_docs,
          |   CAST(SUM(n_chars) AS BIGINT) AS total_chars
          | FROM documents GROUP BY 1""".stripMargin,
+
+    "corpus_shuffle" ->
+      s"""SELECT doc_id, h % $NumShards AS shard,
+         |   row_number() OVER (PARTITION BY h % $NumShards ORDER BY h ASC, doc_id ASC) AS pos
+         | FROM (SELECT doc_id,
+         |   ('0x' || substring(md5('ep$ShuffleEpoch:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+         | FROM documents) s""".stripMargin,
+
+    "corpus_token_budget" ->
+      s"""WITH ${TextAnalysis.qualityScoreSqlWith},
+         | s AS (SELECT d.doc_id, round(sc.quality_score, 6) AS quality,
+         |     CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         |   FROM documents d JOIN qscore sc ON sc.doc_id = d.doc_id),
+         | sb AS (SELECT *, CAST(FLOOR(round(quality * 1000, 6)) AS INT) AS qb FROM s),
+         | ba AS (SELECT qb, bucket_tok,
+         |     COALESCE(SUM(bucket_tok) OVER (ORDER BY qb DESC
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+         |   FROM (SELECT qb, SUM(n_tokens) AS bucket_tok FROM sb GROUP BY qb) b),
+         | p AS (SELECT sb.*, ba.bucket_tok, ba.above,
+         |     COALESCE(SUM(n_tokens) OVER (PARTITION BY sb.qb
+         |       ORDER BY quality DESC, doc_id ASC
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+         |   FROM sb JOIN ba ON ba.qb = sb.qb)
+         | SELECT doc_id, quality, n_tokens,
+         |   CASE WHEN above + bucket_tok <= $TokenBudget THEN TRUE
+         |        WHEN above < $TokenBudget
+         |          THEN above + prefix + n_tokens <= $TokenBudget
+         |        ELSE FALSE END AS keep
+         | FROM p""".stripMargin,
 
     "corpus_decontaminate" -> decontaminateOracleSql,
 

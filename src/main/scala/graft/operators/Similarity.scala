@@ -648,6 +648,55 @@ object Similarity {
           lit(0.0), (a, e) => greatest(a, e)).as("max_abs_err"))
   }
 
+  /** |robust z|-flag threshold for [[embeddingAudit]] (3.5 is the
+    * conventional cut for median/MAD scores). */
+  val AuditZThreshold = 3.5
+
+  /** Gaussian-consistency factor: MAD·1.4826 estimates σ for normal
+    * data, making [[AuditZThreshold]] comparable to a classic z cut. */
+  val MadSigma = 1.4826
+
+  /** Embedding-table audit — the data-quality gate an embedding pipeline
+    * runs before indexing: per vector its dimensionality, L2 norm, and
+    * non-finite component count, plus a ROBUST norm z-score
+    * ((norm − median) / ([[MadSigma]] · MAD)) with a ±[[AuditZThreshold]]
+    * outlier flag; collapsed/zero vectors and exploding-norm vectors both
+    * surface here, and a ragged `dim` column exposes schema drift no
+    * static type catches. Median/MAD rather than mean/std for TWO
+    * reasons: outliers can't drag the yardstick they're measured
+    * against, and order statistics of bit-identical per-row norms are
+    * engine-reproducible where a parallel mean/std differs by
+    * aggregation order (a near-zero z divided by that noise would
+    * blow the oracle's relative tolerance). All-equal norms → MAD 0 →
+    * z defined 0. Output: (vec_id, dim, l2_norm, n_nonfinite,
+    * robust_z, norm_outlier).
+    *
+    * 100 TB shape: map-only per-vector scans, two 1-row order-statistic
+    * aggregates broadcast back, and a final codegen'd map — vectors
+    * never shuffle. Exact `percentile` buffers per-partition values;
+    * at real scale the drop-in is `approx_percentile` (the
+    * `valueQuantiles`/`valueQuantilesApprox` twin convention,
+    * `Events.scala`). */
+  def embeddingAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val perVec = vectors(spark, sfDir).select(
+      col("vec_id"), size(col("v")).as("dim"), col("nrm").as("l2_norm"),
+      size(filter(col("v"),
+        x => isnan(x) || abs(x) === lit(Double.PositiveInfinity)))
+        .as("n_nonfinite"))
+    val med = perVec.agg(percentile(col("l2_norm"), lit(0.5)).as("norm_med"))
+    val withMed = perVec.crossJoin(broadcast(med))
+    val mad = withMed
+      .agg(percentile(abs(col("l2_norm") - col("norm_med")), lit(0.5))
+        .as("norm_mad"))
+    withMed.crossJoin(broadcast(mad))
+      .withColumn("robust_z", when(col("norm_mad") === 0.0, lit(0.0))
+        .otherwise((col("l2_norm") - col("norm_med")) /
+          (lit(MadSigma) * col("norm_mad"))))
+      .withColumn("norm_outlier", abs(col("robust_z")) > AuditZThreshold)
+      .select("vec_id", "dim", "l2_norm", "n_nonfinite", "robust_z",
+        "norm_outlier")
+  }
+
   // ---- product quantization --------------------------------------------------
   /** PQ geometry: 64 dims = [[PqSubspaces]] × [[PqSubDim]];
     * [[PqCodebookSize]] centroids per subspace → 4 bits per code, the
@@ -835,6 +884,7 @@ object Similarity {
     "sim_ann_recall" -> (annRecall _),
     "sim_ivf_topk" -> (ivfTopK _),
     "sim_quantize_int8" -> (quantizeInt8 _),
+    "sim_embedding_audit" -> (embeddingAudit _),
     "sim_kmeans_train" -> (kmeansTrain _),
     "sim_ivf_trained_topk" -> (ivfTrainedTopK _),
     "dedup_embedding" -> (embeddingDedup _),
@@ -1181,6 +1231,23 @@ object Similarity {
          | SELECT m.vec_id, m.cent_id, best.dup_of, best.dup_cos,
          |   best.dup_of IS NULL AS keep
          | FROM members m LEFT JOIN best ON best.vec_id = m.vec_id""".stripMargin,
+
+    "sim_embedding_audit" ->
+      s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         | pv AS (SELECT vec_id, len(v) AS dim,
+         |     sqrt(list_dot_product(v, v)) AS l2_norm,
+         |     len(list_filter(v, x -> isnan(x) OR isinf(x))) AS n_nonfinite
+         |   FROM vs),
+         | med AS (SELECT quantile_cont(l2_norm, 0.5) AS nm FROM pv),
+         | mad AS (SELECT quantile_cont(abs(l2_norm - med.nm), 0.5) AS nd
+         |   FROM pv, med)
+         | SELECT vec_id, dim, l2_norm, n_nonfinite,
+         |   CASE WHEN mad.nd = 0 THEN 0.0
+         |        ELSE (l2_norm - med.nm) / ($MadSigma * mad.nd) END AS robust_z,
+         |   abs(CASE WHEN mad.nd = 0 THEN 0.0
+         |        ELSE (l2_norm - med.nm) / ($MadSigma * mad.nd) END)
+         |     > $AuditZThreshold AS norm_outlier
+         | FROM pv, med, mad""".stripMargin,
 
     "sim_cosine_topk" ->
       s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -637,4 +637,38 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "CartesianProduct"
     p should not include "Window" // winner via max(struct), not a rank window
   }
+
+  test("text_readability: pure map scan pruned to (doc_id, text) — no shuffle") {
+    val p = planOf("text_readability")
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+    p should not include "Exchange hashpartitioning"
+    p should not include "Join"
+    p should not include "Window"
+  }
+
+  test("corpus_shuffle: one shard exchange + shard-local sort, never a global sort") {
+    val p = planOf("corpus_shuffle")
+    countOf(p, "Exchange hashpartitioning") shouldBe 1 // the shard partitioning
+    p should not include "Exchange rangepartitioning"  // no global sort
+    p should not include "Exchange SinglePartition"    // no driver-width funnel
+    p should not include "Join"
+  }
+
+  test("corpus_token_budget: broadcast ledger decides; only boundary rows reach a window sort") {
+    val p = planOf("corpus_token_budget")
+    p should include("BroadcastHashJoin")  // ledger attach, both branches
+    p should not include "SortMergeJoin"
+    p should not include "Exchange rangepartitioning"
+    // bucket aggregation + the boundary-bucket window — nothing else
+    // shuffles the corpus
+    countOf(p, "Exchange hashpartitioning") should be <= 2
+  }
+
+  test("sim_embedding_audit: vectors never shuffle; order-statistics ride 1-row broadcasts") {
+    val p = planOf("sim_embedding_audit")
+    p should include("BroadcastNestedLoopJoin") // the two 1-row stat attaches
+    p should not include "Exchange hashpartitioning"
+    p should not include "Exchange rangepartitioning"
+    p should not include "SortMergeJoin"
+  }
 }

@@ -456,4 +456,45 @@ class CorpusSpec extends SparkSpec {
     nGood should be > 60
     nGood should be < 100 // but low-weight docs still appear (it's WOR sampling, not a cutoff)
   }
+
+  test("epoch shuffle: exact permutation, contiguous shard positions, per-epoch orders") {
+    def order(epoch: Int): Seq[Long] =
+      Corpus.epochShuffle(docsDf((1L to 40L).map(i => (i, s"t$i", "en", "web"))), epoch)
+        .collect().sortBy(r => (r.getLong(1), r.getInt(2))).map(_.getLong(0)).toSeq
+
+    val out = Corpus.epochShuffle(
+      docsDf((1L to 40L).map(i => (i, s"t$i", "en", "web")))).collect()
+    // a permutation: every doc exactly once, shards within range
+    out.map(_.getLong(0)).toSet shouldBe (1L to 40L).toSet
+    all(out.map(_.getLong(1))) should (be >= 0L and be < Corpus.NumShards.toLong)
+    // positions within each shard are 1..n with no gaps (shard-local replay
+    // can trust `pos` as a dense cursor)
+    out.groupBy(_.getLong(1)).values.foreach { rows =>
+      rows.map(_.getInt(2)).sorted.toSeq shouldBe (1 to rows.length)
+    }
+    // deterministic per epoch, different across epochs
+    order(1) shouldBe order(1)
+    order(1) should not be order(2)
+  }
+
+  test("token budget: keep == the maximal quality-ordered prefix that fits") {
+    val corpus = (1L to 120L).map { i =>
+      val uniq = (1 to (i % 13 + 1).toInt).map(j => s"w${i}x$j")
+      val stop = Seq.fill((i % 7).toInt)("the")
+      (i, (uniq ++ stop).mkString(" "), "en", "web")
+    }
+    val out = Corpus.tokenBudget(docsDf(corpus), budget = 300L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getBoolean(3)))
+    out.length shouldBe 120
+    // reference semantics, recomputed driver-side: sort by (quality desc,
+    // doc_id asc), keep exactly the rows whose INCLUSIVE running token
+    // mass fits the budget (prefix semantics — the first overflow and
+    // everything after it is out, cheaper docs later do not re-enter)
+    var cum = 0L
+    val expect = out.sortBy { case (id, q, _, _) => (-q, id) }
+      .map { case (id, _, tok, _) => cum += tok; id -> (cum <= 300L) }.toMap
+    out.foreach { case (id, _, _, k) => assert(k == expect(id), s"doc $id") }
+    out.count(_._4) should be > 0
+    out.count(!_._4) should be > 0
+  }
 }

@@ -19,6 +19,29 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.5
   }
 
+  test("embedding audit: robust z recomputes driver-side, flags consistent") {
+    // quantile_cont / Spark `percentile` definition: h = p·(n−1),
+    // linear interpolation between the two straddling order statistics
+    def qcont(sorted: IndexedSeq[Double], p: Double): Double = {
+      val h = p * (sorted.length - 1)
+      val lo = h.toInt
+      if (lo + 1 >= sorted.length) sorted(lo)
+      else sorted(lo) + (h - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    val rows = Similarity.embeddingAudit(spark, sfDir).collect()
+    rows.length shouldBe 500
+    val norms = rows.map(_.getDouble(2))
+    val med = qcont(norms.sorted.toIndexedSeq, 0.5)
+    val mad = qcont(norms.map(n => math.abs(n - med)).sorted.toIndexedSeq, 0.5)
+    rows.foreach { r =>
+      r.getInt(1) shouldBe 64          // fixture dimensionality, un-ragged
+      r.getInt(3) shouldBe 0           // finite corpus
+      r.getDouble(4) shouldBe
+        ((r.getDouble(2) - med) / (Similarity.MadSigma * mad)) +- 1e-9
+      r.getBoolean(5) shouldBe (math.abs(r.getDouble(4)) > Similarity.AuditZThreshold)
+    }
+  }
+
   test("exact top-k output shape: k rows per query, ranks 1..k, sims sorted") {
     val rows = Similarity.cosineTopK(spark, sfDir).collect()
     val byQuery = rows.groupBy(_.getLong(0))

@@ -538,4 +538,27 @@ class TextAnalysisSpec extends SparkSpec {
     n should be > 0L
     n should be < 32L // 32 identical bytes must deflate below identity
   }
+
+  test("readability: counts, floors, and both Flesch formulas") {
+    val out = TextAnalysis.readability(docs(
+      1L -> "the cat sat on the mat.",   // 6 words, 1 sentence
+      2L -> "Wait... what?! Really?",    // runs collapse: 3 sentences
+      3L -> "xyz qrst"))                 // vowel-less: syllables floor at words
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val r1 = out(1L)
+    r1.getLong(1) shouldBe 6L
+    r1.getLong(2) shouldBe 1L
+    // the, cat, sat, on, the, mat. -> one vowel run each
+    r1.getLong(3) shouldBe 6L
+    val wps1 = 6.0 / 1.0; val spw1 = 6.0 / 6.0
+    r1.getDouble(4) shouldBe (206.835 - 1.015 * wps1 - 84.6 * spw1) +- 1e-12
+    r1.getDouble(5) shouldBe (0.39 * wps1 + 11.8 * spw1 - 15.59) +- 1e-12
+
+    out(2L).getLong(2) shouldBe 3L  // "...", "?!", "?" are 3 boundary runs
+    val r3 = out(3L)
+    r3.getLong(1) shouldBe 2L
+    r3.getLong(2) shouldBe 1L       // no terminator: floor at one sentence
+    r3.getLong(3) shouldBe 2L       // 'y' in xyz counts; qrst floors via word count
+  }
 }
