@@ -608,6 +608,79 @@ object Dedup {
       .select("doc_id", "best_match", "best_containment")
   }
 
+  // ---- edit-distance near-dup (blocked Levenshtein) ------------------------
+
+  /** Max unit-cost edits for an [[editDistanceBestMatch]] pair. */
+  val MaxEditDistance = 3
+  /** Length-bucket width for edit blocking (≫ [[MaxEditDistance]], so a
+    * qualifying pair spans at most adjacent buckets). */
+  val EditLenBucket = 64
+  /** Blocking prefix/suffix length. */
+  val EditAffix = 16
+  /** Documents longer than this are excluded — edit distance is a
+    * short-record operator (titles, queries, log lines, form fields);
+    * its O(len²) verify has no place on book-length text, where the
+    * shingle/MinHash family owns near-dup. */
+  val MaxEditLen = 2048
+
+  /** Blocked-Levenshtein near-dup best match — the character-level
+    * precision instrument the token-level family can't replace: typo'd
+    * re-submissions, boilerplate with one edited field, OCR jitter.
+    * Candidates come from 4 blocking keys per document — {prefix,
+    * suffix} × {own, next} length bucket — so any ≤[[MaxEditDistance]]
+    * pair whose edits avoid at least one [[EditAffix]]-char end is
+    * caught regardless of which bucket edge it straddles (a pair edited
+    * in BOTH ends is the documented recall bound, the [[MaxBandBucket]]
+    * trade-off convention). Buckets are capped, then pairs verify with
+    * the THRESHOLDED Levenshtein kernel (banded DP — O(len·k), not
+    * O(len²)) after an exact length-difference pre-filter. One row per
+    * document: (doc_id, best_match, best_distance), nulls when nothing
+    * qualifies.
+    *
+    * 100 TB shape: map-only key generation, the shared capped-bucket
+    * pairing (never all-pairs), and per-pair verification bounded by
+    * [[MaxEditLen]]·[[MaxEditDistance]] — text shuffles only for
+    * verified candidate pairs, never corpus×corpus. */
+  def editDistanceBestMatch(documents: DataFrame): DataFrame = {
+    val docs = Tables.spread(documents)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val eligible = Staging.stage(docs.where(col("len") <= MaxEditLen))
+    def key(side: String, off: Int): Column = {
+      val affix =
+        if (side == "p") expr(s"left(text, $EditAffix)")
+        else expr(s"right(text, $EditAffix)")
+      concat(lit(side), lit(":"),
+        (expr(s"len div $EditLenBucket") + off).cast("string"), lit(":"), affix)
+    }
+    // band is constant: the side prefix inside the key string already
+    // separates p/s, and the off-0/off-1 variants MUST share a bucket —
+    // that's exactly how a pair straddling a bucket edge meets
+    val bands = eligible.select(col("doc_id"), lit(0).as("band"),
+        explode(array(key("p", 0), key("p", 1), key("s", 0), key("s", 1)))
+          .as("bkey"))
+    // staged: the nbrs union reads verified edges twice — without this
+    // the whole block-pair-verify pipeline would execute once per branch
+    val ver = Staging.stage(cappedBandPairs(bands)
+      .join(eligible.select(col("doc_id").as("a"), col("text").as("ta"),
+        col("len").as("la")), "a")
+      .join(eligible.select(col("doc_id").as("b"), col("text").as("tb"),
+        col("len").as("lb")), "b")
+      .where(abs(col("la") - col("lb")) <= MaxEditDistance)
+      .withColumn("dist",
+        levenshtein(col("ta"), col("tb"), MaxEditDistance))
+      .where(col("dist") >= 0) // thresholded kernel returns -1 past the cap
+      .select("a", "b", "dist"))
+    val nbrs = ver.select(col("a").as("doc_id"), col("b").as("other"), col("dist"))
+      .unionAll(ver.select(col("b").as("doc_id"), col("a").as("other"), col("dist")))
+    val best = nbrs.groupBy("doc_id")
+      .agg(max_by(struct(col("other"), col("dist")),
+        struct((-col("dist")).as("nd"), (-col("other")).as("nother"))).as("m"))
+      .select(col("doc_id"), col("m.other").as("best_match"),
+        col("m.dist").as("best_distance"))
+    docs.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select("doc_id", "best_match", "best_distance")
+  }
+
   // ---- chunk-grain exact passage dedup -------------------------------------
 
   /** Repeated-passage detection at the chunk grain — the practical
@@ -676,6 +749,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardBestMatch(Tables.documents(s, d))),
     "dedup_minhash_incremental" -> ((s, d) => minhashLshIncremental(Tables.documents(s, d))),
     "dedup_containment"   -> ((s, d) => containmentBestMatch(Tables.documents(s, d))),
+    "dedup_edit_distance" -> ((s, d) => editDistanceBestMatch(Tables.documents(s, d))),
     "dedup_quality_keeper" -> ((s, d) => qualityKeeperFrom(
       lshClusterArtifact(s, d).select("doc_id", "cluster_id"),
       Tables.documents(s, d))),
@@ -886,6 +960,30 @@ object Dedup {
          |     ORDER BY jaccard DESC, b ASC) AS rn FROM hits) WHERE rn = 1)
          | SELECT d.doc_id, best.match_id, best.match_jaccard
          | FROM (SELECT doc_id FROM documents WHERE doc_id % $IncomingMod = 0) d
+         | LEFT JOIN best ON d.doc_id = best.doc_id""".stripMargin,
+
+    "dedup_edit_distance" ->
+      s"""WITH elig AS (SELECT doc_id, text, length(text) AS len
+         |   FROM documents WHERE length(text) <= $MaxEditLen),
+         | bands AS (SELECT doc_id, 0 AS band,
+         |     s.side || ':' || CAST((len // $EditLenBucket) + o.off AS VARCHAR)
+         |       || ':' || CASE WHEN s.side = 'p' THEN left(text, $EditAffix)
+         |                      ELSE right(text, $EditAffix) END AS bkey
+         |   FROM elig, (VALUES ('p'), ('s')) s(side), (VALUES (0), (1)) o(off)),
+         | ${cappedPairsSql("bands")},
+         | ver AS (SELECT c.a, c.b, levenshtein(x.text, y.text) AS dist
+         |   FROM cand c JOIN elig x ON x.doc_id = c.a
+         |   JOIN elig y ON y.doc_id = c.b
+         |   WHERE abs(x.len - y.len) <= $MaxEditDistance
+         |     AND levenshtein(x.text, y.text) <= $MaxEditDistance),
+         | nbrs AS (SELECT a AS doc_id, b AS other, dist FROM ver
+         |   UNION ALL SELECT b, a, dist FROM ver),
+         | best AS (SELECT doc_id, other, dist FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |     ORDER BY dist ASC, other ASC) AS rn FROM nbrs) WHERE rn = 1)
+         | SELECT d.doc_id, best.other AS best_match,
+         |   CAST(best.dist AS INTEGER) AS best_distance
+         | FROM (SELECT doc_id FROM documents) d
          | LEFT JOIN best ON d.doc_id = best.doc_id""".stripMargin,
 
     "dedup_containment" ->

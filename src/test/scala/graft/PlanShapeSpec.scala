@@ -638,6 +638,18 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Window" // winner via max(struct), not a rank window
   }
 
+  test("dedup_edit_distance: staged verified edges feed both union branches; no cartesian") {
+    val p = planOf("dedup_edit_distance")
+    p should not include "CartesianProduct"
+    p should not include "Exchange rangepartitioning"
+    p should not include "Window"
+    // the block-pair-verify pipeline runs ONCE behind the stage: the
+    // visible plan re-reads its result, it does not contain the pairing
+    // self-join
+    countOf(p, "LocalTableScan|Scan ExistingRDD|Scan parquet") should be >= 1
+    countOf(p, "Levenshtein|levenshtein") shouldBe 0
+  }
+
   test("text_readability: pure map scan pruned to (doc_id, text) — no shuffle") {
     val p = planOf("text_readability")
     p should include("ReadSchema: struct<doc_id:bigint,text:string>")

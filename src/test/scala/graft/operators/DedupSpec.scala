@@ -191,4 +191,40 @@ class DedupSpec extends SparkSpec {
     // partition property: histogram doc mass == corpus size
     hist.values.map(_._2).sum shouldBe docs.count()
   }
+
+  test("edit distance: middle/end edits matched, both-ends miss and caps pinned") {
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val tC = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val tE = "uniform victor whiskey xray yankee zulu one two three four"
+    val tH = "hotel india kilo lima mike november oscar papa"
+    val tJ = "juliet kilo lima echo echo echo whiskey tango foxtrot"
+    val out = Dedup.editDistanceBestMatch(docsDf(Seq(
+      10L -> tA,
+      11L -> tA.replace("echo", "ecko"),            // 1 middle edit
+      20L -> tC,
+      21L -> ("kilt" + tC.drop(4)),                 // 1 edit inside prefix-16
+      30L -> tE,                                    // edits in BOTH affixes:
+      31L -> ("unzform" + tE.drop(7).dropRight(4) + "fouz"), // documented miss
+      40L -> ("g " * 1500),                         // > MaxEditLen: excluded
+      50L -> tH,
+      51L -> tH.replace("mike november", "mjkz nxvembzr"), // 4 edits > cap
+      60L -> tJ,
+      61L -> tJ)))                                  // exact dup: distance 0
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getInt(2)))))
+      .toMap
+    out.size shouldBe 11
+    out(10L) shouldBe Some((11L, 1))
+    out(11L) shouldBe Some((10L, 1))
+    out(20L) shouldBe Some((21L, 1))  // caught via the suffix key
+    out(21L) shouldBe Some((20L, 1))
+    out(30L) shouldBe None            // recall bound: both ends edited
+    out(31L) shouldBe None
+    out(40L) shouldBe None            // length gate
+    out(50L) shouldBe None            // past the distance cap
+    out(51L) shouldBe None
+    out(60L) shouldBe Some((61L, 0))
+    out(61L) shouldBe Some((60L, 0))
+  }
 }
