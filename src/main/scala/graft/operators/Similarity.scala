@@ -648,6 +648,86 @@ object Similarity {
           lit(0.0), (a, e) => greatest(a, e)).as("max_abs_err"))
   }
 
+  // ---- MMR diversified retrieval -------------------------------------------
+
+  /** Candidate pool per query entering the MMR re-rank. */
+  val MmrPool = 20
+  /** Diversified results returned per query. */
+  val MmrK = 5
+  /** Relevance weight λ. [[MmrDiversity]] is declared as its own literal
+    * rather than computed `1 − λ` so BOTH engines parse the exact same
+    * decimal (in IEEE doubles 1 − 0.7 ≠ 0.3). */
+  val MmrLambda = 0.7
+  val MmrDiversity = 0.3
+
+  /** Maximal-marginal-relevance top-k — diversified retrieval for
+    * few-shot/context selection, where plain top-k returns five copies
+    * of the same neighborhood: greedily pick argmax of
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` until [[MmrK]]
+    * results, over a bounded [[MmrPool]]-candidate pool from the exact
+    * cosine ranking. The greedy is [[MmrK]]−1 unrolled rounds of tiny
+    * joins/aggregates over (queries × pool)-sized frames — deterministic
+    * plan, no driver loop over data, ties broken (score desc, id asc).
+    * One row per (query, rank ≤ [[MmrK]]): (query_id, rank, neighbor_id).
+    *
+    * 100 TB shape: the corpus is touched exactly twice (the bounded
+    * top-k scan and one broadcast-semijoin vector fetch for the
+    * candidate set); everything after is candidate-pool-sized — the
+    * k²-bounded pairwise matrix is the DESIGN, not an accident, so the
+    * re-rank cost is independent of corpus size. */
+  def mmrTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = vectors(spark, sfDir)
+    val queries = vs.where(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val scored = vs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine_sim"))
+    val cands = Staging.stage(
+      graft.functions.TopKByScore.perGroup(scored, MmrPool)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cosine_sim").as("rel")))
+    val cvec = vs.join(broadcast(cands.select("neighbor_id").distinct()),
+        col("vec_id") === col("neighbor_id"))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val pairs = Staging.stage(
+      cands.select(col("query_id"), col("neighbor_id").as("a"))
+        .join(cands.select(col("query_id"), col("neighbor_id").as("b")),
+          Seq("query_id"))
+        .where(col("a") =!= col("b"))
+        .join(broadcast(cvec.select(col("vec_id").as("a"),
+          col("v").as("va"), col("nrm").as("na"))), Seq("a"))
+        .join(broadcast(cvec.select(col("vec_id").as("b"),
+          col("v").as("vb"), col("nrm").as("nb"))), Seq("b"))
+        .select(col("query_id").as("pq"), col("a"), col("b"),
+          (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("psim")))
+    // round 1: pure relevance argmax seeds the selection
+    var state = cands.groupBy("query_id")
+      .agg(max_by(col("neighbor_id"),
+        struct(col("rel"), (-col("neighbor_id")).as("nn"))).as("pick"))
+      .select(col("query_id"), array(col("pick")).as("sel"))
+    for (_ <- 2 to MmrK) {
+      val remaining = cands.join(broadcast(state), "query_id")
+        .where(!array_contains(col("sel"), col("neighbor_id")))
+      val ms = remaining.join(pairs,
+          col("query_id") === col("pq") && col("neighbor_id") === col("a") &&
+            array_contains(col("sel"), col("b")))
+        .groupBy(col("query_id"), col("neighbor_id"), col("rel"), col("sel"))
+        .agg(max(col("psim")).as("maxsim"))
+      state = ms
+        .withColumn("score",
+          lit(MmrLambda) * col("rel") - lit(MmrDiversity) * col("maxsim"))
+        .groupBy("query_id")
+        .agg(max_by(struct(col("neighbor_id").as("pick"), col("sel")),
+          struct(col("score"), (-col("neighbor_id")).as("nn"))).as("m"))
+        .select(col("query_id"),
+          concat(col("m.sel"), array(col("m.pick"))).as("sel"))
+    }
+    state.select(col("query_id"), posexplode(col("sel")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col").as("neighbor_id"))
+  }
+
   /** |robust z|-flag threshold for [[embeddingAudit]] (3.5 is the
     * conventional cut for median/MAD scores). */
   val AuditZThreshold = 3.5
@@ -885,6 +965,7 @@ object Similarity {
     "sim_ivf_topk" -> (ivfTopK _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_embedding_audit" -> (embeddingAudit _),
+    "sim_mmr_topk" -> (mmrTopK _),
     "sim_kmeans_train" -> (kmeansTrain _),
     "sim_ivf_trained_topk" -> (ivfTrainedTopK _),
     "dedup_embedding" -> (embeddingDedup _),
@@ -963,6 +1044,58 @@ object Similarity {
   // are deterministic literals on both engines, and dot products fold in
   // identical element order (Spark sequential aggregate ≡ DuckDB
   // list_dot_product), so the candidate sets match exactly.
+  /** SQL mirror of [[mmrTopK]], generated from the SAME constants and
+    * unroll depth as the Spark side: per-step CTE pairs (m_t = per-
+    * candidate max-sim-to-selected, s_t = argmax append), selection
+    * carried as a DuckDB LIST exactly like the Spark array. Scores are
+    * bit-identical (same literals, same IEEE op order), so the argmax
+    * tie-break (score desc, id asc) agrees. */
+  private def mmrSql: String = {
+    val steps = (2 to MmrK).map { t =>
+      s"""m$t AS (SELECT c.query_id, c.neighbor_id, c.rel, s.sel,
+         |     MAX(p.psim) AS maxsim
+         |   FROM cands c JOIN s${t - 1} s ON s.query_id = c.query_id
+         |   JOIN pairs p ON p.query_id = c.query_id
+         |     AND p.a = c.neighbor_id AND list_contains(s.sel, p.b)
+         |   WHERE NOT list_contains(s.sel, c.neighbor_id)
+         |   GROUP BY c.query_id, c.neighbor_id, c.rel, s.sel),
+         | s$t AS (SELECT query_id, list_append(sel, neighbor_id) AS sel FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY ($MmrLambda * rel - $MmrDiversity * maxsim) DESC,
+         |       neighbor_id ASC) AS rn
+         |   FROM m$t) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n ")
+    val fin = (1 to MmrK).map { i =>
+      s"""SELECT query_id, CAST($i AS INTEGER) AS rank, sel[$i] AS neighbor_id
+         | FROM s$MmrK""".stripMargin
+    }.mkString("\n UNION ALL ")
+    s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                         CAST(embedding AS DOUBLE[]))) AS nrm
+       |   FROM embeddings),
+       | q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM vs
+       |   WHERE vec_id < $NumQueryVectors),
+       | scoredc AS (SELECT q.query_id, vs.vec_id AS neighbor_id,
+       |     list_dot_product(vs.v, q.qv) / (vs.nrm * q.qn) AS rel
+       |   FROM vs CROSS JOIN q WHERE vs.vec_id <> q.query_id),
+       | cands AS (SELECT query_id, neighbor_id, rel FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY rel DESC, neighbor_id ASC) AS rn FROM scoredc)
+       |   WHERE rn <= $MmrPool),
+       | pairs AS (SELECT ca.query_id, ca.neighbor_id AS a, cb.neighbor_id AS b,
+       |     list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS psim
+       |   FROM cands ca JOIN cands cb ON ca.query_id = cb.query_id
+       |     AND ca.neighbor_id <> cb.neighbor_id
+       |   JOIN vs x ON x.vec_id = ca.neighbor_id
+       |   JOIN vs y ON y.vec_id = cb.neighbor_id),
+       | s1 AS (SELECT query_id, [neighbor_id] AS sel FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY rel DESC, neighbor_id ASC) AS rn FROM cands)
+       |   WHERE rn = 1),
+       | $steps
+       | $fin""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "sim_ivf_pq_topk" ->
       s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -1231,6 +1364,8 @@ object Similarity {
          | SELECT m.vec_id, m.cent_id, best.dup_of, best.dup_cos,
          |   best.dup_of IS NULL AS keep
          | FROM members m LEFT JOIN best ON best.vec_id = m.vec_id""".stripMargin,
+
+    "sim_mmr_topk" -> mmrSql,
 
     "sim_embedding_audit" ->
       s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -650,6 +650,15 @@ class PlanShapeSpec extends SparkSpec {
     countOf(p, "Levenshtein|levenshtein") shouldBe 0
   }
 
+  test("sim_mmr_topk: pool-sized greedy — broadcast state each round, no window, no cartesian") {
+    val p = planOf("sim_mmr_topk")
+    p should not include "CartesianProduct"
+    p should not include "SortMergeJoin"
+    p should not include "Exchange rangepartitioning"
+    p should not include "Window" // every argmax is a max_by aggregate
+    p should include("BroadcastHashJoin") // selection state rides broadcasts
+  }
+
   test("text_readability: pure map scan pruned to (doc_id, text) — no shuffle") {
     val p = planOf("text_readability")
     p should include("ReadSchema: struct<doc_id:bigint,text:string>")

@@ -42,6 +42,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("MMR: engine selection equals a driver-side greedy replay; re-rank diversifies") {
+    val out = Similarity.mmrTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byQ = out.groupBy(_._1)
+    byQ.size shouldBe Similarity.NumQueryVectors
+    byQ.values.foreach { g =>
+      g.map(_._2).sorted.toSeq shouldBe (1 to Similarity.MmrK)
+      g.map(_._3).distinct.length shouldBe Similarity.MmrK
+    }
+    // greedy replay from the raw fixture (same IEEE op order as the engine)
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
+    }
+    byQ.foreach { case (q, rows) =>
+      val pool = vecs.keys.filter(_ != q).map(id => id -> cos(q, id)).toSeq
+        .sortBy { case (id, r) => (-r, id) }.take(Similarity.MmrPool)
+      var sel = Vector(pool.head._1)
+      for (_ <- 2 to Similarity.MmrK) {
+        val pick = pool.filterNot(p => sel.contains(p._1)).map { case (id, r) =>
+          id -> (Similarity.MmrLambda * r -
+            Similarity.MmrDiversity * sel.map(s => cos(id, s)).max)
+        }.minBy { case (id, sc) => (-sc, id) }._1
+        sel :+= pick
+      }
+      rows.sortBy(_._2).map(_._3).toSeq shouldBe sel
+    }
+    // non-vacuous: diversification moves at least one query off plain top-5
+    val plain = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    byQ.exists { case (q, rows) =>
+      rows.map(_._3).toSet != plain(q).map(_._2).toSet } shouldBe true
+  }
+
   test("exact top-k output shape: k rows per query, ranks 1..k, sims sorted") {
     val rows = Similarity.cosineTopK(spark, sfDir).collect()
     val byQuery = rows.groupBy(_.getLong(0))
