@@ -499,6 +499,60 @@ object Events {
           .as("n_over_gap"))
   }
 
+  private val UsPerMinute = 60L * 1000L * 1000L
+  /** [[botFlag]] burst cut: ≥ this many events inside one calendar
+    * minute is beyond human interaction rates. */
+  val BotBurstPerMin = 10L
+  /** [[botFlag]] regularity gate: metronome detection needs at least
+    * this many gaps before a dominant exact gap means anything. */
+  val BotMinGaps = 20L
+  /** [[botFlag]] regularity cut: share of consecutive gaps landing on
+    * ONE exact µs value (humans never repeat a µs-precise cadence;
+    * timer-driven clients do little else). */
+  val BotRegularShare = 0.5
+
+  /** Bot/automation flagging — the traffic-hygiene gate a behavioral
+    * pipeline runs before events feed anything downstream (training
+    * data, metrics, experiments): per user, total events, the burst
+    * maximum (events in any one calendar minute), and the metronome
+    * signal (share of consecutive gaps equal to the user's most common
+    * EXACT µs gap). `is_bot` when the burst tops [[BotBurstPerMin]] or
+    * ≥[[BotMinGaps]] gaps concentrate ≥[[BotRegularShare]] on a single
+    * value. All-integer math plus one exact division, so the oracle
+    * compare is exact; single-event users carry null share and flag on
+    * burst alone. Output: (user_id, n_events, max_per_min, n_gaps,
+    * top_gap_share, is_bot).
+    *
+    * 100 TB shape: two independent single-pass branches over the
+    * pruned (user, ts, event_id) scan — a (user, minute) two-phase
+    * rollup whose exchange carries minute-collapsed rows, and
+    * [[interarrival]]'s one-hash(user) window pass whose per-user
+    * finishers reuse the window's partitioning with NO further
+    * exchange — joined user-keyed at the end (broadcast under AQE at
+    * test scale, co-partitioned at 100 TB). No branch reads the other's
+    * input twice and nothing stages corpus-sized state. */
+  def botFlag(events: DataFrame): DataFrame = {
+    val bursts = events
+      .select(col("user_id"), expr(s"ts div $UsPerMinute").as("minute"))
+      .groupBy("user_id", "minute").agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(max("c").as("max_per_min"), sum("c").as("n_events"))
+    val regular = events
+      .withColumn("gap_us", col("ts") - lag(col("ts"), 1).over(byUserTime))
+      .where(col("gap_us").isNotNull)
+      .groupBy("user_id", "gap_us").agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(max("c").as("top_gap_n"), sum("c").as("n_gaps"))
+    bursts.join(regular, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"), col("max_per_min"),
+        coalesce(col("n_gaps"), lit(0L)).as("n_gaps"),
+        (col("top_gap_n").cast("double") / col("n_gaps"))
+          .as("top_gap_share"))
+      .withColumn("is_bot", col("max_per_min") >= BotBurstPerMin ||
+        (col("n_gaps") >= BotMinGaps &&
+          col("top_gap_share") >= BotRegularShare))
+  }
+
   /** Conversion horizon for [[abLift]]: a user "converts" when their
     * first purchase lands within this window of their first activity.
     * (Plain "has a purchase" is degenerate on the synthetic stream —
@@ -915,6 +969,7 @@ object Events {
     "events_forecast_backtest" -> ((s, d) => forecastBacktest(Tables.events(s, d))),
     "events_markov_eval" -> ((s, d) => markovEval(Tables.events(s, d))),
     "events_interarrival" -> ((s, d) => interarrival(Tables.events(s, d))),
+    "events_bot_flag" -> ((s, d) => botFlag(Tables.events(s, d))),
     "events_funnel"        -> ((s, d) => funnel(Tables.events(s, d))),
     "events_props_extract" -> ((s, d) => propsExtract(Tables.events(s, d))),
     "events_hopping"       -> ((s, d) => hoppingCounts(Tables.events(s, d))),
@@ -1191,6 +1246,29 @@ object Events {
          |   CAST(SUM(CASE WHEN gap_us > $SessionGapMicros THEN 1 ELSE 0 END)
          |     AS BIGINT) AS n_over_gap
          | FROM r GROUP BY user_id""".stripMargin,
+
+    "events_bot_flag" ->
+      s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events),
+         | b AS (SELECT user_id, MAX(c) AS max_per_min,
+         |     CAST(SUM(c) AS BIGINT) AS n_events
+         |   FROM (SELECT user_id, ts // $UsPerMinute AS minute, COUNT(*) AS c
+         |     FROM ev GROUP BY 1, 2) GROUP BY user_id),
+         | g AS (SELECT user_id,
+         |     ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |       AS gap_us
+         |   FROM ev),
+         | r AS (SELECT user_id, MAX(c) AS top_gap_n,
+         |     CAST(SUM(c) AS BIGINT) AS n_gaps
+         |   FROM (SELECT user_id, gap_us, COUNT(*) AS c FROM g
+         |     WHERE gap_us IS NOT NULL GROUP BY 1, 2) GROUP BY user_id)
+         | SELECT b.user_id, b.n_events, b.max_per_min,
+         |   COALESCE(r.n_gaps, 0) AS n_gaps,
+         |   CAST(r.top_gap_n AS DOUBLE) / r.n_gaps AS top_gap_share,
+         |   b.max_per_min >= $BotBurstPerMin OR
+         |     (COALESCE(r.n_gaps, 0) >= $BotMinGaps AND
+         |      CAST(r.top_gap_n AS DOUBLE) / r.n_gaps >= $BotRegularShare)
+         |     AS is_bot
+         | FROM b LEFT JOIN r ON r.user_id = b.user_id""".stripMargin,
 
     "events_asof_click" ->
       s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts, event_type,

@@ -659,6 +659,15 @@ class PlanShapeSpec extends SparkSpec {
     p should include("BroadcastHashJoin") // selection state rides broadcasts
   }
 
+  test("events_bot_flag: two branches, three bounded exchanges, finishers reuse partitioning") {
+    val p = planOf("events_bot_flag")
+    countOf(p, "Exchange hashpartitioning") should be <= 3
+    p should not include "Exchange rangepartitioning"
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    countOf(p, "Window") shouldBe 1 // only the gap lag, shared by both rollups
+  }
+
   test("text_readability: pure map scan pruned to (doc_id, text) — no shuffle") {
     val p = planOf("text_readability")
     p should include("ReadSchema: struct<doc_id:bigint,text:string>")

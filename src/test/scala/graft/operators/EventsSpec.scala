@@ -504,4 +504,28 @@ class EventsSpec extends SparkSpec {
     out(7L) shouldBe ((3L, us(110).toDouble, us(60), us(240), 1L))
     out.contains(8L) shouldBe false
   }
+
+  test("bot flag: burst and metronome trip independently; humans and singletons pass") {
+    val sec = 1000000L
+    var id = 0L
+    def ev(ts: Long, user: Long): (Long, Long, Long, String, Double, String) = {
+      id += 1; (id, ts, user, "view", 0.0, "{}")
+    }
+    val burst = (0 until 12).map(i => ev(i * 5 * sec, 1L)) // 12 in minute 0
+    val metro = (0 until 25).map(i => ev(1000L * sec + i * 300 * sec, 2L))
+    val human = (0 until 25).scanLeft(2000000L * sec) {
+      (t, i) => t + (120 + i) * sec }.tail.map(ev(_, 3L)) // all-distinct gaps
+    val lone = Seq(ev(5000000L * sec, 4L))
+    val out = Events.botFlag(eventsDf(burst ++ metro ++ human ++ lone))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getBoolean(5)))).toMap
+    out(1L) shouldBe ((12L, 12L, 11L, Some(1.0), true))  // burst, gate un-met
+    out(2L) shouldBe ((25L, 1L, 24L, Some(1.0), true))   // metronome
+    val (n3, m3, g3, s3, b3) = out(3L)
+    (n3, m3, g3, b3) shouldBe ((25L, 1L, 24L, false))
+    s3.get shouldBe (1.0 / 24) +- 1e-12                  // no dominant gap
+    out(4L) shouldBe ((1L, 1L, 0L, None, false))         // singleton: null share
+  }
 }
