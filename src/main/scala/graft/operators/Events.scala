@@ -499,7 +499,7 @@ object Events {
           .as("n_over_gap"))
   }
 
-  private val UsPerMinute = 60L * 1000L * 1000L
+  private[graft] val UsPerMinute = 60L * 1000L * 1000L
   /** [[botFlag]] burst cut: ≥ this many events inside one calendar
     * minute is beyond human interaction rates. */
   val BotBurstPerMin = 10L
