@@ -172,6 +172,45 @@ object TextAnalysis {
     * redundancy, not language. */
   val CompressionRatioMin = 0.2
 
+  /** Output dimensionality of [[hashEmbedding]] — matches the
+    * `embeddings` table's 64 dims so hashed text vectors can ride the
+    * similarity family's machinery unchanged. */
+  val HashEmbDim = 64
+
+  /** Hashing-trick document embeddings (Weinberger et al. 2009 feature
+    * hashing) — the vocabulary-free featurizer that bridges the text and
+    * vector families: every token hashes to one of [[HashEmbDim]]
+    * buckets with a ±1 sign from an independent hash (sign cancellation
+    * keeps bucket collisions unbiased), per-document signed counts
+    * accumulate, and the vector L2-normalizes. No vocabulary, no
+    * training, no drift between batch and streaming — a new token folds
+    * in with pure arithmetic, which is why production pipelines reach
+    * for this before a learned embedding. Emitted SPARSE, one row per
+    * non-zero (doc, dim): (doc_id, dim, weight_raw, weight) — exact
+    * integer counts beside the normalized coordinate, zero-norm docs
+    * guarded to 0.
+    *
+    * 100 TB shape: explode → ONE two-phase (doc, dim) aggregation, then
+    * the normalization as an unordered window over the ≤[[HashEmbDim]]
+    * surviving rows per doc — two exchanges total (the second carries
+    * post-aggregation rows only), no join anywhere. */
+  def hashEmbedding(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val signed = Tables.spread(documents)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"),
+        (Dedup.h32(concat(lit("hemb:"), col("term"))) % HashEmbDim).as("dim"),
+        when(Dedup.h32(concat(lit("hsgn:"), col("term"))) % 2 === 0, 1L)
+          .otherwise(-1L).as("sgn"))
+    signed.groupBy("doc_id", "dim").agg(sum("sgn").as("weight_raw"))
+      .withColumn("ss", sum(col("weight_raw") * col("weight_raw"))
+        .over(Window.partitionBy("doc_id")))
+      .select(col("doc_id"), col("dim"), col("weight_raw"),
+        when(col("ss") === 0, lit(0.0))
+          .otherwise(col("weight_raw").cast("double") /
+            sqrt(col("ss").cast("double"))).as("weight"))
+  }
+
   /** Sentence boundaries for [[readability]]: a run of terminators counts
     * once (an ellipsis or "?!" ends ONE sentence). */
   private val SentenceRe = "[.!?]+"
@@ -1207,6 +1246,7 @@ object TextAnalysis {
     "text_repetition"  -> ((s, d) => repetition(Tables.documents(s, d))),
     "text_token_stats" -> ((s, d) => tokenStats(Tables.documents(s, d))),
     "text_readability" -> ((s, d) => readability(Tables.documents(s, d))),
+    "text_hash_embedding" -> ((s, d) => hashEmbedding(Tables.documents(s, d))),
     "text_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
     "text_quality"     -> ((s, d) => quality(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
@@ -1562,6 +1602,25 @@ object TextAnalysis {
          | CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
          |   / len(string_split(text, ' ')) AS avg_token_chars
          | FROM documents""".stripMargin,
+
+    "text_hash_embedding" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |   FROM documents),
+         | s AS (SELECT doc_id,
+         |     ${Dedup.h32SqlOf("'hemb:' || term")} % $HashEmbDim AS dim,
+         |     CASE WHEN ${Dedup.h32SqlOf("'hsgn:' || term")} % 2 = 0
+         |       THEN 1 ELSE -1 END AS sgn
+         |   FROM tok),
+         | a AS (SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS weight_raw
+         |   FROM s GROUP BY 1, 2),
+         | n AS (SELECT doc_id,
+         |     CAST(SUM(weight_raw * weight_raw) AS BIGINT) AS ss
+         |   FROM a GROUP BY 1)
+         | SELECT a.doc_id, a.dim, a.weight_raw,
+         |   CASE WHEN n.ss = 0 THEN CAST(0 AS DOUBLE)
+         |        ELSE CAST(a.weight_raw AS DOUBLE) / sqrt(CAST(n.ss AS DOUBLE))
+         |   END AS weight
+         | FROM a JOIN n ON n.doc_id = a.doc_id""".stripMargin,
 
     "text_readability" ->
       s"""WITH c AS (SELECT doc_id,

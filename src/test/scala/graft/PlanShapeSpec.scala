@@ -659,6 +659,15 @@ class PlanShapeSpec extends SparkSpec {
     p should include("BroadcastHashJoin") // selection state rides broadcasts
   }
 
+  test("text_hash_embedding: (doc,dim) two-phase agg, window norm, no join") {
+    val p = planOf("text_hash_embedding")
+    // the explode feeds the (doc, dim) exchange; the doc-keyed window
+    // exchange moves only post-aggregation rows (≤64 per doc)
+    countOf(p, "Exchange hashpartitioning") shouldBe 2
+    p should not include "Join" // normalization is a window, not a join-back
+    p should not include "Exchange rangepartitioning"
+  }
+
   test("events_bot_flag: two branches, three bounded exchanges, finishers reuse partitioning") {
     val p = planOf("events_bot_flag")
     countOf(p, "Exchange hashpartitioning") should be <= 3

@@ -539,6 +539,34 @@ class TextAnalysisSpec extends SparkSpec {
     n should be < 32L // 32 identical bytes must deflate below identity
   }
 
+  test("hash embedding: signed counts recompute driver-side, unit norm, sparse") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def h32(s: String): Long =
+      graft.functions.MinHashSeeds.h32(UTF8String.fromString(s))
+    val out = TextAnalysis.hashEmbedding(docs(
+      1L -> "alpha beta alpha gamma",
+      2L -> "delta")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // driver-side replay of the same bucketing
+    val expect = scala.collection.mutable.Map[(Long, Long), Long]()
+    Seq(1L -> "alpha beta alpha gamma", 2L -> "delta").foreach { case (id, t) =>
+      t.split(" ").foreach { term =>
+        val dim = h32(s"hemb:$term") % TextAnalysis.HashEmbDim
+        val sgn = if (h32(s"hsgn:$term") % 2 == 0) 1L else -1L
+        expect((id, dim)) = expect.getOrElse((id, dim), 0L) + sgn
+      }
+    }
+    out.keySet shouldBe expect.keySet
+    expect.foreach { case (k, raw) => out(k)._1 shouldBe raw }
+    // unit L2 norm per doc (guarded zero-norm path aside)
+    Seq(1L, 2L).foreach { id =>
+      val ss = out.collect { case ((d, _), (_, w)) if d == id => w * w }.sum
+      ss shouldBe 1.0 +- 1e-12
+    }
+    all(out.keys.map(_._2)) should (be >= 0L and be < TextAnalysis.HashEmbDim.toLong)
+  }
+
   test("readability: counts, floors, and both Flesch formulas") {
     val out = TextAnalysis.readability(docs(
       1L -> "the cat sat on the mat.",   // 6 words, 1 sentence
