@@ -443,6 +443,49 @@ object Corpus {
     decided.unionByName(boundary)
   }
 
+  /** Dataset card — the one-page summary a published dataset ships
+    * with, computed engine-side as (metric, value) rows: corpus size
+    * (docs / tokens / chars), diversity (distinct langs / sources),
+    * mean composite quality, the exact-duplicate rate (1 − distinct
+    * digests / docs), and the share of documents carrying any PII hit
+    * (all four [[TextAnalysis]] detectors). Counts and token masses are
+    * exact integers cast to double at the very end; the two ratios are
+    * one exact division each.
+    *
+    * 100 TB shape: ONE pass — a single map-side-combined aggregate over
+    * the scan computes every non-distinct metric, the three distincts
+    * ride Spark's Expand in the same aggregation, and the stack() that
+    * reshapes 1×N to N×2 touches one row. No joins, no windows, no
+    * second scan. */
+  def datasetCard(documents: DataFrame): DataFrame = {
+    import TextAnalysis.{PiiEmailRe, PiiIdRe, PiiIpv4Re, PiiPhoneRe}
+    def hits(re: String) =
+      size(regexp_extract_all(col("text"), lit(re), lit(0))) > 0
+    val piiAny = hits(PiiEmailRe) || hits(PiiIdRe) ||
+      hits(PiiIpv4Re) || hits(PiiPhoneRe)
+    Tables.spread(documents).agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        avg(TextAnalysis.qualityScoreCol).as("mean_quality"),
+        count_distinct(md5(col("text"))).as("n_uniq"),
+        sum(when(piiAny, 1L).otherwise(0L)).as("n_pii"))
+      .select(expr(
+        """stack(9,
+          |  'n_docs', CAST(n_docs AS DOUBLE),
+          |  'n_langs', CAST(n_langs AS DOUBLE),
+          |  'n_sources', CAST(n_sources AS DOUBLE),
+          |  'total_tokens', CAST(total_tokens AS DOUBLE),
+          |  'total_chars', CAST(total_chars AS DOUBLE),
+          |  'mean_doc_tokens', CAST(total_tokens AS DOUBLE) / n_docs,
+          |  'mean_quality', mean_quality,
+          |  'exact_dup_rate', 1.0 - CAST(n_uniq AS DOUBLE) / n_docs,
+          |  'pct_pii_docs', CAST(n_pii AS DOUBLE) / n_docs
+          |) AS (metric, value)""".stripMargin))
+  }
+
   /** Declared target mixture for [[mixPlan]] (shares of training tokens
     * per language; a real pipeline tunes these against eval loss).
     * Languages absent from the map get weight 0 — excluded from the mix. */
@@ -885,6 +928,7 @@ object Corpus {
     "shard_plan"        -> ((s, d) => shardPlan(Tables.documents(s, d))),
     "corpus_shuffle"    -> ((s, d) => epochShuffle(Tables.documents(s, d))),
     "corpus_token_budget" -> ((s, d) => tokenBudget(Tables.documents(s, d))),
+    "corpus_dataset_card" -> ((s, d) => datasetCard(Tables.documents(s, d))),
     "corpus_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "corpus_bloom_decontaminate" -> ((s, d) => bloomDecontaminate(Tables.documents(s, d))),
     "corpus_near_decontaminate" -> ((s, d) => nearDecontaminate(Tables.documents(s, d))),
@@ -1087,6 +1131,35 @@ object Corpus {
          |          THEN above + prefix + n_tokens <= $TokenBudget
          |        ELSE FALSE END AS keep
          | FROM p""".stripMargin,
+
+    "corpus_dataset_card" ->
+      s"""WITH ${TextAnalysis.qualityScoreSqlWith},
+         | a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |     CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+         |     CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+         |     CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens,
+         |     CAST(SUM(length(d.text)) AS BIGINT) AS total_chars,
+         |     AVG(sc.quality_score) AS mean_quality,
+         |     CAST(COUNT(DISTINCT md5(d.text)) AS BIGINT) AS n_uniq,
+         |     CAST(SUM(CASE WHEN
+         |         len(regexp_extract_all(d.text, '${TextAnalysis.PiiEmailRe}')) > 0
+         |         OR len(regexp_extract_all(d.text, '${TextAnalysis.PiiIdRe}')) > 0
+         |         OR len(regexp_extract_all(d.text, '${TextAnalysis.PiiIpv4Re}')) > 0
+         |         OR len(regexp_extract_all(d.text, '${TextAnalysis.PiiPhoneRe}')) > 0
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_pii
+         |   FROM documents d JOIN qscore sc ON sc.doc_id = d.doc_id)
+         | SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM a
+         | UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM a
+         | UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM a
+         | UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM a
+         | UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE) FROM a
+         | UNION ALL SELECT 'mean_doc_tokens',
+         |   CAST(total_tokens AS DOUBLE) / n_docs FROM a
+         | UNION ALL SELECT 'mean_quality', mean_quality FROM a
+         | UNION ALL SELECT 'exact_dup_rate',
+         |   1.0 - CAST(n_uniq AS DOUBLE) / n_docs FROM a
+         | UNION ALL SELECT 'pct_pii_docs',
+         |   CAST(n_pii AS DOUBLE) / n_docs FROM a""".stripMargin,
 
     "corpus_decontaminate" -> decontaminateOracleSql,
 

@@ -668,6 +668,15 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
   }
 
+  test("corpus_dataset_card: one scan, one aggregation tree, no joins or windows") {
+    val p = planOf("corpus_dataset_card")
+    countOf(p, "Scan parquet") shouldBe 1 // every metric from ONE pass
+    p should not include "Join"
+    p should not include "Window"
+    p should not include "Exchange rangepartitioning"
+    p should include("Expand") // the three distinct aggregates ride Expand
+  }
+
   test("events_bot_flag: two branches, three bounded exchanges, finishers reuse partitioning") {
     val p = planOf("events_bot_flag")
     countOf(p, "Exchange hashpartitioning") should be <= 3

@@ -477,6 +477,25 @@ class CorpusSpec extends SparkSpec {
     order(1) should not be order(2)
   }
 
+  test("dataset card: counts, dup rate, and PII share on a known fixture") {
+    val out = Corpus.datasetCard(docsDf(Seq(
+      (1L, "the cat sat", "en", "web"),
+      (2L, "the cat sat", "en", "web"),          // exact dup of 1
+      (3L, "mail me at a@b.co now", "en", "books"),
+      (4L, "der hund lief weit weg", "de", "web"))))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    out("n_docs") shouldBe 4.0
+    out("n_langs") shouldBe 2.0
+    out("n_sources") shouldBe 2.0
+    out("total_tokens") shouldBe (3 + 3 + 5 + 5).toDouble
+    out("total_chars") shouldBe (11 + 11 + 21 + 22).toDouble
+    out("mean_doc_tokens") shouldBe 4.0
+    out("exact_dup_rate") shouldBe 0.25 +- 1e-12
+    out("pct_pii_docs") shouldBe 0.25 +- 1e-12   // only doc 3's email
+    out("mean_quality") should (be > 0.0 and be < 1.0)
+    out.size shouldBe 9
+  }
+
   test("token budget: keep == the maximal quality-ordered prefix that fits") {
     val corpus = (1L to 120L).map { i =>
       val uniq = (1 to (i % 13 + 1).toInt).map(j => s"w${i}x$j")
