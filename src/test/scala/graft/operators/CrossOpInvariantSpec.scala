@@ -376,4 +376,95 @@ class CrossOpInvariantSpec extends SparkSpec {
     got.foreach { case (seg, (_, nEvents)) => nEvents shouldBe expected(seg)._2 }
     got.values.map(_._1).sum shouldBe rfm.size.toLong
   }
+
+  test("edit distance zero iff identical text; exact-dup clones always meet") {
+    // the synthetic corpus has no exact dups (the exactProbe convention),
+    // so clone two short docs — BOTH operators see the same augmented input
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val shortIds = texts.filter(_._2.length <= Dedup.MaxEditLen).keys.take(2).toSeq
+    val base = texts.keys.max
+    val sp = spark; import sp.implicits._
+    val clones = shortIds.zipWithIndex
+      .map { case (src, i) => (base + i + 1, texts(src), "en", "web", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val aug = docs.unionByName(clones)
+    val augTexts = texts ++ shortIds.zipWithIndex
+      .map { case (src, i) => (base + i + 1) -> texts(src) }
+    val ed = Dedup.editDistanceBestMatch(aug).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getLong(1), r.getInt(2))))).toMap
+    ed.keySet shouldBe augTexts.keySet // one row per document
+    ed.foreach {
+      case (id, Some((other, 0))) => augTexts(id) shouldBe augTexts(other)
+      case (id, Some((other, d))) if d > 0 =>
+        augTexts(id) should not be augTexts(other)
+      case _ => ()
+    }
+    // completeness: every injected clone pair meets at distance zero
+    // (identical text shares every block key within the length gate)
+    shortIds.zipWithIndex.foreach { case (src, i) =>
+      ed(base + i + 1) shouldBe Some((src, 0))
+      ed(src).map(_._2) shouldBe Some(0)
+    }
+  }
+
+  test("MMR rank-1 is exactly the cosine top-1; MMR set stays inside the score order") {
+    val top = Similarity.cosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(1)))
+    val top1 = top.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    val mmr = Similarity.mmrTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    mmr.filter(_._2 == 1).map(t => t._1 -> t._3).toMap shouldBe top1
+    // every MMR pick comes from the relevance-ranked pool
+    mmr.groupBy(_._1).size shouldBe Similarity.NumQueryVectors
+  }
+
+  test("bot flag agrees with interarrival on per-user gap counts") {
+    val gaps = Events.interarrival(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bot = Events.botFlag(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    bot.foreach { case (u, n, g) =>
+      g shouldBe gaps.getOrElse(u, 0L)
+      g shouldBe (n - 1) // gap count is events minus one, per user
+    }
+    bot.map(_._2).sum shouldBe events.count()
+  }
+
+  test("dataset card totals agree with token stats, exact dedup, and the raw scan") {
+    val card = Corpus.datasetCard(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    card("n_docs") shouldBe docs.count().toDouble
+    val tok = TextAnalysis.tokenStats(docs)
+      .agg(sum("n_tokens"), sum("n_chars")).collect()(0)
+    card("total_tokens") shouldBe tok.getLong(0).toDouble
+    card("total_chars") shouldBe tok.getLong(1).toDouble
+    // dup rate from the independent sha-collapse operator (one row per
+    // distinct content)
+    val distinctContents = Dedup.exact(docs).count()
+    card("exact_dup_rate") shouldBe
+      (1.0 - distinctContents.toDouble / docs.count()) +- 1e-12
+  }
+
+  test("token budget kept mass fits and is maximal; counts match token stats") {
+    val out = Corpus.tokenBudget(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getBoolean(3)))
+    val nTok = TextAnalysis.tokenStats(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.foreach { case (id, _, t, _) => t shouldBe nTok(id) }
+    val kept = out.filter(_._4).map(_._3).sum
+    kept should be <= Corpus.TokenBudget
+    // maximality: the best-quality dropped doc would overflow the budget
+    val dropped = out.filterNot(_._4)
+    if (dropped.nonEmpty) {
+      val next = dropped.maxBy { case (id, q, _, _) => (q, -id) }
+      (kept + next._3) should be > Corpus.TokenBudget
+    }
+  }
+
+  test("epoch shuffle permutes exactly the corpus doc ids") {
+    val sh = Corpus.epochShuffle(docs).collect().map(_.getLong(0))
+    sh.length shouldBe docs.count()
+    sh.toSet shouldBe docs.select("doc_id").collect().map(_.getLong(0)).toSet
+  }
 }
