@@ -648,6 +648,39 @@ object Similarity {
           lit(0.0), (a, e) => greatest(a, e)).as("max_abs_err"))
   }
 
+  /** Corpus-wide reciprocal-nearest-neighbor pairs — the mutual-best
+    * check that PROMOTES a neighbor match to a trusted one (RNN pairs
+    * seed agglomerative clustering and verify dedup candidates): a
+    * one-directional nearest hit can be a hub artifact (b is everyone's
+    * neighbor), a mutual one almost never is. Each vector's nearest is
+    * the cosine argmax over its banded LSH candidates (the session
+    * [[pairCosineArtifact]] — recall bounded by the shared blocking, the
+    * family convention), and a pair emits iff each is the other's
+    * nearest. Canonical a < b: (a, b, cosine_sim). The global-max
+    * candidate edge is always mutual, so the result is non-empty
+    * whenever any candidate pair exists.
+    *
+    * 100 TB shape: one columnar scan of the pair artifact (id/score
+    * rows, never vectors), a two-phase max_by per side, and an id-keyed
+    * mutual join — nothing rescans or reshuffles the corpus. */
+  def reciprocalNn(spark: SparkSession, sfDir: String): DataFrame = {
+    val pc = pairCosineArtifact(spark, sfDir)
+    val nbrs = pc.select(col("a").as("vec_id"), col("b").as("other"),
+        col("cosine_sim"))
+      .unionAll(pc.select(col("b").as("vec_id"), col("a").as("other"),
+        col("cosine_sim")))
+    val best = nbrs.groupBy("vec_id")
+      .agg(max_by(struct(col("other"), col("cosine_sim")),
+        struct(col("cosine_sim"), (-col("other")).as("no"))).as("m"))
+      .select(col("vec_id"), col("m.other").as("nn"),
+        col("m.cosine_sim").as("nn_cos"))
+    best.join(best.select(col("vec_id").as("b2"), col("nn").as("nn_b")),
+        col("nn") === col("b2") && col("nn_b") === col("vec_id"))
+      .where(col("vec_id") < col("nn"))
+      .select(col("vec_id").as("a"), col("nn").as("b"),
+        col("nn_cos").as("cosine_sim"))
+  }
+
   // ---- MMR diversified retrieval -------------------------------------------
 
   /** Candidate pool per query entering the MMR re-rank. */
@@ -966,6 +999,7 @@ object Similarity {
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_embedding_audit" -> (embeddingAudit _),
     "sim_mmr_topk" -> (mmrTopK _),
+    "sim_reciprocal_nn" -> (reciprocalNn _),
     "sim_kmeans_train" -> (kmeansTrain _),
     "sim_ivf_trained_topk" -> (ivfTrainedTopK _),
     "dedup_embedding" -> (embeddingDedup _),
@@ -1366,6 +1400,29 @@ object Similarity {
          | FROM members m LEFT JOIN best ON best.vec_id = m.vec_id""".stripMargin,
 
     "sim_mmr_topk" -> mmrSql,
+
+    "sim_reciprocal_nn" ->
+      s"""WITH ${bandsSqlWith(DedupPlanes, DedupPlanes / DedupBands)},
+         | okb AS (SELECT band, bv FROM bands GROUP BY band, bv
+         |   HAVING COUNT(*) BETWEEN 2 AND $MaxVecBucket),
+         | cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |   FROM bands x
+         |   JOIN okb o ON x.band = o.band AND x.bv = o.bv
+         |   JOIN bands y ON y.band = x.band AND y.bv = x.bv
+         |   WHERE x.vec_id < y.vec_id),
+         | pc AS (SELECT c.a, c.b,
+         |     list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cosine_sim
+         |   FROM cand c
+         |   JOIN vs x ON x.vec_id = c.a JOIN vs y ON y.vec_id = c.b),
+         | nbrs AS (SELECT a AS vec_id, b AS other, cosine_sim FROM pc
+         |   UNION ALL SELECT b, a, cosine_sim FROM pc),
+         | best AS (SELECT vec_id, other AS nn, cosine_sim AS nn_cos FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY cosine_sim DESC, other ASC) AS rn FROM nbrs)
+         |   WHERE rn = 1)
+         | SELECT f.vec_id AS a, f.nn AS b, f.nn_cos AS cosine_sim
+         | FROM best f JOIN best r ON r.vec_id = f.nn AND r.nn = f.vec_id
+         | WHERE f.vec_id < f.nn""".stripMargin,
 
     "sim_embedding_audit" ->
       s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

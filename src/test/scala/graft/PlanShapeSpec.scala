@@ -668,6 +668,15 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
   }
 
+  test("sim_reciprocal_nn: consumes the pair artifact — id rows only, no vector rescan") {
+    val p = planOf("sim_reciprocal_nn")
+    p should include("Scan parquet") // the session pair artifact
+    p should not include "embedding" // vectors never re-enter the plan
+    p should not include "CartesianProduct"
+    p should not include "Window" // argmax via max_by aggregation
+    p should not include "Exchange rangepartitioning"
+  }
+
   test("corpus_dataset_card: one scan, one aggregation tree, no joins or windows") {
     val p = planOf("corpus_dataset_card")
     countOf(p, "Scan parquet") shouldBe 1 // every metric from ONE pass

@@ -81,6 +81,34 @@ class SimilaritySpec extends SparkSpec {
       rows.map(_._3).toSet != plain(q).map(_._2).toSet } shouldBe true
   }
 
+  test("reciprocal NN: exactly the mutual bests of the candidate graph, ids unique") {
+    val pc = Similarity.pairCosineArtifact(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val best = pc.flatMap { case (a, b, c) => Seq(a -> ((b, c)), b -> ((a, c))) }
+      .groupBy(_._1).map { case (v, g) =>
+        v -> g.map(_._2).minBy { case (o, c) => (-c, o) } }
+    val out = Similarity.reciprocalNn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out should not be empty
+    out.foreach { case (a, b, c) =>
+      a should be < b
+      best(a)._1 shouldBe b
+      best(b)._1 shouldBe a
+      c shouldBe best(a)._2
+    }
+    // each vector has one nearest, so it can sit in at most one pair
+    val ids = out.flatMap(t => Seq(t._1, t._2))
+    ids.distinct.length shouldBe ids.length
+    // completeness: the driver-side replay finds exactly the same pairs
+    val expected = best.collect {
+      case (v, (o, c)) if v < o && best(o)._1 == v => (v, o, c) }.toSet
+    out.toSet shouldBe expected
+    // the globally-strongest candidate edge is always mutual
+    val gm = pc.maxBy(_._3)
+    expected.map(t => (t._1, t._2)) should contain (
+      (math.min(gm._1, gm._2), math.max(gm._1, gm._2)))
+  }
+
   test("exact top-k output shape: k rows per query, ranks 1..k, sims sorted") {
     val rows = Similarity.cosineTopK(spark, sfDir).collect()
     val byQuery = rows.groupBy(_.getLong(0))
