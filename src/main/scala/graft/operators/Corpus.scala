@@ -216,6 +216,33 @@ object Corpus {
       .select(col("doc_id"), col("lang"), col("rate"))
   }
 
+  /** Execute the UPSAMPLING side of the mix plan as integer repeat
+    * epochs — the data-constrained-scaling step (Muennighoff et al.
+    * 2023: repeating good data up to ~4 epochs trades near-lossless
+    * against fresh tokens) that [[mixApply]] deliberately leaves to
+    * pack time: every document draws
+    * `n_repeats = ⌊weight⌋ + Bernoulli(weight − ⌊weight⌋)`, the
+    * fractional part resolved by the SAME `mix:` salted hash as
+    * [[mixApply]]'s keep rule — so for weight ≤ 1 languages,
+    * `n_repeats = 1` EXACTLY when mixApply keeps the document (pinned
+    * cross-op), and the expected token mass per language is exactly
+    * `weight × actual` at any weight. Output: (doc_id, lang, weight,
+    * n_repeats).
+    *
+    * 100 TB shape: the ≤#languages weight table broadcasts; the repeat
+    * draw is a pure per-row projection on the scan — the repeats
+    * themselves materialize downstream at pack time (a `sequence()`
+    * explode), never as row duplication here. */
+  def mixEpochs(documents: DataFrame): DataFrame = {
+    val w = mixPlan(documents).select(col("lang"), col("weight"))
+    documents.join(broadcast(w), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("weight"),
+        (floor(col("weight")) +
+          when(Dedup.h32(concat(lit("mix:"), col("doc_id").cast("string")))
+            % 1000 < (col("weight") - floor(col("weight"))) * 1000.0, 1L)
+            .otherwise(0L)).cast("long").as("n_repeats"))
+  }
+
   /** Deterministic eval/train split for [[decontaminate]]: doc_id ≡
     * [[EvalRem]] (mod [[EvalMod]]) plays the held-out benchmark set (~5%),
     * the rest the training corpus. */
@@ -937,6 +964,7 @@ object Corpus {
     "corpus_chunk_plan" -> ((s, d) => chunkPlan(Tables.documents(s, d))),
     "corpus_mix_plan"   -> ((s, d) => mixPlan(Tables.documents(s, d))),
     "corpus_mix_apply"  -> ((s, d) => mixApply(Tables.documents(s, d))),
+    "corpus_mix_epochs" -> ((s, d) => mixEpochs(Tables.documents(s, d))),
     "corpus_dsir_weights" -> ((s, d) => dsirWeightsArtifact(s, d)),
     "corpus_dsir_probe" -> ((s, d) => dsirProbe(Tables.documents(s, d))),
     "corpus_dsir_apply" -> ((s, d) => dsirApplyFrom(dsirWeightsArtifact(s, d))),
@@ -1312,6 +1340,22 @@ object Corpus {
          | FROM documents d JOIN w USING (lang)
          | WHERE ('0x' || substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
          |   % 1000 < w.rate * 1000.0""".stripMargin,
+
+    "corpus_mix_epochs" ->
+      s"""WITH pl AS (SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+         |     AS n_tokens FROM documents GROUP BY lang),
+         | sh AS (SELECT lang, CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()
+         |     AS token_share FROM pl),
+         | w AS (SELECT lang, LEAST(
+         |   (${TargetMix.map { case (l, t) => s"WHEN lang = '$l' THEN $t" }
+              .mkString("CASE ", " ", " ELSE CAST(0 AS DOUBLE) END")}) / token_share,
+         |   $MaxUpsample) AS weight FROM sh)
+         | SELECT d.doc_id, d.lang, w.weight,
+         |   CAST(FLOOR(w.weight) + CASE WHEN
+         |       ('0x' || substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |         % 1000 < (w.weight - FLOOR(w.weight)) * 1000.0
+         |     THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+         | FROM documents d JOIN w USING (lang)""".stripMargin,
 
     "corpus_dsir_weights" -> dsirSql(s"lang = '$DsirTargetLang'"),
     "corpus_dsir_probe" -> dsirSql(s"doc_id % $DsirProbeMod = 0"),

@@ -462,6 +462,26 @@ class CrossOpInvariantSpec extends SparkSpec {
     }
   }
 
+  test("mix epochs executes the plan: repeats bracket the weight, downsample face agrees") {
+    val weights = Corpus.mixPlan(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    val epochs = Corpus.mixEpochs(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    epochs.length shouldBe docs.count()
+    epochs.foreach { case (_, lang, w, n) =>
+      w shouldBe weights(lang)
+      n should (be >= math.floor(w).toLong and be <= math.ceil(w).toLong)
+    }
+    // for weight <= 1 languages, n_repeats == 1 iff mixApply keeps the doc
+    // (same salt, same rule — the two execution faces cannot disagree)
+    val kept = Corpus.mixApply(docs).collect().map(_.getLong(0)).toSet
+    epochs.filter(e => weights(e._2) <= 1.0).foreach { case (id, _, _, n) =>
+      n shouldBe (if (kept(id)) 1L else 0L)
+    }
+    // upsampled languages always keep every document at least once
+    epochs.filter(e => weights(e._2) > 1.0).foreach(_._4 should be >= 1L)
+  }
+
   test("epoch shuffle permutes exactly the corpus doc ids") {
     val sh = Corpus.epochShuffle(docs).collect().map(_.getLong(0))
     sh.length shouldBe docs.count()
