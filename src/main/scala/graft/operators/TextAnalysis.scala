@@ -728,6 +728,28 @@ object TextAnalysis {
       (toksAfter + underscores).as("n_words"))
   }
 
+  /** Tokenizer fertility per language — the standard tokenizer-equity
+    * eval (fertility = tokens per whitespace word): a tokenizer trained
+    * on skewed data compresses its majority language and leaves the
+    * rest long, which is training cost AND context budget. For this
+    * word-merge BPE the ratio sits in (0, 1] and lower = better
+    * compression (a subword BPE would sit above 1 — the metric is the
+    * same either way, and so is the per-language gap it exposes).
+    * Per lang: doc count, total BPE tokens, total words, ratio, from
+    * the SAME frozen merge table every other tokenizer face serves.
+    * One exact division per language row.
+    *
+    * 100 TB shape: [[bpeApply]]'s map-only broadcast-fold encode, a
+    * broadcast lang attach, one map-side-combined per-lang rollup. */
+  def bpeFertility(s: SparkSession, d: String): DataFrame =
+    bpeApply(trainedMerges(s, d), Tables.documents(s, d))
+      .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"), sum("n_words").as("n_words"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_words"))
+
   /** Persist / reload the trained merge table — the tokenizer model
     * artifact between [[bpeMerges]] (train once, offline) and its
     * consumers ([[bpeApply]], [[graft.streaming.StreamingBpeEncode]]):
@@ -1261,6 +1283,7 @@ object TextAnalysis {
     // final streams — TextAnalysisSpec pins bpeApply == bpeEncode)
     "text_bpe_merges"  -> ((s, d) => trainedMerges(s, d)),
     "text_bpe_encode"  -> ((s, d) => bpeApply(trainedMerges(s, d), Tables.documents(s, d))),
+    "text_bpe_fertility" -> (bpeFertility _),
     "text_bpe_vocab"   -> ((s, d) =>
       bpeVocabOf(bpeApply(trainedMerges(s, d), Tables.documents(s, d)))),
     "text_pii_scan"    -> ((s, d) => piiScan(Tables.documents(s, d))),
@@ -1759,6 +1782,21 @@ object TextAnalysis {
          |   CAST(len(t) + length(s) - length(replace(s, '_', ''))
          |     AS INTEGER) AS n_words
          | FROM f""".stripMargin,
+
+    "text_bpe_fertility" ->
+      s"""WITH $bpeOracleCtes,
+         | f AS (SELECT doc_id, s,
+         |   string_split(s[2 : len(s) - 1], $BpeOracleSep) AS t
+         |  FROM s$BpeMergeRounds),
+         | pd AS (SELECT doc_id, len(t) AS n_tokens,
+         |   len(t) + length(s) - length(replace(s, '_', '')) AS n_words
+         |  FROM f)
+         | SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |   CAST(SUM(pd.n_tokens) AS BIGINT) AS n_tokens,
+         |   CAST(SUM(pd.n_words) AS BIGINT) AS n_words,
+         |   CAST(SUM(pd.n_tokens) AS DOUBLE) / SUM(pd.n_words) AS fertility
+         | FROM pd JOIN documents d ON d.doc_id = pd.doc_id
+         | GROUP BY d.lang""".stripMargin,
 
     "text_bpe_vocab" ->
       s"""WITH $bpeOracleCtes,

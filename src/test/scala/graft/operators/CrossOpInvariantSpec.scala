@@ -482,6 +482,26 @@ class CrossOpInvariantSpec extends SparkSpec {
     epochs.filter(e => weights(e._2) > 1.0).foreach(_._4 should be >= 1L)
   }
 
+  test("tokenizer fertility re-derives from the encode face's per-doc counts") {
+    val enc = TextAnalysis.bpeApply(
+      TextAnalysis.trainedMerges(spark, sf), docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2).toLong, r.getInt(3).toLong)))
+      .toMap
+    val langOf = docs.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val expected = enc.groupBy { case (id, _) => langOf(id) }
+      .map { case (l, g) =>
+        l -> ((g.size.toLong, g.values.map(_._1).sum, g.values.map(_._2).sum)) }
+    val got = TextAnalysis.bpeFertility(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    got.keySet shouldBe expected.keySet
+    got.foreach { case (l, (nd, nt, nw, f)) =>
+      (nd, nt, nw) shouldBe expected(l)
+      f shouldBe nt.toDouble / nw
+      f should (be > 0.0 and be <= 1.0) // word-merge BPE only compresses
+    }
+  }
+
   test("epoch shuffle permutes exactly the corpus doc ids") {
     val sh = Corpus.epochShuffle(docs).collect().map(_.getLong(0))
     sh.length shouldBe docs.count()
