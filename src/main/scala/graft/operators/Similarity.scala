@@ -577,6 +577,39 @@ object Similarity {
       .select("cent_id", "n_vecs", "inertia", "centroid_sum")
   }
 
+  /** Cluster purity against the label column — the clustering eval
+    * every unsupervised stage owes its consumers (does the trained
+    * quantizer's geometry recover the known classes?): assign every
+    * vector to its trained centroid, then per cluster report size,
+    * majority label (ties to the smaller label), its count, and purity
+    * = majority/size. Output: (cent_id, n_vecs, top_label, top_n,
+    * purity).
+    *
+    * 100 TB shape: the same broadcast-centroid map-only assignment as
+    * [[ivfTrainedTopK]], labels ride the same scan (no join against the
+    * corpus — `embeddings` carries its label), one two-phase
+    * (cluster, label) aggregation to ≤K·|labels| cells, and the
+    * majority argmax is a window over that tiny grid. */
+  def clusterPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Staging.stage(Tables.spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label")))
+    val cents = kmeansCentroids(base.select("vec_id", "v"))
+    val cells = kmeansAssign(base.select("vec_id", "v"), cents)
+      .select("vec_id", "cent_id")
+      .join(base.select("vec_id", "label"), "vec_id")
+      .groupBy("cent_id", "label").agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("n_vecs", sum("n").over(Window.partitionBy("cent_id")))
+      .withColumn("rn", row_number().over(Window.partitionBy("cent_id")
+        .orderBy(col("n").desc, col("label").asc)))
+      .where(col("rn") === 1)
+      .select(col("cent_id"), col("n_vecs"), col("label").as("top_label"),
+        col("n").as("top_n"),
+        (col("n").cast("double") / col("n_vecs")).as("purity"))
+  }
+
   /** Frozen-quantizer assignment probe — the batch core
     * [[graft.streaming.StreamingKmeansAssign]] shares: every vector of
     * `batch` (vec_id, v) to its nearest trained centroid, same bit-exact
@@ -1002,6 +1035,7 @@ object Similarity {
     "sim_reciprocal_nn" -> (reciprocalNn _),
     "sim_kmeans_train" -> (kmeansTrain _),
     "sim_ivf_trained_topk" -> (ivfTrainedTopK _),
+    "sim_cluster_purity" -> (clusterPurity _),
     "dedup_embedding" -> (embeddingDedup _),
     "dedup_semantic" -> (semanticDedup _),
   )
@@ -1528,6 +1562,24 @@ object Similarity {
          |   FROM c$KmeansIters)
          | SELECT g.cent_id, g.n_vecs, g.inertia, ck.centroid_sum
          | FROM g JOIN ck USING (cent_id)""".stripMargin,
+
+    "sim_cluster_purity" ->
+      s"""WITH $kmeansCtesSql,
+         | sF AS (${kmeansScoreSql(s"c$KmeansIters")}),
+         | aF AS (SELECT vec_id, cent_id FROM (SELECT *, ROW_NUMBER() OVER
+         |   (PARTITION BY vec_id ORDER BY d2 ASC, cent_id ASC) AS rn FROM sF)
+         |   WHERE rn = 1),
+         | cells AS (SELECT a.cent_id, e.label, CAST(COUNT(*) AS BIGINT) AS n
+         |   FROM aF a JOIN embeddings e ON e.vec_id = a.vec_id
+         |   GROUP BY 1, 2),
+         | wcells AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY cent_id) AS BIGINT)
+         |     AS n_vecs,
+         |   ROW_NUMBER() OVER (PARTITION BY cent_id
+         |     ORDER BY n DESC, label ASC) AS rn
+         |   FROM cells)
+         | SELECT cent_id, n_vecs, label AS top_label, n AS top_n,
+         |   CAST(n AS DOUBLE) / n_vecs AS purity
+         | FROM wcells WHERE rn = 1""".stripMargin,
 
     "sim_ivf_trained_topk" ->
       s"""WITH $kmeansCtesSql,

@@ -58,17 +58,44 @@ object TextAnalysis {
     * all-zero → 'und'). On the synthetic fixture the text is language-less
     * word salad, so agreement with the `lang` column is not meaningful —
     * the correctness gate is the exact DuckDB mirror of this computation. */
-  def langId(documents: DataFrame): DataFrame = {
+  /** The (prediction, best-score) column pair of [[langId]] — extracted
+    * so [[langConfusion]] can evaluate the detector without a join. */
+  private def langPredCols: (Column, Column) = {
     val t = toks(col("text"))
     val scores = LangProfiles.map { case (l, ws) => l -> profileScore(t, ws) }
     val m = greatest(scores.map(_._2): _*)
     val pred = scores.foldLeft(when(m === 0, lit("und"))) {
       case (acc, (l, s)) => acc.when(s === m, lit(l))
     }
+    (pred, m.cast("long"))
+  }
+
+  def langId(documents: DataFrame): DataFrame = {
+    val (pred, best) = langPredCols
     documents.select(
       col("doc_id"),
       pred.as("lang_pred"),
-      m.cast("long").as("best_score"))
+      best.as("best_score"))
+  }
+
+  /** Language-ID confusion matrix — the detector EVALUATED against the
+    * corpus's label column (the eval every classifier in the pipeline
+    * owes its consumers): one row per observed (lang, lang_pred) cell
+    * with its count and row-normalized share, so per-language recall
+    * sits on the diagonal and every off-diagonal cell names a concrete
+    * confusion. Output: (lang, lang_pred, n_docs, share_of_lang).
+    *
+    * 100 TB shape: prediction is the same map-only expression as
+    * [[langId]] computed NEXT TO the label (no self-join), one
+    * two-phase aggregation to ≤|langs|² cells, and the row
+    * normalization is a window over that tiny result. */
+  def langConfusion(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (pred, _) = langPredCols
+    documents.select(col("lang"), pred.as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_of_lang", col("n_docs").cast("double") /
+        sum("n_docs").over(Window.partitionBy("lang")))
   }
 
   /** Marker repetitions for [[langProbe]] — enough planted profile hits
@@ -1270,6 +1297,7 @@ object TextAnalysis {
     "text_readability" -> ((s, d) => readability(Tables.documents(s, d))),
     "text_hash_embedding" -> ((s, d) => hashEmbedding(Tables.documents(s, d))),
     "text_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
+    "text_lang_confusion" -> ((s, d) => langConfusion(Tables.documents(s, d))),
     "text_quality"     -> ((s, d) => quality(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
     "text_ngram_freq"  -> ((s, d) => ngramFreq(Tables.documents(s, d))),
@@ -1671,6 +1699,26 @@ object TextAnalysis {
          |        ELSE 'zh' END AS lang_pred,
          |   CAST(m AS BIGINT) AS best_score
          | FROM mx""".stripMargin,
+
+    "text_lang_confusion" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         | sc AS (SELECT doc_id,
+         |   ${LangProfiles.map { case (l, ws) => scoreSql(l, ws) }.mkString(",\n |   ")}
+         |   FROM tk),
+         | mx AS (SELECT *, GREATEST(s_en, s_de, s_es, s_fr, s_zh) AS m FROM sc),
+         | p AS (SELECT doc_id,
+         |   CASE WHEN m = 0 THEN 'und'
+         |        WHEN s_en = m THEN 'en' WHEN s_de = m THEN 'de'
+         |        WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr'
+         |        ELSE 'zh' END AS lang_pred
+         |   FROM mx),
+         | cm AS (SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |   FROM p JOIN documents d ON d.doc_id = p.doc_id
+         |   GROUP BY 1, 2)
+         | SELECT lang, lang_pred, n_docs,
+         |   CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY lang)
+         |     AS share_of_lang
+         | FROM cm""".stripMargin,
 
     "text_lang_probe" ->
       s"""WITH aug AS (SELECT doc_id, lang,

@@ -502,6 +502,35 @@ class CrossOpInvariantSpec extends SparkSpec {
     }
   }
 
+  test("lang confusion cells re-derive from langId x labels; rows normalize to 1") {
+    val pred = TextAnalysis.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val langOf = docs.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val expected = langOf.toSeq.groupBy { case (id, l) => (l, pred(id)) }
+      .view.mapValues(_.size.toLong).toMap
+    val cm = TextAnalysis.langConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    cm.map(c => (c._1, c._2) -> c._3).toMap shouldBe expected
+    cm.groupBy(_._1).values.foreach { row =>
+      row.map(_._4).sum shouldBe 1.0 +- 1e-9
+    }
+  }
+
+  test("cluster purity agrees with kmeans training on membership counts") {
+    val trainSizes = Similarity.kmeansTrain(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val purity = Similarity.clusterPurity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+    purity.map(p => p._1 -> p._2).toMap shouldBe trainSizes
+    purity.foreach { case (_, n, _, topN, pu) =>
+      topN should be <= n
+      pu shouldBe topN.toDouble / n
+      pu should (be > 0.0 and be <= 1.0)
+    }
+    purity.map(_._2).sum shouldBe Tables.embeddings(spark, sf).count()
+  }
+
   test("epoch shuffle permutes exactly the corpus doc ids") {
     val sh = Corpus.epochShuffle(docs).collect().map(_.getLong(0))
     sh.length shouldBe docs.count()
