@@ -142,28 +142,65 @@ object Events {
     * Shape: one groupBy(user) collapsing to 4 first-occurrence
     * timestamps, then a tiny per-user stage computation — the corpus
     * never shuffles twice. */
-  def funnel(events: DataFrame): DataFrame = {
-    val stageFirsts = FunnelStages.map(s =>
-      min(when(col("event_type") === s, col("ts"))).as(s"t_$s"))
-    val firsts = events
-      .groupBy("user_id")
-      .agg(stageFirsts.head, stageFirsts.tail: _*)
-    // stagesReached = largest k with t_1 < t_2 < ... < t_k (all non-null)
-    val reached = FunnelStages.zipWithIndex.drop(1).foldLeft(
+  /** Per-stage first-occurrence aggregates (`t_<stage>` columns). */
+  private def stageFirsts: Seq[Column] = FunnelStages.map(s =>
+    min(when(col("event_type") === s, col("ts"))).as(s"t_$s"))
+
+  /** stagesReached = largest k with t_1 < t_2 < ... < t_k (all
+    * non-null) — ONE fold shared by the user-grain and session-grain
+    * funnels so the chain rule cannot drift. */
+  private def stagesReachedCol: Column =
+    FunnelStages.zipWithIndex.drop(1).foldLeft(
       when(col(s"t_${FunnelStages.head}").isNotNull, 1).otherwise(0)) {
       case (acc, (s, i)) =>
         when(acc === i &&
           col(s"t_$s") > col(s"t_${FunnelStages(i - 1)}"), i + 1).otherwise(acc)
     }
-    val perUser = firsts.select(col("user_id"), reached.as("stages_reached"))
+
+  /** The `(stage_idx, stage)` dimension frame. */
+  private def stagesDim(events: DataFrame): DataFrame = {
     val sp = events.sparkSession
     import sp.implicits._
-    val stages = FunnelStages.zipWithIndex
-      .map { case (s, i) => (i + 1, s) }
+    FunnelStages.zipWithIndex.map { case (s, i) => (i + 1, s) }
       .toDF("stage_idx", "stage")
-    stages.join(perUser, col("stages_reached") >= col("stage_idx"), "left")
+  }
+
+  def funnel(events: DataFrame): DataFrame = {
+    val firsts = events
+      .groupBy("user_id")
+      .agg(stageFirsts.head, stageFirsts.tail: _*)
+    val perUser = firsts.select(col("user_id"),
+      stagesReachedCol.as("stages_reached"))
+    stagesDim(events)
+      .join(perUser, col("stages_reached") >= col("stage_idx"), "left")
       .groupBy("stage_idx", "stage")
       .agg(count(col("user_id")).as("n_users"))
+  }
+
+  /** Within-session funnel — [[funnel]] at the VISIT grain: how many
+    * sessions progress signup → view → click → purchase before the gap
+    * closes them. The product question ("does a visit convert?") is
+    * different from the user-lifetime one ([[funnel]]), and the ratio
+    * of the two tables is the classic multi-visit-conversion readout.
+    * Same first-occurrence chain rule via the SHARED [[stagesReachedCol]]
+    * fold. Output: (stage_idx, stage, n_sessions).
+    *
+    * 100 TB shape: rides [[sessionize]]'s one hash(user) window
+    * exchange; the per-(user, session) firsts aggregate collapses each
+    * session to ≤|stages| timestamps map-side, and the stage dimension
+    * is a 4-row broadcast. */
+  def sessionFunnel(events: DataFrame): DataFrame = {
+    val withSess = sessionize(events)
+      .join(events.select("event_id", "ts", "event_type"), "event_id")
+    val firsts = withSess
+      .groupBy("user_id", "session_seq")
+      .agg(stageFirsts.head, stageFirsts.tail: _*)
+    val perSession = firsts.select(col("user_id"), col("session_seq"),
+      stagesReachedCol.as("stages_reached"))
+    stagesDim(events)
+      .join(perSession, col("stages_reached") >= col("stage_idx"), "left")
+      .groupBy("stage_idx", "stage")
+      .agg(count(col("user_id")).as("n_sessions"))
   }
 
   /** Typed extraction from the JSON props column — the schema-on-read
@@ -957,6 +994,7 @@ object Events {
     "events_retention"       -> ((s, d) => retention(Tables.events(s, d))),
     "events_sessionize"    -> ((s, d) => sessionize(Tables.events(s, d))),
     "events_session_stats" -> ((s, d) => sessionStats(Tables.events(s, d))),
+    "events_session_funnel" -> ((s, d) => sessionFunnel(Tables.events(s, d))),
     "events_session_sequences" -> ((s, d) => sessionSequences(Tables.events(s, d))),
     "events_markov_transitions" -> ((s, d) => markovTransitions(Tables.events(s, d))),
     "events_top_journeys" -> ((s, d) => topJourneys(Tables.events(s, d))),
@@ -1309,6 +1347,28 @@ object Events {
          |   SUM(value) AS total_value,
          |   CAST(MAX(ts) - MIN(ts) AS DOUBLE) / 1000000 AS duration_sec
          | FROM sess GROUP BY user_id, session_seq""".stripMargin,
+
+    "events_session_funnel" ->
+      s"""WITH $sessSqlWith,
+         | firsts AS (SELECT user_id, session_seq,
+         |   ${FunnelStages.map(s =>
+              s"MIN(CASE WHEN event_type = '$s' THEN ts END) AS t_$s")
+              .mkString(",\n |   ")}
+         |   FROM sess GROUP BY user_id, session_seq),
+         | per_s AS (SELECT user_id, session_seq,
+         |   CASE WHEN t_signup IS NULL THEN 0
+         |        WHEN t_view IS NULL OR t_view <= t_signup THEN 1
+         |        WHEN t_click IS NULL OR t_click <= t_view THEN 2
+         |        WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 3
+         |        ELSE 4 END AS stages_reached
+         |   FROM firsts),
+         | stages(stage_idx, stage) AS (VALUES
+         |   ${FunnelStages.zipWithIndex
+              .map { case (s, i) => s"(${i + 1}, '$s')" }.mkString(", ")})
+         | SELECT s.stage_idx, s.stage,
+         |   CAST(COUNT(p.user_id) AS BIGINT) AS n_sessions
+         | FROM stages s LEFT JOIN per_s p ON p.stages_reached >= s.stage_idx
+         | GROUP BY s.stage_idx, s.stage""".stripMargin,
 
     "events_session_sequences" ->
       s"""WITH $sessSqlWith

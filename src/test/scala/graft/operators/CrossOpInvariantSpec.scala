@@ -531,6 +531,23 @@ class CrossOpInvariantSpec extends SparkSpec {
     purity.map(_._2).sum shouldBe Tables.embeddings(spark, sf).count()
   }
 
+  test("session funnel is monotone and consistent with the user funnel and session stats") {
+    val sess = Events.sessionFunnel(events).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val user = Events.funnel(events).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // both funnels narrow monotonically
+    (1 until 4).foreach { i =>
+      sess(i + 1) should be <= sess(i)
+      user(i + 1) should be <= user(i)
+    }
+    // every signing-up user contributes at least one signing-up session
+    sess(1) should be >= user(1)
+    // no stage can exceed the total session count
+    val nSessions = Events.sessionStats(events).count()
+    sess.values.foreach(_ should be <= nSessions)
+  }
+
   test("epoch shuffle permutes exactly the corpus doc ids") {
     val sh = Corpus.epochShuffle(docs).collect().map(_.getLong(0))
     sh.length shouldBe docs.count()

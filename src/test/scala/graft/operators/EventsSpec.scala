@@ -505,6 +505,29 @@ class EventsSpec extends SparkSpec {
     out.contains(8L) shouldBe false
   }
 
+  test("session funnel: stages count per visit, order enforced within the session") {
+    // user 7: session A completes all four stages; a long gap opens
+    // session B which stalls after view; user 8's single session has
+    // purchase BEFORE its first click - the chain reaches click (first
+    // click is after first view) but purchase must not count
+    val out = Events.sessionFunnel(eventsDf(Seq(
+      (1L, us(0), 7L, "signup", 0.0, "{}"),
+      (2L, us(1), 7L, "view", 0.0, "{}"),
+      (3L, us(2), 7L, "click", 0.0, "{}"),
+      (4L, us(3), 7L, "purchase", 0.0, "{}"),
+      (5L, us(300), 7L, "signup", 0.0, "{}"),   // 297min > 120min gap
+      (6L, us(301), 7L, "view", 0.0, "{}"),
+      (7L, us(0), 8L, "signup", 0.0, "{}"),
+      (8L, us(1), 8L, "view", 0.0, "{}"),
+      (9L, us(2), 8L, "purchase", 0.0, "{}"),
+      (10L, us(3), 8L, "click", 0.0, "{}"))))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    out(1) shouldBe 3L // all three sessions sign up
+    out(2) shouldBe 3L // all three reach view
+    out(3) shouldBe 2L // 7's session A, plus 8 (click follows view)
+    out(4) shouldBe 1L // only 7's session A purchases in order
+  }
+
   test("bot flag: burst and metronome trip independently; humans and singletons pass") {
     val sec = 1000000L
     var id = 0L
