@@ -238,6 +238,71 @@ object TextAnalysis {
             sqrt(col("ss").cast("double"))).as("weight"))
   }
 
+  /** Results returned by [[denseSearch]]. */
+  val DenseTopK = 10
+
+  /** Dense retrieval over the hashing-trick vectors — the third leg of
+    * the engine's retrieval suite (BM25 = lexical-sparse, n-gram
+    * Jaccard = set overlap, this = distributional-dense), sharing
+    * [[hashEmbedding]]'s bucket/sign hashes so query and corpus live in
+    * the same 64-dim space with NO trained model. The query's signed
+    * counts are computed driver-side from the constant term list (the
+    * "model" is five integers) and interpolated as literals into both
+    * engines; the score is `int_dot / (√ssd · √ssq)` — an EXACT integer
+    * dot product and integer sums of squares under one division, so
+    * cross-engine float-order noise cannot exist by construction.
+    * Output: top-[[DenseTopK]] (doc_id, dense_score, rank).
+    *
+    * 100 TB shape: one (doc, dim) two-phase aggregation, ssd as a
+    * window over the ≤64 surviving rows per doc, the ≤|terms|-row query
+    * vector broadcast, and the head extraction is
+    * TakeOrderedAndProject — never a global sort. */
+  def denseSearch(documents: DataFrame,
+                  terms: Seq[String] = Bm25Query): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (qraw, ssq) = denseQueryRaw(terms)
+    val sp = documents.sparkSession
+    import sp.implicits._
+    val qdf = qraw.toDF("dim", "qraw")
+    val signed = Tables.spread(documents)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"),
+        (Dedup.h32(concat(lit("hemb:"), col("term"))) % HashEmbDim).as("dim"),
+        when(Dedup.h32(concat(lit("hsgn:"), col("term"))) % 2 === 0, 1L)
+          .otherwise(-1L).as("sgn"))
+    signed.groupBy("doc_id", "dim").agg(sum("sgn").as("raw"))
+      .withColumn("ssd", sum(col("raw") * col("raw"))
+        .over(Window.partitionBy("doc_id")))
+      .join(broadcast(qdf), "dim")
+      .groupBy("doc_id")
+      .agg(sum(col("raw") * col("qraw")).as("intdot"), first("ssd").as("ssd"))
+      .where(col("ssd") > 0)
+      .select(col("doc_id"), (col("intdot").cast("double") /
+        (sqrt(col("ssd").cast("double")) * math.sqrt(ssq.toDouble)))
+        .as("dense_score"))
+      .orderBy(col("dense_score").desc, col("doc_id").asc).limit(DenseTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("dense_score").desc, col("doc_id").asc))
+        .cast("int"))
+  }
+
+  /** The query's signed bucket counts and sum of squares — pure
+    * arithmetic over constants, shared by the Spark plan and the SQL
+    * mirror as interpolated literals. */
+  private[operators] def denseQueryRaw(terms: Seq[String]): (Seq[(Long, Long)], Long) = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val acc = scala.collection.mutable.LinkedHashMap[Long, Long]()
+    terms.foreach { t =>
+      val dim = graft.functions.MinHashSeeds.h32(
+        UTF8String.fromString(s"hemb:$t")) % HashEmbDim
+      val sgn = if (graft.functions.MinHashSeeds.h32(
+        UTF8String.fromString(s"hsgn:$t")) % 2 == 0) 1L else -1L
+      acc(dim) = acc.getOrElse(dim, 0L) + sgn
+    }
+    val qraw = acc.toSeq.filter(_._2 != 0L)
+    (qraw, qraw.map { case (_, w) => w * w }.sum)
+  }
+
   /** Sentence boundaries for [[readability]]: a run of terminators counts
     * once (an ellipsis or "?!" ends ONE sentence). */
   private val SentenceRe = "[.!?]+"
@@ -1296,6 +1361,7 @@ object TextAnalysis {
     "text_token_stats" -> ((s, d) => tokenStats(Tables.documents(s, d))),
     "text_readability" -> ((s, d) => readability(Tables.documents(s, d))),
     "text_hash_embedding" -> ((s, d) => hashEmbedding(Tables.documents(s, d))),
+    "text_dense_search" -> ((s, d) => denseSearch(Tables.documents(s, d))),
     "text_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
     "text_lang_confusion" -> ((s, d) => langConfusion(Tables.documents(s, d))),
     "text_quality"     -> ((s, d) => quality(Tables.documents(s, d))),
@@ -1510,6 +1576,38 @@ object TextAnalysis {
        | ${(1 to BpeMergeRounds).map(round).mkString(",\n ")}""".stripMargin
   }
 
+  /** SQL mirror of [[denseSearch]] — the query's signed counts come
+    * from the SAME driver-side arithmetic, interpolated as a VALUES
+    * literal; scores are exact-integer dots under one division, so the
+    * two engines rank identically. */
+  private def denseSearchSql: String = {
+    val (qraw, ssq) = denseQueryRaw(Bm25Query)
+    val scoreExpr = "CAST(intdot AS DOUBLE) / (sqrt(CAST(ssd AS DOUBLE)) * " +
+      s"sqrt(CAST($ssq AS DOUBLE)))"
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |   FROM documents),
+       | s AS (SELECT doc_id,
+       |     ${Dedup.h32SqlOf("'hemb:' || term")} % $HashEmbDim AS dim,
+       |     CASE WHEN ${Dedup.h32SqlOf("'hsgn:' || term")} % 2 = 0
+       |       THEN 1 ELSE -1 END AS sgn
+       |   FROM tok),
+       | a AS (SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS raw
+       |   FROM s GROUP BY 1, 2),
+       | n AS (SELECT doc_id, CAST(SUM(raw * raw) AS BIGINT) AS ssd
+       |   FROM a GROUP BY 1),
+       | q(dim, qraw) AS (VALUES
+       |   ${qraw.map { case (d, w) => s"($d, $w)" }.mkString(", ")}),
+       | sc AS (SELECT a.doc_id,
+       |     CAST(SUM(a.raw * q.qraw) AS BIGINT) AS intdot, n.ssd
+       |   FROM a JOIN q ON q.dim = a.dim JOIN n ON n.doc_id = a.doc_id
+       |   GROUP BY a.doc_id, n.ssd)
+       | SELECT doc_id, $scoreExpr AS dense_score, CAST(rn AS INTEGER) AS rank
+       | FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY $scoreExpr DESC,
+       |     doc_id ASC) AS rn
+       |   FROM sc WHERE ssd > 0)
+       | WHERE rn <= $DenseTopK""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "text_quality_classifier" ->
       s"""WITH ${classifierSqlWith()}
@@ -1653,6 +1751,8 @@ object TextAnalysis {
          | CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
          |   / len(string_split(text, ' ')) AS avg_token_chars
          | FROM documents""".stripMargin,
+
+    "text_dense_search" -> denseSearchSql,
 
     "text_hash_embedding" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -677,6 +677,14 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
   }
 
+  test("text_dense_search: broadcast query vector, TakeOrdered head, no global sort") {
+    val p = planOf("text_dense_search")
+    p should include("TakeOrderedAndProject")
+    p should include("BroadcastHashJoin") // the ≤|terms|-row query vector
+    p should not include "SortMergeJoin"
+    p should not include "Exchange rangepartitioning"
+  }
+
   test("corpus_dataset_card: one scan, one aggregation tree, no joins or windows") {
     val p = planOf("corpus_dataset_card")
     countOf(p, "Scan parquet") shouldBe 1 // every metric from ONE pass

@@ -567,6 +567,33 @@ class TextAnalysisSpec extends SparkSpec {
     all(out.keys.map(_._2)) should (be >= 0L and be < TextAnalysis.HashEmbDim.toLong)
   }
 
+  test("dense search: scores are hashed-vector cosines, ranked and bounded") {
+    val corpus = Seq(
+      1L -> "spark join table window scan",  // the query itself: top hit
+      2L -> "spark join and much other unrelated text padding everywhere",
+      3L -> "completely disjoint vocabulary tokens only",
+      4L -> "table")
+    val out = TextAnalysis.denseSearch(docs(corpus: _*)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    // replay from the hashEmbedding operator's own normalized vectors
+    val he = TextAnalysis.hashEmbedding(docs(corpus: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val (qraw, ssq) = TextAnalysis.denseQueryRaw(TextAnalysis.Bm25Query)
+    val qn = math.sqrt(ssq.toDouble)
+    val expected = he.view.mapValues(v =>
+      qraw.map { case (d, w) => v.getOrElse(d, 0.0) * (w / qn) }.sum).toMap
+    out.foreach { case (id, sc, _) =>
+      sc shouldBe expected.getOrElse(id, 0.0) +- 1e-12
+    }
+    // ranked descending with doc_id tiebreak, ranks dense from 1
+    out.sortBy(_._3).map(_._2).toSeq shouldBe
+      out.map(_._2).sortBy(-_).toSeq
+    out.map(_._3).sorted.toSeq shouldBe (1 to out.length)
+    // the verbatim-query document dominates
+    out.minBy(_._3)._1 shouldBe 1L
+  }
+
   test("readability: counts, floors, and both Flesch formulas") {
     val out = TextAnalysis.readability(docs(
       1L -> "the cat sat on the mat.",   // 6 words, 1 sentence
