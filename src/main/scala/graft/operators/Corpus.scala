@@ -513,6 +513,33 @@ object Corpus {
           |) AS (metric, value)""".stripMargin))
   }
 
+  /** Corpus length profile — the log₂-bucketed document-length
+    * histogram every corpus report leads with (truncation spikes,
+    * boilerplate combs, and empty-doc mass are all visible at a
+    * glance): bucket k holds docs with token counts in [2^(k−1), 2^k).
+    * The bucket index is `length(bin(n))` — an EXACT integer in both
+    * engines — because `floor(log2(n))` computed as `ln n / ln 2` is
+    * off-by-one at powers of two in IEEE arithmetic. Output: (bucket,
+    * lo_tokens, n_docs, total_tokens, doc_share).
+    *
+    * 100 TB shape: one map-side-combined aggregation to ≤64 rows; the
+    * share normalization is a window over that tiny result. */
+  def lengthProfile(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    documents
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .select(length(bin(greatest(col("n_tok"), lit(1L)))).as("bucket"),
+        col("n_tok"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"))
+      .select(col("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket - 1 AS INT))")
+          .as("lo_tokens"),
+        col("n_docs"), col("total_tokens"),
+        (col("n_docs").cast("double") /
+          sum("n_docs").over(Window.partitionBy())).as("doc_share"))
+  }
+
   /** Declared target mixture for [[mixPlan]] (shares of training tokens
     * per language; a real pipeline tunes these against eval loss).
     * Languages absent from the map get weight 0 — excluded from the mix. */
@@ -956,6 +983,7 @@ object Corpus {
     "corpus_shuffle"    -> ((s, d) => epochShuffle(Tables.documents(s, d))),
     "corpus_token_budget" -> ((s, d) => tokenBudget(Tables.documents(s, d))),
     "corpus_dataset_card" -> ((s, d) => datasetCard(Tables.documents(s, d))),
+    "corpus_length_profile" -> ((s, d) => lengthProfile(Tables.documents(s, d))),
     "corpus_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "corpus_bloom_decontaminate" -> ((s, d) => bloomDecontaminate(Tables.documents(s, d))),
     "corpus_near_decontaminate" -> ((s, d) => nearDecontaminate(Tables.documents(s, d))),
@@ -1188,6 +1216,20 @@ object Corpus {
          |   1.0 - CAST(n_uniq AS DOUBLE) / n_docs FROM a
          | UNION ALL SELECT 'pct_pii_docs',
          |   CAST(n_pii AS DOUBLE) / n_docs FROM a""".stripMargin,
+
+    "corpus_length_profile" ->
+      s"""WITH b AS (SELECT length(bin(GREATEST(len(string_split(text, ' ')), 1)))
+         |     AS bucket,
+         |     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |   FROM documents),
+         | g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |     CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+         |   FROM b GROUP BY bucket)
+         | SELECT CAST(bucket AS INTEGER) AS bucket,
+         |   (CAST(1 AS BIGINT) << (bucket - 1)) AS lo_tokens,
+         |   n_docs, total_tokens,
+         |   CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS doc_share
+         | FROM g""".stripMargin,
 
     "corpus_decontaminate" -> decontaminateOracleSql,
 

@@ -496,6 +496,25 @@ class CorpusSpec extends SparkSpec {
     out.size shouldBe 9
   }
 
+  test("length profile: exact power-of-two buckets, shares sum to one") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val out = Corpus.lengthProfile(docsDf(Seq(
+      (1L, words(1), "en", "w"),    // bucket 1: [1, 2)
+      (2L, words(2), "en", "w"),    // bucket 2: [2, 4)
+      (3L, words(3), "en", "w"),
+      (4L, words(4), "en", "w"),    // bucket 3: [4, 8) — the 2^k edge
+      (5L, words(7), "en", "w"),
+      (6L, words(8), "en", "w"))))  // bucket 4: [8, 16)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    out(1) shouldBe ((1L, 1L, 1L, 1.0 / 6))
+    out(2) shouldBe ((2L, 2L, 5L, 2.0 / 6))
+    out(3) shouldBe ((4L, 2L, 11L, 2.0 / 6))
+    out(4) shouldBe ((8L, 1L, 8L, 1.0 / 6))
+    out.values.map(_._4).sum shouldBe 1.0 +- 1e-12
+  }
+
   test("token budget: keep == the maximal quality-ordered prefix that fits") {
     val corpus = (1L to 120L).map { i =>
       val uniq = (1 to (i % 13 + 1).toInt).map(j => s"w${i}x$j")
