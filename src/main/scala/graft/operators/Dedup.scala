@@ -641,7 +641,9 @@ object Dedup {
     * pairing (never all-pairs), and per-pair verification bounded by
     * [[MaxEditLen]]·[[MaxEditDistance]] — text shuffles only for
     * verified candidate pairs, never corpus×corpus. */
-  def editDistanceBestMatch(documents: DataFrame): DataFrame = {
+  /** The staged verified edge set (a, b, dist) shared by
+    * [[editDistanceBestMatch]] and [[editDistanceClusters]]. */
+  private def editVerifiedPairs(documents: DataFrame): DataFrame = {
     val docs = Tables.spread(documents)
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
     val eligible = Staging.stage(docs.where(col("len") <= MaxEditLen))
@@ -658,9 +660,10 @@ object Dedup {
     val bands = eligible.select(col("doc_id"), lit(0).as("band"),
         explode(array(key("p", 0), key("p", 1), key("s", 0), key("s", 1)))
           .as("bkey"))
-    // staged: the nbrs union reads verified edges twice — without this
-    // the whole block-pair-verify pipeline would execute once per branch
-    val ver = Staging.stage(cappedBandPairs(bands)
+    // staged: every consumer reads the verified edges at least twice —
+    // without this the whole block-pair-verify pipeline would execute
+    // once per branch
+    Staging.stage(cappedBandPairs(bands)
       .join(eligible.select(col("doc_id").as("a"), col("text").as("ta"),
         col("len").as("la")), "a")
       .join(eligible.select(col("doc_id").as("b"), col("text").as("tb"),
@@ -668,12 +671,16 @@ object Dedup {
       .where(abs(col("la") - col("lb")) <= MaxEditDistance)
       // native kernel: common prefix/suffix stripped before the banded
       // DP, so near-copies of LONG documents — the case a verifier sees
-      // most — cost O(diff·k), not O(len·k) (9× on the sf1 sweep vs the
-      // builtin 3-arg levenshtein; identical results by construction)
+      // most — cost O(diff·k), not O(len·k) (18× on the sf1 sweep vs
+      // the builtin 3-arg levenshtein; identical results by construction)
       .withColumn("dist", graft.functions.BoundedLevenshtein.of(
         col("ta"), col("tb"), MaxEditDistance))
       .where(col("dist") >= 0) // thresholded kernel returns -1 past the cap
       .select("a", "b", "dist"))
+  }
+
+  def editDistanceBestMatch(documents: DataFrame): DataFrame = {
+    val ver = editVerifiedPairs(documents)
     val nbrs = ver.select(col("a").as("doc_id"), col("b").as("other"), col("dist"))
       .unionAll(ver.select(col("b").as("doc_id"), col("a").as("other"), col("dist")))
     val best = nbrs.groupBy("doc_id")
@@ -681,8 +688,33 @@ object Dedup {
         struct((-col("dist")).as("nd"), (-col("other")).as("nother"))).as("m"))
       .select(col("doc_id"), col("m.other").as("best_match"),
         col("m.dist").as("best_distance"))
-    docs.select("doc_id").join(best, Seq("doc_id"), "left")
+    documents.select("doc_id").join(best, Seq("doc_id"), "left")
       .select("doc_id", "best_match", "best_distance")
+  }
+
+  /** Edit-distance near-dup CLUSTERS — the transitive-closure face of
+    * the character-level family, consistent with [[minhashLsh]]'s and
+    * `dedup_embedding`'s contract: one row per document,
+    * (doc_id, cluster_id, n_dups), cluster label = least member id,
+    * chains A~B~C closed even when A and C differ by more than
+    * [[MaxEditDistance]] edits. Over-length and match-less documents
+    * are singletons of themselves.
+    *
+    * 100 TB shape: the SAME staged verified edge set as
+    * [[editDistanceBestMatch]], then the alternating large-star/
+    * small-star closure over id pairs — text never enters the
+    * iteration. */
+  def editDistanceClusters(documents: DataFrame): DataFrame = {
+    val edges = editVerifiedPairs(documents).select("a", "b")
+    val comp = ConnectedComponents.minLabel(edges)
+      .withColumnRenamed("id", "doc_id")
+    val labeled = documents.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), (col("sz") - 1).as("n_dups"))
   }
 
   // ---- chunk-grain exact passage dedup -------------------------------------
@@ -754,6 +786,7 @@ object Dedup {
     "dedup_minhash_incremental" -> ((s, d) => minhashLshIncremental(Tables.documents(s, d))),
     "dedup_containment"   -> ((s, d) => containmentBestMatch(Tables.documents(s, d))),
     "dedup_edit_distance" -> ((s, d) => editDistanceBestMatch(Tables.documents(s, d))),
+    "dedup_edit_clusters" -> ((s, d) => editDistanceClusters(Tables.documents(s, d))),
     "dedup_quality_keeper" -> ((s, d) => qualityKeeperFrom(
       lshClusterArtifact(s, d).select("doc_id", "cluster_id"),
       Tables.documents(s, d))),
@@ -796,6 +829,26 @@ object Dedup {
        | labeled AS (SELECT dr.doc_id, c.component AS cluster_id
        |   FROM docrep dr JOIN comp c ON dr.rep = c.id),
        | sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM labeled GROUP BY cluster_id)""".stripMargin
+
+  /** Edit blocking + thresholded verification ending in relation
+    * `ver(a, b, dist)` — ONE text shared by the best-match and cluster
+    * oracles so the blocking geometry cannot drift. (No continuation
+    * line may START with `||`: this builder is embedded in outer
+    * `stripMargin` strings, and a second strip would eat one pipe.) */
+  private def editVerSqlWith: String =
+    s"""elig AS (SELECT doc_id, text, length(text) AS len
+       |   FROM documents WHERE length(text) <= $MaxEditLen),
+       | bands AS (SELECT doc_id, 0 AS band,
+       |     s.side || ':' || CAST((len // $EditLenBucket) + o.off AS VARCHAR) || ':' ||
+       |       CASE WHEN s.side = 'p' THEN left(text, $EditAffix)
+       |            ELSE right(text, $EditAffix) END AS bkey
+       |   FROM elig, (VALUES ('p'), ('s')) s(side), (VALUES (0), (1)) o(off)),
+       | ${cappedPairsSql("bands")},
+       | ver AS (SELECT c.a, c.b, levenshtein(x.text, y.text) AS dist
+       |   FROM cand c JOIN elig x ON x.doc_id = c.a
+       |   JOIN elig y ON y.doc_id = c.b
+       |   WHERE abs(x.len - y.len) <= $MaxEditDistance
+       |     AND levenshtein(x.text, y.text) <= $MaxEditDistance)""".stripMargin
 
   private def cappedPairsSql(bandsRel: String) =
     s"""okb AS (SELECT band, bkey FROM $bandsRel GROUP BY band, bkey
@@ -967,19 +1020,7 @@ object Dedup {
          | LEFT JOIN best ON d.doc_id = best.doc_id""".stripMargin,
 
     "dedup_edit_distance" ->
-      s"""WITH elig AS (SELECT doc_id, text, length(text) AS len
-         |   FROM documents WHERE length(text) <= $MaxEditLen),
-         | bands AS (SELECT doc_id, 0 AS band,
-         |     s.side || ':' || CAST((len // $EditLenBucket) + o.off AS VARCHAR)
-         |       || ':' || CASE WHEN s.side = 'p' THEN left(text, $EditAffix)
-         |                      ELSE right(text, $EditAffix) END AS bkey
-         |   FROM elig, (VALUES ('p'), ('s')) s(side), (VALUES (0), (1)) o(off)),
-         | ${cappedPairsSql("bands")},
-         | ver AS (SELECT c.a, c.b, levenshtein(x.text, y.text) AS dist
-         |   FROM cand c JOIN elig x ON x.doc_id = c.a
-         |   JOIN elig y ON y.doc_id = c.b
-         |   WHERE abs(x.len - y.len) <= $MaxEditDistance
-         |     AND levenshtein(x.text, y.text) <= $MaxEditDistance),
+      s"""WITH $editVerSqlWith,
          | nbrs AS (SELECT a AS doc_id, b AS other, dist FROM ver
          |   UNION ALL SELECT b, a, dist FROM ver),
          | best AS (SELECT doc_id, other, dist FROM (
@@ -989,6 +1030,22 @@ object Dedup {
          |   CAST(best.dist AS INTEGER) AS best_distance
          | FROM (SELECT doc_id FROM documents) d
          | LEFT JOIN best ON d.doc_id = best.doc_id""".stripMargin,
+
+    "dedup_edit_clusters" ->
+      s"""WITH RECURSIVE $editVerSqlWith,
+         | und AS (SELECT a, b FROM ver UNION SELECT b, a FROM ver),
+         | reach(src, dst) AS (
+         |   SELECT a, b FROM und
+         |   UNION
+         |   SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+         | comp AS (SELECT d.doc_id,
+         |     LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+         |   FROM (SELECT doc_id FROM documents) d
+         |   LEFT JOIN reach r ON r.src = d.doc_id GROUP BY d.doc_id),
+         | sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM comp
+         |   GROUP BY cluster_id)
+         | SELECT c.doc_id, c.cluster_id, CAST(s.sz - 1 AS BIGINT) AS n_dups
+         | FROM comp c JOIN sizes s ON s.cluster_id = c.cluster_id""".stripMargin,
 
     "dedup_containment" ->
       s"""WITH ${shingleWith("documents")},

@@ -638,6 +638,14 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Window" // winner via max(struct), not a rank window
   }
 
+  test("dedup_edit_clusters: closure over staged id edges — text absent from the visible plan") {
+    val p = planOf("dedup_edit_clusters")
+    p should not include "CartesianProduct"
+    p should not include "Levenshtein|levenshtein" // verify ran once, behind the stage
+    p should not include "Exchange rangepartitioning"
+    p should not include "Window"
+  }
+
   test("dedup_edit_distance: staged verified edges feed both union branches; no cartesian") {
     val p = planOf("dedup_edit_distance")
     p should not include "CartesianProduct"

@@ -192,6 +192,21 @@ class DedupSpec extends SparkSpec {
     hist.values.map(_._2).sum shouldBe docs.count()
   }
 
+  test("edit clusters: chains close transitively beyond the pair threshold") {
+    val a = "aaa bbb ccc ddd eee fff ggg hhh iii jjj"
+    val b = a.replace("eee", "eez").replace("fff", "ffz")   // d(a,b) = 2
+    val c = b.replace("ggg", "gqz")                          // d(b,c) = 2
+    // d(a,c) = 4 > MaxEditDistance: only the closure links a to c
+    val out = Dedup.editDistanceClusters(docsDf(Seq(
+      1L -> a, 2L -> b, 3L -> c,
+      4L -> "kkk lll mmm nnn ooo ppp qqq rrr sss ttt")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out(1L) shouldBe ((1L, 2L))
+    out(2L) shouldBe ((1L, 2L))
+    out(3L) shouldBe ((1L, 2L))
+    out(4L) shouldBe ((4L, 0L)) // untouched text: singleton of itself
+  }
+
   test("edit distance: middle/end edits matched, both-ends miss and caps pinned") {
     val tA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
     val tC = "kilo lima mike november oscar papa quebec romeo sierra tango"
