@@ -641,7 +641,8 @@ class PlanShapeSpec extends SparkSpec {
   test("dedup_edit_clusters: closure over staged id edges — text absent from the visible plan") {
     val p = planOf("dedup_edit_clusters")
     p should not include "CartesianProduct"
-    p should not include "Levenshtein|levenshtein" // verify ran once, behind the stage
+    // verification ran once, behind the stage — no edit kernel re-runs
+    countOf(p, "(?i)levenshtein|lev_bounded") shouldBe 0
     p should not include "Exchange rangepartitioning"
     p should not include "Window"
   }
