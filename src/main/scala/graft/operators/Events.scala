@@ -211,6 +211,51 @@ object Events {
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("long").as("k"))
 
+  /** Minimum distinct users per quasi-identifier cell for [[kAnonymity]]
+    * (5 is the conventional floor; a real audit takes it from policy). */
+  val KAnonThreshold = 5L
+
+  /** k-anonymity audit over the quasi-identifier pair
+    * (event_type, props.k) — the privacy gate beyond regex PII: a cell
+    * observed for fewer than [[KAnonThreshold]] distinct users
+    * re-identifies them by metadata alone, so publish/suppress
+    * decisions for a behavioral dataset come straight off this table.
+    * One row per observed cell: (event_type, k, n_users, n_events,
+    * k_anonymous).
+    *
+    * 100 TB shape: the JSON extraction is the same map-only
+    * schema-on-read as [[propsExtract]]; one two-phase (type, k)
+    * aggregation (the distinct-user count rides Expand in the same
+    * tree); nothing else moves. */
+  def kAnonymity(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("user_id"))
+      .groupBy("event_type", "k")
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .withColumn("k_anonymous", col("n_users") >= KAnonThreshold)
+
+  /** The audit EXECUTED — the suppression list: every event sitting in
+    * a cell [[kAnonymity]] flagged (the rows a publisher drops or
+    * generalizes before release). The plan→apply pairing mirrors
+    * `corpus_mix_plan`→`mix_apply`. One row per suppressed event:
+    * (event_id, event_type, k).
+    *
+    * 100 TB shape: the flagged-cell table is tiny by construction
+    * (every cell in it has < [[KAnonThreshold]] users) and broadcasts;
+    * the corpus side is one map-side null-safe hash probe — no
+    * re-aggregation, no corpus shuffle. */
+  def kAnonymityApply(events: DataFrame): DataFrame = {
+    val flagged = kAnonymity(events).where(!col("k_anonymous"))
+      .select(col("event_type").as("f_type"), col("k").as("f_k"))
+    events.select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .join(broadcast(flagged),
+        col("event_type") === col("f_type") && col("k") <=> col("f_k"))
+      .select("event_id", "event_type", "k")
+  }
+
   /** Quantile probes for [[valueQuantiles]]. */
   val QuantileProbes: Seq[Double] = Seq(0.5, 0.95, 0.99)
 
@@ -1010,6 +1055,8 @@ object Events {
     "events_bot_flag" -> ((s, d) => botFlag(Tables.events(s, d))),
     "events_funnel"        -> ((s, d) => funnel(Tables.events(s, d))),
     "events_props_extract" -> ((s, d) => propsExtract(Tables.events(s, d))),
+    "events_kanon"         -> ((s, d) => kAnonymity(Tables.events(s, d))),
+    "events_kanon_apply"   -> ((s, d) => kAnonymityApply(Tables.events(s, d))),
     "events_hopping"       -> ((s, d) => hoppingCounts(Tables.events(s, d))),
     "events_scd2"          -> ((s, d) => scd2History(Tables.events(s, d))),
     "events_dedup"         -> ((s, d) => replayDedup(Tables.events(s, d))),
@@ -1451,6 +1498,28 @@ object Events {
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         | FROM events""".stripMargin,
+
+    "events_kanon" ->
+      s"""SELECT event_type,
+         |   CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+         |   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         |   CAST(COUNT(*) AS BIGINT) AS n_events,
+         |   COUNT(DISTINCT user_id) >= $KAnonThreshold AS k_anonymous
+         | FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_kanon_apply" ->
+      s"""WITH cells AS (SELECT event_type,
+         |     CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+         |     COUNT(DISTINCT user_id) AS n_users
+         |   FROM events GROUP BY 1, 2),
+         | flagged AS (SELECT event_type, k FROM cells
+         |   WHERE n_users < $KAnonThreshold)
+         | SELECT e.event_id, e.event_type,
+         |   CAST(json_extract_string(e.props, '$$.k') AS BIGINT) AS k
+         | FROM events e JOIN flagged f
+         |   ON f.event_type = e.event_type
+         |   AND f.k IS NOT DISTINCT FROM
+         |     CAST(json_extract_string(e.props, '$$.k') AS BIGINT)""".stripMargin,
 
     "events_hopping" -> {
       val advanceUs = HopAdvanceMinutes * 60L * 1000000L

@@ -703,6 +703,25 @@ class PlanShapeSpec extends SparkSpec {
     p should include("Expand") // the three distinct aggregates ride Expand
   }
 
+  test("events_kanon: one cell-keyed exchange, distinct folded into the aggregate, no join") {
+    val p = planOf("events_kanon")
+    // the standard two-round distinct plan: a (type, k, user) dedup
+    // round then the (type, k) cell rollup — both map-side-combined
+    countOf(p, "Exchange hashpartitioning") should be <= 2
+    p should include("count(distinct user_id")
+    p should not include "Join"
+    p should not include "Window"
+    p should not include "Exchange rangepartitioning"
+  }
+
+  test("events_kanon_apply: flagged cells broadcast into a map-side probe") {
+    val p = planOf("events_kanon_apply")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    p should not include "Exchange rangepartitioning"
+  }
+
   test("events_bot_flag: two branches, three bounded exchanges, finishers reuse partitioning") {
     val p = planOf("events_bot_flag")
     countOf(p, "Exchange hashpartitioning") should be <= 3

@@ -548,6 +548,22 @@ class CrossOpInvariantSpec extends SparkSpec {
     sess.values.foreach(_ should be <= nSessions)
   }
 
+  test("k-anonymity audit partitions the stream; apply suppresses exactly the flagged cells") {
+    val audit = Events.kAnonymity(events).collect()
+      .map(r => ((r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1))),
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))))
+    audit.map(_._2._2).sum shouldBe events.count() // cells partition events
+    audit.foreach { case (_, (users, evs, _)) => users should be <= evs }
+    val flaggedMass = audit.filterNot(_._2._3).map(_._2._2).sum
+    val applied = Events.kAnonymityApply(events).collect()
+    applied.length.toLong shouldBe flaggedMass // apply = exactly the flagged rows
+    val flaggedCells = audit.filterNot(_._2._3).map(_._1).toSet
+    applied.foreach { r =>
+      flaggedCells should contain ((r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    }
+  }
+
   test("epoch shuffle permutes exactly the corpus doc ids") {
     val sh = Corpus.epochShuffle(docs).collect().map(_.getLong(0))
     sh.length shouldBe docs.count()

@@ -528,6 +528,23 @@ class EventsSpec extends SparkSpec {
     out(4) shouldBe 1L // only 7's session A purchases in order
   }
 
+  test("k-anonymity: sparse quasi-identifier cells flag, null key is its own cell") {
+    val rows =
+      (1 to 6).map(u => (u.toLong, us(u), u.toLong, "view", 0.0, """{"k": 1}""")) ++
+      Seq(
+        (10L, us(10), 1L, "view", 0.0, """{"k": 2}"""),   // k=2 seen for 2 users
+        (11L, us(11), 2L, "view", 0.0, """{"k": 2}"""),
+        (12L, us(12), 2L, "view", 0.0, """{"k": 2}"""),   // repeat event, same user
+        (13L, us(13), 3L, "click", 0.0, "{}"))             // no k: null cell
+    val out = Events.kAnonymity(eventsDf(rows)).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1))) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    out(("view", Some(1L))) shouldBe ((6L, 6L, true))   // 6 users ≥ threshold
+    out(("view", Some(2L))) shouldBe ((2L, 3L, false))  // 2 users: re-identifying
+    out(("click", None)) shouldBe ((1L, 1L, false))
+    out.size shouldBe 3
+  }
+
   test("bot flag: burst and metronome trip independently; humans and singletons pass") {
     val sec = 1000000L
     var id = 0L
