@@ -123,6 +123,47 @@ object Similarity {
     topKPerQuery(scored)
   }
 
+  /** Triplet mining — the contrastive-training data op one level up
+    * from [[hardNegatives]]: per anchor (the query panel), its nearest
+    * SAME-label vector (the positive), its nearest DIFFERENT-label
+    * vector (the hard negative), and the margin between them — the
+    * exact rows a triplet/InfoNCE loss consumes, with margin ≤ 0
+    * marking anchors whose hardest negative already beats their best
+    * positive (the curriculum signal). Both argmaxes come from ONE
+    * scored scan via conditional max_by (null ordering keys are ignored
+    * by the aggregate, so each side sees only its label class);
+    * anchors lacking either side are dropped (mirrors the oracle's
+    * inner join). Output: (anchor_id, positive_id, positive_sim,
+    * negative_id, negative_sim, margin).
+    *
+    * 100 TB shape: identical to [[cosineTopK]] — queries broadcast,
+    * corpus scanned once, two map-side-combined conditional argmax
+    * aggregates; the corpus never shuffles vectors. */
+  def tripletMining(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = Tables.spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val queries = vs.where(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = vs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        (col("label") === col("q_label")).as("same"),
+        col("vec_id").as("nid"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim"))
+    val ord = struct(col("sim"), (-col("nid")).as("nn"))
+    scored.groupBy("query_id")
+      .agg(
+        max_by(struct(col("nid"), col("sim")), when(col("same"), ord)).as("p"),
+        max_by(struct(col("nid"), col("sim")), when(!col("same"), ord)).as("n"))
+      .where(col("p").isNotNull && col("n").isNotNull)
+      .select(col("query_id").as("anchor_id"),
+        col("p.nid").as("positive_id"), col("p.sim").as("positive_sim"),
+        col("n.nid").as("negative_id"), col("n.sim").as("negative_sim"),
+        (col("p.sim") - col("n.sim")).as("margin"))
+  }
+
   /** kNN majority-vote classification — the label-propagation face of the
     * similarity family (the workhorse of weak-labelling / seed-expansion
     * passes over a training corpus: label a few exemplars, kNN-vote the
@@ -1023,6 +1064,7 @@ object Similarity {
     "sim_pq_adc_topk" -> (pqAdcTopK _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_hard_negatives" -> (hardNegatives _),
+    "sim_triplets" -> (tripletMining _),
     "sim_knn_classify" -> (knnClassify _),
     "sim_mips_topk" -> (mipsTopK _),
     "sim_range_join" -> (rangeSimJoin _),
@@ -1489,6 +1531,30 @@ object Similarity {
          | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM scored)
          | WHERE rank <= $TopK""".stripMargin,
+
+    "sim_triplets" ->
+      s"""WITH vs AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                         CAST(embedding AS DOUBLE[]))) AS nrm
+         |   FROM embeddings),
+         | q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv, nrm AS qn
+         |   FROM vs WHERE vec_id < $NumQueryVectors),
+         | scored AS (SELECT q.query_id, q.q_label, vs.vec_id AS nid, vs.label,
+         |   list_dot_product(vs.v, q.qv) / (vs.nrm * q.qn) AS sim
+         |   FROM vs CROSS JOIN q WHERE vs.vec_id <> q.query_id),
+         | pos AS (SELECT query_id, nid, sim FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |     ORDER BY sim DESC, nid ASC) AS rn
+         |   FROM scored WHERE label = q_label) WHERE rn = 1),
+         | neg AS (SELECT query_id, nid, sim FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |     ORDER BY sim DESC, nid ASC) AS rn
+         |   FROM scored WHERE label <> q_label) WHERE rn = 1)
+         | SELECT p.query_id AS anchor_id,
+         |   p.nid AS positive_id, p.sim AS positive_sim,
+         |   n.nid AS negative_id, n.sim AS negative_sim,
+         |   p.sim - n.sim AS margin
+         | FROM pos p JOIN neg n ON n.query_id = p.query_id""".stripMargin,
 
     "sim_hard_negatives" ->
       s"""WITH vs AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,

@@ -659,6 +659,17 @@ class PlanShapeSpec extends SparkSpec {
     countOf(p, "Levenshtein|levenshtein") shouldBe 0
   }
 
+  test("sim_triplets: one scored scan, queries broadcast, argmaxes two-phase, no window") {
+    val p = planOf("sim_triplets")
+    p should include("BroadcastExchange") // query panel broadcast, corpus never shuffled
+    p should not include "Window"         // both argmaxes are max_by aggregates
+    p should not include "SortMergeJoin"
+    p should not include "Exchange rangepartitioning"
+    // corpus pass + the tiny query-panel read; positive AND negative
+    // come out of the single scored pass (no third scan, no re-join)
+    countOf(p, "Scan parquet") should be <= 2
+  }
+
   test("sim_mmr_topk: pool-sized greedy — broadcast state each round, no window, no cartesian") {
     val p = planOf("sim_mmr_topk")
     p should not include "CartesianProduct"

@@ -109,6 +109,24 @@ class SimilaritySpec extends SparkSpec {
       (math.min(gm._1, gm._2), math.max(gm._1, gm._2)))
   }
 
+  test("triplets: negative is hardNegatives' top-1, positive shares the label, margin exact") {
+    val t = Similarity.tripletMining(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    t.length shouldBe Similarity.NumQueryVectors
+    val hn = Similarity.hardNegatives(spark, sfDir).collect()
+      .filter(_.getInt(2) == 1)
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    t.foreach { case (a, p, ps, n, ns, m) =>
+      (n, ns) shouldBe hn(a)            // the independent op agrees
+      labels(p) shouldBe labels(a)      // positive from the anchor's class
+      labels(n) should not be labels(a)
+      m shouldBe (ps - ns)              // exact: same doubles, one subtraction
+    }
+  }
+
   test("exact top-k output shape: k rows per query, ranks 1..k, sims sorted") {
     val rows = Similarity.cosineTopK(spark, sfDir).collect()
     val byQuery = rows.groupBy(_.getLong(0))
