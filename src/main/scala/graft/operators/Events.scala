@@ -1026,7 +1026,100 @@ object Events {
         col("click_value"))
   }
 
+  /** Markov entropy profile — how PREDICTABLE each state's outgoing
+    * behavior is, the information-theoretic companion to
+    * [[markovEval]]'s argmax accuracy: per from-state the Shannon
+    * entropy (nats) of its transition row, H(from) = Σ −p·ln p, and the
+    * state's weighted contribution n_from/N · H(from) to the chain's
+    * conditional entropy rate under the empirical state frequencies
+    * (Σ h_contrib = the entropy rate). Output: (from_type, n_from,
+    * h_from, h_contrib), doubles rounded 6.
+    *
+    * 100 TB shape: everything downstream of [[markovTransitions]]'
+    * single user-keyed pass operates on the ≤|types|² transition grid —
+    * one tiny aggregation plus a 1-row total broadcast. */
+  def markovEntropy(events: DataFrame): DataFrame = {
+    val t = markovTransitions(events)
+    val total = t.agg(sum("n_transitions").as("n_total"))
+    t.groupBy("from_type")
+      .agg(sum("n_transitions").as("n_from"),
+        sum(-col("p") * log(col("p"))).as("h"))
+      .crossJoin(broadcast(total))
+      .select(col("from_type"), col("n_from"),
+        round(col("h"), 6).as("h_from"),
+        round(col("n_from").cast("double") / col("n_total") * col("h"), 6)
+          .as("h_contrib"))
+  }
+
+  /** Daily activity streaks — the gaps-and-islands engagement rollup
+    * (duolingo-style "longest run of consecutive active days"): per user
+    * the count of distinct active days, the number of maximal consecutive
+    * runs, and the longest run. A day is active if the user has ≥1 event
+    * in it ([[UsPerDay]] epoch-µs buckets). Output: (user_id,
+    * n_active_days, n_streaks, longest_streak).
+    *
+    * 100 TB shape: two SHRINKING exchanges — the (user, day) distinct
+    * collapses raw events to active-days map-side BEFORE its shuffle,
+    * and the hash(user_id) exchange that feeds the window then carries
+    * only distinct days; both rollups co-partition behind it
+    * (hash(user_id) clusters (user_id, island), so no further shuffle).
+    * The island-id window sorts only one user's distinct DAYS (≤ tenure
+    * in days — bounded regardless of event volume, so the power-user
+    * skew unit here is even smaller than [[sessionize]]'s). */
+  def streaks(events: DataFrame): DataFrame = {
+    val days = Tables.spread(events)
+      .select(col("user_id"), expr(s"ts div $UsPerDay").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy(col("day"))
+    days
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(
+        sum("len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max("len").as("longest_streak"))
+  }
+
+  /** Activity-concentration audit — the Gini coefficient of events per
+    * user, the one-number answer to "how head-heavy is this traffic?"
+    * that sits beside [[skewProfile]]'s moments. Computed EXACTLY in
+    * integers without a global row_number: group users by their event
+    * count c into a ledger (one row per distinct c), rank whole tie
+    * groups analytically (users with count c occupy ranks r+1..r+m where
+    * r = #users with smaller c, so Σ i·xᵢ over the group is
+    * c·(m·r + m(m+1)/2) — all int64), then
+    * G = 2·S/(n·T) − (n+1)/n with S, n, T exact integers and exactly two
+    * IEEE divisions at the end. Output 1 row: (n_users, total_events,
+    * gini, rounded 6).
+    *
+    * 100 TB shape: one map-side-combined per-user count, a second
+    * combine down to the ≤|distinct c| ledger, and the only ordered
+    * window runs on that ledger (bounded by max events-per-user, the
+    * [[Corpus.tokenBudget]] boundary-ledger discipline — the WindowExec
+    * single-partition warning is over this tiny relation, never the
+    * data). S ≤ n·T fits int64 while users·events stays under ~9e18;
+    * the denominator is computed in doubles so only S's envelope binds. */
+  def gini(events: DataFrame): DataFrame = {
+    val wBelow = Window.orderBy(col("c").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.spread(events)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("m"))
+      .withColumn("r", coalesce(sum("m").over(wBelow), lit(0L)))
+      .agg(sum("m").as("n_users"),
+        sum(col("c") * col("m")).as("total_events"),
+        sum(expr("c * (m * r + (m * (m + 1)) div 2)")).as("s"))
+      .select(col("n_users"), col("total_events"),
+        round(lit(2.0) * col("s").cast("double") /
+          (col("n_users").cast("double") * col("total_events").cast("double"))
+          - (col("n_users") + 1).cast("double") / col("n_users").cast("double"),
+          6).as("gini"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_streaks"         -> ((s, d) => streaks(Tables.events(s, d))),
+    "events_gini"            -> ((s, d) => gini(Tables.events(s, d))),
+    "events_markov_entropy"  -> ((s, d) => markovEntropy(Tables.events(s, d))),
     "events_attribution"     -> ((s, d) => attribution(Tables.events(s, d))),
     "events_asof_click"      -> ((s, d) => asofClickValue(Tables.events(s, d))),
     "events_value_quantiles" -> ((s, d) => valueQuantiles(Tables.events(s, d))),
@@ -1151,6 +1244,37 @@ object Events {
        | FROM g""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "events_streaks" ->
+      s"""WITH days AS (SELECT DISTINCT user_id,
+         |     epoch_us(ts) // ${UsPerDay}::BIGINT AS day FROM events),
+         | isl AS (SELECT user_id, day,
+         |     day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+         |       AS island FROM days),
+         | runs AS (SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+         |   FROM isl GROUP BY 1, 2)
+         | SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+         |   CAST(COUNT(*) AS BIGINT) AS n_streaks,
+         |   CAST(MAX(len) AS BIGINT) AS longest_streak
+         | FROM runs GROUP BY user_id""".stripMargin,
+
+    "events_gini" ->
+      """WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        |   FROM events GROUP BY 1),
+        | led AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM pu GROUP BY 1),
+        | rk AS (SELECT *, COALESCE(SUM(m) OVER (ORDER BY c ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+        |   FROM led),
+        | a AS (SELECT CAST(SUM(m) AS BIGINT) AS n_users,
+        |     CAST(SUM(c * m) AS BIGINT) AS total_events,
+        |     CAST(SUM(c * (m * r + (m * (m + 1)) // 2)) AS BIGINT) AS s
+        |   FROM rk)
+        | SELECT n_users, total_events,
+        |   round(2.0 * CAST(s AS DOUBLE)
+        |       / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE))
+        |     - CAST(n_users + 1 AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+        |     AS gini
+        | FROM a""".stripMargin,
+
     "events_attribution" ->
       """WITH c AS (SELECT user_id, epoch_us(ts) AS click_us, value AS click_value
         |   FROM events WHERE event_type = 'click'),
@@ -1440,6 +1564,29 @@ object Events {
          | SELECT tr.from_type, tr.to_type, tr.n_transitions,
          |   CAST(tr.n_transitions AS DOUBLE) / tot.n_from AS p
          | FROM tr JOIN tot USING (from_type)""".stripMargin,
+
+    "events_markov_entropy" ->
+      s"""WITH $sessSqlWith,
+         | nxt AS (SELECT event_type AS from_type,
+         |     LEAD(event_type) OVER w AS to_type,
+         |     session_seq, LEAD(session_seq) OVER w AS next_seq
+         |   FROM sess
+         |   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         | tr AS (SELECT from_type, to_type,
+         |     CAST(COUNT(*) AS BIGINT) AS n_transitions
+         |   FROM nxt WHERE to_type IS NOT NULL AND next_seq = session_seq
+         |   GROUP BY 1, 2),
+         | tot AS (SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+         |   FROM tr GROUP BY 1),
+         | p AS (SELECT tr.from_type, tot.n_from,
+         |     CAST(tr.n_transitions AS DOUBLE) / tot.n_from AS p
+         |   FROM tr JOIN tot USING (from_type)),
+         | h AS (SELECT from_type, CAST(MAX(n_from) AS BIGINT) AS n_from,
+         |     SUM(-p * ln(p)) AS h FROM p GROUP BY from_type),
+         | n AS (SELECT CAST(SUM(n_from) AS BIGINT) AS n_total FROM h)
+         | SELECT from_type, n_from, round(h, 6) AS h_from,
+         |   round(CAST(n_from AS DOUBLE) / n_total * h, 6) AS h_contrib
+         | FROM h CROSS JOIN n""".stripMargin,
 
     "events_markov_eval" ->
       s"""WITH $sessSqlWith,

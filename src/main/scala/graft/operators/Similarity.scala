@@ -651,6 +651,86 @@ object Similarity {
         (col("n").cast("double") / col("n_vecs")).as("purity"))
   }
 
+  /** Trained-IVF recall referee — [[annRecall]]'s twin for the OTHER
+    * approximate path: recall@[[TopK]] of [[ivfTrainedTopK]] against the
+    * exact L2 top-k (the metric the IVF path actually ranks by, so the
+    * referee measures list-truncation loss and nothing else). Output:
+    * (query_id, recall_at_k).
+    *
+    * 100 TB shape: the exact reference is the [[cosineTopK]] envelope —
+    * queries broadcast, corpus scanned once, bounded [[topKPerQuery]]
+    * aggregator — and the IVF side reuses the registered plan; the
+    * hit-join touches only 2·K rows per query. The referee exists to be
+    * RUN AT SAMPLE SCALE (its exact leg is a full scan by definition);
+    * in production you recall-check a query sample, never the corpus. */
+  def ivfRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = Staging.stage(vectors(spark, sfDir).select(col("vec_id"), col("v")))
+    val queries = vs.where(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = topKPerQuery(vs.join(broadcast(queries))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (-dist2(col("v"), col("qv"))).as("cosine_sim")))
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = ivfTrainedTopK(spark, sfDir).select("query_id", "neighbor_id")
+    val hits = exact.join(ivf, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / TopK).as("recall_at_k"))
+  }
+
+  /** Simplified silhouette — the internal clustering-quality eval that
+    * needs no labels ([[clusterPurity]]'s labelled twin): per vector
+    * a = distance to its own (nearest) trained centroid and b = distance
+    * to the runner-up centroid, s = (b−a)/max(a,b) (the centroid-based
+    * simplification of the classic O(n²) silhouette — the standard
+    * large-scale substitute). Per cluster: size and mean s, rounded 6.
+    * Output: (cent_id, n_vecs, silhouette).
+    *
+    * 100 TB shape: identical to [[kmeansAssign]] — the K centroids are
+    * ONE broadcast row and best + runner-up come out of a single
+    * array-fold pass per vector (no per-centroid explode, no corpus
+    * shuffle); the only exchange is the final ≤K-row rollup. The fold
+    * keeps (best, second) with strict-< updates over the cent_id-sorted
+    * pack, so tie values land exactly where the oracle's
+    * (d2 asc, cent_id asc) row_number puts them. */
+  def silhouette(spark: SparkSession, sfDir: String): DataFrame =
+    silhouetteOf(Staging.stage(
+      vectors(spark, sfDir).select(col("vec_id"), col("v"))))
+
+  /** [[silhouette]]'s core over any (vec_id, v) frame — trains the
+    * [[kmeansCentroids]] quantizer on the frame itself, then scores it. */
+  def silhouetteOf(vs: DataFrame): DataFrame = {
+    val cents = kmeansCentroids(vs)
+    val packed = cents.agg(array_sort(collect_list(struct(
+      col("cent_id"), col("cv"), dot(col("cv"), col("cv")).as("cc")))).as("cents"))
+    val best = vs.crossJoin(broadcast(packed))
+      .withColumn("vv", dot(col("v"), col("v")))
+      .withColumn("best", aggregate(col("cents"),
+        struct(lit(-1L).as("cent_id"), lit(Double.MaxValue).as("d2"),
+          lit(Double.MaxValue).as("d2b")),
+        (acc, c) => {
+          val d2 = col("vv") - lit(2.0) * dot(col("v"), c.getField("cv")) +
+            c.getField("cc")
+          when(d2 < acc.getField("d2"),
+            struct(c.getField("cent_id").as("cent_id"), d2.as("d2"),
+              acc.getField("d2").as("d2b")))
+            .when(d2 < acc.getField("d2b"),
+              struct(acc.getField("cent_id").as("cent_id"),
+                acc.getField("d2").as("d2"), d2.as("d2b")))
+            .otherwise(acc)
+        }))
+    val a = sqrt(greatest(col("best").getField("d2"), lit(0.0)))
+    val b = sqrt(greatest(col("best").getField("d2b"), lit(0.0)))
+    best.select(col("best").getField("cent_id").as("cent_id"),
+        when(greatest(a, b) === 0, lit(0.0))
+          .otherwise((b - a) / greatest(a, b)).as("sil"))
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("n_vecs"), round(avg("sil"), 6).as("silhouette"))
+  }
+
   /** Frozen-quantizer assignment probe — the batch core
     * [[graft.streaming.StreamingKmeansAssign]] shares: every vector of
     * `batch` (vec_id, v) to its nearest trained centroid, same bit-exact
@@ -1078,6 +1158,8 @@ object Similarity {
     "sim_kmeans_train" -> (kmeansTrain _),
     "sim_ivf_trained_topk" -> (ivfTrainedTopK _),
     "sim_cluster_purity" -> (clusterPurity _),
+    "sim_silhouette" -> (silhouette _),
+    "sim_ivf_recall" -> (ivfRecall _),
     "dedup_embedding" -> (embeddingDedup _),
     "dedup_semantic" -> (semanticDedup _),
   )
@@ -1646,6 +1728,57 @@ object Similarity {
          | SELECT cent_id, n_vecs, label AS top_label, n AS top_n,
          |   CAST(n AS DOUBLE) / n_vecs AS purity
          | FROM wcells WHERE rn = 1""".stripMargin,
+
+    "sim_silhouette" ->
+      s"""WITH $kmeansCtesSql,
+         | sF AS (${kmeansScoreSql(s"c$KmeansIters")}),
+         | r AS (SELECT vec_id, cent_id, d2, ROW_NUMBER() OVER
+         |   (PARTITION BY vec_id ORDER BY d2 ASC, cent_id ASC) AS rn FROM sF),
+         | ab AS (SELECT b1.vec_id, b1.cent_id,
+         |     sqrt(greatest(b1.d2, 0)) AS a, sqrt(greatest(b2.d2, 0)) AS b
+         |   FROM (SELECT * FROM r WHERE rn = 1) b1
+         |   JOIN (SELECT * FROM r WHERE rn = 2) b2 USING (vec_id)),
+         | s AS (SELECT cent_id, CASE WHEN greatest(a, b) = 0 THEN 0.0
+         |     ELSE (b - a) / greatest(a, b) END AS sil FROM ab)
+         | SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |   round(AVG(sil), 6) AS silhouette
+         | FROM s GROUP BY cent_id""".stripMargin,
+
+    "sim_ivf_recall" ->
+      s"""WITH $kmeansCtesSql,
+         | sA AS (${kmeansScoreSql(s"c$KmeansIters")}),
+         | asg AS (SELECT vec_id, cent_id FROM (SELECT *, ROW_NUMBER() OVER
+         |   (PARTITION BY vec_id ORDER BY d2 ASC, cent_id ASC) AS rn FROM sA)
+         |   WHERE rn = 1),
+         | q AS (SELECT vec_id AS query_id, v AS qv FROM vs
+         |   WHERE vec_id < $NumQueryVectors),
+         | pr AS (SELECT query_id, cent_id FROM (SELECT q.query_id, c.cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |     list_dot_product(q.qv, q.qv) - 2 * list_dot_product(q.qv, c.cv)
+         |       + list_dot_product(c.cv, c.cv) ASC, c.cent_id ASC) AS rn
+         |   FROM q CROSS JOIN c$KmeansIters c) WHERE rn <= $NProbe),
+         | re AS (SELECT pr.query_id, asg.vec_id AS neighbor_id,
+         |   list_dot_product(vs.v, vs.v) - 2 * list_dot_product(vs.v, q.qv)
+         |     + list_dot_product(q.qv, q.qv) AS d2
+         |   FROM asg JOIN pr USING (cent_id)
+         |   JOIN vs ON vs.vec_id = asg.vec_id
+         |   JOIN q ON q.query_id = pr.query_id
+         |   WHERE asg.vec_id <> pr.query_id),
+         | ivf_tk AS (SELECT query_id, neighbor_id FROM (SELECT *,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC,
+         |     neighbor_id ASC) AS rank FROM re) WHERE rank <= $TopK),
+         | ex AS (SELECT q.query_id, vs.vec_id AS neighbor_id,
+         |   list_dot_product(vs.v, vs.v) - 2 * list_dot_product(vs.v, q.qv)
+         |     + list_dot_product(q.qv, q.qv) AS d2
+         |   FROM vs CROSS JOIN q WHERE vs.vec_id <> q.query_id),
+         | ex_tk AS (SELECT query_id, neighbor_id FROM (SELECT *,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC,
+         |     neighbor_id ASC) AS rank FROM ex) WHERE rank <= $TopK),
+         | hits AS (SELECT e.query_id, COUNT(*) AS n FROM ex_tk e
+         |   JOIN ivf_tk a USING (query_id, neighbor_id) GROUP BY e.query_id)
+         | SELECT q.query_id,
+         |   CAST(COALESCE(hits.n, 0) AS DOUBLE) / $TopK AS recall_at_k
+         | FROM q LEFT JOIN hits ON hits.query_id = q.query_id""".stripMargin,
 
     "sim_ivf_trained_topk" ->
       s"""WITH $kmeansCtesSql,

@@ -1347,7 +1347,82 @@ object TextAnalysis {
       documents.where(isIncoming))
   }
 
+  /** Keywords reported per document by [[tfidfKeywords]]. */
+  val TfidfTopK = 3
+
+  /** Per-document TF-IDF keyword extraction — the classic content-tagging
+    * face (the raw-count tf · ln(N/df) variant): for every document its
+    * top [[TfidfTopK]] terms by tf·idf, ties to the lexicographically
+    * smaller term. Output: (doc_id, kw_rank, term, tfidf) with the score
+    * rounded to 6 decimals AFTER ranking (ranking compares the raw
+    * doubles, which are bit-identical across engines — one int multiply,
+    * one ln, one IEEE divide).
+    *
+    * 100 TB shape: three exchanges, all on natural keys — the (doc,term)
+    * tf aggregation (map-side combined), a count window on hash(term)
+    * that derives df WITHOUT a self-join against the vocabulary, and the
+    * per-document top-K window on hash(doc_id) (each partition sees one
+    * document's terms — bounded by doc length, no global sort). N_docs is
+    * a 1-row broadcast. */
+  def tfidfKeywords(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.spread(documents)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf").cast("double") *
+        log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("kw_rank", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term").asc)).cast("long"))
+      .where(col("kw_rank") <= TfidfTopK)
+      .select(col("doc_id"), col("kw_rank"), col("term"),
+        round(col("tfidf"), 6).as("tfidf"))
+  }
+
+  /** N-gram width for the cross-document novelty signal (5 is the
+    * customary published-pipeline span: long enough that collisions mean
+    * shared provenance, short enough to survive light edits). */
+  val NoveltyN = 5
+
+  /** Cross-document novelty — the inter-document twin of [[repetition]]
+    * (which looks only within a document) and the per-document face of
+    * what the dedup family decides wholesale: for each document with at
+    * least [[NoveltyN]] tokens, the fraction of its 5-gram slots whose
+    * 5-gram also occurs in at least one OTHER document. A low score marks
+    * boilerplate/templated text that near-dup pairwise measures only
+    * catch when the pair survives banding. Output: (doc_id, n_grams,
+    * n_shared, novelty = 1 − shared/slots, rounded 6).
+    *
+    * 100 TB shape: one (doc, gram) aggregation (map-side combined — the
+    * multiplicity stays local), then a count window on hash(gram) that
+    * derives the gram's document-frequency in place of a vocabulary
+    * self-join, then the per-document rollup on hash(doc_id). No
+    * pairwise term anywhere — cost is O(tokens), the same envelope as a
+    * shingle scan. */
+  def novelty(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = split(col("text"), " ")
+    val cells = Tables.spread(documents)
+      .where(size(t) >= NoveltyN)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(t) - NoveltyN),
+        i => concat_ws(" ", slice(t, i + 1, lit(NoveltyN))))).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+    cells
+      .withColumn("n_docs_g", count(lit(1)).over(Window.partitionBy("gram")))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_grams"),
+        sum(when(col("n_docs_g") > 1, col("cnt")).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        round(lit(1.0) - col("n_shared").cast("double") / col("n_grams"), 6)
+          .as("novelty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf_keywords" -> ((s, d) => tfidfKeywords(Tables.documents(s, d))),
+    "text_novelty" -> ((s, d) => novelty(Tables.documents(s, d))),
     "text_surprisal_probe" -> ((s, d) => surprisalProbeSplit(Tables.documents(s, d))),
     "text_unigram_surprisal" -> ((s, d) => unigramSurprisal(Tables.documents(s, d))),
     "text_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables.documents(s, d))),
@@ -1609,6 +1684,40 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "text_tfidf_keywords" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |   FROM documents),
+         | tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |   FROM tok GROUP BY 1, 2),
+         | wdf AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
+         | n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         | sc AS (SELECT doc_id, term,
+         |     CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+         |       AS tfidf
+         |   FROM wdf CROSS JOIN n),
+         | r AS (SELECT doc_id, term, tfidf, CAST(ROW_NUMBER() OVER
+         |     (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS BIGINT)
+         |     AS kw_rank FROM sc)
+         | SELECT doc_id, kw_rank, term, round(tfidf, 6) AS tfidf
+         | FROM r WHERE kw_rank <= $TfidfTopK""".stripMargin,
+
+    "text_novelty" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         | g AS (SELECT doc_id, unnest(list_transform(
+         |       range(len(t) - ${NoveltyN - 1}),
+         |       i -> array_to_string(t[i + 1 : i + $NoveltyN], ' '))) AS gram
+         |   FROM tok WHERE len(t) >= $NoveltyN),
+         | cells AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+         |   FROM g GROUP BY 1, 2),
+         | w AS (SELECT *, COUNT(*) OVER (PARTITION BY gram) AS n_docs_g
+         |   FROM cells)
+         | SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+         |   CAST(SUM(CASE WHEN n_docs_g > 1 THEN cnt ELSE 0 END) AS BIGINT)
+         |     AS n_shared,
+         |   round(1.0 - CAST(SUM(CASE WHEN n_docs_g > 1 THEN cnt ELSE 0 END)
+         |     AS DOUBLE) / SUM(cnt), 6) AS novelty
+         | FROM w GROUP BY doc_id""".stripMargin,
+
     "text_quality_classifier" ->
       s"""WITH ${classifierSqlWith()}
          | SELECT doc_id, n_tokens, logit,

@@ -775,4 +775,65 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
     p should not include "SortMergeJoin"
   }
+
+  test("text_tfidf_keywords: df via term window, no vocabulary self-join, no global sort") {
+    val p = planOf("text_tfidf_keywords")
+    p should include("partial_count")          // (doc,term) tf map-side combined
+    p should not include "SortMergeJoin"       // df derived in place, not joined
+    p should not include "Exchange rangepartitioning"
+    // (doc,term) agg + term-window + doc-window — nothing else moves data
+    countOf(p, "Exchange hashpartitioning") should be <= 3
+  }
+
+  test("text_novelty: O(tokens) — gram cells aggregate map-side, no join anywhere") {
+    val p = planOf("text_novelty")
+    p should include("partial_count")
+    p should not include "Join"
+    p should not include "Exchange rangepartitioning"
+    countOf(p, "Exchange hashpartitioning") should be <= 3
+  }
+
+  test("events_streaks: two shrinking exchanges; rollups reuse the user partitioning") {
+    val p = planOf("events_streaks")
+    countOf(p, "Exchange hashpartitioning") shouldBe 2 // (user,day) distinct + user window
+    p should not include "Join"
+    p should not include "Exchange rangepartitioning"  // islands sort inside partitions
+  }
+
+  test("events_gini: ledger-sized ordered window — the corpus only crosses shrinking aggs") {
+    val p = planOf("events_gini")
+    p should include("partial_count")          // per-user count combines map-side
+    p should not include "Join"
+    // user-count exchange + ledger exchange; the single-partition window
+    // funnels only the ≤|distinct c| ledger
+    countOf(p, "Exchange hashpartitioning") should be <= 2
+  }
+
+  test("events_markov_entropy: grid-sized tail — one user pass, then tiny aggregates") {
+    val p = planOf("events_markov_entropy")
+    p should not include "Exchange rangepartitioning"
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    // the transition grid and its rollups are ≤|types|² rows; the
+    // event-scale sessionizing pass is computed ONCE — its pair-count
+    // exchange is runtime-reused by the total branch (the plan PRINT
+    // duplicates the subtree, so assert the reuse, not node counts)
+    p should include("ReusedExchange")
+    countOf(p, "Exchange hashpartitioning\\(user_id") should be <= 2
+  }
+
+  test("sim_ivf_recall: both legs broadcast-driven — no vector SMJ, no cartesian blowup") {
+    val p = planOf("sim_ivf_recall")
+    p should not include "CartesianProduct"
+    p should include("BroadcastNestedLoopJoin") // query block broadcast into the scan
+    p should include("ObjectHashAggregate")     // exact leg's bounded top-k aggregator
+  }
+
+  test("sim_silhouette: centroid pack broadcasts; corpus vectors never shuffle for scoring") {
+    val p = planOf("sim_silhouette")
+    p should include("BroadcastNestedLoopJoin") // the 1-row centroid pack attach
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    p should not include "Window"               // best + runner-up from one fold
+  }
 }

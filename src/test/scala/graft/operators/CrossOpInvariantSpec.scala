@@ -569,4 +569,80 @@ class CrossOpInvariantSpec extends SparkSpec {
     sh.length shouldBe docs.count()
     sh.toSet shouldBe docs.select("doc_id").collect().map(_.getLong(0)).toSet
   }
+
+  test("novelty gram slots re-derive from token stats; keywords cover every document") {
+    val nTok = TextAnalysis.tokenStats(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val nov = TextAnalysis.novelty(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // every ≥5-token doc appears, with exactly n_tokens−4 gram slots
+    nov.map(_._1).toSet shouldBe nTok.filter(_._2 >= 5).keySet
+    nov.foreach { case (d, grams, shared) =>
+      grams shouldBe nTok(d) - (TextAnalysis.NoveltyN - 1)
+      shared should be <= grams
+    }
+    val kw = TextAnalysis.tfidfKeywords(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // top-K keyword ranks are dense from 1 for every non-empty doc
+    kw.groupBy(_._1).values.foreach { rs =>
+      rs.map(_._2).sorted.toSeq shouldBe (1L to rs.length.toLong)
+    }
+    kw.map(_._1).toSet shouldBe nTok.keySet // the fixture has no empty text
+  }
+
+  test("streak active-day mass equals retention's and the direct distinct grain") {
+    val streakMass = Events.streaks(events)
+      .agg(sum("n_active_days")).collect()(0).getLong(0)
+    val direct = events
+      .select(col("user_id"), expr("ts div 86400000000").as("day"))
+      .distinct().count()
+    streakMass shouldBe direct
+    // retention's Σ n_active over (cohort, offset) cells is the same
+    // distinct (user, day) mass counted by cohort instead of by streak
+    val retMass = Events.retention(events)
+      .agg(sum("n_active")).collect()(0).getLong(0)
+    streakMass shouldBe retMass
+  }
+
+  test("markov entropy coheres with transitions, the argmax eval, and ln-support bound") {
+    val tr = Events.markovTransitions(events).collect()
+    val ent = Events.markovEntropy(events).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val nByFrom = tr.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    ent.keySet shouldBe nByFrom.keySet.toSet
+    ent.foreach { case (f, (n, _, _)) => n shouldBe nByFrom(f) }
+    val total = tr.map(_.getLong(2)).sum.toDouble
+    // weighted contributions re-derive from (n_from, h_from) alone
+    ent.values.foreach { case (n, h, hc) => hc shouldBe (n / total * h) +- 2e-6 }
+    // a state the argmax eval predicts perfectly carries zero entropy
+    val acc = Events.markovEval(events).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    ent.foreach { case (f, (_, h, _)) => if (acc(f) == 1.0) h shouldBe 0.0 }
+    // and no row exceeds the uniform bound over its support
+    val support = tr.groupBy(_.getString(0)).view.mapValues(_.length)
+    ent.foreach { case (f, (_, h, _)) =>
+      h should be <= math.log(support(f).toDouble) + 1e-9
+    }
+  }
+
+  test("gini totals agree with the per-user grain; silhouette sizes match purity's") {
+    val g = Events.gini(events).collect()(0)
+    val perUser = events.groupBy("user_id").count().collect().map(_.getLong(1))
+    g.getLong(0) shouldBe perUser.length.toLong
+    g.getLong(1) shouldBe perUser.sum
+    // independent O(n log n) re-derivation of the ledger's exact-integer S
+    val sorted = perUser.sorted
+    val s = sorted.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+    val n = sorted.length.toLong; val t = sorted.sum
+    val expected = BigDecimal(2.0 * s / (n.toDouble * t.toDouble) -
+      (n + 1).toDouble / n.toDouble).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    g.getDouble(2) shouldBe expected +- 1e-9
+    val silSizes = Similarity.silhouette(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val puritySizes = Similarity.clusterPurity(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    silSizes shouldBe puritySizes
+  }
 }

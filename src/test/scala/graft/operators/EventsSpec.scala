@@ -568,4 +568,58 @@ class EventsSpec extends SparkSpec {
     s3.get shouldBe (1.0 / 24) +- 1e-12                  // no dominant gap
     out(4L) shouldBe ((1L, 1L, 0L, None, false))         // singleton: null share
   }
+
+  private def day(d: Long): Long = d * 86400L * 1000000L
+
+  test("streaks: gaps-and-islands over distinct active days") {
+    val out = Events.streaks(eventsDf(Seq(
+      // user 7: days 0,1,2 then 5,6 — two islands, longest 3
+      (1L, day(0), 7L, "view", 1.0, "{}"),
+      (2L, day(0) + us(30), 7L, "view", 1.0, "{}"),  // same day: one active day
+      (3L, day(1), 7L, "view", 1.0, "{}"),
+      (4L, day(2), 7L, "view", 1.0, "{}"),
+      (5L, day(5), 7L, "view", 1.0, "{}"),
+      (6L, day(6), 7L, "view", 1.0, "{}"),
+      // user 8: one day
+      (7L, day(9), 8L, "view", 1.0, "{}"))))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out(7L) shouldBe ((5L, 2L, 3L))
+    out(8L) shouldBe ((1L, 1L, 1L))
+  }
+
+  test("gini: exact tie-group rank arithmetic matches the sorted-rank formula") {
+    // counts per user: u1=1, u2=1, u3=2 -> x=[1,1,2], n=3, T=4,
+    // S = 1·1 + 2·1 + 3·2 = 9, G = 2·9/(3·4) − 4/3 = 1/6
+    val rows = Seq((1L, us(0), 1L), (2L, us(1), 2L), (3L, us(2), 3L),
+      (4L, us(3), 3L)).map { case (e, t, u) => (e, t, u, "view", 1.0, "{}") }
+    val r = Events.gini(eventsDf(rows)).collect()(0)
+    r.getLong(0) shouldBe 3L
+    r.getLong(1) shouldBe 4L
+    r.getDouble(2) shouldBe BigDecimal(2.0 * 9 / 12 - 4.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("markov entropy: deterministic rows score 0; mixed rows match hand arithmetic") {
+    // one session: A B A B A C — transitions A→B:2, A→C:1, B→A:2
+    val types = Seq("A", "B", "A", "B", "A", "C")
+    val out = Events.markovEntropy(eventsDf(types.zipWithIndex.map {
+      case (t, i) => (i.toLong, us(i), 1L, t, 1.0, "{}")
+    })).collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    out("B") shouldBe ((2L, 0.0, 0.0))   // B always returns to A
+    val hA = -(2.0 / 3) * math.log(2.0 / 3) - (1.0 / 3) * math.log(1.0 / 3)
+    val (nA, hFromA, hContribA) = out("A")
+    nA shouldBe 3L
+    hFromA shouldBe hA +- 1e-6
+    hContribA shouldBe (3.0 / 5) * hA +- 1e-6
+  }
+
+  test("gini: uniform traffic scores 0, degenerate single user scores 0") {
+    val uniform = (1L to 6L).map(i => (i, us(i), i % 3, "view", 1.0, "{}"))
+    Events.gini(eventsDf(uniform)).collect()(0).getDouble(2) shouldBe 0.0
+    val solo = Seq((1L, us(0), 5L, "view", 1.0, "{}"),
+      (2L, us(1), 5L, "view", 1.0, "{}"))
+    Events.gini(eventsDf(solo)).collect()(0).getDouble(2) shouldBe 0.0
+  }
 }

@@ -441,4 +441,46 @@ class SimilaritySpec extends SparkSpec {
       r.getBoolean(4) shouldBe (lbl == labels(r.getLong(0)))
     }
   }
+
+  test("silhouette: full partition, scores within [-1,1], sizes match training") {
+    val sil = Similarity.silhouette(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    sil.keySet shouldBe (0L until Similarity.KmeansK.toLong).toSet
+    sil.values.map(_._1).sum shouldBe 500L
+    all(sil.values.map(_._2)) should (be >= -1.0 and be <= 1.0)
+    // cluster sizes agree with the training rollup — the assignment fold
+    // and the (best, runner-up) fold can never route a vector differently
+    val train = Similarity.kmeansTrain(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sil.foreach { case (cid, (n, _)) => n shouldBe train(cid) }
+  }
+
+  test("ivf recall: one row per query, recall in [0,1] on the 1/k grid, probing helps") {
+    val rows = Similarity.ivfRecall(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    rows.length shouldBe Similarity.NumQueryVectors
+    val k = Similarity.TopK
+    rows.foreach { case (_, rec) =>
+      rec should (be >= 0.0 and be <= 1.0)
+      (rec * k) shouldBe math.round(rec * k).toDouble +- 1e-9 // exact 1/k grid
+    }
+    // probing NProbe of KmeansK lists must beat the trivial zero floor on
+    // average — a dead-zero mean recall means the probe wiring is broken
+    (rows.map(_._2).sum / rows.length) should be > 0.0
+  }
+
+  test("silhouette: tight distinct piles score near 1, never above 1") {
+    val sp = spark; import sp.implicits._
+    // eight far-apart piles (one per init seed) with tiny internal jitter:
+    // every vector's own-centroid distance is ~0 while the runner-up is
+    // far, so every per-cluster mean must land close to 1
+    def pile(i: Int, j: Int) =
+      Seq.tabulate(16)(d => if (d == i) 100.0 else if (d == 15) j * 0.01 else 0.0)
+    val vs = (for (i <- 0 until 8; j <- 0 until 5)
+      yield (i + 8L * j) -> pile(i, j)).toDF("vec_id", "v")
+    val out = Similarity.silhouetteOf(vs).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    out.map(_._1).sum shouldBe 40L
+    all(out.map(_._2)) should (be > 0.9 and be <= 1.0)
+  }
 }

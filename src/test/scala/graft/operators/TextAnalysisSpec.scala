@@ -616,4 +616,38 @@ class TextAnalysisSpec extends SparkSpec {
     r3.getLong(2) shouldBe 1L       // no terminator: floor at one sentence
     r3.getLong(3) shouldBe 2L       // 'y' in xyz counts; qrst floors via word count
   }
+
+  test("tfidf keywords: top-3 by tf·ln(N/df), ties to the smaller term") {
+    val out = TextAnalysis.tfidfKeywords(docs(
+      1L -> "apple apple banana shared",
+      2L -> "banana shared shared zebra",
+      3L -> "shared cat dog emu")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val byDoc = out.groupBy(_._1)
+    // doc 1: apple tf2·ln(3/1), banana tf1·ln(3/2), shared tf1·ln(1)=0
+    byDoc(1L).sortBy(_._2).map(t => (t._3, t._4)).toSeq shouldBe Seq(
+      ("apple", BigDecimal(2 * math.log(3)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("banana", BigDecimal(math.log(1.5)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("shared", 0.0))
+    // doc 3: cat/dog/emu tie at ln(3) — term-asc fills the 3 slots,
+    // corpus-wide 'shared' (idf 0) drops out
+    byDoc(3L).sortBy(_._2).map(_._3).toSeq shouldBe Seq("cat", "dog", "emu")
+    all(out.map(_._2)) should be <= TextAnalysis.TfidfTopK.toLong
+  }
+
+  test("novelty: cross-document 5-gram sharing only — within-doc repeats don't count") {
+    val out = TextAnalysis.novelty(docs(
+      1L -> "a b c d e f",        // grams: "a b c d e", "b c d e f"
+      2L -> "a b c d e x",        // shares "a b c d e" with doc 1
+      3L -> "z z z z z z z",      // one gram, 3 slots, all within-doc
+      4L -> "too short")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out(1L) shouldBe ((2L, 1L, 0.5))
+    out(2L) shouldBe ((2L, 1L, 0.5))
+    out(3L) shouldBe ((3L, 0L, 1.0))   // repetition is not novelty loss
+    out.contains(4L) shouldBe false    // <5 tokens: no gram slots
+  }
 }
