@@ -232,6 +232,65 @@ object Dedup {
     expandClusters(dr, ConnectedComponents.minLabel(edges))
   }
 
+  /** LSH band-bucket audit — the tuning report you run BEFORE pointing
+    * the banded join at a new corpus: per band the bucket count, the
+    * bucket-size maximum, the candidate-pair mass the band will feed the
+    * verifier (Σ sz·(sz−1)/2 over buckets inside the
+    * 2..[[MaxBandBucket]] window — the actual O() driver of the LSH
+    * stage), and how many buckets the [[MaxBandBucket]] cap silences. A
+    * band whose max bucket explodes or whose capped count is large means
+    * the hash family is degenerating on this corpus (boilerplate
+    * shingle, skewed key) and the cap/band geometry needs retuning
+    * BEFORE the 100 TB run — this query is the evidence. Output:
+    * (band, n_buckets, n_docs, max_bucket, n_cand_pairs, n_capped),
+    * all exact integers.
+    *
+    * 100 TB shape: the same map-only signature projection as
+    * [[minhashLsh]], one (band, bkey) count (map-side combined), then a
+    * ≤[[Bands]]-row rollup — the audit costs one aggregation over data
+    * the dedup run computes anyway, and never materializes a pair. */
+  def bandProfile(documents: DataFrame): DataFrame = {
+    val docs = Tables.spread(documents)
+    val dr = Staging.stage(docReps(docs))
+    val (_, bands) = signaturePipeline(repDocs(docs, dr))
+    bands.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
+      .groupBy("band").agg(
+        count(lit(1)).as("n_buckets"),
+        sum("bsz").as("n_docs"),
+        max("bsz").as("max_bucket"),
+        sum(when(col("bsz").between(2, MaxBandBucket),
+          expr("bsz * (bsz - 1) div 2")).otherwise(0L)).as("n_cand_pairs"),
+        sum(when(col("bsz") > MaxBandBucket, 1L).otherwise(0L)).as("n_capped"))
+      .select(col("band").cast("long").as("band"), col("n_buckets"),
+        col("n_docs"), col("max_bucket"), col("n_cand_pairs"), col("n_capped"))
+  }
+
+  /** Exact-duplication provenance report — WHICH source is polluting the
+    * corpus: per `source` the document count, distinct text count, the
+    * number of documents whose text occurs more than once ANYWHERE in
+    * the corpus (cross-source duplication attributes to every source
+    * that carries a copy — the number an ingestion owner acts on), and
+    * the duplicate rate. Output: (source, n_docs, n_unique_texts,
+    * n_dup_docs, dup_rate).
+    *
+    * 100 TB shape: one md5 fingerprint scan, a copy-count window on
+    * hash(sha) in place of a self-join, then a ≤|sources| rollup — the
+    * [[exact]] envelope plus one tiny aggregation. */
+  def sourceAttribution(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.spread(documents)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("sha"))
+      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy("sha")))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("sha").as("n_unique_texts"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_unique_texts"),
+        col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"))
+  }
+
   /** Cluster-once / consume-many memo for the registered LSH faces —
     * [[graft.operators.TextAnalysis.trainedMerges]]' train-once
     * convention at corpus scale: the first consumer in a session
@@ -773,6 +832,9 @@ object Dedup {
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_band_profile"  -> ((s, d) => bandProfile(Tables.documents(s, d))),
+    "dedup_source_attribution" -> ((s, d) =>
+      sourceAttribution(Tables.documents(s, d))),
     "dedup_cluster_stats" -> ((s, d) =>
       clusterStats(lshClusterArtifact(s, d).select("doc_id", "cluster_id"))),
     "dedup_chunk_exact"   -> ((s, d) => chunkExact(Tables.documents(s, d))),
@@ -926,6 +988,34 @@ object Dedup {
          |   JOIN led USING (src_id))
          | SELECT sha256(text) AS content_sha, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
          |   CAST(COUNT(*) AS BIGINT) AS n_copies FROM m GROUP BY sha256(text)""".stripMargin,
+
+    "dedup_source_attribution" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS sha FROM documents),
+        | w AS (SELECT *, COUNT(*) OVER (PARTITION BY sha) AS n_copies FROM d),
+        | g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |     CAST(COUNT(DISTINCT sha) AS BIGINT) AS n_unique_texts,
+        |     CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |       AS n_dup_docs
+        |   FROM w GROUP BY source)
+        | SELECT source, n_docs, n_unique_texts, n_dup_docs,
+        |   round(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) AS dup_rate
+        | FROM g""".stripMargin,
+
+    "dedup_band_profile" ->
+      s"""WITH $repsWith,
+         | ${shingleWith("reps")},
+         | $minhashBandsSqlWith,
+         | bz AS (SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS bsz
+         |   FROM bands GROUP BY 1, 2)
+         | SELECT CAST(band AS BIGINT) AS band,
+         |   CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |   CAST(SUM(bsz) AS BIGINT) AS n_docs,
+         |   CAST(MAX(bsz) AS BIGINT) AS max_bucket,
+         |   CAST(SUM(CASE WHEN bsz BETWEEN 2 AND $MaxBandBucket
+         |     THEN bsz * (bsz - 1) // 2 ELSE 0 END) AS BIGINT) AS n_cand_pairs,
+         |   CAST(SUM(CASE WHEN bsz > $MaxBandBucket THEN 1 ELSE 0 END)
+         |     AS BIGINT) AS n_capped
+         | FROM bz GROUP BY band""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH RECURSIVE $repsWith,

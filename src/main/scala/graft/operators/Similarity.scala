@@ -663,7 +663,24 @@ object Similarity {
     * hit-join touches only 2·K rows per query. The referee exists to be
     * RUN AT SAMPLE SCALE (its exact leg is a full scan by definition);
     * in production you recall-check a query sample, never the corpus. */
-  def ivfRecall(spark: SparkSession, sfDir: String): DataFrame = {
+  def ivfRecall(spark: SparkSession, sfDir: String): DataFrame =
+    recallVsExact(spark, sfDir,
+      (s, d) => ivfTrainedTopK(s, d).select("query_id", "neighbor_id"))
+
+  /** [[ivfRecall]]'s twin for the PQ path: recall@[[TopK]] of
+    * [[pqAdcTopK]]'s ADC ranking against the exact L2 top-k — together
+    * with [[annRecall]] (LSH) and [[ivfRecall]] this completes the
+    * referee set, one per approximate index family the engine ships.
+    * Same envelope: run at query-sample scale. */
+  def pqRecall(spark: SparkSession, sfDir: String): DataFrame =
+    recallVsExact(spark, sfDir,
+      (s, d) => pqAdcTopK(s, d).select("query_id", "neighbor_id"))
+
+  /** Shared recall finisher: exact L2 top-[[TopK]] reference (queries
+    * broadcast, corpus scanned once through the bounded [[topKPerQuery]]
+    * aggregator) vs any approximate (query_id, neighbor_id) list. */
+  private def recallVsExact(spark: SparkSession, sfDir: String,
+                            approxOf: (SparkSession, String) => DataFrame): DataFrame = {
     val vs = Staging.stage(vectors(spark, sfDir).select(col("vec_id"), col("v")))
     val queries = vs.where(col("vec_id") < NumQueryVectors)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -672,8 +689,7 @@ object Similarity {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           (-dist2(col("v"), col("qv"))).as("cosine_sim")))
       .select(col("query_id"), col("neighbor_id"))
-    val ivf = ivfTrainedTopK(spark, sfDir).select("query_id", "neighbor_id")
-    val hits = exact.join(ivf, Seq("query_id", "neighbor_id"))
+    val hits = exact.join(approxOf(spark, sfDir), Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
     exact.select("query_id").distinct()
       .join(hits, Seq("query_id"), "left")
@@ -1160,6 +1176,7 @@ object Similarity {
     "sim_cluster_purity" -> (clusterPurity _),
     "sim_silhouette" -> (silhouette _),
     "sim_ivf_recall" -> (ivfRecall _),
+    "sim_pq_recall" -> (pqRecall _),
     "dedup_embedding" -> (embeddingDedup _),
     "dedup_semantic" -> (semanticDedup _),
   )
@@ -1173,6 +1190,56 @@ object Similarity {
     * iteration, final-rollup, and trained-IVF assignment scans so the
     * scalar-op order can never drift between them (the r6 ADVICE
     * three-copies lesson, applied up front). */
+  /** The PQ-ADC CTE prologue ending in relation `adc(query_id,
+    * neighbor_id, adc)` — ONE text shared by the `sim_pq_adc_topk` and
+    * `sim_pq_recall` oracles (the kmeansScoreSql one-text discipline). */
+  private def pqAdcCtesSql: String =
+    s"""vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       | c AS (SELECT CAST(vec_id AS INTEGER) AS code, v AS cv FROM vs
+       |   WHERE vec_id < $PqCodebookSize),
+       | d AS (SELECT vs.vec_id, c.code, CAST(t.m AS INTEGER) AS m,
+       |     list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range($PqSubDim),
+       |       i -> (vs.v[CAST(t.m * $PqSubDim + i + 1 AS INTEGER)]
+       |             - c.cv[CAST(t.m * $PqSubDim + i + 1 AS INTEGER)])
+       |          * (vs.v[CAST(t.m * $PqSubDim + i + 1 AS INTEGER)]
+       |             - c.cv[CAST(t.m * $PqSubDim + i + 1 AS INTEGER)]))),
+       |       (a, b) -> a + b) AS dist
+       |   FROM vs CROSS JOIN c CROSS JOIN range($PqSubspaces) t(m)),
+       | best AS (SELECT vec_id, m, code FROM (
+       |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |     ORDER BY dist ASC, code ASC) AS rn FROM d) WHERE rn = 1),
+       | dt AS (SELECT vec_id AS query_id, m, code, dist AS qdist FROM d
+       |   WHERE vec_id < $NumQueryVectors),
+       | adc AS (SELECT dt.query_id, b.vec_id AS neighbor_id,
+       |     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |       list(dt.qdist ORDER BY dt.m)), (a, b) -> a + b) AS adc
+       |   FROM best b JOIN dt ON dt.m = b.m AND dt.code = b.code
+       |   WHERE b.vec_id <> dt.query_id
+       |   GROUP BY dt.query_id, b.vec_id)""".stripMargin
+
+  /** Exact-L2 reference CTEs over a `vs(vec_id, v)` relation:
+    * `exq` (the query block), `ex` (all scored pairs), `ex_tk` (the
+    * top-[[TopK]] truth lists) — shared by every recall referee. */
+  private def exactL2TkSqlWith: String =
+    s"""exq AS (SELECT vec_id AS query_id, v AS qv FROM vs
+       |   WHERE vec_id < $NumQueryVectors),
+       | ex AS (SELECT exq.query_id, vs.vec_id AS neighbor_id,
+       |   list_dot_product(vs.v, vs.v) - 2 * list_dot_product(vs.v, exq.qv)
+       |     + list_dot_product(exq.qv, exq.qv) AS d2
+       |   FROM vs CROSS JOIN exq WHERE vs.vec_id <> exq.query_id),
+       | ex_tk AS (SELECT query_id, neighbor_id FROM (SELECT *,
+       |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC,
+       |     neighbor_id ASC) AS rank FROM ex) WHERE rank <= $TopK)""".stripMargin
+
+  /** The recall rollup over `ex_tk` vs an approximate top-k relation. */
+  private def recallTailSql(approxRel: String): String =
+    s"""hits AS (SELECT e.query_id, COUNT(*) AS n FROM ex_tk e
+       |   JOIN $approxRel a USING (query_id, neighbor_id)
+       |   GROUP BY e.query_id)
+       | SELECT exq.query_id,
+       |   CAST(COALESCE(hits.n, 0) AS DOUBLE) / $TopK AS recall_at_k
+       | FROM exq LEFT JOIN hits ON hits.query_id = exq.query_id""".stripMargin
+
   private def kmeansScoreSql(centsRel: String): String =
     s"""SELECT vs.vec_id, vs.v, c.cent_id,
        |   list_dot_product(vs.v, vs.v) - 2 * list_dot_product(vs.v, c.cv)
@@ -1360,33 +1427,20 @@ object Similarity {
          | FROM best GROUP BY vec_id""".stripMargin,
 
     "sim_pq_adc_topk" ->
-      s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         | c AS (SELECT CAST(vec_id AS INTEGER) AS code, v AS cv FROM vs
-         |   WHERE vec_id < $PqCodebookSize),
-         | d AS (SELECT vs.vec_id, c.code, CAST(t.m AS INTEGER) AS m,
-         |     list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range($PqSubDim),
-         |       i -> (vs.v[CAST(t.m * $PqSubDim + i + 1 AS INTEGER)]
-         |             - c.cv[CAST(t.m * $PqSubDim + i + 1 AS INTEGER)])
-         |          * (vs.v[CAST(t.m * $PqSubDim + i + 1 AS INTEGER)]
-         |             - c.cv[CAST(t.m * $PqSubDim + i + 1 AS INTEGER)]))),
-         |       (a, b) -> a + b) AS dist
-         |   FROM vs CROSS JOIN c CROSS JOIN range($PqSubspaces) t(m)),
-         | best AS (SELECT vec_id, m, code FROM (
-         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
-         |     ORDER BY dist ASC, code ASC) AS rn FROM d) WHERE rn = 1),
-         | dt AS (SELECT vec_id AS query_id, m, code, dist AS qdist FROM d
-         |   WHERE vec_id < $NumQueryVectors),
-         | adc AS (SELECT dt.query_id, b.vec_id AS neighbor_id,
-         |     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |       list(dt.qdist ORDER BY dt.m)), (a, b) -> a + b) AS adc
-         |   FROM best b JOIN dt ON dt.m = b.m AND dt.code = b.code
-         |   WHERE b.vec_id <> dt.query_id
-         |   GROUP BY dt.query_id, b.vec_id)
+      s"""WITH $pqAdcCtesSql
          | SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
          |   adc AS adc_dist
          | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |   ORDER BY adc ASC, neighbor_id ASC) AS rank FROM adc)
          | WHERE rank <= $TopK""".stripMargin,
+
+    "sim_pq_recall" ->
+      s"""WITH $pqAdcCtesSql,
+         | pq_tk AS (SELECT query_id, neighbor_id FROM (SELECT *,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC,
+         |     neighbor_id ASC) AS rank FROM adc) WHERE rank <= $TopK),
+         | $exactL2TkSqlWith,
+         | ${recallTailSql("pq_tk")}""".stripMargin,
 
     "sim_quantize_int8" ->
       s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1767,18 +1821,8 @@ object Similarity {
          | ivf_tk AS (SELECT query_id, neighbor_id FROM (SELECT *,
          |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC,
          |     neighbor_id ASC) AS rank FROM re) WHERE rank <= $TopK),
-         | ex AS (SELECT q.query_id, vs.vec_id AS neighbor_id,
-         |   list_dot_product(vs.v, vs.v) - 2 * list_dot_product(vs.v, q.qv)
-         |     + list_dot_product(q.qv, q.qv) AS d2
-         |   FROM vs CROSS JOIN q WHERE vs.vec_id <> q.query_id),
-         | ex_tk AS (SELECT query_id, neighbor_id FROM (SELECT *,
-         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC,
-         |     neighbor_id ASC) AS rank FROM ex) WHERE rank <= $TopK),
-         | hits AS (SELECT e.query_id, COUNT(*) AS n FROM ex_tk e
-         |   JOIN ivf_tk a USING (query_id, neighbor_id) GROUP BY e.query_id)
-         | SELECT q.query_id,
-         |   CAST(COALESCE(hits.n, 0) AS DOUBLE) / $TopK AS recall_at_k
-         | FROM q LEFT JOIN hits ON hits.query_id = q.query_id""".stripMargin,
+         | $exactL2TkSqlWith,
+         | ${recallTailSql("ivf_tk")}""".stripMargin,
 
     "sim_ivf_trained_topk" ->
       s"""WITH $kmeansCtesSql,

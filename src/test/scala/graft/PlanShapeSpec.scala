@@ -829,6 +829,27 @@ class PlanShapeSpec extends SparkSpec {
     p should include("ObjectHashAggregate")     // exact leg's bounded top-k aggregator
   }
 
+  test("dedup_band_profile: bucket audit without ever materializing a pair") {
+    val p = planOf("dedup_band_profile")
+    p should include("partial_count")       // (band, bkey) sizes combine map-side
+    p should not include "SortMergeJoin"    // no pair join anywhere
+    p should not include "CartesianProduct"
+    p should not include "Exchange rangepartitioning"
+  }
+
+  test("dedup_source_attribution: copy counts via sha window, rollup to sources") {
+    val p = planOf("dedup_source_attribution")
+    p should include("Window")
+    p should not include "Join"             // no self-join on the fingerprint
+    p should not include "Exchange rangepartitioning"
+  }
+
+  test("sim_pq_recall: referee joins ride id-pairs only — no vector SMJ, no cartesian") {
+    val p = planOf("sim_pq_recall")
+    p should not include "CartesianProduct"
+    p should include("ObjectHashAggregate") // exact leg's bounded top-k aggregator
+  }
+
   test("sim_silhouette: centroid pack broadcasts; corpus vectors never shuffle for scoring") {
     val p = planOf("sim_silhouette")
     p should include("BroadcastNestedLoopJoin") // the 1-row centroid pack attach

@@ -242,4 +242,33 @@ class DedupSpec extends SparkSpec {
     out(60L) shouldBe Some((61L, 0))
     out(61L) shouldBe Some((60L, 0))
   }
+
+  test("band profile: exact dups pre-collapse; per-band doc mass is the rep count") {
+    // 3 distinct texts + 2 verbatim clones -> 3 reps enter the banding
+    val out = Dedup.bandProfile(docsDf(Seq(
+      1L -> text(), 2L -> text(Map(5 -> "xx")), 3L -> text(Map(20 -> "zz")),
+      4L -> text(), 5L -> text()))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    out.length shouldBe Dedup.Bands
+    out.foreach { case (_, nBuckets, nDocs, maxB, nPairs, nCapped) =>
+      nDocs shouldBe 3L                  // every band sees each rep once
+      nBuckets should (be >= 1L and be <= 3L)
+      maxB should be <= 3L
+      nCapped shouldBe 0L
+      // pair mass re-derives from the bucket partition of 3 docs
+      nPairs should (be >= 0L and be <= 3L)
+    }
+  }
+
+  test("source attribution: cross-source copies count against every carrier") {
+    val sp = spark; import sp.implicits._
+    val out = Dedup.sourceAttribution(Seq(
+      (1L, "x", "A"), (2L, "y", "A"), (3L, "x", "B"), (4L, "z", "B"))
+      .toDF("doc_id", "text", "source")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    out("A") shouldBe ((2L, 2L, 1L, 0.5))  // doc 1's text recurs in B
+    out("B") shouldBe ((2L, 2L, 1L, 0.5))  // doc 3 is the other carrier
+  }
 }

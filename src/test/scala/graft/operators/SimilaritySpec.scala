@@ -469,6 +469,18 @@ class SimilaritySpec extends SparkSpec {
     (rows.map(_._2).sum / rows.length) should be > 0.0
   }
 
+  test("pq recall: one row per query on the 1/k grid; ADC finds signal") {
+    val rows = Similarity.pqRecall(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    rows.length shouldBe Similarity.NumQueryVectors
+    val k = Similarity.TopK
+    rows.foreach { case (_, rec) =>
+      rec should (be >= 0.0 and be <= 1.0)
+      (rec * k) shouldBe math.round(rec * k).toDouble +- 1e-9
+    }
+    (rows.map(_._2).sum / rows.length) should be > 0.0
+  }
+
   test("silhouette: tight distinct piles score near 1, never above 1") {
     val sp = spark; import sp.implicits._
     // eight far-apart piles (one per init seed) with tiny internal jitter:
