@@ -969,7 +969,63 @@ object Corpus {
     s.read.parquet(path)
   }
 
+  /** Cross-signal correlation report — the dataset-diagnostics face an
+    * analyst runs before trusting any single filter: Pearson r between
+    * the per-document quality score, cross-document novelty, and token
+    * count, over the documents where all three signals are defined
+    * (novelty needs ≥[[TextAnalysis.NoveltyN]] tokens). A strong
+    * quality~novelty correlation means the two filters are redundant; a
+    * negative quality~tokens one means the quality score is secretly a
+    * length gate — exactly the biases a mixed filter stack hides.
+    * Output: (pair, n_docs, r), r rounded 6, NULL when a signal is
+    * constant.
+    *
+    * Engine-parity design: the three signals are scaled to EXACT 64-bit
+    * integers (quality and novelty arrive 6-dp-rounded, ×10⁶ makes them
+    * integral), so every Pearson sum is an order-independent integer and
+    * r is one fixed-shape double expression over identical operands on
+    * both engines — no order-dependent float accumulation anywhere. The
+    * integer envelope holds while n·Σxy stays under 2⁶³ (≈10⁶ docs at
+    * these scalings); past that the sums want the doc'd cast-first
+    * variant ([[TextAnalysis.collocations]]' convention).
+    *
+    * 100 TB shape: the quality+tokens signals ride one map-only scan,
+    * novelty contributes its own three shrinking exchanges, the join is
+    * doc-keyed, and everything after is a single 1-row aggregate. */
+  def metricCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val base = Tables.spread(docs).select(col("doc_id"),
+      round(round(TextAnalysis.qualityScoreCol, 6) * 1e6, 0).cast("long").as("x"),
+      size(split(col("text"), " ")).cast("long").as("z"))
+    val nov = TextAnalysis.novelty(docs)
+      .select(col("doc_id"), round(col("novelty") * 1e6, 0).cast("long").as("y"))
+    val sums = base.join(nov, "doc_id").agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("z") * col("z")).as("szz"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("z")).as("sxz"), sum(col("y") * col("z")).as("syz"))
+    def r(sa: Column, sb: Column, saa: Column, sbb: Column, sab: Column): Column = {
+      val n = col("n").cast("double")
+      val num = n * sab.cast("double") - sa.cast("double") * sb.cast("double")
+      val da = n * saa.cast("double") - sa.cast("double") * sa.cast("double")
+      val db = n * sbb.cast("double") - sb.cast("double") * sb.cast("double")
+      when(da <= 0 || db <= 0, lit(null).cast("double"))
+        .otherwise(round(num / (sqrt(da) * sqrt(db)), 6))
+    }
+    sums.select(col("n").as("n_docs"), explode(array(
+        struct(lit("quality~novelty").as("pair"),
+          r(col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy")).as("r")),
+        struct(lit("quality~tokens").as("pair"),
+          r(col("sx"), col("sz"), col("sxx"), col("szz"), col("sxz")).as("r")),
+        struct(lit("novelty~tokens").as("pair"),
+          r(col("sy"), col("sz"), col("syy"), col("szz"), col("syz")).as("r"))))
+        .as("p"))
+      .select(col("p.pair").as("pair"), col("n_docs"), col("p.r").as("r"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_metric_corr" -> (metricCorr _),
     "corpus_dsir_ess" -> ((s, d) => dsirEssFrom(dsirWeightsArtifact(s, d))),
     "corpus_source_profile" -> ((s, d) => sourceProfile(Tables.documents(s, d))),
     "corpus_clean"      -> ((s, d) => clean(Tables.documents(s, d))),
@@ -1055,7 +1111,44 @@ object Corpus {
        |   COALESCE(hits.n, 0) > 0 AS contaminated
        | FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id""".stripMargin
 
+  /** Fixed-shape Pearson r over the exact integer sums of relation `s` —
+    * the [[metricCorr]] arithmetic, one text per pair. */
+  private def corrSql(sa: String, sb: String, saa: String, sbb: String,
+                      sab: String): String = {
+    val num = s"CAST(n AS DOUBLE) * CAST($sab AS DOUBLE)" +
+      s" - CAST($sa AS DOUBLE) * CAST($sb AS DOUBLE)"
+    val da = s"CAST(n AS DOUBLE) * CAST($saa AS DOUBLE)" +
+      s" - CAST($sa AS DOUBLE) * CAST($sa AS DOUBLE)"
+    val db = s"CAST(n AS DOUBLE) * CAST($sbb AS DOUBLE)" +
+      s" - CAST($sb AS DOUBLE) * CAST($sb AS DOUBLE)"
+    s"""CASE WHEN ($da) <= 0 OR ($db) <= 0 THEN CAST(NULL AS DOUBLE)
+       |   ELSE round(($num) / (sqrt($da) * sqrt($db)), 6) END""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "corpus_metric_corr" ->
+      s"""WITH ${TextAnalysis.qualityScoreSqlWith},
+         | ${TextAnalysis.noveltySqlWith},
+         | tokz AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+         |     AS z FROM documents),
+         | b AS (SELECT q.doc_id,
+         |     CAST(round(round(q.quality_score, 6) * 1000000, 0) AS BIGINT) AS x,
+         |     CAST(round(nov.novelty * 1000000, 0) AS BIGINT) AS y, tokz.z
+         |   FROM qscore q JOIN nov ON nov.doc_id = q.doc_id
+         |   JOIN tokz ON tokz.doc_id = q.doc_id),
+         | s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |     CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |     CAST(SUM(z) AS BIGINT) AS sz, CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |     CAST(SUM(y * y) AS BIGINT) AS syy, CAST(SUM(z * z) AS BIGINT) AS szz,
+         |     CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * z) AS BIGINT) AS sxz,
+         |     CAST(SUM(y * z) AS BIGINT) AS syz FROM b)
+         | SELECT 'quality~novelty' AS pair, n AS n_docs,
+         |   ${corrSql("sx", "sy", "sxx", "syy", "sxy")} AS r FROM s
+         | UNION ALL SELECT 'quality~tokens', n,
+         |   ${corrSql("sx", "sz", "sxx", "szz", "sxz")} FROM s
+         | UNION ALL SELECT 'novelty~tokens', n,
+         |   ${corrSql("sy", "sz", "syy", "szz", "syz")} FROM s""".stripMargin,
+
     "corpus_source_profile" ->
       s"""WITH k AS (SELECT md5(text) AS sha, MIN(doc_id) AS rep
          |   FROM documents GROUP BY md5(text)),

@@ -1683,6 +1683,26 @@ object TextAnalysis {
        | WHERE rn <= $DenseTopK""".stripMargin
   }
 
+  /** [[novelty]]'s CTE prologue ending in relation `nov(doc_id, n_grams,
+    * n_shared, novelty)` — one text for the `text_novelty` oracle and
+    * the `corpus_metric_corr` composition. */
+  private[operators] def noveltySqlWith: String =
+    s"""ntok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       | ng AS (SELECT doc_id, unnest(list_transform(
+       |       range(len(t) - ${NoveltyN - 1}),
+       |       i -> array_to_string(t[i + 1 : i + $NoveltyN], ' '))) AS gram
+       |   FROM ntok WHERE len(t) >= $NoveltyN),
+       | ncells AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+       |   FROM ng GROUP BY 1, 2),
+       | nw AS (SELECT *, COUNT(*) OVER (PARTITION BY gram) AS n_docs_g
+       |   FROM ncells),
+       | nov AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+       |   CAST(SUM(CASE WHEN n_docs_g > 1 THEN cnt ELSE 0 END) AS BIGINT)
+       |     AS n_shared,
+       |   round(1.0 - CAST(SUM(CASE WHEN n_docs_g > 1 THEN cnt ELSE 0 END)
+       |     AS DOUBLE) / SUM(cnt), 6) AS novelty
+       | FROM nw GROUP BY doc_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "text_tfidf_keywords" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -1702,21 +1722,8 @@ object TextAnalysis {
          | FROM r WHERE kw_rank <= $TfidfTopK""".stripMargin,
 
     "text_novelty" ->
-      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         | g AS (SELECT doc_id, unnest(list_transform(
-         |       range(len(t) - ${NoveltyN - 1}),
-         |       i -> array_to_string(t[i + 1 : i + $NoveltyN], ' '))) AS gram
-         |   FROM tok WHERE len(t) >= $NoveltyN),
-         | cells AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt
-         |   FROM g GROUP BY 1, 2),
-         | w AS (SELECT *, COUNT(*) OVER (PARTITION BY gram) AS n_docs_g
-         |   FROM cells)
-         | SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
-         |   CAST(SUM(CASE WHEN n_docs_g > 1 THEN cnt ELSE 0 END) AS BIGINT)
-         |     AS n_shared,
-         |   round(1.0 - CAST(SUM(CASE WHEN n_docs_g > 1 THEN cnt ELSE 0 END)
-         |     AS DOUBLE) / SUM(cnt), 6) AS novelty
-         | FROM w GROUP BY doc_id""".stripMargin,
+      s"""WITH $noveltySqlWith
+         | SELECT doc_id, n_grams, n_shared, novelty FROM nov""".stripMargin,
 
     "text_quality_classifier" ->
       s"""WITH ${classifierSqlWith()}

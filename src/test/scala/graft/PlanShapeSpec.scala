@@ -844,6 +844,14 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
   }
 
+  test("corpus_metric_corr: doc-keyed composition ending in one 1-row aggregate") {
+    val p = planOf("corpus_metric_corr")
+    p should not include "CartesianProduct"
+    p should not include "Exchange rangepartitioning"
+    p should include("partial_count")    // signal aggregations combine map-side
+    countOf(p, "Exchange SinglePartition") should be <= 2 // the final sums only
+  }
+
   test("sim_pq_recall: referee joins ride id-pairs only — no vector SMJ, no cartesian") {
     val p = planOf("sim_pq_recall")
     p should not include "CartesianProduct"

@@ -626,6 +626,40 @@ class CrossOpInvariantSpec extends SparkSpec {
     }
   }
 
+  test("metric correlations re-derive exactly from the registered signal queries") {
+    val out = Corpus.metricCorr(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    out.keySet shouldBe Set("quality~novelty", "quality~tokens", "novelty~tokens")
+    // rebuild the scaled-integer signal table from the independent faces
+    val q = TextAnalysis.quality(docs).collect()
+      .map(r => r.getLong(0) ->
+        math.round(BigDecimal(r.getDouble(3)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)).toMap
+    val nTok = TextAnalysis.tokenStats(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val nov = TextAnalysis.novelty(docs).collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(3) * 1e6)).toMap
+    val ids = nov.keySet.toSeq.sorted
+    out.values.map(_._1).toSet shouldBe Set(ids.length.toLong)
+    def pearson(xs: Seq[Long], ys: Seq[Long]): Option[Double] = {
+      val n = xs.length.toDouble
+      val num = n * xs.zip(ys).map { case (a, b) => a * b }.sum.toDouble -
+        xs.sum.toDouble * ys.sum.toDouble
+      val da = n * xs.map(a => a * a).sum.toDouble - xs.sum.toDouble * xs.sum.toDouble
+      val db = n * ys.map(b => b * b).sum.toDouble - ys.sum.toDouble * ys.sum.toDouble
+      if (da <= 0 || db <= 0) None else Some(num / (math.sqrt(da) * math.sqrt(db)))
+    }
+    def check(pair: String, xs: Seq[Long], ys: Seq[Long]): Unit =
+      (out(pair)._2, pearson(xs, ys)) match {
+        case (Some(r), Some(e)) => r shouldBe e +- 1e-6
+        case (a, b) => a.isDefined shouldBe b.isDefined
+      }
+    check("quality~novelty", ids.map(q), ids.map(nov))
+    check("quality~tokens", ids.map(q), ids.map(nTok))
+    check("novelty~tokens", ids.map(nov), ids.map(nTok))
+  }
+
   test("gini totals agree with the per-user grain; silhouette sizes match purity's") {
     val g = Events.gini(events).collect()(0)
     val perUser = events.groupBy("user_id").count().collect().map(_.getLong(1))
