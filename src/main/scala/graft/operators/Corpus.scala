@@ -376,6 +376,26 @@ object Corpus {
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
 
+  /** Shard-balance audit — the one-row skew verdict over [[shardPlan]]:
+    * shard count, document mass, min/max shard weight, and max/mean
+    * relative imbalance (the number that predicts the straggler task; a
+    * healthy hash layout sits near 1). Output: (n_shards, n_docs,
+    * min_chars, max_chars, max_skew).
+    *
+    * 100 TB shape: [[shardPlan]]'s one shrinking aggregation plus a
+    * ≤[[NumShards]]-row rollup. */
+  def shardBalance(documents: DataFrame): DataFrame =
+    shardPlan(documents).agg(
+        count(lit(1)).as("n_shards"),
+        sum("n_docs").as("n_docs"),
+        min("total_chars").as("min_chars"),
+        max("total_chars").as("max_chars"),
+        sum("total_chars").as("total_chars"))
+      .select(col("n_shards"), col("n_docs"), col("min_chars"),
+        col("max_chars"),
+        round(col("max_chars").cast("double") * col("n_shards")
+          / col("total_chars"), 6).as("max_skew"))
+
   /** The shard assignment expression (the hash [[shardPlan]] reports on). */
   private def shardCol: Column =
     Dedup.h32(concat(lit("shard:"), col("doc_id").cast("string"))) % NumShards
@@ -1036,6 +1056,7 @@ object Corpus {
     "sample_stratified_n" -> ((s, d) => sampleStratifiedN(Tables.documents(s, d))),
     "sample_holdout_split" -> ((s, d) => holdoutSplit(Tables.documents(s, d))),
     "shard_plan"        -> ((s, d) => shardPlan(Tables.documents(s, d))),
+    "corpus_shard_balance" -> ((s, d) => shardBalance(Tables.documents(s, d))),
     "corpus_shuffle"    -> ((s, d) => epochShuffle(Tables.documents(s, d))),
     "corpus_token_budget" -> ((s, d) => tokenBudget(Tables.documents(s, d))),
     "corpus_dataset_card" -> ((s, d) => datasetCard(Tables.documents(s, d))),
@@ -1251,6 +1272,23 @@ object Corpus {
          |   CAST(COUNT(*) AS BIGINT) AS n_docs,
          |   CAST(SUM(n_chars) AS BIGINT) AS total_chars
          | FROM documents GROUP BY 1""".stripMargin,
+
+    "corpus_shard_balance" ->
+      s"""WITH sp AS (SELECT
+         |     ('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |       % $NumShards AS shard,
+         |     CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |     CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |   FROM documents GROUP BY 1),
+         | a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+         |     CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         |     CAST(MIN(total_chars) AS BIGINT) AS min_chars,
+         |     CAST(MAX(total_chars) AS BIGINT) AS max_chars,
+         |     CAST(SUM(total_chars) AS BIGINT) AS total_chars FROM sp)
+         | SELECT n_shards, n_docs, min_chars, max_chars,
+         |   round(CAST(max_chars AS DOUBLE) * n_shards / total_chars, 6)
+         |     AS max_skew
+         | FROM a""".stripMargin,
 
     "corpus_shuffle" ->
       s"""SELECT doc_id, h % $NumShards AS shard,

@@ -1347,6 +1347,34 @@ object TextAnalysis {
       documents.where(isIncoming))
   }
 
+  /** Tokenizer compression curve — corpus token count after each merge
+    * prefix (round 0 = the raw stream), the scaling curve a tokenizer
+    * owner reads to decide how many merges are worth training: the
+    * marginal saving per round IS the curve's discrete slope, and the
+    * greedy non-overlapping replace means the saving is genuinely
+    * measured, not the (overlap-inflated) selection-time pair freq.
+    * Rides the session merge memo, so training is NOT re-paid. Output:
+    * (merge_round, corpus_tokens, compression = tokens_r/tokens_0).
+    *
+    * 100 TB shape: [[BpeMergeRounds]]+1 map-only broadcast-fold rewrite
+    * passes ([[bpeApply]]'s envelope, one per prefix), each ending in a
+    * 1-row count — no pair shuffle, no training loop. */
+  def bpeCompressionCurve(s: SparkSession, d: String): DataFrame = {
+    val merges = trainedMerges(s, d)
+    val docs = Tables.documents(s, d)
+    val curve = (0 to BpeMergeRounds).map { r =>
+      bpeApply(merges.where(col("merge_round") <= r), docs)
+        .agg(sum(col("n_tokens").cast("long")).as("corpus_tokens"))
+        .select(lit(r).as("merge_round"), col("corpus_tokens"))
+    }.reduce(_ unionAll _)
+    val t0 = curve.where(col("merge_round") === 0)
+      .select(col("corpus_tokens").as("t0"))
+    curve.crossJoin(broadcast(t0))
+      .select(col("merge_round"), col("corpus_tokens"),
+        round(col("corpus_tokens").cast("double") / col("t0"), 6)
+          .as("compression"))
+  }
+
   /** Keywords reported per document by [[tfidfKeywords]]. */
   val TfidfTopK = 3
 
@@ -1453,6 +1481,7 @@ object TextAnalysis {
     "text_bpe_merges"  -> ((s, d) => trainedMerges(s, d)),
     "text_bpe_encode"  -> ((s, d) => bpeApply(trainedMerges(s, d), Tables.documents(s, d))),
     "text_bpe_fertility" -> (bpeFertility _),
+    "text_bpe_compression_curve" -> (bpeCompressionCurve _),
     "text_bpe_vocab"   -> ((s, d) =>
       bpeVocabOf(bpeApply(trainedMerges(s, d), Tables.documents(s, d)))),
     "text_pii_scan"    -> ((s, d) => piiScan(Tables.documents(s, d))),
@@ -2034,6 +2063,18 @@ object TextAnalysis {
              .mkString(" UNION ALL ")})
          | SELECT merge_round, replace(pair, $BpeOracleSep, ' ') AS pair, freq,
          |   replace(pair, $BpeOracleSep, '_') AS new_token FROM m""".stripMargin,
+
+    "text_bpe_compression_curve" ->
+      s"""WITH $bpeOracleCtes,
+         | c AS (${(0 to BpeMergeRounds).map(r =>
+             s"""SELECT CAST($r AS INTEGER) AS merge_round,
+                | CAST(SUM(len(string_split(s[2 : len(s) - 1], $BpeOracleSep)))
+                |   AS BIGINT) AS corpus_tokens FROM s$r""".stripMargin)
+           .mkString(" UNION ALL ")}),
+         | t0 AS (SELECT corpus_tokens AS t0 FROM c WHERE merge_round = 0)
+         | SELECT merge_round, corpus_tokens,
+         |   round(CAST(corpus_tokens AS DOUBLE) / t0, 6) AS compression
+         | FROM c CROSS JOIN t0""".stripMargin,
 
     "text_bpe_encode" ->
       s"""WITH $bpeOracleCtes,

@@ -844,6 +844,14 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
   }
 
+  test("text_bpe_compression_curve: map-only rewrite passes, no pair shuffle, no window") {
+    val p = planOf("text_bpe_compression_curve")
+    p should include("BroadcastNestedLoopJoin") // the 1-row merge pack per prefix
+    p should not include "Window"
+    p should not include "SortMergeJoin"
+    p should not include "Exchange rangepartitioning" // training is NOT re-paid
+  }
+
   test("corpus_metric_corr: doc-keyed composition ending in one 1-row aggregate") {
     val p = planOf("corpus_metric_corr")
     p should not include "CartesianProduct"

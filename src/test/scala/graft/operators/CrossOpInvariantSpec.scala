@@ -626,6 +626,37 @@ class CrossOpInvariantSpec extends SparkSpec {
     }
   }
 
+  test("bpe compression curve: starts at the raw stream, monotone, lands on encode") {
+    val rows = TextAnalysis.bpeCompressionCurve(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).sortBy(_._1)
+    rows.map(_._1).toSeq shouldBe (0 to TextAnalysis.BpeMergeRounds)
+    rows.head._2._2 shouldBe 1.0
+    rows.map(_._2._1).toSeq.sliding(2).foreach {
+      case Seq(a, b) => b should be <= a
+      case _ =>
+    }
+    // round 0 == the raw whitespace token mass
+    val raw = TextAnalysis.tokenStats(docs)
+      .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    rows.head._2._1 shouldBe raw
+    // the final prefix == exactly what the registered encode face emits
+    val enc = TextAnalysis
+      .bpeApply(TextAnalysis.trainedMerges(spark, sf), docs)
+      .agg(sum(col("n_tokens").cast("long"))).collect()(0).getLong(0)
+    rows.last._2._1 shouldBe enc
+  }
+
+  test("shard balance re-derives from the shard plan it summarizes") {
+    val plan = Corpus.shardPlan(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val b = Corpus.shardBalance(docs).collect()(0)
+    b.getLong(0) shouldBe plan.length.toLong
+    b.getLong(1) shouldBe plan.map(_._1).sum
+    b.getLong(2) shouldBe plan.map(_._2).min
+    b.getLong(3) shouldBe plan.map(_._2).max
+    b.getDouble(4) should be >= 1.0 // max can never undercut the mean
+  }
+
   test("metric correlations re-derive exactly from the registered signal queries") {
     val out = Corpus.metricCorr(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1),
