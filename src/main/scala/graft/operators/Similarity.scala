@@ -676,6 +676,59 @@ object Similarity {
     recallVsExact(spark, sfDir,
       (s, d) => pqAdcTopK(s, d).select("query_id", "neighbor_id"))
 
+  /** The nprobe settings [[ivfNprobeCurve]] sweeps. */
+  val NprobeSweep: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** IVF quality/cost tuning curve — mean recall@[[TopK]] at each
+    * [[NprobeSweep]] setting, the evidence behind choosing [[NProbe]]:
+    * every query's centroid lists are RANKED once (not truncated), every
+    * candidate carries its list's probe rank, and each sweep point is a
+    * filter `prank ≤ p` over the SAME staged scored relation — one
+    * corpus scan funds the whole curve, instead of one per setting.
+    * Mean recall = Σ hits / (queries·k), exact integer arithmetic until
+    * the final division. Output: (nprobe, mean_recall).
+    *
+    * 100 TB shape: the scored relation is the [[ivfTrainedTopK]]
+    * envelope at the LARGEST sweep point (all lists), staged once; each
+    * curve point adds only a filter + bounded top-k + an id-pair join
+    * against the exact reference (runs at query-sample scale, as all
+    * referees do). */
+  def ivfNprobeCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = Staging.stage(vectors(spark, sfDir).select(col("vec_id"), col("v")))
+    val cents = kmeansCentroids(vs)
+    val assigned = kmeansAssign(vs, cents).select("vec_id", "cent_id")
+    val queries = vs.where(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("d2").asc, col("cent_id").asc)
+    val probeRanks = queries.join(broadcast(cents))
+      .select(col("query_id"), col("cent_id"), dist2(col("qv"), col("cv")).as("d2"))
+      .withColumn("prank", row_number().over(w))
+      .select("query_id", "cent_id", "prank")
+    val scored = Staging.stage(assigned
+      .join(broadcast(probeRanks), Seq("cent_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(vs, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("prank"),
+        (-dist2(col("v"), col("qv"))).as("cosine_sim")))
+    val exactTk = Staging.stage(topKPerQuery(vs.join(broadcast(queries))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (-dist2(col("v"), col("qv"))).as("cosine_sim")))
+      .select(col("query_id"), col("neighbor_id")))
+    NprobeSweep.map { p =>
+      topKPerQuery(scored.where(col("prank") <= p)
+          .select("query_id", "neighbor_id", "cosine_sim"))
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exactTk, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(p).as("nprobe"),
+          round(col("hits").cast("double") / (NumQueryVectors * TopK), 6)
+            .as("mean_recall"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Shared recall finisher: exact L2 top-[[TopK]] reference (queries
     * broadcast, corpus scanned once through the bounded [[topKPerQuery]]
     * aggregator) vs any approximate (query_id, neighbor_id) list. */
@@ -1177,6 +1230,7 @@ object Similarity {
     "sim_silhouette" -> (silhouette _),
     "sim_ivf_recall" -> (ivfRecall _),
     "sim_pq_recall" -> (pqRecall _),
+    "sim_ivf_nprobe_curve" -> (ivfNprobeCurve _),
     "dedup_embedding" -> (embeddingDedup _),
     "dedup_semantic" -> (semanticDedup _),
   )
@@ -1823,6 +1877,39 @@ object Similarity {
          |     neighbor_id ASC) AS rank FROM re) WHERE rank <= $TopK),
          | $exactL2TkSqlWith,
          | ${recallTailSql("ivf_tk")}""".stripMargin,
+
+    "sim_ivf_nprobe_curve" ->
+      s"""WITH $kmeansCtesSql,
+         | sA AS (${kmeansScoreSql(s"c$KmeansIters")}),
+         | asg AS (SELECT vec_id, cent_id FROM (SELECT *, ROW_NUMBER() OVER
+         |   (PARTITION BY vec_id ORDER BY d2 ASC, cent_id ASC) AS rn FROM sA)
+         |   WHERE rn = 1),
+         | q AS (SELECT vec_id AS query_id, v AS qv FROM vs
+         |   WHERE vec_id < $NumQueryVectors),
+         | pr AS (SELECT q.query_id, c.cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |     list_dot_product(q.qv, q.qv) - 2 * list_dot_product(q.qv, c.cv)
+         |       + list_dot_product(c.cv, c.cv) ASC, c.cent_id ASC) AS prank
+         |   FROM q CROSS JOIN c$KmeansIters c),
+         | re AS (SELECT pr.query_id, asg.vec_id AS neighbor_id, pr.prank,
+         |   list_dot_product(vs.v, vs.v) - 2 * list_dot_product(vs.v, q.qv)
+         |     + list_dot_product(q.qv, q.qv) AS d2
+         |   FROM asg JOIN pr USING (cent_id)
+         |   JOIN vs ON vs.vec_id = asg.vec_id
+         |   JOIN q ON q.query_id = pr.query_id
+         |   WHERE asg.vec_id <> pr.query_id),
+         | $exactL2TkSqlWith,
+         | ${NprobeSweep.map(p =>
+             s"""tk$p AS (SELECT query_id, neighbor_id FROM (SELECT *,
+                |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC,
+                |     neighbor_id ASC) AS rank FROM re WHERE prank <= $p)
+                |   WHERE rank <= $TopK)""".stripMargin).mkString(",\n ")}
+         | ${NprobeSweep.map(p =>
+             s"""SELECT CAST($p AS INTEGER) AS nprobe,
+                |   round(CAST((SELECT COUNT(*) FROM ex_tk e JOIN tk$p a
+                |     USING (query_id, neighbor_id)) AS DOUBLE)
+                |     / ${NumQueryVectors * TopK}, 6) AS mean_recall""".stripMargin)
+           .mkString("\n UNION ALL ")}""".stripMargin,
 
     "sim_ivf_trained_topk" ->
       s"""WITH $kmeansCtesSql,

@@ -860,6 +860,16 @@ class PlanShapeSpec extends SparkSpec {
     countOf(p, "Exchange SinglePartition") should be <= 2 // the final sums only
   }
 
+  test("sim_ivf_nprobe_curve: one staged scored scan funds all sweep points") {
+    val p = planOf("sim_ivf_nprobe_curve")
+    p should not include "CartesianProduct"
+    p should include("ObjectHashAggregate")  // bounded top-k per sweep point
+    // every sweep point filters the SAME staged relation — the scored
+    // scan appears as a reused checkpoint, not one rescoring per point
+    countOf(p, "Scan ExistingRDD") should be >=
+      graft.operators.Similarity.NprobeSweep.size
+  }
+
   test("sim_pq_recall: referee joins ride id-pairs only — no vector SMJ, no cartesian") {
     val p = planOf("sim_pq_recall")
     p should not include "CartesianProduct"

@@ -481,6 +481,21 @@ class SimilaritySpec extends SparkSpec {
     (rows.map(_._2).sum / rows.length) should be > 0.0
   }
 
+  test("nprobe curve: monotone, exact at full probing, agrees with the point referee") {
+    val curve = Similarity.ivfNprobeCurve(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+    curve.map(_._1).toSeq shouldBe Similarity.NprobeSweep
+    curve.map(_._2).toSeq.sliding(2).foreach {
+      case Seq(a, b) => b should be >= a // more lists can only help
+      case _ =>
+    }
+    curve.last._2 shouldBe 1.0 // probing every list IS the exact scan
+    // the sweep point at the production NProbe equals the point referee's mean
+    val refMean = Similarity.ivfRecall(spark, sfDir).collect()
+      .map(_.getDouble(1)).sum / Similarity.NumQueryVectors
+    curve.toMap.apply(Similarity.NProbe) shouldBe refMean +- 1e-9
+  }
+
   test("silhouette: tight distinct piles score near 1, never above 1") {
     val sp = spark; import sp.implicits._
     // eight far-apart piles (one per init seed) with tiny internal jitter:
