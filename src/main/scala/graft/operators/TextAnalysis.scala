@@ -1431,14 +1431,7 @@ object TextAnalysis {
     * shingle scan. */
   def novelty(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = split(col("text"), " ")
-    val cells = Tables.spread(documents)
-      .where(size(t) >= NoveltyN)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(t) - NoveltyN),
-        i => concat_ws(" ", slice(t, i + 1, lit(NoveltyN))))).as("gram"))
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
-    cells
+    gramCells(documents)
       .withColumn("n_docs_g", count(lit(1)).over(Window.partitionBy("gram")))
       .groupBy("doc_id").agg(
         sum("cnt").as("n_grams"),
@@ -1448,9 +1441,57 @@ object TextAnalysis {
           .as("novelty"))
   }
 
+  /** The (doc_id, gram, cnt) [[NoveltyN]]-gram multiplicity cells of a
+    * (doc_id, text) frame — the one gram extraction behind [[novelty]],
+    * [[buildGramIndex]] and [[probeNovelty]]. */
+  private def gramCells(documents: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    Tables.spread(documents)
+      .where(size(t) >= NoveltyN)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(t) - NoveltyN),
+        i => concat_ws(" ", slice(t, i + 1, lit(NoveltyN))))).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Frozen gram index of a base corpus — the DISTINCT [[NoveltyN]]-grams
+    * (at scale, a persisted bucketed table; here the train-offline side
+    * of the [[probeNovelty]] split). */
+  def buildGramIndex(base: DataFrame): DataFrame =
+    gramCells(base).select("gram").distinct()
+
+  /** Score a batch against a FROZEN gram index — [[novelty]]'s
+    * probe face (the [[graft.streaming.StreamingNovelty]] core): per
+    * incoming document the fraction of its gram slots NOT already in the
+    * base corpus. A near-zero score on arrival means boilerplate or
+    * near-copy of the corpus — the online admission gate. Output:
+    * (doc_id, n_grams, n_seen, novelty).
+    *
+    * 100 TB shape: O(batch) gram cells left-joined against the persisted
+    * index on hash(gram); the corpus side is built once. */
+  def probeNovelty(index: DataFrame, incoming: DataFrame): DataFrame =
+    gramCells(incoming)
+      .join(index.withColumn("seen", lit(true)), Seq("gram"), "left")
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_grams"),
+        sum(when(col("seen"), col("cnt")).otherwise(0L)).as("n_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_grams"), 6)
+          .as("novelty"))
+
+  /** The registered incremental face — same [[Dedup.IncomingMod]] split
+    * as [[surprisalProbeSplit]]: index the resident corpus, score the
+    * incoming 20 %. */
+  def noveltyProbeSplit(documents: DataFrame): DataFrame = {
+    val isIncoming = col("doc_id") % Dedup.IncomingMod === 0
+    probeNovelty(buildGramIndex(documents.where(!isIncoming)),
+      documents.where(isIncoming))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf_keywords" -> ((s, d) => tfidfKeywords(Tables.documents(s, d))),
     "text_novelty" -> ((s, d) => novelty(Tables.documents(s, d))),
+    "text_novelty_probe" -> ((s, d) => noveltyProbeSplit(Tables.documents(s, d))),
     "text_surprisal_probe" -> ((s, d) => surprisalProbeSplit(Tables.documents(s, d))),
     "text_unigram_surprisal" -> ((s, d) => unigramSurprisal(Tables.documents(s, d))),
     "text_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables.documents(s, d))),
@@ -1753,6 +1794,29 @@ object TextAnalysis {
     "text_novelty" ->
       s"""WITH $noveltySqlWith
          | SELECT doc_id, n_grams, n_shared, novelty FROM nov""".stripMargin,
+
+    "text_novelty_probe" ->
+      s"""WITH bt AS (SELECT doc_id, string_split(text, ' ') AS t
+         |   FROM documents WHERE doc_id % ${Dedup.IncomingMod} <> 0),
+         | bg AS (SELECT DISTINCT unnest(list_transform(
+         |     range(len(t) - ${NoveltyN - 1}),
+         |     i -> array_to_string(t[i + 1 : i + $NoveltyN], ' '))) AS gram
+         |   FROM bt WHERE len(t) >= $NoveltyN),
+         | it AS (SELECT doc_id, string_split(text, ' ') AS t
+         |   FROM documents WHERE doc_id % ${Dedup.IncomingMod} = 0),
+         | ig AS (SELECT doc_id, unnest(list_transform(
+         |     range(len(t) - ${NoveltyN - 1}),
+         |     i -> array_to_string(t[i + 1 : i + $NoveltyN], ' '))) AS gram
+         |   FROM it WHERE len(t) >= $NoveltyN),
+         | ic AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+         |   FROM ig GROUP BY 1, 2),
+         | j AS (SELECT ic.doc_id, ic.cnt, bg.gram IS NOT NULL AS seen
+         |   FROM ic LEFT JOIN bg USING (gram))
+         | SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+         |   CAST(SUM(CASE WHEN seen THEN cnt ELSE 0 END) AS BIGINT) AS n_seen,
+         |   round(1.0 - CAST(SUM(CASE WHEN seen THEN cnt ELSE 0 END)
+         |     AS DOUBLE) / SUM(cnt), 6) AS novelty
+         | FROM j GROUP BY doc_id""".stripMargin,
 
     "text_quality_classifier" ->
       s"""WITH ${classifierSqlWith()}
