@@ -265,6 +265,29 @@ object Dedup {
         col("n_docs"), col("max_bucket"), col("n_cand_pairs"), col("n_capped"))
   }
 
+  /** Threshold-sensitivity histogram — the verified candidate pairs'
+    * Jaccard distribution in tenth-wide buckets (bucket edge floats
+    * quenched by the round-then-floor discipline), each bucket flagged
+    * with whether it clears [[JaccardThreshold]]: the evidence for
+    * whether the clustering verdict is STABLE (pairs pile far from the
+    * threshold) or knife-edge (mass in the threshold bucket — a small
+    * threshold move would rewire clusters). Output: (j_bucket, n_pairs,
+    * clusters).
+    *
+    * 100 TB shape: exactly [[minhashLsh]]'s candidate+verify stages —
+    * the pairs a dedup run verifies anyway — with a ≤11-row rollup in
+    * place of the closure. */
+  def thresholdHistogram(documents: DataFrame): DataFrame = {
+    val docs = Tables.spread(documents)
+    val dr = Staging.stage(docReps(docs))
+    val (withSig, bands) = signaturePipeline(repDocs(docs, dr))
+    verifyCandidates(cappedBandPairs(bands), withSig)
+      .select(floor(round(col("jaccard") * 10, 6)).cast("long").as("j_bucket"))
+      .groupBy("j_bucket").agg(count(lit(1)).as("n_pairs"))
+      .select(col("j_bucket"), col("n_pairs"),
+        (col("j_bucket") >= math.round(JaccardThreshold * 10)).as("clusters"))
+  }
+
   /** Exact-duplication provenance report — WHICH source is polluting the
     * corpus: per `source` the document count, distinct text count, the
     * number of documents whose text occurs more than once ANYWHERE in
@@ -833,6 +856,8 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_band_profile"  -> ((s, d) => bandProfile(Tables.documents(s, d))),
+    "dedup_threshold_histogram" -> ((s, d) =>
+      thresholdHistogram(Tables.documents(s, d))),
     "dedup_source_attribution" -> ((s, d) =>
       sourceAttribution(Tables.documents(s, d))),
     "dedup_cluster_stats" -> ((s, d) =>
@@ -1016,6 +1041,18 @@ object Dedup {
          |   CAST(SUM(CASE WHEN bsz > $MaxBandBucket THEN 1 ELSE 0 END)
          |     AS BIGINT) AS n_capped
          | FROM bz GROUP BY band""".stripMargin,
+
+    "dedup_threshold_histogram" ->
+      s"""WITH $repsWith,
+         | ${shingleWith("reps")},
+         | $minhashBandsSqlWith,
+         | ${cappedPairsSql("bands")},
+         | $sigEstVerSqlWith,
+         | h AS (SELECT CAST(floor(round(jaccard * 10, 6)) AS BIGINT)
+         |     AS j_bucket FROM ver)
+         | SELECT j_bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |   j_bucket >= ${math.round(JaccardThreshold * 10)} AS clusters
+         | FROM h GROUP BY j_bucket""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH RECURSIVE $repsWith,

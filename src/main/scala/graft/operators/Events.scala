@@ -1051,6 +1051,34 @@ object Events {
           .as("h_contrib"))
   }
 
+  /** Session-duration histogram — the engagement-length profile on
+    * [[Corpus.lengthProfile]]'s exact-integer log₂ ladder: sessions
+    * bucketed by `length(bin(seconds))` (bucket 0 = single-instant
+    * sessions), each bucket reporting its session/event/second mass.
+    * Output: (bucket, lo_seconds, n_sessions, n_events, total_seconds).
+    *
+    * 100 TB shape: rides [[sessionize]]'s one hash(user_id) exchange;
+    * durations are exact integer µs→s divisions and the rollup is
+    * ≤64 rows. */
+  def sessionDurationHist(events: DataFrame): DataFrame =
+    sessionize(events)
+      .join(events.select("event_id", "ts"), "event_id")
+      .groupBy("user_id", "session_seq")
+      .agg(expr("(max(ts) - min(ts)) div 1000000").as("dur_s"),
+        count(lit(1)).as("n_ev"))
+      .select(when(col("dur_s") === 0, 0L)
+        .otherwise(length(bin(col("dur_s"))).cast("long")).as("bucket"),
+        col("dur_s"), col("n_ev"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_sessions"),
+        sum("n_ev").as("n_events"),
+        sum("dur_s").as("total_seconds"))
+      .select(col("bucket"),
+        when(col("bucket") === 0, 0L).otherwise(
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket - 1 AS INT))"))
+          .as("lo_seconds"),
+        col("n_sessions"), col("n_events"), col("total_seconds"))
+
   /** Daily activity streaks — the gaps-and-islands engagement rollup
     * (duolingo-style "longest run of consecutive active days"): per user
     * the count of distinct active days, the number of maximal consecutive
@@ -1120,6 +1148,8 @@ object Events {
     "events_streaks"         -> ((s, d) => streaks(Tables.events(s, d))),
     "events_gini"            -> ((s, d) => gini(Tables.events(s, d))),
     "events_markov_entropy"  -> ((s, d) => markovEntropy(Tables.events(s, d))),
+    "events_session_duration_hist" -> ((s, d) =>
+      sessionDurationHist(Tables.events(s, d))),
     "events_attribution"     -> ((s, d) => attribution(Tables.events(s, d))),
     "events_asof_click"      -> ((s, d) => asofClickValue(Tables.events(s, d))),
     "events_value_quantiles" -> ((s, d) => valueQuantiles(Tables.events(s, d))),
@@ -1564,6 +1594,24 @@ object Events {
          | SELECT tr.from_type, tr.to_type, tr.n_transitions,
          |   CAST(tr.n_transitions AS DOUBLE) / tot.n_from AS p
          | FROM tr JOIN tot USING (from_type)""".stripMargin,
+
+    "events_session_duration_hist" ->
+      s"""WITH $sessSqlWith,
+         | d AS (SELECT user_id, session_seq,
+         |     (MAX(ts) - MIN(ts)) // 1000000 AS dur_s,
+         |     CAST(COUNT(*) AS BIGINT) AS n_ev
+         |   FROM sess GROUP BY 1, 2),
+         | bk AS (SELECT CASE WHEN dur_s = 0 THEN 0
+         |     ELSE length(bin(dur_s)) END AS bucket, dur_s, n_ev FROM d),
+         | g AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+         |     CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |     CAST(SUM(n_ev) AS BIGINT) AS n_events,
+         |     CAST(SUM(dur_s) AS BIGINT) AS total_seconds
+         |   FROM bk GROUP BY 1)
+         | SELECT bucket, CASE WHEN bucket = 0 THEN 0
+         |     ELSE (1::BIGINT << CAST(bucket - 1 AS INTEGER)) END AS lo_seconds,
+         |   n_sessions, n_events, total_seconds
+         | FROM g""".stripMargin,
 
     "events_markov_entropy" ->
       s"""WITH $sessSqlWith,

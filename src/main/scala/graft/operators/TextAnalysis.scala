@@ -1375,6 +1375,42 @@ object TextAnalysis {
           .as("compression"))
   }
 
+  /** Minimum corpus instances for a burstiness candidate. */
+  val BurstMinCount = 5L
+  /** Burstiness report size. */
+  val BurstTopN = 100
+
+  /** Term burstiness — the variance-to-mean ratio of per-document counts
+    * over ALL documents (zeros included), Church/Gale's content-word
+    * detector: a term scattered uniformly (function words) sits near the
+    * Poisson VMR while a term that arrives in bursts (topical/content
+    * words, boilerplate markers) scores far above it. Computed EXACTLY:
+    * VMR = (N·Σc² − T²)/(N·T) with every sum a 64-bit integer and one
+    * fixed-shape double division at the end ([[Events.gini]]'s
+    * discipline; the envelope holds while N·Σc² < 2⁶³). Output: top
+    * [[BurstTopN]] by (burstiness desc, term asc) —
+    * (term, n_docs_containing, total, burstiness).
+    *
+    * 100 TB shape: one (doc, term) count (map-side combined), one term
+    * rollup, a 1-row broadcast N, TakeOrderedAndProject top-N. */
+  def termBurstiness(documents: DataFrame): DataFrame = {
+    val cells = Tables.spread(documents)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    cells.groupBy("term").agg(
+        count(lit(1)).as("n_docs_containing"),
+        sum("c").as("total"),
+        sum(col("c") * col("c")).as("ss"))
+      .where(col("total") >= BurstMinCount)
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("n_docs_containing"), col("total"),
+        round((col("n_docs") * col("ss") - col("total") * col("total"))
+          .cast("double") / (col("n_docs") * col("total")), 6)
+          .as("burstiness"))
+      .orderBy(col("burstiness").desc, col("term").asc).limit(BurstTopN)
+  }
+
   /** Keywords reported per document by [[tfidfKeywords]]. */
   val TfidfTopK = 3
 
@@ -1492,6 +1528,7 @@ object TextAnalysis {
     "text_tfidf_keywords" -> ((s, d) => tfidfKeywords(Tables.documents(s, d))),
     "text_novelty" -> ((s, d) => novelty(Tables.documents(s, d))),
     "text_novelty_probe" -> ((s, d) => noveltyProbeSplit(Tables.documents(s, d))),
+    "text_term_burstiness" -> ((s, d) => termBurstiness(Tables.documents(s, d))),
     "text_surprisal_probe" -> ((s, d) => surprisalProbeSplit(Tables.documents(s, d))),
     "text_unigram_surprisal" -> ((s, d) => unigramSurprisal(Tables.documents(s, d))),
     "text_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables.documents(s, d))),
@@ -1794,6 +1831,23 @@ object TextAnalysis {
     "text_novelty" ->
       s"""WITH $noveltySqlWith
          | SELECT doc_id, n_grams, n_shared, novelty FROM nov""".stripMargin,
+
+    "text_term_burstiness" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' '))
+         |     AS term FROM documents),
+         | cells AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+         |   FROM tok GROUP BY 1, 2),
+         | n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         | t AS (SELECT term,
+         |     CAST(COUNT(*) AS BIGINT) AS n_docs_containing,
+         |     CAST(SUM(c) AS BIGINT) AS total,
+         |     CAST(SUM(c * c) AS BIGINT) AS ss
+         |   FROM cells GROUP BY term HAVING SUM(c) >= $BurstMinCount)
+         | SELECT term, n_docs_containing, total,
+         |   round(CAST(n_docs * ss - total * total AS DOUBLE)
+         |     / (n_docs * total), 6) AS burstiness
+         | FROM t CROSS JOIN n
+         | ORDER BY burstiness DESC, term ASC LIMIT $BurstTopN""".stripMargin,
 
     "text_novelty_probe" ->
       s"""WITH bt AS (SELECT doc_id, string_split(text, ' ') AS t

@@ -837,6 +837,28 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
   }
 
+  test("dedup_threshold_histogram: the verify stage's pairs, an 11-row rollup, no closure") {
+    val p = planOf("dedup_threshold_histogram")
+    p should not include "CartesianProduct"
+    p should not include "Exchange rangepartitioning"
+    p should include("partial_count")
+  }
+
+  test("events_session_duration_hist: one user exchange, bounded per-session state") {
+    val p = planOf("events_session_duration_hist")
+    p should not include "CartesianProduct"
+    p should not include "Exchange rangepartitioning"
+    countOf(p, "Exchange hashpartitioning\\(user_id") should be <= 2
+  }
+
+  test("text_term_burstiness: two-phase counts, 1-row broadcast N, top-N not a sort") {
+    val p = planOf("text_term_burstiness")
+    p should include("TakeOrderedAndProject")
+    p should include("BroadcastNestedLoopJoin") // the 1-row N attach
+    p should not include "Exchange rangepartitioning"
+    p should not include "SortMergeJoin"
+  }
+
   test("dedup_source_attribution: copy counts via sha window, rollup to sources") {
     val p = planOf("dedup_source_attribution")
     p should include("Window")

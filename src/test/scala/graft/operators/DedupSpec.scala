@@ -261,6 +261,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("threshold histogram: buckets flag exactly the clustering side of 0.7") {
+    val out = Dedup.thresholdHistogram(docsDf(chain)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    out.foreach { case (b, n, cl) =>
+      b should (be >= 0L and be <= 10L)
+      n should be >= 1L
+      cl shouldBe (b >= 7L) // the flag is the threshold bucket-edge test
+    }
+    // the two designed near-dup pairs (J ≈ 0.806) land in the 0.8 bucket
+    out.find(_._1 == 8L).map(_._2).getOrElse(0L) should be >= 2L
+  }
+
   test("source attribution: cross-source copies count against every carrier") {
     val sp = spark; import sp.implicits._
     val out = Dedup.sourceAttribution(Seq(

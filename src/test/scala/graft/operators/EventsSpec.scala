@@ -569,6 +569,19 @@ class EventsSpec extends SparkSpec {
     out(4L) shouldBe ((1L, 1L, 0L, None, false))         // singleton: null share
   }
 
+  test("session duration histogram: log2 buckets with an exact zero bucket") {
+    val out = Events.sessionDurationHist(eventsDf(Seq(
+      (1L, us(0), 7L, "view", 1.0, "{}"),
+      (2L, us(30), 7L, "view", 1.0, "{}"),      // one 1800-second session
+      (3L, us(1000), 8L, "view", 1.0, "{}"))))  // singleton: zero duration
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    out(0L) shouldBe ((0L, 1L, 1L, 0L))
+    // 1800 = 0b11100001000 -> 11 bits -> bucket 11, lower edge 1024 s
+    out(11L) shouldBe ((1024L, 1L, 2L, 1800L))
+    out.size shouldBe 2
+  }
+
   private def day(d: Long): Long = d * 86400L * 1000000L
 
   test("streaks: gaps-and-islands over distinct active days") {

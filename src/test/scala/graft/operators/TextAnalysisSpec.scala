@@ -637,6 +637,19 @@ class TextAnalysisSpec extends SparkSpec {
     all(out.map(_._2)) should be <= TextAnalysis.TfidfTopK.toLong
   }
 
+  test("term burstiness: exact VMR — uniform terms score 0, bursty terms high") {
+    val out = TextAnalysis.termBurstiness(docs(
+      1L -> "x x x x x a", 2L -> "a b", 3L -> "a b", 4L -> "a b", 5L -> "a"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // b totals 3 < BurstMinCount: filtered out
+    out.keySet shouldBe Set("x", "a")
+    // x: counts (5,0,0,0,0) -> VMR = (5·25 − 25)/(5·5) = 4.0
+    out("x") shouldBe ((1L, 5L, 4.0))
+    // a: one per doc -> variance 0
+    out("a") shouldBe ((5L, 5L, 0.0))
+  }
+
   test("novelty: cross-document 5-gram sharing only — within-doc repeats don't count") {
     val out = TextAnalysis.novelty(docs(
       1L -> "a b c d e f",        // grams: "a b c d e", "b c d e f"
