@@ -1051,6 +1051,61 @@ object Events {
           .as("h_contrib"))
   }
 
+  /** CUSUM change-point detection over the daily series — the
+    * level-SHIFT detector that complements [[dailyAnomaly]]'s
+    * single-day z-score (a 20 % drift never trips a per-day outlier
+    * test; CUSUM accumulates it): per event type and day, the two-sided
+    * cumulative sums s⁺/s⁻ with slack k = σ/2, alarmed at h = 4σ. The
+    * recurrence s⁺_t = max(0, s⁺_{t−1} + x_t − μ − k) is computed
+    * WITHOUT a sequential fold via the prefix identity
+    * s⁺_t = P_t − min(0, min_{j≤t} P_j) over running sums — two window
+    * passes on the same (type, day-ordered) spec, embarrassingly
+    * parallel per type. Missing days count as zero (a silent outage IS
+    * a level shift, so the grid is filled before statistics). Output:
+    * (event_type, day_idx, n_events, cusum_pos, cusum_neg, alarm).
+    *
+    * 100 TB shape: one shrinking (type, day) aggregation; the filled
+    * grid, moments, and windows all live on the ≤|types|·|days| series
+    * (the [[Corpus.tokenBudget]] tiny-relation discipline — the raw
+    * stream is touched once). μ and σ come from exact integer sums; the
+    * running double sums are sequential in day order on both engines,
+    * so alarms compare bit-identical operands. */
+  def cusum(events: DataFrame): DataFrame = {
+    val daily = Tables.spread(events)
+      .select(col("event_type"), expr(s"ts div $UsPerDay").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val grid = daily.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val filled = grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    val stats = filled.groupBy("event_type").agg(
+        count(lit(1)).as("nd"), sum("n").as("t"),
+        sum(col("n") * col("n")).as("ss"))
+      .select(col("event_type"),
+        (col("t").cast("double") / col("nd")).as("mu"),
+        (sqrt((col("nd") * col("ss") - col("t") * col("t")).cast("double"))
+          / col("nd")).as("sigma"))
+    val wrun = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val devp = col("n").cast("double") - col("mu") - col("sigma") * 0.5
+    val devn = col("mu") - col("sigma") * 0.5 - col("n").cast("double")
+    val h = col("sigma") * 4.0
+    filled.join(broadcast(stats), "event_type")
+      .withColumn("pp", sum(devp).over(wrun))
+      .withColumn("pn", sum(devn).over(wrun))
+      .withColumn("cusum_pos",
+        col("pp") - least(lit(0.0), min(col("pp")).over(wrun)))
+      .withColumn("cusum_neg",
+        col("pn") - least(lit(0.0), min(col("pn")).over(wrun)))
+      .select(col("event_type"), col("day").as("day_idx"),
+        col("n").as("n_events"),
+        round(col("cusum_pos"), 6).as("cusum_pos"),
+        round(col("cusum_neg"), 6).as("cusum_neg"),
+        (col("cusum_pos") > h || col("cusum_neg") > h).as("alarm"))
+  }
+
   /** Session-duration histogram — the engagement-length profile on
     * [[Corpus.lengthProfile]]'s exact-integer log₂ ladder: sessions
     * bucketed by `length(bin(seconds))` (bucket 0 = single-instant
@@ -1150,6 +1205,7 @@ object Events {
     "events_markov_entropy"  -> ((s, d) => markovEntropy(Tables.events(s, d))),
     "events_session_duration_hist" -> ((s, d) =>
       sessionDurationHist(Tables.events(s, d))),
+    "events_cusum"           -> ((s, d) => cusum(Tables.events(s, d))),
     "events_attribution"     -> ((s, d) => attribution(Tables.events(s, d))),
     "events_asof_click"      -> ((s, d) => asofClickValue(Tables.events(s, d))),
     "events_value_quantiles" -> ((s, d) => valueQuantiles(Tables.events(s, d))),
@@ -1594,6 +1650,38 @@ object Events {
          | SELECT tr.from_type, tr.to_type, tr.n_transitions,
          |   CAST(tr.n_transitions AS DOUBLE) / tot.n_from AS p
          | FROM tr JOIN tot USING (from_type)""".stripMargin,
+
+    "events_cusum" ->
+      s"""WITH daily AS (SELECT event_type,
+         |     epoch_us(ts) // ${UsPerDay}::BIGINT AS day,
+         |     CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+         | span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+         | grid AS (SELECT et.event_type, unnest(range(d0, d1 + 1)) AS day
+         |   FROM (SELECT DISTINCT event_type FROM daily) et CROSS JOIN span),
+         | filled AS (SELECT g.event_type, g.day, COALESCE(d.n, 0) AS n
+         |   FROM grid g LEFT JOIN daily d
+         |   ON d.event_type = g.event_type AND d.day = g.day),
+         | st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+         |     CAST(SUM(n) AS BIGINT) AS t, CAST(SUM(n * n) AS BIGINT) AS ss
+         |   FROM filled GROUP BY 1),
+         | mo AS (SELECT event_type, CAST(t AS DOUBLE) / nd AS mu,
+         |     sqrt(CAST(nd * ss - t * t AS DOUBLE)) / nd AS sigma FROM st),
+         | dv AS (SELECT f.event_type, f.day, f.n, mo.sigma,
+         |     CAST(f.n AS DOUBLE) - mo.mu - mo.sigma * 0.5 AS devp,
+         |     mo.mu - mo.sigma * 0.5 - CAST(f.n AS DOUBLE) AS devn
+         |   FROM filled f JOIN mo USING (event_type)),
+         | pw AS (SELECT *, SUM(devp) OVER w AS pp, SUM(devn) OVER w AS pn
+         |   FROM dv WINDOW w AS (PARTITION BY event_type ORDER BY day
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         | cw AS (SELECT *,
+         |     pp - LEAST(CAST(0 AS DOUBLE), MIN(pp) OVER w2) AS cpos,
+         |     pn - LEAST(CAST(0 AS DOUBLE), MIN(pn) OVER w2) AS cneg
+         |   FROM pw WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         | SELECT event_type, day AS day_idx, n AS n_events,
+         |   round(cpos, 6) AS cusum_pos, round(cneg, 6) AS cusum_neg,
+         |   (cpos > sigma * 4.0 OR cneg > sigma * 4.0) AS alarm
+         | FROM cw""".stripMargin,
 
     "events_session_duration_hist" ->
       s"""WITH $sessSqlWith,

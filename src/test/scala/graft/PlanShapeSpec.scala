@@ -844,6 +844,14 @@ class PlanShapeSpec extends SparkSpec {
     p should include("partial_count")
   }
 
+  test("events_cusum: raw stream touched once; windows run on the tiny filled grid") {
+    val p = planOf("events_cusum")
+    p should include("partial_count")           // (type, day) combine map-side
+    p should include("BroadcastNestedLoopJoin") // 1-row span attach
+    p should not include "Exchange rangepartitioning"
+    p should not include "SortMergeJoin"
+  }
+
   test("events_session_duration_hist: one user exchange, bounded per-session state") {
     val p = planOf("events_session_duration_hist")
     p should not include "CartesianProduct"

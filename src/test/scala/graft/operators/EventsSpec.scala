@@ -569,6 +569,35 @@ class EventsSpec extends SparkSpec {
     out(4L) shouldBe ((1L, 1L, 0L, None, false))         // singleton: null share
   }
 
+  test("cusum: window prefix identity equals the sequential recurrence; shift alarms") {
+    // 10 quiet days (2 events) then 10 loud days (12): mu=7, sigma=5,
+    // k=2.5, h=20 — s+ climbs 2.5/day after the shift, s- during the
+    // quiet half (two-sided by design)
+    val rows = (0 until 20).flatMap { d =>
+      val nEv = if (d < 10) 2 else 12
+      (0 until nEv).map(i => (d * 100L + i, day(d.toLong) + us(i.toLong),
+        1L, "A", 1.0, "{}"))
+    }
+    val out = Events.cusum(eventsDf(rows)).collect()
+      .map(r => r.getLong(1) ->
+        ((r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    val xs = (0 until 20).map(d => if (d < 10) 2.0 else 12.0)
+    val mu = xs.sum / 20
+    val sigma = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / 20)
+    val k = sigma / 2; val h = 4 * sigma
+    var sp = 0.0; var sn = 0.0
+    xs.zipWithIndex.foreach { case (x, d) =>
+      sp = math.max(0, sp + x - mu - k)
+      sn = math.max(0, sn + mu - k - x)
+      val (gp, gn, alarm) = out(d.toLong)
+      gp shouldBe sp +- 1e-6
+      gn shouldBe sn +- 1e-6
+      alarm shouldBe (sp > h || sn > h)
+    }
+    // the level shift is caught on the positive side by day 18 (2.5·8 > 20)
+    out(18L)._3 shouldBe true
+  }
+
   test("session duration histogram: log2 buckets with an exact zero bucket") {
     val out = Events.sessionDurationHist(eventsDf(Seq(
       (1L, us(0), 7L, "view", 1.0, "{}"),
