@@ -1070,23 +1070,37 @@ object Events {
     * stream is touched once). μ and σ come from exact integer sums; the
     * running double sums are sequential in day order on both engines,
     * so alarms compare bit-identical operands. */
-  def cusum(events: DataFrame): DataFrame = {
+  /** The zero-filled (event_type, day, n) daily grid [[cusum]] scores. */
+  private def cusumFilled(events: DataFrame): DataFrame = {
     val daily = Tables.spread(events)
       .select(col("event_type"), expr(s"ts div $UsPerDay").as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
     val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
-    val grid = daily.select("event_type").distinct()
+    daily.select("event_type").distinct()
       .crossJoin(broadcast(span))
       .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
-    val filled = grid.join(daily, Seq("event_type", "day"), "left")
+      .join(daily, Seq("event_type", "day"), "left")
       .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
-    val stats = filled.groupBy("event_type").agg(
+  }
+
+  /** Exact-integer-moment (event_type, mu, sigma) over a filled grid. */
+  private def cusumStatsOf(filled: DataFrame): DataFrame =
+    filled.groupBy("event_type").agg(
         count(lit(1)).as("nd"), sum("n").as("t"),
         sum(col("n") * col("n")).as("ss"))
       .select(col("event_type"),
         (col("t").cast("double") / col("nd")).as("mu"),
         (sqrt((col("nd") * col("ss") - col("t") * col("t")).cast("double"))
           / col("nd")).as("sigma"))
+
+  /** The frozen per-type model the [[graft.streaming.StreamingCusum]]
+    * monitor scores against — train offline on the batch series. */
+  def cusumModel(events: DataFrame): DataFrame =
+    cusumStatsOf(cusumFilled(events))
+
+  def cusum(events: DataFrame): DataFrame = {
+    val filled = cusumFilled(events)
+    val stats = cusumStatsOf(filled)
     val wrun = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, 0)
     val devp = col("n").cast("double") - col("mu") - col("sigma") * 0.5
