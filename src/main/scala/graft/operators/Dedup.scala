@@ -296,18 +296,22 @@ object Dedup {
     * the duplicate rate. Output: (source, n_docs, n_unique_texts,
     * n_dup_docs, dup_rate).
     *
-    * 100 TB shape: one md5 fingerprint scan, a copy-count window on
-    * hash(sha) in place of a self-join, then a ≤|sources| rollup — the
-    * [[exact]] envelope plus one tiny aggregation. */
+    * 100 TB shape: one md5 fingerprint scan, a map-side-combined sha
+    * rollup REDUCED to the duplicated-sha set before it joins back
+    * (groupBy + join, not a count window — a pathologically common text
+    * would funnel its copies through one window task, while the partial
+    * aggregate collapses them map-side and AQE can skew-split the
+    * join), then a ≤|sources| rollup. */
   def sourceAttribution(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    Tables.spread(documents)
+    val d = Tables.spread(documents)
       .select(col("doc_id"), col("source"), md5(col("text")).as("sha"))
-      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy("sha")))
+    val dup = d.groupBy("sha").agg(count(lit(1)).as("n_copies"))
+      .where(col("n_copies") > 1).select(col("sha"), lit(true).as("is_dup"))
+    d.join(dup, Seq("sha"), "left")
       .groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         countDistinct("sha").as("n_unique_texts"),
-        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"))
       .select(col("source"), col("n_docs"), col("n_unique_texts"),
         col("n_dup_docs"),
         round(col("n_dup_docs").cast("double") / col("n_docs"), 6)

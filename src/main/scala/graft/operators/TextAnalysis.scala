@@ -1422,19 +1422,23 @@ object TextAnalysis {
     * doubles, which are bit-identical across engines — one int multiply,
     * one ln, one IEEE divide).
     *
-    * 100 TB shape: three exchanges, all on natural keys — the (doc,term)
-    * tf aggregation (map-side combined), a count window on hash(term)
-    * that derives df WITHOUT a self-join against the vocabulary, and the
-    * per-document top-K window on hash(doc_id) (each partition sees one
-    * document's terms — bounded by doc length, no global sort). N_docs is
-    * a 1-row broadcast. */
+    * 100 TB shape: the (doc, term) tf aggregation and the term-grain df
+    * rollup are both map-side combined (a stopword term that appears in
+    * EVERY document partial-aggregates before it moves — the reason df
+    * is a groupBy + join on term, not a count window: a window partition
+    * has no combine step, so one universal key would funnel the whole
+    * posting list through a single task, and AQE can split a skewed
+    * join but never a skewed window). The only window is the
+    * per-document top-K rank on hash(doc_id) — bounded by doc length,
+    * no global sort. N_docs is a 1-row broadcast. */
   def tfidfKeywords(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.spread(documents)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = documents.agg(count(lit(1)).as("n_docs"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    tf.join(df, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", col("tf").cast("double") *
         log(col("n_docs").cast("double") / col("df").cast("double")))
@@ -1460,18 +1464,23 @@ object TextAnalysis {
     * n_shared, novelty = 1 − shared/slots, rounded 6).
     *
     * 100 TB shape: one (doc, gram) aggregation (map-side combined — the
-    * multiplicity stays local), then a count window on hash(gram) that
-    * derives the gram's document-frequency in place of a vocabulary
-    * self-join, then the per-document rollup on hash(doc_id). No
-    * pairwise term anywhere — cost is O(tokens), the same envelope as a
-    * shingle scan. */
+    * multiplicity stays local), a gram-grain rollup REDUCED to the
+    * shared-gram set before it joins back (groupBy + join, not a count
+    * window: a boilerplate gram present in every document would funnel
+    * its whole posting list through one window task, while the partial
+    * aggregate collapses it map-side and AQE can skew-split the join),
+    * then the per-document rollup on hash(doc_id). No pairwise term
+    * anywhere — cost is O(tokens), the same envelope as a shingle
+    * scan. */
   def novelty(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    gramCells(documents)
-      .withColumn("n_docs_g", count(lit(1)).over(Window.partitionBy("gram")))
+    val cells = gramCells(documents)
+    val shared = cells.groupBy("gram").agg(count(lit(1)).as("n_docs_g"))
+      .where(col("n_docs_g") > 1)
+      .select(col("gram"), lit(true).as("is_shared"))
+    cells.join(shared, Seq("gram"), "left")
       .groupBy("doc_id").agg(
         sum("cnt").as("n_grams"),
-        sum(when(col("n_docs_g") > 1, col("cnt")).otherwise(0L)).as("n_shared"))
+        sum(when(col("is_shared"), col("cnt")).otherwise(0L)).as("n_shared"))
       .select(col("doc_id"), col("n_grams"), col("n_shared"),
         round(lit(1.0) - col("n_shared").cast("double") / col("n_grams"), 6)
           .as("novelty"))

@@ -776,21 +776,23 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "SortMergeJoin"
   }
 
-  test("text_tfidf_keywords: df via term window, no vocabulary self-join, no global sort") {
+  test("text_tfidf_keywords: df by combine+join (skew-splittable), window only for rank") {
     val p = planOf("text_tfidf_keywords")
-    p should include("partial_count")          // (doc,term) tf map-side combined
-    p should not include "SortMergeJoin"       // df derived in place, not joined
+    p should include("partial_count")          // tf AND df both map-side combined
     p should not include "Exchange rangepartitioning"
-    // (doc,term) agg + term-window + doc-window — nothing else moves data
-    countOf(p, "Exchange hashpartitioning") should be <= 3
+    p should not include "CartesianProduct"
+    // the only window spec is the doc-bounded top-K rank — never a
+    // combine-less window keyed on the (hot-key-prone) term
+    p should include("windowspecdefinition(doc_id")
+    p should not include "windowspecdefinition(term"
   }
 
-  test("text_novelty: O(tokens) — gram cells aggregate map-side, no join anywhere") {
+  test("text_novelty: gram cells aggregate map-side; shared set reduced before the join") {
     val p = planOf("text_novelty")
     p should include("partial_count")
-    p should not include "Join"
+    p should not include "Window"              // no skew-proof-less gram window
     p should not include "Exchange rangepartitioning"
-    countOf(p, "Exchange hashpartitioning") should be <= 3
+    p should not include "CartesianProduct"
   }
 
   test("events_streaks: two shrinking exchanges; rollups reuse the user partitioning") {
@@ -867,11 +869,12 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "SortMergeJoin"
   }
 
-  test("dedup_source_attribution: copy counts via sha window, rollup to sources") {
+  test("dedup_source_attribution: dup-sha set combines map-side, joins back skew-safe") {
     val p = planOf("dedup_source_attribution")
-    p should include("Window")
-    p should not include "Join"             // no self-join on the fingerprint
+    p should include("partial_count")       // the sha rollup combines before moving
+    p should not include "Window"           // no combine-less hot-sha funnel
     p should not include "Exchange rangepartitioning"
+    p should not include "CartesianProduct"
   }
 
   test("text_bpe_compression_curve: map-only rewrite passes, no pair shuffle, no window") {
