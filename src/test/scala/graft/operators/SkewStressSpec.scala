@@ -120,4 +120,27 @@ class SkewStressSpec extends SparkSpec {
     hits.length shouldBe 1
     hits(0).isNullAt(1) shouldBe true
   }
+
+  test("novelty: a universal boilerplate gram attributes to every doc without a hot window") {
+    // every document opens with the same 5-gram (the shared-header shape
+    // that motivated the combine+join df derivation) + a unique tail
+    val out = TextAnalysis.novelty(docsDf((1L to 200L).map(i =>
+      i -> s"x1 x2 x3 x4 x5 u$i a$i b$i c$i d$i"))).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).distinct
+    // 10 tokens -> 6 gram slots; exactly the header gram is shared
+    out shouldBe Array((6L, 1L, BigDecimal(1.0 - 1.0 / 6).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
+  test("source attribution: one text duplicated 10^4 times combines before it moves") {
+    val sp = spark; import sp.implicits._
+    val rows = (1L to 10000L).map(i => (i, "same boilerplate", "feedA")) ++
+      Seq((20001L, "unique one", "feedA"), (20002L, "unique two", "feedB"))
+    val out = Dedup.sourceAttribution(
+      rows.toDF("doc_id", "text", "source")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out("feedA") shouldBe ((10001L, 2L, 10000L))
+    out("feedB") shouldBe ((1L, 1L, 0L))
+  }
 }
