@@ -1356,17 +1356,36 @@ object TextAnalysis {
     * Rides the session merge memo, so training is NOT re-paid. Output:
     * (merge_round, corpus_tokens, compression = tokens_r/tokens_0).
     *
-    * 100 TB shape: [[BpeMergeRounds]]+1 map-only broadcast-fold rewrite
-    * passes ([[bpeApply]]'s envelope, one per prefix), each ending in a
-    * 1-row count — no pair shuffle, no training loop. */
+    * 100 TB shape: ONE map-only broadcast-fold pass — the fold applies
+    * the merges in sequence (as [[bpeApply]] does) and records the token
+    * count after every round via sentinel-char arithmetic (every token
+    * rides wrapped in the [[BpeL]] sentinel, so #tokens is a length
+    * subtraction, no split), so the whole curve costs 6 rewrites and one
+    * corpus scan instead of Σr per-prefix passes; the tail is a
+    * ≤rounds+1-row rollup. */
   def bpeCompressionCurve(s: SparkSession, d: String): DataFrame = {
     val merges = trainedMerges(s, d)
     val docs = Tables.documents(s, d)
-    val curve = (0 to BpeMergeRounds).map { r =>
-      bpeApply(merges.where(col("merge_round") <= r), docs)
-        .agg(sum(col("n_tokens").cast("long")).as("corpus_tokens"))
-        .select(lit(r).as("merge_round"), col("corpus_tokens"))
-    }.reduce(_ unionAll _)
+    val packed = merges.agg(array_sort(collect_list(struct(
+      col("merge_round"), col("pair")))).as("ms"))
+    val init = concat(lit(BpeL), concat_ws(BpeSep, toks(col("text"))), lit(BpeR))
+    def nTok(c: Column) =
+      (length(c) - length(replace(c, lit(BpeL), lit("")))).cast("long")
+    val folded = Tables.spread(docs).crossJoin(broadcast(packed))
+      .select(aggregate(col("ms"),
+        struct(init.as("s"), array(nTok(init)).as("cnts")),
+        (acc, m) => {
+          val ns = replace(acc.getField("s"),
+            concat(lit(BpeL),
+              replace(m.getField("pair"), lit(" "), lit(BpeSep)), lit(BpeR)),
+            concat(lit(BpeL),
+              replace(m.getField("pair"), lit(" "), lit("_")), lit(BpeR)))
+          struct(ns.as("s"),
+            concat(acc.getField("cnts"), array(nTok(ns))).as("cnts"))
+        }).getField("cnts").as("cnts"))
+    val curve = folded
+      .select(posexplode(col("cnts")).as(Seq("merge_round", "ct")))
+      .groupBy("merge_round").agg(sum("ct").as("corpus_tokens"))
     val t0 = curve.where(col("merge_round") === 0)
       .select(col("corpus_tokens").as("t0"))
     curve.crossJoin(broadcast(t0))
