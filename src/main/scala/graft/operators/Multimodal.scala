@@ -249,7 +249,35 @@ object Multimodal {
     Similarity.annProbe(corpus, queries)
   }
 
+  /** Cross-modal recall referee — [[crossmodalTopK]]'s quality evidence:
+    * recall@[[Similarity.TopK]] of the banded-LSH cross-modal retrieval
+    * against the exact cosine ranking over the SAME modality-filtered
+    * sides. Completes the referee convention (every approximate path in
+    * the engine ships its own recall query); runs at query-sample scale
+    * like all referees. Output: (query_id, recall_at_k). */
+  def crossmodalRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Similarity
+    val vs = Similarity.annCorpus(spark, sfDir)
+    val modality = element_at(array(Modalities.map(lit): _*),
+      pmod(col("vec_id"), lit(3)).cast("int") + 1)
+    val corpus = vs.where(modality === "image")
+    val queries = vs
+      .where(modality === "video" && col("vec_id") < CrossmodalQueryBound)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val exact = Similarity.exactCosineProbe(corpus, queries)
+      .select("query_id", "neighbor_id")
+    val ann = crossmodalTopK(spark, sfDir).select("query_id", "neighbor_id")
+    val hits = exact.join(ann, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / Similarity.TopK)
+          .as("recall_at_k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_crossmodal_recall" -> ((s, d) => crossmodalRecall(s, d)),
     "mm_crossmodal_topk" ->
       ((s, d) => crossmodalTopK(s, d)),
     "mm_e2e" ->
@@ -301,6 +329,38 @@ object Multimodal {
        | FROM j""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "mm_crossmodal_recall" ->
+      s"""WITH ${Similarity.bandsSqlWith(Similarity.SignatureBits,
+             Similarity.SignatureBits / Similarity.BandsPerSignature)},
+         | cands AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |   FROM bands c JOIN bands q ON c.band = q.band AND c.bv = q.bv
+         |   WHERE q.vec_id % 3 = 2 AND q.vec_id < $CrossmodalQueryBound
+         |     AND c.vec_id % 3 = 0 AND c.vec_id <> q.vec_id),
+         | scored AS (SELECT query_id, neighbor_id,
+         |     list_dot_product(vc.v, vq.v) / (vc.nrm * vq.nrm) AS cosine_sim
+         |   FROM cands JOIN vs vc ON vc.vec_id = cands.neighbor_id
+         |   JOIN vs vq ON vq.vec_id = cands.query_id),
+         | ann_tk AS (SELECT query_id, neighbor_id FROM (SELECT *,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id
+         |     ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM scored)
+         |   WHERE rank <= ${Similarity.TopK}),
+         | q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM vs
+         |   WHERE vec_id % 3 = 2 AND vec_id < $CrossmodalQueryBound),
+         | exs AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |     list_dot_product(c.v, q.qv) / (c.nrm * q.qn) AS cosine_sim
+         |   FROM vs c CROSS JOIN q
+         |   WHERE c.vec_id % 3 = 0 AND c.vec_id <> q.query_id),
+         | ex_tk AS (SELECT query_id, neighbor_id FROM (SELECT *,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id
+         |     ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM exs)
+         |   WHERE rank <= ${Similarity.TopK}),
+         | hits AS (SELECT e.query_id, COUNT(*) AS n FROM ex_tk e
+         |   JOIN ann_tk a USING (query_id, neighbor_id) GROUP BY e.query_id)
+         | SELECT q.query_id,
+         |   CAST(COALESCE(hits.n, 0) AS DOUBLE) / ${Similarity.TopK}
+         |     AS recall_at_k
+         | FROM q LEFT JOIN hits ON hits.query_id = q.query_id""".stripMargin,
+
     "mm_crossmodal_topk" ->
       s"""WITH ${Similarity.bandsSqlWith(Similarity.SignatureBits,
              Similarity.SignatureBits / Similarity.BandsPerSignature)},

@@ -76,13 +76,21 @@ object Similarity {
     * per (query, rank<=k): (query_id, neighbor_id, rank, cosine_sim). */
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val vs = vectors(spark, sfDir)
-    val queries = vs.where(col("vec_id") < NumQueryVectors)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val scored = vs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine_sim"))
-    topKPerQuery(scored)
+    exactCosineProbe(vs, vs.where(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")))
   }
+
+  /** The brute-force cosine probe core — any (vec_id, v, nrm) corpus
+    * against any broadcastable (query_id, qv, qn) query block, bounded
+    * [[topKPerQuery]] finisher. [[cosineTopK]]'s body, exposed so the
+    * cross-modal referee scores the SAME arithmetic over its
+    * modality-filtered sides. */
+  def exactCosineProbe(corpus: DataFrame, queries: DataFrame): DataFrame =
+    topKPerQuery(corpus.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine_sim")))
 
   /** Bounded per-group top-k via [[graft.functions.TopKByScore]]: map-side
     * partial aggregation keeps ≤k candidates per (partition, query) before

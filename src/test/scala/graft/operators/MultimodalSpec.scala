@@ -167,4 +167,16 @@ class MultimodalSpec extends SparkSpec {
     out(97L) shouldBe true
     (out - 0L - 97L).values.foreach(_ shouldBe false)
   }
+
+  test("crossmodal recall: one row per video query on the 1/k grid") {
+    val rows = Multimodal.crossmodalRecall(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    rows.length shouldBe Multimodal.CrossmodalQueryBound / 3
+    rows.foreach { case (q, rec) =>
+      q % 3 shouldBe 2            // video modality tags only
+      rec should (be >= 0.0 and be <= 1.0)
+      (rec * Similarity.TopK) shouldBe
+        math.round(rec * Similarity.TopK).toDouble +- 1e-9
+    }
+  }
 }
