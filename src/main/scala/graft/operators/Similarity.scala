@@ -614,9 +614,34 @@ object Similarity {
     }
   }
 
+  /** Train-once / consume-many memo for the registered k-means consumers
+    * (the [[pairMemo]]/`lshClusterArtifact` convention): the first
+    * consumer in a session runs the Lloyd loop and persists the K-row
+    * centroid table via [[saveCentroids]]; the training report, both IVF
+    * searches, the purity and silhouette evals, and both IVF referees
+    * reopen it as a parquet scan (doubles round-trip exactly, and
+    * training is deterministic — float32-rounded means — so artifact ≡
+    * fresh training; every consumer's oracle retrains in SQL and still
+    * hash-matches). Six consumers now ride one training pass; at 100 TB
+    * this is the difference between training once and once per query. */
+  private val centroidMemo =
+    new scala.collection.concurrent.TrieMap[(String, String), String]
+
+  def trainedCentroids(s: SparkSession, d: String): DataFrame = {
+    val path = centroidMemo.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-centroids-${s.sparkContext.applicationId}-${math.abs(d.hashCode)}")
+        .getAbsolutePath
+      saveCentroids(kmeansCentroids(
+        Staging.stage(vectors(s, d).select(col("vec_id"), col("v")))), dir)
+      dir
+    })
+    loadCentroids(s, path)
+  }
+
   def kmeansTrain(spark: SparkSession, sfDir: String): DataFrame = {
     val vs = Staging.stage(vectors(spark, sfDir).select(col("vec_id"), col("v")))
-    val trained = kmeansCentroids(vs)
+    val trained = trainedCentroids(spark, sfDir)
     val members = kmeansAssign(vs, trained)
       .groupBy("cent_id")
       .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
@@ -644,7 +669,7 @@ object Similarity {
     val base = Staging.stage(Tables.spread(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         col("label")))
-    val cents = kmeansCentroids(base.select("vec_id", "v"))
+    val cents = trainedCentroids(spark, sfDir)
     val cells = kmeansAssign(base.select("vec_id", "v"), cents)
       .select("vec_id", "cent_id")
       .join(base.select("vec_id", "label"), "vec_id")
@@ -703,7 +728,7 @@ object Similarity {
     * referees do). */
   def ivfNprobeCurve(spark: SparkSession, sfDir: String): DataFrame = {
     val vs = Staging.stage(vectors(spark, sfDir).select(col("vec_id"), col("v")))
-    val cents = kmeansCentroids(vs)
+    val cents = trainedCentroids(spark, sfDir)
     val assigned = kmeansAssign(vs, cents).select("vec_id", "cent_id")
     val queries = vs.where(col("vec_id") < NumQueryVectors)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -774,13 +799,16 @@ object Similarity {
     * pack, so tie values land exactly where the oracle's
     * (d2 asc, cent_id asc) row_number puts them. */
   def silhouette(spark: SparkSession, sfDir: String): DataFrame =
-    silhouetteOf(Staging.stage(
-      vectors(spark, sfDir).select(col("vec_id"), col("v"))))
+    silhouetteScore(
+      Staging.stage(vectors(spark, sfDir).select(col("vec_id"), col("v"))),
+      trainedCentroids(spark, sfDir))
 
   /** [[silhouette]]'s core over any (vec_id, v) frame — trains the
     * [[kmeansCentroids]] quantizer on the frame itself, then scores it. */
-  def silhouetteOf(vs: DataFrame): DataFrame = {
-    val cents = kmeansCentroids(vs)
+  def silhouetteOf(vs: DataFrame): DataFrame =
+    silhouetteScore(vs, kmeansCentroids(vs))
+
+  private def silhouetteScore(vs: DataFrame, cents: DataFrame): DataFrame = {
     val packed = cents.agg(array_sort(collect_list(struct(
       col("cent_id"), col("cv"), dot(col("cv"), col("cv")).as("cc")))).as("cents"))
     val best = vs.crossJoin(broadcast(packed))
@@ -828,7 +856,7 @@ object Similarity {
     * candidates per (partition, query) before the one shuffle. */
   def ivfTrainedTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val vs = Staging.stage(vectors(spark, sfDir).select(col("vec_id"), col("v")))
-    val cents = kmeansCentroids(vs)
+    val cents = trainedCentroids(spark, sfDir)
     val assigned = kmeansAssign(vs, cents).select("vec_id", "cent_id")
     val queries = vs.where(col("vec_id") < NumQueryVectors)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))

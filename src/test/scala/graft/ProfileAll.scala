@@ -32,7 +32,9 @@ object ProfileAll {
     "dedup_simhash", "dedup_embedding", "corpus_near_decontaminate",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_containment",
     "dedup_minhash_incremental", "sim_ann_recall", "sim_ann_lsh_topk",
-    "mm_block_dedup")
+    "mm_block_dedup",
+    // round-9 session additions worth watching across decades
+    "text_novelty", "dedup_threshold_histogram", "text_tfidf_keywords")
 
   private val AmplifyVersion = "v3" // v2: + events; v3: + part/lineitem (full-suite sf1 bench)
 
