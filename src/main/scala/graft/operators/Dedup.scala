@@ -265,6 +265,34 @@ object Dedup {
         col("n_docs"), col("max_bucket"), col("n_cand_pairs"), col("n_capped"))
   }
 
+  /** Dedup savings report — the one-row headline a pipeline owner
+    * publishes after the near-dup pass: document and token mass before
+    * vs after keeping one representative (min doc_id) per LSH cluster,
+    * and the savings rate. Output: (n_docs, n_clusters, n_kept,
+    * tokens_total, tokens_kept, savings_rate).
+    *
+    * 100 TB shape: a columnar scan of the session cluster artifact
+    * (never a re-cluster), one cluster-keyed keeper argmin co-partitioned
+    * with it, one doc-keyed token join, a 1-row finisher. */
+  def dedupSavings(s: SparkSession, d: String): DataFrame = {
+    val cl = lshClusterArtifact(s, d).select("doc_id", "cluster_id")
+    val tok = Tables.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val keep = cl.groupBy("cluster_id").agg(min("doc_id").as("keeper"))
+    cl.join(keep, "cluster_id")
+      .select(col("doc_id"), (col("doc_id") === col("keeper")).as("kept"))
+      .join(tok, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum("n_tok").as("tokens_total"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tokens_kept"))
+      // one keeper per cluster, so the kept count IS the cluster count
+      .select(col("n_docs"), col("n_kept").as("n_clusters"), col("n_kept"),
+        col("tokens_total"), col("tokens_kept"),
+        round(lit(1.0) - col("tokens_kept").cast("double")
+          / col("tokens_total"), 6).as("savings_rate"))
+  }
+
   /** Threshold-sensitivity histogram — the verified candidate pairs'
     * Jaccard distribution in tenth-wide buckets (bucket edge floats
     * quenched by the round-then-floor discipline), each bucket flagged
@@ -862,6 +890,7 @@ object Dedup {
     "dedup_band_profile"  -> ((s, d) => bandProfile(Tables.documents(s, d))),
     "dedup_threshold_histogram" -> ((s, d) =>
       thresholdHistogram(Tables.documents(s, d))),
+    "dedup_savings"       -> (dedupSavings _),
     "dedup_source_attribution" -> ((s, d) =>
       sourceAttribution(Tables.documents(s, d))),
     "dedup_cluster_stats" -> ((s, d) =>
@@ -1045,6 +1074,31 @@ object Dedup {
          |   CAST(SUM(CASE WHEN bsz > $MaxBandBucket THEN 1 ELSE 0 END)
          |     AS BIGINT) AS n_capped
          | FROM bz GROUP BY band""".stripMargin,
+
+    "dedup_savings" ->
+      s"""WITH RECURSIVE $repsWith,
+         | ${shingleWith("reps")},
+         | $minhashBandsSqlWith,
+         | ${cappedPairsSql("bands")},
+         | $sigEstVerSqlWith,
+         | edges AS (SELECT a, b FROM ver WHERE jaccard >= $JaccardThreshold),
+         | $closureTail,
+         | tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+         |     AS n_tok FROM documents),
+         | kp AS (SELECT cluster_id, MIN(doc_id) AS keeper
+         |   FROM labeled GROUP BY 1),
+         | j AS (SELECT l.doc_id, l.doc_id = kp.keeper AS kept, t.n_tok
+         |   FROM labeled l JOIN kp USING (cluster_id)
+         |   JOIN tok t ON t.doc_id = l.doc_id)
+         | SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |   CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters,
+         |   CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |   CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+         |   CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+         |     AS tokens_kept,
+         |   round(1.0 - CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END)
+         |     AS DOUBLE) / SUM(n_tok), 6) AS savings_rate
+         | FROM j""".stripMargin,
 
     "dedup_threshold_histogram" ->
       s"""WITH $repsWith,

@@ -626,6 +626,21 @@ class CrossOpInvariantSpec extends SparkSpec {
     }
   }
 
+  test("dedup savings re-derives from the cluster artifact and token stats") {
+    val b = Dedup.dedupSavings(spark, sf).collect()(0)
+    val clusters = Dedup.queries("dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    b.getLong(0) shouldBe clusters.length.toLong
+    b.getLong(1) shouldBe clusters.map(_._2).distinct.length.toLong
+    b.getLong(2) shouldBe b.getLong(1) // one keeper per cluster
+    val nTok = TextAnalysis.tokenStats(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    b.getLong(3) shouldBe nTok.values.sum
+    val keepers = clusters.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    b.getLong(4) shouldBe keepers.toSeq.map(nTok).sum
+    b.getDouble(5) should (be >= 0.0 and be < 1.0)
+  }
+
   test("bpe compression curve: starts at the raw stream, monotone, lands on encode") {
     val rows = TextAnalysis.bpeCompressionCurve(spark, sf).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).sortBy(_._1)
