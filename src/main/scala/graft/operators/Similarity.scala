@@ -762,6 +762,55 @@ object Similarity {
     }.reduce(_ unionAll _)
   }
 
+  /** The band-count settings [[lshBandsCurve]] sweeps. */
+  val LshBandsSweep: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** LSH quality/cost tuning curve — [[ivfNprobeCurve]]'s twin for the
+    * sign-LSH path: mean recall@[[TopK]] when only the first b of the
+    * [[BandsPerSignature]] bands are indexed, for each [[LshBandsSweep]]
+    * setting. Every colliding pair is tagged ONCE with its earliest
+    * matching band; each sweep point is a filter `min_band < b` over the
+    * same staged scored relation — one banded join funds the whole
+    * curve, and the b = [[BandsPerSignature]] point is exactly
+    * [[annRecall]]'s mean (pinned in the spec). Output: (n_bands,
+    * mean_recall).
+    *
+    * 100 TB shape: the banded join is [[annLshTopK]]'s envelope (query
+    * side broadcast, corpus never shuffles vectors beyond its banded
+    * keys); the per-pair cosine repeats per colliding band (≤8×, query-
+    * sample scale) so the min-band tag needs no second vector join. */
+  def lshBandsCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = 64
+    val vs = annCorpus(spark, sfDir)
+    val queries = vs.where(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val exploded = vs.withColumn("bands", signatureBands(col("v"), dim))
+      .select(col("vec_id"), col("v"), col("nrm"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    val qBanded = queries.withColumn("bands", signatureBands(col("qv"), dim))
+      .select(col("query_id"), col("qv"), col("qn"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    val scored = Staging.stage(exploded
+      .join(broadcast(qBanded), Seq("band", "bv"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("band"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine_sim"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(min("band").as("min_band"), max("cosine_sim").as("cosine_sim")))
+    val exactTk = Staging.stage(
+      exactCosineProbe(vs, queries).select("query_id", "neighbor_id"))
+    LshBandsSweep.map { b =>
+      topKPerQuery(scored.where(col("min_band") < b)
+          .select("query_id", "neighbor_id", "cosine_sim"))
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exactTk, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(b).as("n_bands"),
+          round(col("hits").cast("double") / (NumQueryVectors * TopK), 6)
+            .as("mean_recall"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Shared recall finisher: exact L2 top-[[TopK]] reference (queries
     * broadcast, corpus scanned once through the bounded [[topKPerQuery]]
     * aggregator) vs any approximate (query_id, neighbor_id) list. */
@@ -1267,6 +1316,7 @@ object Similarity {
     "sim_ivf_recall" -> (ivfRecall _),
     "sim_pq_recall" -> (pqRecall _),
     "sim_ivf_nprobe_curve" -> (ivfNprobeCurve _),
+    "sim_lsh_bands_curve" -> (lshBandsCurve _),
     "dedup_embedding" -> (embeddingDedup _),
     "dedup_semantic" -> (semanticDedup _),
   )
@@ -1913,6 +1963,39 @@ object Similarity {
          |     neighbor_id ASC) AS rank FROM re) WHERE rank <= $TopK),
          | $exactL2TkSqlWith,
          | ${recallTailSql("ivf_tk")}""".stripMargin,
+
+    "sim_lsh_bands_curve" ->
+      s"""WITH ${bandsSqlWith(SignatureBits, SignatureBits / BandsPerSignature)},
+         | pc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |     MIN(c.band) AS min_band
+         |   FROM bands c JOIN bands q ON c.band = q.band AND c.bv = q.bv
+         |   WHERE q.vec_id < $NumQueryVectors AND c.vec_id <> q.vec_id
+         |   GROUP BY 1, 2),
+         | sc AS (SELECT pc.query_id, pc.neighbor_id, pc.min_band,
+         |     list_dot_product(vc.v, vq.v) / (vc.nrm * vq.nrm) AS cosine_sim
+         |   FROM pc JOIN vs vc ON vc.vec_id = pc.neighbor_id
+         |   JOIN vs vq ON vq.vec_id = pc.query_id),
+         | exs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |     list_dot_product(c.v, q.v) / (c.nrm * q.nrm) AS cosine_sim
+         |   FROM vs c CROSS JOIN
+         |     (SELECT * FROM vs WHERE vec_id < $NumQueryVectors) q
+         |   WHERE c.vec_id <> q.vec_id),
+         | ex_tk AS (SELECT query_id, neighbor_id FROM (SELECT *,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id
+         |     ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM exs)
+         |   WHERE rank <= $TopK),
+         | ${LshBandsSweep.map(b =>
+             s"""tkb$b AS (SELECT query_id, neighbor_id FROM (SELECT *,
+                |   ROW_NUMBER() OVER (PARTITION BY query_id
+                |     ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+                |   FROM sc WHERE min_band < $b) WHERE rank <= $TopK)""".stripMargin)
+           .mkString(",\n ")}
+         | ${LshBandsSweep.map(b =>
+             s"""SELECT CAST($b AS INTEGER) AS n_bands,
+                |   round(CAST((SELECT COUNT(*) FROM ex_tk e JOIN tkb$b a
+                |     USING (query_id, neighbor_id)) AS DOUBLE)
+                |     / ${NumQueryVectors * TopK}, 6) AS mean_recall""".stripMargin)
+           .mkString("\n UNION ALL ")}""".stripMargin,
 
     "sim_ivf_nprobe_curve" ->
       s"""WITH $kmeansCtesSql,

@@ -903,6 +903,14 @@ class PlanShapeSpec extends SparkSpec {
       graft.operators.Similarity.NprobeSweep.size
   }
 
+  test("sim_lsh_bands_curve: one banded join funds every sweep point") {
+    val p = planOf("sim_lsh_bands_curve")
+    p should not include "CartesianProduct"
+    p should include("ObjectHashAggregate")  // bounded top-k per sweep point
+    countOf(p, "Scan ExistingRDD") should be >=
+      graft.operators.Similarity.LshBandsSweep.size
+  }
+
   test("sim_pq_recall: referee joins ride id-pairs only — no vector SMJ, no cartesian") {
     val p = planOf("sim_pq_recall")
     p should not include "CartesianProduct"

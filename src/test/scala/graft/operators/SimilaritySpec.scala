@@ -481,6 +481,20 @@ class SimilaritySpec extends SparkSpec {
     (rows.map(_._2).sum / rows.length) should be > 0.0
   }
 
+  test("bands curve: monotone, full banding equals the LSH referee's mean") {
+    val curve = Similarity.lshBandsCurve(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+    curve.map(_._1).toSeq shouldBe Similarity.LshBandsSweep
+    curve.map(_._2).toSeq.sliding(2).foreach {
+      case Seq(a, b) => b should be >= a // more bands can only add candidates
+      case _ =>
+    }
+    // all 8 bands indexed IS the registered LSH path: its mean recall
+    val refMean = Similarity.annRecall(spark, sfDir).collect()
+      .map(_.getDouble(1)).sum / Similarity.NumQueryVectors
+    curve.last._2 shouldBe refMean +- 1e-9
+  }
+
   test("nprobe curve: monotone, exact at full probing, agrees with the point referee") {
     val curve = Similarity.ivfNprobeCurve(spark, sfDir).collect()
       .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
