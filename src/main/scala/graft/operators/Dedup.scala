@@ -265,6 +265,38 @@ object Dedup {
         col("n_docs"), col("max_bucket"), col("n_cand_pairs"), col("n_capped"))
   }
 
+  /** MinHash estimator calibration — "are [[NumHashes]] hashes enough?"
+    * answered with data: every capped-band candidate pair bucketed by
+    * its signature-agreement count (eighths of the signature → 17
+    * buckets), each bucket reporting its pair count and mean EXACT
+    * Jaccard. A calibrated estimator puts mean_jaccard ≈ bucket·8/128;
+    * systematic deviation at the [[MinSigMatches]] cut means the verify
+    * threshold is mis-set for this corpus. No agreement threshold is
+    * applied — calibration needs the full range the banding surfaces.
+    * Output: (est_bucket, n_pairs, mean_jaccard).
+    *
+    * 100 TB shape: the candidate+verify stages a dedup run pays anyway
+    * (band-capped, never all-pairs), rolled to ≤17 rows. */
+  def sigCalibration(documents: DataFrame): DataFrame = {
+    val docs = Tables.spread(documents)
+    val dr = Staging.stage(docReps(docs))
+    val (withSig, bands) = signaturePipeline(repDocs(docs, dr))
+    cappedBandPairs(bands)
+      .join(withSig.select(col("doc_id").as("a"),
+        col("sig").as("siga"), col("sh").as("sha")), "a")
+      .join(withSig.select(col("doc_id").as("b"),
+        col("sig").as("sigb"), col("sh").as("shb")), "b")
+      .select(
+        graft.functions.SigAgreement.of(col("siga"), col("sigb")).as("agree"),
+        graft.functions.SortedIntersectCount.of(col("sha"), col("shb"))
+          .as("inter"),
+        (size(col("sha")) + size(col("shb"))).as("szsum"))
+      .select(expr("agree div 8").cast("long").as("est_bucket"),
+        (col("inter").cast("double") / (col("szsum") - col("inter"))).as("j"))
+      .groupBy("est_bucket")
+      .agg(count(lit(1)).as("n_pairs"), round(avg("j"), 6).as("mean_jaccard"))
+  }
+
   /** Dedup savings report — the one-row headline a pipeline owner
     * publishes after the near-dup pass: document and token mass before
     * vs after keeping one representative (min doc_id) per LSH cluster,
@@ -891,6 +923,8 @@ object Dedup {
     "dedup_threshold_histogram" -> ((s, d) =>
       thresholdHistogram(Tables.documents(s, d))),
     "dedup_savings"       -> (dedupSavings _),
+    "dedup_sig_calibration" -> ((s, d) =>
+      sigCalibration(Tables.documents(s, d))),
     "dedup_source_attribution" -> ((s, d) =>
       sourceAttribution(Tables.documents(s, d))),
     "dedup_cluster_stats" -> ((s, d) =>
@@ -1074,6 +1108,25 @@ object Dedup {
          |   CAST(SUM(CASE WHEN bsz > $MaxBandBucket THEN 1 ELSE 0 END)
          |     AS BIGINT) AS n_capped
          | FROM bz GROUP BY band""".stripMargin,
+
+    "dedup_sig_calibration" ->
+      s"""WITH $repsWith,
+         | ${shingleWith("reps")},
+         | $minhashBandsSqlWith,
+         | ${cappedPairsSql("bands")},
+         | sc AS (SELECT len(list_filter(range($NumHashes),
+         |       i -> x.sig[i + 1] = y.sig[i + 1])) AS agree,
+         |     len(list_intersect(sa.sh, sb.sh)) AS inter,
+         |     len(sa.sh) + len(sb.sh) AS szsum
+         |   FROM cand c JOIN sig x ON x.doc_id = c.a
+         |   JOIN sig y ON y.doc_id = c.b
+         |   JOIN hsd sa ON sa.doc_id = c.a
+         |   JOIN hsd sb ON sb.doc_id = c.b),
+         | bk AS (SELECT CAST(agree // 8 AS BIGINT) AS est_bucket,
+         |     CAST(inter AS DOUBLE) / (szsum - inter) AS j FROM sc)
+         | SELECT est_bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |   round(AVG(j), 6) AS mean_jaccard
+         | FROM bk GROUP BY est_bucket""".stripMargin,
 
     "dedup_savings" ->
       s"""WITH RECURSIVE $repsWith,

@@ -273,6 +273,21 @@ class DedupSpec extends SparkSpec {
     out.find(_._1 == 8L).map(_._2).getOrElse(0L) should be >= 2L
   }
 
+  test("sig calibration: buckets span the estimator range, near-dups read high") {
+    val out = Dedup.sigCalibration(docsDf(chain)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.foreach { case (b, n, mj) =>
+      b should (be >= 0L and be <= 16L)
+      n should be >= 1L
+      mj should (be >= 0.0 and be <= 1.0)
+    }
+    // the designed J≈0.8 chain pairs must populate a high bucket whose
+    // mean exact jaccard agrees with the estimate's neighborhood
+    val hi = out.filter(_._1 >= 12)
+    hi.map(_._2).sum should be >= 2L
+    hi.foreach { case (b, _, mj) => mj should be >= (b - 3) * 8.0 / 128 }
+  }
+
   test("source attribution: cross-source copies count against every carrier") {
     val sp = spark; import sp.implicits._
     val out = Dedup.sourceAttribution(Seq(
