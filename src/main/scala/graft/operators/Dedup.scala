@@ -265,6 +265,25 @@ object Dedup {
         col("n_docs"), col("max_bucket"), col("n_cand_pairs"), col("n_capped"))
   }
 
+  /** Near-duplication provenance — [[sourceAttribution]]'s fuzzy twin:
+    * per source, how many documents sit in a multi-document LSH cluster
+    * (verbatim copies count via the exact pre-collapse, near-copies via
+    * the verified banding). Output: (source, n_docs, n_near_dup_docs,
+    * near_dup_rate).
+    *
+    * 100 TB shape: a columnar scan of the session cluster artifact
+    * joined doc-keyed to the source column, then a ≤|sources| rollup —
+    * never a re-cluster. */
+  def nearDupAttribution(s: SparkSession, d: String): DataFrame =
+    lshClusterArtifact(s, d).select("doc_id", "n_dups")
+      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_dups") > 0, 1L).otherwise(0L)).as("n_near_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_near_dup_docs"),
+        round(col("n_near_dup_docs").cast("double") / col("n_docs"), 6)
+          .as("near_dup_rate"))
+
   /** MinHash estimator calibration — "are [[NumHashes]] hashes enough?"
     * answered with data: every capped-band candidate pair bucketed by
     * its signature-agreement count (eighths of the signature → 17
@@ -925,6 +944,7 @@ object Dedup {
     "dedup_savings"       -> (dedupSavings _),
     "dedup_sig_calibration" -> ((s, d) =>
       sigCalibration(Tables.documents(s, d))),
+    "dedup_near_attribution" -> (nearDupAttribution _),
     "dedup_source_attribution" -> ((s, d) =>
       sourceAttribution(Tables.documents(s, d))),
     "dedup_cluster_stats" -> ((s, d) =>
@@ -1108,6 +1128,24 @@ object Dedup {
          |   CAST(SUM(CASE WHEN bsz > $MaxBandBucket THEN 1 ELSE 0 END)
          |     AS BIGINT) AS n_capped
          | FROM bz GROUP BY band""".stripMargin,
+
+    "dedup_near_attribution" ->
+      s"""WITH RECURSIVE $repsWith,
+         | ${shingleWith("reps")},
+         | $minhashBandsSqlWith,
+         | ${cappedPairsSql("bands")},
+         | $sigEstVerSqlWith,
+         | edges AS (SELECT a, b FROM ver WHERE jaccard >= $JaccardThreshold),
+         | $closureTail,
+         | nd AS (SELECT l.doc_id, s.sz - 1 AS n_dups, d.source
+         |   FROM labeled l JOIN sizes s ON l.cluster_id = s.cluster_id
+         |   JOIN documents d ON d.doc_id = l.doc_id)
+         | SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |   CAST(SUM(CASE WHEN n_dups > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS n_near_dup_docs,
+         |   round(CAST(SUM(CASE WHEN n_dups > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |     / COUNT(*), 6) AS near_dup_rate
+         | FROM nd GROUP BY source""".stripMargin,
 
     "dedup_sig_calibration" ->
       s"""WITH $repsWith,

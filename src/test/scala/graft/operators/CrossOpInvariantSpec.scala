@@ -626,6 +626,15 @@ class CrossOpInvariantSpec extends SparkSpec {
     }
   }
 
+  test("near-dup attribution masses re-derive from the cluster report") {
+    val att = Dedup.nearDupAttribution(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val clusters = Dedup.queries("dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => r.getLong(2)) // n_dups per doc
+    att.map(_._1).sum shouldBe clusters.length.toLong
+    att.map(_._2).sum shouldBe clusters.count(_ > 0).toLong
+  }
+
   test("dedup savings re-derives from the cluster artifact and token stats") {
     val b = Dedup.dedupSavings(spark, sf).collect()(0)
     val clusters = Dedup.queries("dedup_minhash_lsh")(spark, sf).collect()
