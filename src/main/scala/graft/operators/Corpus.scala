@@ -396,6 +396,27 @@ object Corpus {
         round(col("max_chars").cast("double") * col("n_shards")
           / col("total_chars"), 6).as("max_skew"))
 
+  /** Folds for [[kfoldPlan]]. */
+  val KFolds = 5
+
+  /** Deterministic k-fold assignment plan — the cross-validation split a
+    * training-data pipeline publishes: every document lands in fold
+    * `h32('fold:'‖doc_id) mod [[KFolds]]` (a pure filter any consumer
+    * re-derives — no assignment table to ship), and the plan reports
+    * each fold's document and token mass so imbalance is visible before
+    * a single model trains. Output: (fold, n_docs, n_tokens).
+    *
+    * 100 TB shape: one map-side-combined rollup to [[KFolds]] rows; the
+    * assignment predicate pushes to any scan that filters on it (the
+    * [[sampleStratified]] salted-hash convention). */
+  def kfoldPlan(documents: DataFrame): DataFrame =
+    documents.select(
+        (Dedup.h32(concat(lit("fold:"), col("doc_id").cast("string")))
+          % KFolds).as("fold"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+
   /** The shard assignment expression (the hash [[shardPlan]] reports on). */
   private def shardCol: Column =
     Dedup.h32(concat(lit("shard:"), col("doc_id").cast("string"))) % NumShards
@@ -1057,6 +1078,7 @@ object Corpus {
     "sample_holdout_split" -> ((s, d) => holdoutSplit(Tables.documents(s, d))),
     "shard_plan"        -> ((s, d) => shardPlan(Tables.documents(s, d))),
     "corpus_shard_balance" -> ((s, d) => shardBalance(Tables.documents(s, d))),
+    "corpus_kfold_plan" -> ((s, d) => kfoldPlan(Tables.documents(s, d))),
     "corpus_shuffle"    -> ((s, d) => epochShuffle(Tables.documents(s, d))),
     "corpus_token_budget" -> ((s, d) => tokenBudget(Tables.documents(s, d))),
     "corpus_dataset_card" -> ((s, d) => datasetCard(Tables.documents(s, d))),
@@ -1271,6 +1293,13 @@ object Corpus {
          |     % $NumShards AS shard,
          |   CAST(COUNT(*) AS BIGINT) AS n_docs,
          |   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         | FROM documents GROUP BY 1""".stripMargin,
+
+    "corpus_kfold_plan" ->
+      s"""SELECT ('0x' || substring(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |     % $KFolds AS fold,
+         |   CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
          | FROM documents GROUP BY 1""".stripMargin,
 
     "corpus_shard_balance" ->

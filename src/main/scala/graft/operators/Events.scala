@@ -1051,6 +1051,32 @@ object Events {
           .as("h_contrib"))
   }
 
+  /** Minute-grain arrival dispersion — the Poissonness test per event
+    * type ([[TextAnalysis.termBurstiness]]'s idiom on the time axis):
+    * the variance-to-mean ratio of per-minute counts over the corpus's
+    * full minute span, zeros included WITHOUT materializing the grid —
+    * VMR = (N·Σc² − T²)/(N·T) needs only the observed minutes' moments
+    * plus the span length N ([[Events.gini]]'s exact-integer discipline,
+    * so the grid that bit [[cusum]] at year scale never exists here).
+    * ≈1 is Poisson; far above marks bursty/machine traffic; far below,
+    * a metronome. Output: (event_type, n_minutes, n_events, dispersion).
+    *
+    * 100 TB shape: one map-side-combined (type, minute) count, a
+    * per-type rollup, a 1-row span broadcast. */
+  def dispersion(events: DataFrame): DataFrame = {
+    val mins = Tables.spread(events)
+      .select(col("event_type"), expr(s"ts div $UsPerMinute").as("m"))
+      .groupBy("event_type", "m").agg(count(lit(1)).as("n"))
+    val span = mins.agg(min("m").as("m0"), max("m").as("m1"))
+    val nMin = col("m1") - col("m0") + 1
+    mins.groupBy("event_type")
+      .agg(sum("n").as("t"), sum(col("n") * col("n")).as("ss"))
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), nMin.as("n_minutes"), col("t").as("n_events"),
+        round((nMin * col("ss") - col("t") * col("t")).cast("double")
+          / (nMin * col("t")), 6).as("dispersion"))
+  }
+
   /** CUSUM change-point detection over the daily series — the
     * level-SHIFT detector that complements [[dailyAnomaly]]'s
     * single-day z-score (a 20 % drift never trips a per-day outlier
@@ -1220,6 +1246,7 @@ object Events {
     "events_session_duration_hist" -> ((s, d) =>
       sessionDurationHist(Tables.events(s, d))),
     "events_cusum"           -> ((s, d) => cusum(Tables.events(s, d))),
+    "events_dispersion"      -> ((s, d) => dispersion(Tables.events(s, d))),
     "events_attribution"     -> ((s, d) => attribution(Tables.events(s, d))),
     "events_asof_click"      -> ((s, d) => asofClickValue(Tables.events(s, d))),
     "events_value_quantiles" -> ((s, d) => valueQuantiles(Tables.events(s, d))),
@@ -1664,6 +1691,18 @@ object Events {
          | SELECT tr.from_type, tr.to_type, tr.n_transitions,
          |   CAST(tr.n_transitions AS DOUBLE) / tot.n_from AS p
          | FROM tr JOIN tot USING (from_type)""".stripMargin,
+
+    "events_dispersion" ->
+      s"""WITH mins AS (SELECT event_type,
+         |     epoch_us(ts) // ${UsPerMinute}::BIGINT AS m,
+         |     CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+         | span AS (SELECT MIN(m) AS m0, MAX(m) AS m1 FROM mins),
+         | g AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS t,
+         |     CAST(SUM(n * n) AS BIGINT) AS ss FROM mins GROUP BY 1)
+         | SELECT event_type, (m1 - m0 + 1) AS n_minutes, t AS n_events,
+         |   round(CAST((m1 - m0 + 1) * ss - t * t AS DOUBLE)
+         |     / ((m1 - m0 + 1) * t), 6) AS dispersion
+         | FROM g CROSS JOIN span""".stripMargin,
 
     "events_cusum" ->
       s"""WITH daily AS (SELECT event_type,

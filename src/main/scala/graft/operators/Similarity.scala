@@ -762,6 +762,30 @@ object Similarity {
     }.reduce(_ unionAll _)
   }
 
+  /** Per-dimension distribution audit — the collapsed/dead-dimension
+    * check an embedding column owes its ANN consumers (a near-constant
+    * dimension wastes PQ subspace budget and weakens every hyperplane
+    * that touches it; [[embeddingAudit]] is the per-VECTOR face, this is
+    * the per-DIMENSION one): mean, variance, min, max per coordinate.
+    * Output: (dim, n, mean, variance, min_x, max_x), doubles rounded 6.
+    *
+    * 100 TB shape: one posexplode scan into a ≤dim-row map-side-combined
+    * rollup — the sums are the only doubles and each dimension's
+    * aggregate is one combine tree. */
+  def dimVariance(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.spread(Tables.embeddings(spark, sfDir))
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        min("x").as("mn"), max("x").as("mx"))
+      .select(col("dim").cast("long").as("dim"), col("n"),
+        round(col("sx") / col("n"), 6).as("mean"),
+        round((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"), 6)
+          .as("variance"),
+        round(col("mn"), 6).as("min_x"), round(col("mx"), 6).as("max_x"))
+
   /** The band-count settings [[lshBandsCurve]] sweeps. */
   val LshBandsSweep: Seq[Int] = Seq(1, 2, 4, 8)
 
@@ -1317,6 +1341,7 @@ object Similarity {
     "sim_pq_recall" -> (pqRecall _),
     "sim_ivf_nprobe_curve" -> (ivfNprobeCurve _),
     "sim_lsh_bands_curve" -> (lshBandsCurve _),
+    "sim_dim_variance" -> (dimVariance _),
     "dedup_embedding" -> (embeddingDedup _),
     "dedup_semantic" -> (semanticDedup _),
   )
@@ -1963,6 +1988,18 @@ object Similarity {
          |     neighbor_id ASC) AS rank FROM re) WHERE rank <= $TopK),
          | $exactL2TkSqlWith,
          | ${recallTailSql("ivf_tk")}""".stripMargin,
+
+    "sim_dim_variance" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | x AS (SELECT CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS dim,
+        |     unnest(v) AS x FROM e),
+        | g AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+        |     SUM(x * x) AS sxx, MIN(x) AS mn, MAX(x) AS mx
+        |   FROM x GROUP BY dim)
+        | SELECT dim, n, round(sx / n, 6) AS mean,
+        |   round((sxx - sx * sx / n) / n, 6) AS variance,
+        |   round(mn, 6) AS min_x, round(mx, 6) AS max_x
+        | FROM g""".stripMargin,
 
     "sim_lsh_bands_curve" ->
       s"""WITH ${bandsSqlWith(SignatureBits, SignatureBits / BandsPerSignature)},

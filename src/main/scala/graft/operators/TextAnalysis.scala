@@ -1394,6 +1394,22 @@ object TextAnalysis {
           .as("compression"))
   }
 
+  /** Lexical diversity — type-token ratio and the length-robust root TTR
+    * (Guiraud's index), the vocabulary-richness quality signal beside
+    * [[quality]]'s ratios: a low TTR at moderate length marks template/
+    * spam text that repeats a small vocabulary without tripping the
+    * adjacent-repetition gate. Map-only; exact integers into two fixed
+    * divisions. Output: (doc_id, n_tokens, n_types, ttr, root_ttr). */
+  def lexicalDiversity(documents: DataFrame): DataFrame =
+    Tables.spread(documents).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_types"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("n_types").cast("double")
+          / sqrt(col("n_tokens").cast("double")), 6).as("root_ttr"))
+
   /** Minimum corpus instances for a burstiness candidate. */
   val BurstMinCount = 5L
   /** Burstiness report size. */
@@ -1557,6 +1573,7 @@ object TextAnalysis {
     "text_novelty" -> ((s, d) => novelty(Tables.documents(s, d))),
     "text_novelty_probe" -> ((s, d) => noveltyProbeSplit(Tables.documents(s, d))),
     "text_term_burstiness" -> ((s, d) => termBurstiness(Tables.documents(s, d))),
+    "text_lexical_diversity" -> ((s, d) => lexicalDiversity(Tables.documents(s, d))),
     "text_surprisal_probe" -> ((s, d) => surprisalProbeSplit(Tables.documents(s, d))),
     "text_unigram_surprisal" -> ((s, d) => unigramSurprisal(Tables.documents(s, d))),
     "text_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables.documents(s, d))),
@@ -1859,6 +1876,16 @@ object TextAnalysis {
     "text_novelty" ->
       s"""WITH $noveltySqlWith
          | SELECT doc_id, n_grams, n_shared, novelty FROM nov""".stripMargin,
+
+    "text_lexical_diversity" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+        | round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |   / len(string_split(text, ' ')), 6) AS ttr,
+        | round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |   / sqrt(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS root_ttr
+        | FROM documents""".stripMargin,
 
     "text_term_burstiness" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' '))

@@ -626,6 +626,26 @@ class CrossOpInvariantSpec extends SparkSpec {
     }
   }
 
+  test("kfold plan partitions the corpus; dim variance audit is well-formed") {
+    val folds = Corpus.kfoldPlan(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    folds.map(_._1).toSet.subsetOf((0L until Corpus.KFolds).toSet) shouldBe true
+    folds.map(_._2).sum shouldBe docs.count()
+    val nTok = TextAnalysis.tokenStats(docs)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).collect()(0).getLong(0)
+    folds.map(_._3).sum shouldBe nTok
+    val dims = Similarity.dimVariance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    dims.map(_._1).toSeq.sorted shouldBe (0L until 64L)
+    dims.foreach { case (_, n, mean, variance, mn, mx) =>
+      n shouldBe 500L
+      variance should be >= -1e-9 // rounding can graze zero from below
+      mn should be <= mean
+      mx should be >= mean
+    }
+  }
+
   test("near-dup attribution masses re-derive from the cluster report") {
     val att = Dedup.nearDupAttribution(spark, sf).collect()
       .map(r => (r.getLong(1), r.getLong(2)))

@@ -569,6 +569,18 @@ class EventsSpec extends SparkSpec {
     out(4L) shouldBe ((1L, 1L, 0L, None, false))         // singleton: null share
   }
 
+  test("dispersion: metronome scores 0, a one-minute burst scores N-1") {
+    // global span: minutes 0..9 (N=10). A: one event per minute (VMR 0);
+    // B: all ten events in minute 0 (VMR (10*100-100)/100 = 9)
+    val rows = (0 until 10).map(i => (i.toLong, us(i.toLong), 1L, "A", 1.0, "{}")) ++
+      (0 until 10).map(i => (100L + i, i * 1000000L, 2L, "B", 1.0, "{}"))
+    val out = Events.dispersion(eventsDf(rows)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out("A") shouldBe ((10L, 10L, 0.0))
+    out("B") shouldBe ((10L, 10L, 9.0))
+  }
+
   test("cusum: window prefix identity equals the sequential recurrence; shift alarms") {
     // 10 quiet days (2 events) then 10 loud days (12): mu=7, sigma=5,
     // k=2.5, h=20 — s+ climbs 2.5/day after the shift, s- during the

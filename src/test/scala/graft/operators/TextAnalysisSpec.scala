@@ -637,6 +637,16 @@ class TextAnalysisSpec extends SparkSpec {
     all(out.map(_._2)) should be <= TextAnalysis.TfidfTopK.toLong
   }
 
+  test("lexical diversity: exact TTR and Guiraud root TTR") {
+    val r = TextAnalysis.lexicalDiversity(docs(1L -> "a a b")).collect()(0)
+    r.getLong(1) shouldBe 3L
+    r.getLong(2) shouldBe 2L
+    r.getDouble(3) shouldBe BigDecimal(2.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    r.getDouble(4) shouldBe BigDecimal(2.0 / math.sqrt(3.0)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   test("term burstiness: exact VMR — uniform terms score 0, bursty terms high") {
     val out = TextAnalysis.termBurstiness(docs(
       1L -> "x x x x x a", 2L -> "a b", 3L -> "a b", 4L -> "a b", 5L -> "a"))
