@@ -626,6 +626,28 @@ class CrossOpInvariantSpec extends SparkSpec {
     }
   }
 
+  test("exact-integer analytics are bit-identical across shuffle parallelism") {
+    // the session's exact-arithmetic claims, pinned the way the kmeans
+    // float32-rounding claim is: rerun under a different partition count
+    // and demand EQUALITY, not tolerance
+    def snapshot(): (Double, Set[(String, Option[Double])], Seq[(Long, Long, Long)],
+        Seq[(String, Long, Long, Double)]) = (
+      Events.gini(events).collect()(0).getDouble(2),
+      Corpus.metricCorr(spark, sf).collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet,
+      Corpus.kfoldPlan(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq,
+      Events.dispersion(events).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq)
+    val a = snapshot()
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    val b = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3"); snapshot()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    b shouldBe a
+  }
+
   test("kfold plan partitions the corpus; dim variance audit is well-formed") {
     val folds = Corpus.kfoldPlan(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -132,6 +132,15 @@ class SkewStressSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
 
+  test("threshold histogram: an over-cap hot bucket contributes no pairs to any bucket") {
+    // one text duplicated 200x pre-collapses to a single rep — the
+    // histogram must see ZERO pairs from the pile (no bucket at all),
+    // exactly like the LSH candidate stage it audits
+    val out = Dedup.thresholdHistogram(docsDf(
+      (1L to 200L).map(i => i -> text()))).collect()
+    out.length shouldBe 0
+  }
+
   test("source attribution: one text duplicated 10^4 times combines before it moves") {
     val sp = spark; import sp.implicits._
     val rows = (1L to 10000L).map(i => (i, "same boilerplate", "feedA")) ++
