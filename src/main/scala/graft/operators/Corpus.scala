@@ -920,8 +920,15 @@ object Corpus {
     * 100 TB shape: the surprisal pipeline's one term-keyed shuffle, then
     * a 1-row broadcast threshold frame and a per-row fold — labeling
     * adds no shuffle. */
-  def curriculum(documents: DataFrame): DataFrame = {
-    val scored = TextAnalysis.unigramSurprisal(documents)
+  def curriculum(documents: DataFrame): DataFrame =
+    curriculumFrom(TextAnalysis.unigramSurprisal(documents))
+
+  /** [[curriculum]] core over an already-scored surprisal frame — the
+    * face the session model artifact feeds (the registry scores via
+    * [[TextAnalysis.surprisalModelArtifact]] so the suite's unigram model
+    * is built once, not once per consumer). */
+  def curriculumFrom(surprisal: DataFrame): DataFrame = {
+    val scored = surprisal
       .select(col("doc_id"), round(col("cross_entropy"), 6).as("ce"))
     val qs = (1 until CurriculumPhases).map(_.toDouble / CurriculumPhases)
     val ths = scored.agg(percentile(col("ce"), typedLit(qs)).as("ths"))
@@ -1095,7 +1102,11 @@ object Corpus {
     "corpus_dsir_weights" -> ((s, d) => dsirWeightsArtifact(s, d)),
     "corpus_dsir_probe" -> ((s, d) => dsirProbe(Tables.documents(s, d))),
     "corpus_dsir_apply" -> ((s, d) => dsirApplyFrom(dsirWeightsArtifact(s, d))),
-    "corpus_curriculum" -> ((s, d) => curriculum(Tables.documents(s, d))),
+    "corpus_curriculum" -> ((s, d) => curriculumFrom(
+      TextAnalysis.unigramSurprisalFrom(
+        TextAnalysis.surprisalModelArtifact(s, d, full = true).unigrams
+          .select(col("term"), col("uf").as("freq")),
+        Tables.documents(s, d)))),
     "corpus_e2e"        -> ((s, d) => endToEnd(Tables.documents(s, d))),
   )
 

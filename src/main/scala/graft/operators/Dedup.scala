@@ -226,10 +226,58 @@ object Dedup {
     val docs = Tables.spread(documents)
     val dr = Staging.stage(docReps(docs))
     val (withSig, bands) = signaturePipeline(repDocs(docs, dr))
+    minhashLshFrom(dr, withSig, bands)
+  }
+
+  /** [[minhashLsh]] core over prebuilt dedup-map/signature/band frames —
+    * the face the session signature artifact feeds. */
+  private def minhashLshFrom(dr: DataFrame, withSig: DataFrame,
+                             bands: DataFrame): DataFrame = {
     val cand = cappedBandPairs(bands)
     val edges = verifyCandidates(cand, withSig)
       .where(col("jaccard") >= JaccardThreshold).select("a", "b")
     expandClusters(dr, ConnectedComponents.minLabel(edges))
+  }
+
+  /** Sign-once memo for the LSH audit family (VERDICT r9 #5 —
+    * [[lshClusterArtifact]]'s convention one stage earlier): the three
+    * audit queries ([[bandProfile]], [[sigCalibration]],
+    * [[thresholdHistogram]]) each re-ran the exact-dup pre-collapse and
+    * the MinHash signature projection from raw documents, so a suite run
+    * paid signing 4× (once more inside the cluster artifact). The first
+    * consumer writes the (doc_id, rep) dedup map and the representative
+    * signature table (doc_id, sh, sig, bandkeys) as parquet ARTIFACTS —
+    * integer hashes round-trip parquet exactly — and every later consumer,
+    * including the cluster artifact itself, reopens them as columnar
+    * scans: sign once, audit AND cluster many. */
+  private val sigMemo =
+    new scala.collection.concurrent.TrieMap[(String, String), (String, String)]
+
+  private def repSigPaths(s: SparkSession, d: String): (String, String) =
+    sigMemo.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-sigs-${s.sparkContext.applicationId}-${math.abs(d.hashCode)}")
+        .getAbsolutePath
+      val docs = Tables.spread(Tables.documents(s, d))
+      docReps(docs).write.mode("overwrite").parquet(s"$base-dr")
+      val dr = s.read.parquet(s"$base-dr")
+      // eager = false: the single consumer is the parquet write itself —
+      // a localCheckpoint first would materialize the same rows twice
+      val (withSig, _) = signaturePipeline(repDocs(docs, dr), eager = false)
+      withSig.write.mode("overwrite").parquet(s"$base-sig")
+      (s"$base-dr", s"$base-sig")
+    })
+
+  /** The session's (doc_id, rep) exact-dup map for a corpus directory. */
+  def drArtifact(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(repSigPaths(s, d)._1)
+
+  /** The session's representative signature table and its band explode —
+    * identical frames to [[signaturePipeline]]'s, read back from the
+    * artifact. */
+  def sigArtifact(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val withSig = s.read.parquet(repSigPaths(s, d)._2)
+    (withSig, bandsOf(withSig))
   }
 
   /** LSH band-bucket audit — the tuning report you run BEFORE pointing
@@ -253,6 +301,12 @@ object Dedup {
     val docs = Tables.spread(documents)
     val dr = Staging.stage(docReps(docs))
     val (_, bands) = signaturePipeline(repDocs(docs, dr))
+    bandProfileFrom(bands)
+  }
+
+  /** [[bandProfile]] core over a prebuilt band frame (the session
+    * signature artifact's consumer face). */
+  private[operators] def bandProfileFrom(bands: DataFrame): DataFrame =
     bands.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
       .groupBy("band").agg(
         count(lit(1)).as("n_buckets"),
@@ -263,7 +317,6 @@ object Dedup {
         sum(when(col("bsz") > MaxBandBucket, 1L).otherwise(0L)).as("n_capped"))
       .select(col("band").cast("long").as("band"), col("n_buckets"),
         col("n_docs"), col("max_bucket"), col("n_cand_pairs"), col("n_capped"))
-  }
 
   /** Near-duplication provenance — [[sourceAttribution]]'s fuzzy twin:
     * per source, how many documents sit in a multi-document LSH cluster
@@ -300,6 +353,13 @@ object Dedup {
     val docs = Tables.spread(documents)
     val dr = Staging.stage(docReps(docs))
     val (withSig, bands) = signaturePipeline(repDocs(docs, dr))
+    sigCalibrationFrom(withSig, bands)
+  }
+
+  /** [[sigCalibration]] core over prebuilt signature/band frames (the
+    * session signature artifact's consumer face). */
+  private[operators] def sigCalibrationFrom(withSig: DataFrame,
+                                            bands: DataFrame): DataFrame =
     cappedBandPairs(bands)
       .join(withSig.select(col("doc_id").as("a"),
         col("sig").as("siga"), col("sh").as("sha")), "a")
@@ -314,7 +374,6 @@ object Dedup {
         (col("inter").cast("double") / (col("szsum") - col("inter"))).as("j"))
       .groupBy("est_bucket")
       .agg(count(lit(1)).as("n_pairs"), round(avg("j"), 6).as("mean_jaccard"))
-  }
 
   /** Dedup savings report — the one-row headline a pipeline owner
     * publishes after the near-dup pass: document and token mass before
@@ -360,12 +419,18 @@ object Dedup {
     val docs = Tables.spread(documents)
     val dr = Staging.stage(docReps(docs))
     val (withSig, bands) = signaturePipeline(repDocs(docs, dr))
+    thresholdHistogramFrom(withSig, bands)
+  }
+
+  /** [[thresholdHistogram]] core over prebuilt signature/band frames (the
+    * session signature artifact's consumer face). */
+  private[operators] def thresholdHistogramFrom(withSig: DataFrame,
+                                                bands: DataFrame): DataFrame =
     verifyCandidates(cappedBandPairs(bands), withSig)
       .select(floor(round(col("jaccard") * 10, 6)).cast("long").as("j_bucket"))
       .groupBy("j_bucket").agg(count(lit(1)).as("n_pairs"))
       .select(col("j_bucket"), col("n_pairs"),
         (col("j_bucket") >= math.round(JaccardThreshold * 10)).as("clusters"))
-  }
 
   /** Exact-duplication provenance report — WHICH source is polluting the
     * corpus: per `source` the document count, distinct text count, the
@@ -419,7 +484,11 @@ object Dedup {
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-lshclusters-${s.sparkContext.applicationId}-${math.abs(d.hashCode)}")
         .getAbsolutePath
-      minhashLsh(Tables.documents(s, d)).write.mode("overwrite").parquet(dir)
+      // rides the session signature artifact: the suite signs the corpus
+      // once, then audits AND clusters from the stored signatures
+      val (withSig, bands) = sigArtifact(s, d)
+      minhashLshFrom(drArtifact(s, d), withSig, bands)
+        .write.mode("overwrite").parquet(dir)
       dir
     })
     s.read.parquet(path)
@@ -491,11 +560,14 @@ object Dedup {
       // executor time on 150-row partitions)
       .withColumn("bandkeys", bandKeys(col("sig"))))
     // bands stays un-checkpointed: now a pure posexplode of a stored array
-    val bands = withSig
-      .select(col("doc_id"), posexplode(col("bandkeys")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    (withSig, bands)
+    (withSig, bandsOf(withSig))
   }
+
+  /** (band, bkey, doc_id) explode of a signature frame's stored band-key
+    * array — shared by [[signaturePipeline]] and the artifact read-back. */
+  private def bandsOf(withSig: DataFrame): DataFrame =
+    withSig.select(col("doc_id"), posexplode(col("bandkeys")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
 
   /** Signature-agreement pre-filter + exact-Jaccard verify over candidate
     * (a, b) pairs, fused into ONE pass: each side of `withSig` is joined
@@ -938,12 +1010,18 @@ object Dedup {
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_band_profile"  -> ((s, d) => bandProfile(Tables.documents(s, d))),
-    "dedup_threshold_histogram" -> ((s, d) =>
-      thresholdHistogram(Tables.documents(s, d))),
+    // the three audit queries ride the session signature artifact —
+    // sign once, audit many (SigArtifactSpec pins artifact == inline)
+    "dedup_band_profile"  -> ((s, d) => bandProfileFrom(sigArtifact(s, d)._2)),
+    "dedup_threshold_histogram" -> ((s, d) => {
+      val (withSig, bands) = sigArtifact(s, d)
+      thresholdHistogramFrom(withSig, bands)
+    }),
     "dedup_savings"       -> (dedupSavings _),
-    "dedup_sig_calibration" -> ((s, d) =>
-      sigCalibration(Tables.documents(s, d))),
+    "dedup_sig_calibration" -> ((s, d) => {
+      val (withSig, bands) = sigArtifact(s, d)
+      sigCalibrationFrom(withSig, bands)
+    }),
     "dedup_near_attribution" -> (nearDupAttribution _),
     "dedup_source_attribution" -> ((s, d) =>
       sourceAttribution(Tables.documents(s, d))),

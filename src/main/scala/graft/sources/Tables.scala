@@ -23,8 +23,87 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Expected raw (pre-normalization) schema per testdata table — the
+    * events-`ts` tripwire generalized to every table (VERDICT r9 #2): a
+    * driver regen that renames, retypes, or drops a column now fails in
+    * ONE named place (here, and one named `TablesSpec` test per table)
+    * instead of surfacing as a family of opaque query failures. Types are
+    * Spark `simpleString` names; a multi-element set encodes SANCTIONED
+    * variance — timestamp columns have shipped as both tz-adjusted and
+    * NTZ across generations, and `events.ts` additionally as int64-nanos
+    * (all three normalized by [[normalizeEventTs]]). Extra columns are
+    * allowed (an additive regen is backwards-compatible); missing columns
+    * and type drift are not. */
+  private val Timestampish = Set("timestamp", "timestamp_ntz")
+  private[graft] val ExpectedColumns: Map[String, Seq[(String, Set[String])]] = {
+    def exact(cols: (String, String)*) = cols.map { case (n, t) => n -> Set(t) }
+    Map(
+      "region"   -> exact("r_regionkey" -> "int", "r_name" -> "string"),
+      "nation"   -> exact("n_nationkey" -> "int", "n_name" -> "string",
+                          "n_regionkey" -> "int"),
+      "customer" -> exact("c_custkey" -> "bigint", "c_name" -> "string",
+                          "c_nationkey" -> "int", "c_acctbal" -> "double",
+                          "c_mktsegment" -> "string"),
+      "supplier" -> exact("s_suppkey" -> "bigint", "s_name" -> "string",
+                          "s_nationkey" -> "int", "s_acctbal" -> "double"),
+      "part"     -> exact("p_partkey" -> "bigint", "p_name" -> "string",
+                          "p_brand" -> "string", "p_type" -> "string",
+                          "p_size" -> "int", "p_retailprice" -> "double"),
+      "orders"   -> (exact("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+                           "o_orderstatus" -> "string", "o_totalprice" -> "double")
+                     ++ Seq("o_orderdate" -> Timestampish)
+                     ++ exact("o_orderpriority" -> "string")),
+      "lineitem" -> (exact("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+                           "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+                           "l_quantity" -> "double", "l_extendedprice" -> "double",
+                           "l_discount" -> "double", "l_tax" -> "double",
+                           "l_returnflag" -> "string", "l_linestatus" -> "string")
+                     ++ Seq("l_shipdate" -> Timestampish)),
+      "events"   -> (exact("event_id" -> "bigint")
+                     ++ Seq("ts" -> (Timestampish + "bigint"))
+                     ++ exact("user_id" -> "bigint", "event_type" -> "string",
+                              "value" -> "double", "props" -> "string")),
+      "documents" -> exact("doc_id" -> "bigint", "text" -> "string",
+                           "lang" -> "string", "source" -> "string",
+                           "n_chars" -> "bigint"),
+      "embeddings" -> exact("vec_id" -> "bigint", "embedding" -> "array<float>",
+                            "label" -> "int"),
+    )
+  }
+
+  /** Validate a raw schema against [[ExpectedColumns]]; unknown table
+    * names pass (ad-hoc frames carry no contract). Throws
+    * [[IllegalArgumentException]] naming the table and every drifted
+    * column — the [[normalizeEventTs]] fail-loudly discipline. */
+  private[graft] def validateSchema(
+      name: String, schema: org.apache.spark.sql.types.StructType): Unit =
+    ExpectedColumns.get(name).foreach { expected =>
+      val actual = schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+      val drift = expected.flatMap { case (col, ok) =>
+        actual.get(col) match {
+          case None    => Some(s"$col: MISSING (expected ${ok.mkString("|")})")
+          case Some(t) if !ok(t) =>
+            Some(s"$col: has $t, expected ${ok.mkString("|")}")
+          case _ => None
+        }
+      }
+      if (drift.nonEmpty) throw new IllegalArgumentException(
+        s"testdata table '$name' drifted from its schema contract — " +
+          s"${drift.mkString("; ")}. If the driver regenerated testdata with " +
+          "a new encoding, extend Tables.ExpectedColumns (and the reader " +
+          "normalization) in ONE place rather than patching queries.")
+    }
+
+  /** Once-per-(dir, table) memo so the contract costs one footer-schema
+    * comparison per session, not one per query. */
+  private val schemaChecked =
+    new scala.collection.concurrent.TrieMap[(String, String), Unit]
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    schemaChecked.getOrElseUpdate((sfDir, name), validateSchema(name, df.schema))
+    df
+  }
 
   /** Widen a narrow frame to the session's parallelism before a CPU-heavy
     * per-row pipeline (hashing/shingling/vector math).

@@ -285,9 +285,11 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "BroadcastNestedLoopJoin" // the range bound rides the hash join
   }
 
-  test("text_surprisal_probe: model staged once, term join + two-phase per-doc sums") {
+  test("text_surprisal_probe: frozen model reopened as a columnar scan, term join + two-phase per-doc sums") {
     val p = planOf("text_surprisal_probe")
-    p should include("Scan ExistingRDD") // the frozen model's staged term table
+    // r10: the model is the session parquet artifact (trained once per
+    // session), so the term table enters as a plain columnar scan
+    p should include("Scan parquet")
     p should include("partial_count")
     p should not include "CartesianProduct"
     p should not include "Window"
@@ -348,7 +350,7 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Window"               // history via array transform, not lag()
     p should include("partial_count")           // per-doc reduction map-side combined
     p should include("BroadcastNestedLoopJoin") // the 1-row total attach
-    p should include("Scan ExistingRDD")        // model tables staged once
+    p should include("Scan parquet")            // model = the session artifact (r10)
   }
 
   test("text_bpe_merges: the registered face serves the memoized model — a local scan, no cluster work") {

@@ -84,4 +84,60 @@ class TablesSpec extends SparkSpec {
       withClue(s"$name: ") { needed.subsetOf(cols) shouldBe true }
     }
   }
+
+  // ---- generalized schema tripwire (VERDICT r9 #2): one named test per
+  // table, so a driver regen that renames/retypes/drops a column breaks
+  // exactly one test naming the table and column, not a query family ----
+
+  for (name <- Tables.ExpectedColumns.keys.toSeq.sorted) {
+    test(s"schema contract: $name matches the driver's current testdata and is readable") {
+      val df = Tables.table(spark, sf, name)  // validates via the reader memo
+      noException should be thrownBy Tables.validateSchema(name, df.schema)
+      df.limit(1).count() shouldBe 1L  // 1-row smoke read: footer AND pages decode
+    }
+  }
+
+  test("schema contract: a renamed column fails loudly, naming table and column") {
+    val perturbed = org.apache.spark.sql.types.StructType(
+      Tables.documents(spark, sf).schema.fields.map(f =>
+        if (f.name == "text") f.copy(name = "body") else f))
+    val e = the[IllegalArgumentException] thrownBy
+      Tables.validateSchema("documents", perturbed)
+    e.getMessage should (include("documents") and include("text"))
+  }
+
+  test("schema contract: a retyped column fails loudly") {
+    val perturbed = org.apache.spark.sql.types.StructType(
+      Tables.embeddings(spark, sf).schema.fields.map(f =>
+        if (f.name == "embedding")
+          f.copy(dataType = org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))
+        else f))
+    val e = the[IllegalArgumentException] thrownBy
+      Tables.validateSchema("embeddings", perturbed)
+    e.getMessage should (include("embeddings") and include("array<double>"))
+  }
+
+  test("schema contract: sanctioned events.ts variance all passes; a fourth encoding does not") {
+    val base = Tables.table(spark, sf, "events").schema
+    for (t <- Seq("timestamp", "timestamp_ntz", "bigint")) {
+      val s = org.apache.spark.sql.types.StructType(base.fields.map(f =>
+        if (f.name == "ts")
+          f.copy(dataType = org.apache.spark.sql.types.DataType.fromDDL(t)) else f))
+      noException should be thrownBy Tables.validateSchema("events", s)
+    }
+    val bad = org.apache.spark.sql.types.StructType(base.fields.map(f =>
+      if (f.name == "ts")
+        f.copy(dataType = org.apache.spark.sql.types.StringType) else f))
+    an[IllegalArgumentException] should be thrownBy
+      Tables.validateSchema("events", bad)
+  }
+
+  test("schema contract: an additive regen (extra column) stays backwards-compatible") {
+    val extended = org.apache.spark.sql.types.StructType(
+      Tables.documents(spark, sf).schema.fields :+
+        org.apache.spark.sql.types.StructField("quality_tier",
+          org.apache.spark.sql.types.StringType))
+    noException should be thrownBy Tables.validateSchema("documents", extended)
+  }
 }
