@@ -994,6 +994,87 @@ object Dedup {
         col("n_occurrences"), (col("n_occurrences") > 1).as("duplicated"))
   }
 
+  /** Minimum length (tokens) for an exactly-repeated span to be reported —
+    * Lee et al. 2022 §4's dedup threshold. */
+  val MinSpanTokens = 50
+
+  /** Exact duplicated-span extraction at the suffix-array grain — the
+    * precision upgrade over [[chunkExact]]'s [[Corpus.ChunkStride]]-stride
+    * approximation (Lee et al. 2022 §4 remove every substring of ≥50
+    * tokens that appears twice in the corpus; the strided chunk pass can
+    * miss a repeat that straddles chunk boundaries): a token position is
+    * COVERED iff the [[MinSpanTokens]]-gram starting there occurs at
+    * least twice corpus-wide (counting every occurrence site, within- and
+    * cross-document — a substring of length L ≥ 50 repeats iff all of its
+    * 50-gram start positions are covered, so the union of covered windows
+    * IS the union of repeated ≥50-token substrings, the exact byte range
+    * the paper's dedup deletes). Consecutive covered positions merge into
+    * MAXIMAL spans per document. One row per maximal span: (doc_id,
+    * span_start 0-based, span_tokens, min_occurrences = the occurrence
+    * count of the span's rarest gram — a lower bound on how often every
+    * part of the span repeats, n_positions = covered gram starts, =
+    * span_tokens − [[MinSpanTokens]] + 1 by construction).
+    *
+    * 100 TB shape: a map-only tokenize+window+hash projection (the
+    * suffix-array sort the paper builds is replaced by a gram-hash
+    * GROUP BY — same dup verdict per position, embarrassingly parallel,
+    * no global sort), one map-side-combined count per distinct gram hash
+    * REDUCED to the duplicated set before it joins back (the corpus
+    * shuffles 8-byte hashes, never text), then a per-document
+    * gaps-and-islands window — partitioned by doc_id, so no single-task
+    * funnel. The 32-bit [[h32]] is the ORACLE-portability choice; at
+    * real corpus scale the swap-in is a 128-bit hash so birthday
+    * collisions cannot manufacture false spans — nothing else changes. */
+  def spanExact(documents: DataFrame): DataFrame = {
+    val k = MinSpanTokens
+    val toks = split(col("text"), " ")
+    val grams = Tables.spread(documents)
+      .select(col("doc_id"), toks.as("t"), size(toks).cast("long").as("n_tok"))
+      .where(col("n_tok") >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), col("n_tok") - k),
+          i => h32(concat_ws(" ", slice(col("t"), (i + 1).cast("int"), lit(k)))))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("gh"))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") > 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    grams.join(dup, "gh")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"),
+        (max("pos") - min("pos") + k).as("span_tokens"),
+        min("n_occ").as("min_occurrences"),
+        count(lit(1)).as("n_positions"))
+      .select("doc_id", "span_start", "span_tokens", "min_occurrences",
+        "n_positions")
+  }
+
+  /** Span-dedup headline — the one-row coverage report beside
+    * [[dedupSavings]]' cluster-grain twin: how much of the corpus token
+    * mass sits inside exactly-repeated ≥[[MinSpanTokens]]-token spans
+    * (the byte range Lee et al. 2022 §4's substring dedup would rewrite).
+    * Output: (n_docs, tokens_total, n_spanned_docs, n_spans,
+    * tokens_in_spans, span_coverage_rate).
+    *
+    * 100 TB shape: [[spanExact]]'s pipeline plus one map-side-combined
+    * 1-row rollup per side and a broadcast join of two 1-row frames. */
+  def spanSavings(documents: DataFrame): DataFrame = {
+    val tok = Tables.spread(documents).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("tokens_total"))
+    val sp = spanExact(documents).agg(
+      countDistinct("doc_id").as("n_spanned_docs"),
+      count(lit(1)).as("n_spans"),
+      coalesce(sum("span_tokens"), lit(0L)).as("tokens_in_spans"))
+    tok.crossJoin(broadcast(sp))
+      .select(col("n_docs"), col("tokens_total"), col("n_spanned_docs"),
+        col("n_spans"), col("tokens_in_spans"),
+        round(col("tokens_in_spans").cast("double") / col("tokens_total"), 6)
+          .as("span_coverage_rate"))
+  }
+
   /** Cluster-size histogram over an already-clustered table — the
     * duplication report every curation run publishes next to the cluster
     * ledger: how many clusters of each size, how many documents they
@@ -1028,6 +1109,8 @@ object Dedup {
     "dedup_cluster_stats" -> ((s, d) =>
       clusterStats(lshClusterArtifact(s, d).select("doc_id", "cluster_id"))),
     "dedup_chunk_exact"   -> ((s, d) => chunkExact(Tables.documents(s, d))),
+    "dedup_span_exact"    -> ((s, d) => spanExact(Tables.documents(s, d))),
+    "dedup_span_savings"  -> ((s, d) => spanSavings(Tables.documents(s, d))),
     "dedup_exact"         -> ((s, d) => exact(Tables.documents(s, d))),
     "dedup_exact_probe"   -> ((s, d) => exactProbe(Tables.documents(s, d))),
     // the two LSH-cluster consumers share the session cluster artifact
@@ -1144,7 +1227,48 @@ object Dedup {
        |       (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
        |   FROM est c JOIN hsd sa ON sa.doc_id = c.a JOIN hsd sb ON sb.doc_id = c.b)""".stripMargin
 
+  /** [[spanExact]]'s full DuckDB mirror — shared verbatim by the
+    * `dedup_span_exact` oracle and `dedup_span_savings`' rollup (the
+    * drift-proofing convention of [[shingleWith]]). */
+  private val spanExactSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+       |     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |   FROM documents),
+       | g AS (SELECT doc_id, unnest(range(0, n_tok - $MinSpanTokens + 1)) AS pos, t
+       |   FROM d WHERE n_tok >= $MinSpanTokens),
+       | h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |     ${h32SqlOf(s"""array_to_string(t[CAST(pos + 1 AS INTEGER) :
+         CAST(pos + $MinSpanTokens AS INTEGER)], ' ')""")} AS gh
+       |   FROM g),
+       | occ AS (SELECT gh, CAST(COUNT(*) AS BIGINT) AS n_occ
+       |   FROM h GROUP BY 1 HAVING COUNT(*) > 1),
+       | c AS (SELECT doc_id, pos, n_occ FROM h JOIN occ USING (gh)),
+       | r AS (SELECT doc_id, pos, n_occ,
+       |     pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |   FROM c)
+       | SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       |   CAST(MAX(pos) - MIN(pos) + $MinSpanTokens AS BIGINT) AS span_tokens,
+       |   CAST(MIN(n_occ) AS BIGINT) AS min_occurrences,
+       |   CAST(COUNT(*) AS BIGINT) AS n_positions
+       | FROM r GROUP BY doc_id, grp""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_span_exact" -> spanExactSql,
+
+    "dedup_span_savings" ->
+      s"""WITH spans AS ($spanExactSql),
+         | tok AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |     CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_total
+         |   FROM documents),
+         | sp AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_spanned_docs,
+         |     CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |     CAST(COALESCE(SUM(span_tokens), 0) AS BIGINT) AS tokens_in_spans
+         |   FROM spans)
+         | SELECT n_docs, tokens_total, n_spanned_docs, n_spans, tokens_in_spans,
+         |   round(CAST(tokens_in_spans AS DOUBLE) / tokens_total, 6)
+         |     AS span_coverage_rate
+         | FROM tok, sp""".stripMargin,
+
     "dedup_chunk_exact" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
          |     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** [[Dedup.spanExact]] — exact duplicated-span extraction at the
+  * suffix-array grain (Lee et al. 2022 §4): maximal exactly-repeated
+  * substrings of ≥ [[Dedup.MinSpanTokens]] tokens, with hand-built
+  * fixtures whose span boundaries are known exactly, plus the cross-op
+  * containment invariant against [[Dedup.chunkExact]]'s strided
+  * approximation on the real testdata. */
+class SpanExactSpec extends SparkSpec {
+  private val K = Dedup.MinSpanTokens
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    val sp = spark; import sp.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def uniq(tag: String, n: Int): Seq[String] =
+    (0 until n).map(i => s"$tag$i")
+
+  test("a cross-document shared 80-token passage yields one maximal span per doc at the exact offsets") {
+    val shared = uniq("s", 80)
+    val a = (uniq("p", 10) ++ shared ++ uniq("q", 10)).mkString(" ")   // shared at 10..89
+    val b = (uniq("r", 20) ++ shared ++ uniq("u", 5)).mkString(" ")    // shared at 20..99
+    val out = Dedup.spanExact(docsDf(Seq(1L -> a, 2L -> b)))
+      .orderBy("doc_id").collect()
+    out.length shouldBe 2
+    val Array(sa, sb) = out
+    (sa.getLong(0), sa.getLong(1), sa.getLong(2)) shouldBe ((1L, 10L, 80L))
+    (sb.getLong(0), sb.getLong(1), sb.getLong(2)) shouldBe ((2L, 20L, 80L))
+    // n_positions = span_tokens - K + 1 by construction; min_occ = 2 sites
+    sa.getLong(3) shouldBe 2L
+    sa.getLong(4) shouldBe (80L - K + 1)
+  }
+
+  test("a WITHIN-document repeat is found: self-repetition counts as duplication") {
+    val block = uniq("w", 60)
+    val c = (block ++ uniq("f", 5) ++ block).mkString(" ")  // 125 tokens
+    val out = Dedup.spanExact(docsDf(Seq(7L -> c)))
+      .orderBy("span_start").collect()
+    out.length shouldBe 2
+    (out(0).getLong(1), out(0).getLong(2)) shouldBe ((0L, 60L))
+    (out(1).getLong(1), out(1).getLong(2)) shouldBe ((65L, 60L))
+  }
+
+  test("an all-unique corpus and sub-threshold docs yield zero spans") {
+    val short = uniq("t", K - 1).mkString(" ")          // under the grain
+    val unique1 = uniq("x", 120).mkString(" ")
+    val unique2 = uniq("y", 120).mkString(" ")
+    Dedup.spanExact(docsDf(Seq(1L -> short, 2L -> unique1, 3L -> unique2)))
+      .count() shouldBe 0L
+  }
+
+  test("a repeat shorter than MinSpanTokens is ignored — the threshold is a floor, not a stride") {
+    val small = uniq("m", K - 1)                         // 49 shared tokens
+    val a = (small ++ uniq("g", 60)).mkString(" ")
+    val b = (uniq("h", 60) ++ small).mkString(" ")
+    Dedup.spanExact(docsDf(Seq(1L -> a, 2L -> b))).count() shouldBe 0L
+  }
+
+  test("cross-op invariant: every duplicated chunkExact chunk of ≥ MinSpanTokens tokens sits inside a span (testdata)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val toks = split(col("text"), " ")
+    val lens = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(toks).cast("long").as("n_tok"))
+    val chunks = Dedup.chunkExact(docs)
+      .where(col("duplicated"))
+      .join(lens, "doc_id")
+      .select(col("doc_id"),
+        (col("chunk_idx") * Corpus.ChunkStride).as("c_start"),
+        least(lit(Corpus.ChunkTokens.toLong),
+          col("n_tok") - col("chunk_idx") * Corpus.ChunkStride).as("c_len"))
+      .where(col("c_len") >= K)
+    val spans = Dedup.spanExact(docs)
+      .select(col("doc_id"), col("span_start"),
+        (col("span_start") + col("span_tokens")).as("span_end"))
+    val uncovered = chunks.join(spans, Seq("doc_id"), "left")
+      .groupBy("doc_id", "c_start", "c_len")
+      .agg(max(col("span_start") <= col("c_start") &&
+        col("span_end") >= col("c_start") + col("c_len")).as("covered"))
+      .where(!coalesce(col("covered"), lit(false)))
+    withClue("duplicated ≥50-token chunks not covered by any span: ") {
+      uncovered.count() shouldBe 0L
+    }
+  }
+
+  test("spanSavings: the one-row rollup matches the hand-countable fixture") {
+    val shared = uniq("s", 80)
+    val a = (uniq("p", 10) ++ shared ++ uniq("q", 10)).mkString(" ")  // 100 tokens
+    val b = (uniq("r", 20) ++ shared ++ uniq("u", 5)).mkString(" ")   // 105 tokens
+    val row = Dedup.spanSavings(docsDf(Seq(1L -> a, 2L -> b))).collect()(0)
+    row.getLong(0) shouldBe 2L            // n_docs
+    row.getLong(1) shouldBe 205L          // tokens_total
+    row.getLong(2) shouldBe 2L            // n_spanned_docs
+    row.getLong(3) shouldBe 2L            // n_spans
+    row.getLong(4) shouldBe 160L          // tokens_in_spans (80 per doc)
+    row.getDouble(5) shouldBe (160.0 / 205) +- 1e-6
+  }
+
+  test("spanSavings: a span-free corpus reports zero coverage, not null") {
+    val row = Dedup.spanSavings(docsDf(Seq(
+      1L -> uniq("x", 120).mkString(" "),
+      2L -> uniq("y", 120).mkString(" ")))).collect()(0)
+    (row.getLong(2), row.getLong(3), row.getLong(4)) shouldBe ((0L, 0L, 0L))
+    row.getDouble(5) shouldBe 0.0
+  }
+
+  test("spanExact finds duplication on the real testdata (non-vacuous fixture)") {
+    val out = Dedup.spanExact(Tables.documents(spark, "/root/testdata/sf0.001"))
+    out.count() should be > 0L
+    // every span respects the floor and the positions/tokens identity
+    out.where(col("span_tokens") < K).count() shouldBe 0L
+    out.where(col("n_positions") =!= col("span_tokens") - K + 1)
+      .count() shouldBe 0L
+    out.where(col("min_occurrences") < 2).count() shouldBe 0L
+  }
+}
