@@ -353,6 +353,38 @@ class PlanShapeSpec extends SparkSpec {
     p should include("Scan parquet")            // model = the session artifact (r10)
   }
 
+  test("dedup_span_exact: map-side-combined gram counts, per-doc islands window, no cartesian") {
+    val p = planOf("dedup_span_exact")
+    p should include("partial_count")       // gram occurrence counts combine map-side
+    // the gaps-and-islands window is PARTITIONED by doc_id (no single-task
+    // global window) and the duplicated-gram join is a hash join, never a
+    // cartesian pairing of positions
+    p should include("windowspecdefinition(doc_id")
+    p should not include "CartesianProduct"
+  }
+
+  test("dedup_span_savings: two 1-row rollups joined by broadcast") {
+    val p = planOf("dedup_span_savings")
+    p should include("BroadcastNestedLoopJoin") // the 1-row × 1-row attach
+    p should include("partial_count")
+    p should not include "CartesianProduct"
+  }
+
+  test("dedup audit family rides the signature artifact: parquet scans, no corpus re-sign") {
+    // r10: the registered band-profile / threshold-histogram / calibration
+    // faces reopen the session signature artifact — the plan must scan
+    // parquet, not re-run the md5 shingle+signature projection over raw
+    // documents (whose staged frame would surface as Scan ExistingRDD)
+    Seq("dedup_band_profile", "dedup_threshold_histogram",
+        "dedup_sig_calibration").foreach { q =>
+      val p = planOf(q)
+      withClue(s"$q: ") {
+        p should include("Scan parquet")
+        p should not include "Scan ExistingRDD"
+      }
+    }
+  }
+
   test("text_bpe_merges: the registered face serves the memoized model — a local scan, no cluster work") {
     // training runs (at most) once per session inside trainedMerges; the
     // RETURNED frame is the ≤6-row driver-local merge table (the model
