@@ -1026,9 +1026,25 @@ object Dedup {
     * real corpus scale the swap-in is a 128-bit hash so birthday
     * collisions cannot manufacture false spans — nothing else changes. */
   def spanExact(documents: DataFrame): DataFrame = {
+    val grams = spanGrams(documents)
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") > 1)
+    islandsOf(grams.join(dup, "gh"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") - min("pos") + MinSpanTokens).as("span_tokens"),
+        min("n_occ").as("min_occurrences"),
+        count(lit(1)).as("n_positions"))
+      .select("doc_id", "span_start", "span_tokens", "min_occurrences",
+        "n_positions")
+  }
+
+  /** (doc_id, pos, gh) positional [[MinSpanTokens]]-gram hash projection —
+    * shared by [[spanExact]], the span index builder, and the probe.
+    * Map-only; docs under the grain emit nothing. */
+  private def spanGrams(documents: DataFrame): DataFrame = {
     val k = MinSpanTokens
     val toks = split(col("text"), " ")
-    val grams = Tables.spread(documents)
+    Tables.spread(documents)
       .select(col("doc_id"), toks.as("t"), size(toks).cast("long").as("n_tok"))
       .where(col("n_tok") >= k)
       .select(col("doc_id"),
@@ -1036,19 +1052,53 @@ object Dedup {
           i => h32(concat_ws(" ", slice(col("t"), (i + 1).cast("int"), lit(k)))))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("gh"))
-    val dup = grams.groupBy("gh").agg(count(lit(1)).as("n_occ"))
-      .where(col("n_occ") > 1)
+  }
+
+  /** Covered positions grouped into maximal runs: appends the
+    * gaps-and-islands group key (pos − per-doc row_number — constant
+    * exactly while positions are consecutive) and pre-groups by it. The
+    * window is PARTITIONED by doc_id — no single-task global window. */
+  private def islandsOf(covered: DataFrame)
+      : org.apache.spark.sql.RelationalGroupedDataset = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    grams.join(dup, "gh")
-      .withColumn("grp", col("pos") - row_number().over(w))
+    covered.withColumn("grp", col("pos") - row_number().over(w))
       .groupBy("doc_id", "grp")
+  }
+
+  /** A FROZEN span index — the distinct [[MinSpanTokens]]-gram hash set
+    * of the resident corpus: the "100 TB side" of incremental span
+    * dedup, built once (at scale a persisted table bucketed on gh) and
+    * probed by any number of batch or streaming ingests. */
+  def buildSpanIndex(corpus: DataFrame): DataFrame =
+    Staging.stage(spanGrams(corpus).select("gh").distinct())
+
+  /** Probe incoming documents against a FROZEN span index: an incoming
+    * position is covered iff its gram REPEATS RESIDENT CONTENT (the
+    * decontamination/ingestion-gate semantic — within-batch repetition is
+    * [[spanExact]]'s closed-corpus job, not the probe's); consecutive
+    * covered positions merge into maximal spans. Output: (doc_id,
+    * span_start, span_tokens, n_positions) — the spans of the incoming
+    * batch that already exist somewhere in the corpus, at the same
+    * suffix-array grain as [[spanExact]].
+    *
+    * 100 TB shape: O(batch) gram cells joined on the 8-byte hash against
+    * the persisted index, then the per-incoming-doc islands window —
+    * the corpus never rescans ([[graft.streaming.StreamingSpanProbe]]
+    * runs the same probe per micro-batch). */
+  def probeSpans(index: DataFrame, incoming: DataFrame): DataFrame =
+    islandsOf(spanGrams(incoming).join(index, "gh"))
       .agg(min("pos").as("span_start"),
-        (max("pos") - min("pos") + k).as("span_tokens"),
-        min("n_occ").as("min_occurrences"),
+        (max("pos") - min("pos") + MinSpanTokens).as("span_tokens"),
         count(lit(1)).as("n_positions"))
-      .select("doc_id", "span_start", "span_tokens", "min_occurrences",
-        "n_positions")
+      .select("doc_id", "span_start", "span_tokens", "n_positions")
+
+  /** The registered incremental face — the [[IncomingMod]] split
+    * convention: index the resident 80 %, probe the incoming 20 %. */
+  def spanProbeSplit(documents: DataFrame): DataFrame = {
+    val isIncoming = col("doc_id") % IncomingMod === 0
+    probeSpans(buildSpanIndex(documents.where(!isIncoming)),
+      documents.where(isIncoming))
   }
 
   /** Span-dedup headline — the one-row coverage report beside
@@ -1111,6 +1161,7 @@ object Dedup {
     "dedup_chunk_exact"   -> ((s, d) => chunkExact(Tables.documents(s, d))),
     "dedup_span_exact"    -> ((s, d) => spanExact(Tables.documents(s, d))),
     "dedup_span_savings"  -> ((s, d) => spanSavings(Tables.documents(s, d))),
+    "dedup_span_probe"    -> ((s, d) => spanProbeSplit(Tables.documents(s, d))),
     "dedup_exact"         -> ((s, d) => exact(Tables.documents(s, d))),
     "dedup_exact_probe"   -> ((s, d) => exactProbe(Tables.documents(s, d))),
     // the two LSH-cluster consumers share the session cluster artifact
@@ -1268,6 +1319,27 @@ object Dedup {
          |   round(CAST(tokens_in_spans AS DOUBLE) / tokens_total, 6)
          |     AS span_coverage_rate
          | FROM tok, sp""".stripMargin,
+
+    "dedup_span_probe" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+         |     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |   FROM documents),
+         | g AS (SELECT doc_id, unnest(range(0, n_tok - $MinSpanTokens + 1)) AS pos, t
+         |   FROM d WHERE n_tok >= $MinSpanTokens),
+         | h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |     ${h32SqlOf(s"""array_to_string(t[CAST(pos + 1 AS INTEGER) :
+           CAST(pos + $MinSpanTokens AS INTEGER)], ' ')""")} AS gh
+         |   FROM g),
+         | ref AS (SELECT DISTINCT gh FROM h WHERE doc_id % $IncomingMod <> 0),
+         | c AS (SELECT doc_id, pos FROM h JOIN ref USING (gh)
+         |   WHERE doc_id % $IncomingMod = 0),
+         | r AS (SELECT doc_id, pos,
+         |     pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |   FROM c)
+         | SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+         |   CAST(MAX(pos) - MIN(pos) + $MinSpanTokens AS BIGINT) AS span_tokens,
+         |   CAST(COUNT(*) AS BIGINT) AS n_positions
+         | FROM r GROUP BY doc_id, grp""".stripMargin,
 
     "dedup_chunk_exact" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,

@@ -385,6 +385,13 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("dedup_span_probe: O(batch) hash join against the staged index, per-doc islands window") {
+    val p = planOf("dedup_span_probe")
+    p should include("Scan ExistingRDD")     // the frozen index, staged once
+    p should include("windowspecdefinition(doc_id")
+    p should not include "CartesianProduct"
+  }
+
   test("text_bpe_merges: the registered face serves the memoized model — a local scan, no cluster work") {
     // training runs (at most) once per session inside trainedMerges; the
     // RETURNED frame is the ≤6-row driver-local merge table (the model
