@@ -5,6 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.engine.Staging
 import graft.sources.Tables
 
 /** One multimodal record: opaque media bytes + typed metadata. In a real
@@ -160,6 +161,46 @@ object Multimodal {
       records(Tables.spread(documents))
         .select(col("doc_id"), blockHashes(col("payload")).as("sh")))
 
+  /** A FROZEN block index — the distinct content-block hash set of the
+    * resident binary store: the "100 TB side" of incremental binary
+    * dedup, built once (at scale a persisted table bucketed on bh) and
+    * probed by any number of batch or streaming ingests. */
+  def buildBlockIndex(corpus: DataFrame): DataFrame =
+    Staging.stage(records(Tables.spread(corpus))
+      .select(explode(blockHashes(col("payload"))).as("bh")).distinct())
+
+  /** Probe incoming payloads against a FROZEN [[buildBlockIndex]] table:
+    * per incoming record, how much of its content is ALREADY RESIDENT at
+    * the block grain — the binary-grain twin of the text novelty gate
+    * (a re-upload scores 1.0, a partially-overwritten or re-containered
+    * payload scores high, fresh content scores 0) without decoding
+    * anything. One row per incoming record: (doc_id, n_blocks, n_seen,
+    * resident_frac).
+    *
+    * 100 TB shape: O(batch) block cells joined on the 8-byte hash
+    * against the persisted index, one map-side-combined per-record
+    * rollup — the store never rescans
+    * ([[graft.streaming.StreamingBlockProbe]] runs the same probe per
+    * micro-batch). */
+  def probeBlocks(index: DataFrame, incoming: DataFrame): DataFrame =
+    records(incoming)
+      .select(col("doc_id"), explode(blockHashes(col("payload"))).as("bh"))
+      .join(index.select(col("bh"), lit(true).as("seen")), Seq("bh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("seen"), 1L).otherwise(0L)).as("n_seen"))
+      .select(col("doc_id"), col("n_blocks"), col("n_seen"),
+        round(col("n_seen").cast("double") / col("n_blocks"), 6)
+          .as("resident_frac"))
+
+  /** The registered incremental face — the [[Dedup.IncomingMod]] split
+    * convention: index the resident 80 %, probe the incoming 20 %. */
+  def blockProbeSplit(documents: DataFrame): DataFrame = {
+    val isIncoming = col("doc_id") % Dedup.IncomingMod === 0
+    probeBlocks(buildBlockIndex(documents.where(!isIncoming)),
+      documents.where(isIncoming))
+  }
+
   /** Z-score threshold for [[sizeOutliers]]. */
   val SizeZMax = 3.0
 
@@ -288,6 +329,8 @@ object Multimodal {
       ((s, d) => outlierProbe(Tables.documents(s, d))),
     "mm_block_dedup" ->
       ((s, d) => blockDedup(Tables.documents(s, d))),
+    "mm_block_probe" ->
+      ((s, d) => blockProbeSplit(Tables.documents(s, d))),
     "mm_binary_stats" ->
       ((s, d) => binaryStats(Tables.documents(s, d))),
     "mm_decode_features" ->
@@ -300,6 +343,18 @@ object Multimodal {
 
   private val modalityCase =
     "CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+  /** The per-record distinct block-hash CTE chain (SQL mirror of
+    * [[blockHashes]] over [[records]]'s payloads) — shared by the
+    * `mm_block_dedup` oracle and `mm_block_probe`'s, so the block
+    * definition cannot drift between the two faces. */
+  private val blockSetsSqlWith: String =
+    s"""hx AS (SELECT doc_id, hex(encode(text)) AS x FROM documents),
+       | bl AS (SELECT doc_id, list_distinct(list_transform(
+       |     range(CAST(ceil(CAST(len(x) AS DOUBLE) / $BlockHexChars) AS INTEGER)),
+       |     i -> ('0x' || substring(md5(substring(x,
+       |       CAST(i * $BlockHexChars + 1 AS INTEGER), $BlockHexChars)), 1, 8))::BIGINT
+       |       % ${Dedup.P})) AS sh FROM hx)""".stripMargin
 
   /** [[sizeOutliers]]'s SQL twin (CTE chain + final select, no leading
     * WITH) over a (doc_id, text) relation `src` — shared by the gate
@@ -421,12 +476,7 @@ object Multimodal {
          | ${sizeOutliersSql("maug")}""".stripMargin,
 
     "mm_block_dedup" ->
-      s"""WITH hx AS (SELECT doc_id, hex(encode(text)) AS x FROM documents),
-         | bl AS (SELECT doc_id, list_distinct(list_transform(
-         |     range(CAST(ceil(CAST(len(x) AS DOUBLE) / $BlockHexChars) AS INTEGER)),
-         |     i -> ('0x' || substring(md5(substring(x,
-         |       CAST(i * $BlockHexChars + 1 AS INTEGER), $BlockHexChars)), 1, 8))::BIGINT
-         |       % ${Dedup.P})) AS sh FROM hx),
+      s"""WITH $blockSetsSqlWith,
          | inv AS (SELECT doc_id, unnest(sh) AS s FROM bl),
          | keep AS (SELECT s FROM inv GROUP BY s
          |   HAVING COUNT(*) BETWEEN 2 AND ${Dedup.MaxShingleDf}),
@@ -445,6 +495,21 @@ object Multimodal {
          | SELECT d.doc_id, best.other AS best_match, best.jaccard AS best_jaccard
          | FROM (SELECT doc_id FROM documents) d
          | LEFT JOIN best ON d.doc_id = best.doc_id""".stripMargin,
+
+    "mm_block_probe" ->
+      s"""WITH $blockSetsSqlWith,
+         | ref AS (SELECT DISTINCT unnest(sh) AS bh FROM bl
+         |   WHERE doc_id % ${Dedup.IncomingMod} <> 0),
+         | inc AS (SELECT doc_id, unnest(sh) AS bh FROM bl
+         |   WHERE doc_id % ${Dedup.IncomingMod} = 0),
+         | j AS (SELECT inc.doc_id, ref.bh IS NOT NULL AS seen
+         |   FROM inc LEFT JOIN ref ON inc.bh = ref.bh),
+         | g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         |     CAST(SUM(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+         |   FROM j GROUP BY doc_id)
+         | SELECT doc_id, n_blocks, n_seen,
+         |   round(CAST(n_seen AS DOUBLE) / n_blocks, 6) AS resident_frac
+         | FROM g""".stripMargin,
 
     "mm_binary_stats" ->
       s"""SELECT doc_id, $modalityCase AS modality,

@@ -392,6 +392,14 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("mm_block_probe: O(batch) hash join against the staged block index, map-side-combined rollup") {
+    val p = planOf("mm_block_probe")
+    p should include("Scan ExistingRDD")     // the frozen block index
+    p should include("partial_count")        // per-record rollup combines map-side
+    p should not include "CartesianProduct"
+    p should not include "Window"            // a plain rollup, no islands needed
+  }
+
   test("text_bpe_merges: the registered face serves the memoized model — a local scan, no cluster work") {
     // training runs (at most) once per session inside trainedMerges; the
     // RETURNED frame is the ≤6-row driver-local merge table (the model

@@ -52,6 +52,31 @@ class DedupPropertySpec extends SparkSpec {
     withClue(res.status.toString)(res.passed shouldBe true)
   }
 
+  test("spanExact: a planted shared block ≥ MinSpanTokens is covered by a span in BOTH docs at any offset; shorter never flags") {
+    val K = Dedup.MinSpanTokens
+    val gen = for {
+      l  <- Gen.choose(K - 10, K + 40)  // straddles the threshold
+      o1 <- Gen.choose(0, 25); t1 <- Gen.choose(0, 25)
+      o2 <- Gen.choose(0, 25); t2 <- Gen.choose(0, 25)
+    } yield (l, o1, t1, o2, t2)
+    run(Prop.forAll(gen) { case (l, o1, t1, o2, t2) =>
+      // fillers are globally unique, so the planted block is the ONLY
+      // duplicated content and straddling grams can never match
+      val block = (0 until l).map(i => s"blk$i")
+      val a = ((0 until o1).map(i => s"fa$i") ++ block ++
+        (0 until t1).map(i => s"ga$i")).mkString(" ")
+      val b = ((0 until o2).map(i => s"fb$i") ++ block ++
+        (0 until t2).map(i => s"gb$i")).mkString(" ")
+      val spans = Dedup.spanExact(docsDf(Seq(1L -> a, 2L -> b))).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(1) + r.getLong(2)))
+        .toSeq
+      if (l >= K)
+        spans.exists { case (d, s, e) => d == 1L && s <= o1 && e >= o1 + l } &&
+          spans.exists { case (d, s, e) => d == 2L && s <= o2 && e >= o2 + l }
+      else spans.isEmpty
+    })
+  }
+
   test("bounded levenshtein kernel == reference DP thresholded, on random pairs") {
     // reference: full O(mn) Wagner-Fischer, then threshold
     def ref(s: String, t: String, k: Int): Int = {
