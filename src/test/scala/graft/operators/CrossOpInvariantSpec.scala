@@ -648,6 +648,24 @@ class CrossOpInvariantSpec extends SparkSpec {
     b shouldBe a
   }
 
+  test("span-family results are bit-identical across shuffle parallelism") {
+    // the r10 suffix-array-grain family: integer positions/hashes through
+    // a per-doc window — nothing may depend on how grams were partitioned
+    def snapshot(): (Set[(Long, Long, Long, Long, Long)], Seq[Long], Set[(Long, Long, Long)]) = (
+      Dedup.spanExact(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet,
+      Dedup.spanSavings(docs).collect()(0).toSeq.take(5).map(_.asInstanceOf[Long]),
+      Dedup.spanProbeSplit(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    val a = snapshot()
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    val b = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3"); snapshot()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    b shouldBe a
+  }
+
   test("kfold plan partitions the corpus; dim variance audit is well-formed") {
     val folds = Corpus.kfoldPlan(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -141,6 +141,32 @@ class SkewStressSpec extends SparkSpec {
     out.length shouldBe 0
   }
 
+  test("span dedup: a universal boilerplate block in 10^3 docs stays linear — one span per doc, no pair blowup") {
+    // the "same license header on every page" shape at the span grain:
+    // every doc opens with the SAME 60-token block, then unique tail.
+    // spanExact has no pairing stage to blow up — coverage is per-position
+    // (a gram's dup verdict is ONE count row however many sites carry it,
+    // map-side combined; the hot gh join-back is one row per site, linear)
+    // — so the output must be exactly one span per doc at [0, 60).
+    val n = 1000L
+    val block = (0 until 60).map(i => s"hdr$i")
+    val docs = docsDf((0L until n).map(id =>
+      id -> (block ++ (0 until 10).map(i => s"u${id}x$i")).mkString(" ")))
+    val t0 = System.nanoTime()
+    val spans = Dedup.spanExact(docs).collect()
+    info(f"1k-doc universal-block spanExact: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    spans.length shouldBe n
+    all(spans.map(r => (r.getLong(1), r.getLong(2)))) shouldBe ((0L, 60L))
+    // every gram of the block occurs once per doc → min_occurrences = n
+    all(spans.map(_.getLong(3))) shouldBe n
+    // and the probe side: a frozen index answers the hot block in O(batch)
+    val probed = Dedup.probeSpans(Dedup.buildSpanIndex(docs),
+      docsDf(Seq(100000L -> (block ++ (0 until 10).map(i => s"inc$i")).mkString(" "))))
+      .collect()
+    probed.length shouldBe 1
+    (probed(0).getLong(1), probed(0).getLong(2)) shouldBe ((0L, 60L))
+  }
+
   test("source attribution: one text duplicated 10^4 times combines before it moves") {
     val sp = spark; import sp.implicits._
     val rows = (1L to 10000L).map(i => (i, "same boilerplate", "feedA")) ++
