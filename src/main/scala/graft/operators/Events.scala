@@ -545,6 +545,76 @@ object Events {
       .select(events.columns.map(col): _*))
   }
 
+  /** Kaplan–Meier survival estimator over user lifetimes — the
+    * censoring-aware retention curve [[churnSegments]]' point-in-time
+    * rollup cannot give: a user whose last activity is more than
+    * [[ChurnAtRiskDays]] days before the corpus anchor is an observed
+    * DEATH with lifetime last−first days; everyone still active is
+    * CENSORED at lifetime anchor−first (alive at least this long — the
+    * information naive "average lifetime" throws away and K-M uses).
+    * At each death time t: n_risk = users with lifetime ≥ t, and
+    * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/n_riskᵢ), computed as exp of the ordered
+    * cumulative Σ ln((n−d)/n) — every factor from exact integer counts,
+    * accumulated in ascending-t order on BOTH engines, so the oracle
+    * compares within float tolerance. One row per death time:
+    * (t_days, n_risk, n_deaths, survival).
+    *
+    * 100 TB shape: one map-side-combined groupBy(user) collapse of the
+    * raw stream, a 1-row anchor broadcast, a ≤|distinct lifetimes|-row
+    * per-day ledger (bounded by the corpus day span — the documented
+    * tiny-ledger exception to the no-global-window rule), two ordered
+    * windows over that ledger, nothing else. Raw events never join. */
+  def kaplanMeier(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy("user_id")
+      .agg(min("ts").as("first_ts"), max("ts").as("last_ts"))
+    val anchor = perUser.agg(max("last_ts").as("corpus_last"))
+    val lt = perUser.crossJoin(broadcast(anchor))
+      .select(
+        expr(s"(corpus_last div $UsPerDay) - (last_ts div $UsPerDay)")
+          .as("recency_days"),
+        expr(s"(last_ts div $UsPerDay) - (first_ts div $UsPerDay)")
+          .as("observed_days"),
+        expr(s"(corpus_last div $UsPerDay) - (first_ts div $UsPerDay)")
+          .as("window_days"))
+      .select(
+        when(col("recency_days") > ChurnAtRiskDays, col("observed_days"))
+          .otherwise(col("window_days")).as("t"),
+        (col("recency_days") > ChurnAtRiskDays).as("death"))
+    val ledger = lt.groupBy("t").agg(
+      sum(when(col("death"), 1L).otherwise(0L)).as("n_deaths"),
+      count(lit(1)).as("n_total"))
+    val nUsers = ledger.agg(sum("n_total").as("n_users"))
+    val before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    ledger.crossJoin(broadcast(nUsers))
+      .withColumn("n_risk",
+        col("n_users") - coalesce(sum("n_total").over(before), lit(0L)))
+      // censored-only rows contribute ln(1) = 0, so the cumulative sum
+      // over ALL ledger rows equals the sum over death times alone
+      .withColumn("lnterm", when(col("n_deaths") > 0,
+          log((col("n_risk") - col("n_deaths")).cast("double")
+            / col("n_risk"))).otherwise(lit(0.0)))
+      .withColumn("survival", exp(sum("lnterm").over(upTo)))
+      .where(col("n_deaths") > 0)
+      .select(col("t").as("t_days"), col("n_risk"), col("n_deaths"),
+        round(col("survival"), 6).as("survival"))
+  }
+
+  /** The registered face — the [[churnProbe]] activity-cap convention,
+    * verbatim (the synthetic stream's users are ALL active, so the raw
+    * table has zero observed deaths and the estimator would be vacuous):
+    * user%3==1 silenced 10 days before the anchor, user%3==2 silenced 20
+    * (→ observed deaths), user%3==0 untouched (→ censored). */
+  def survivalProbe(events: DataFrame): DataFrame = {
+    val bounds = events.agg(max("ts").as("t1"))
+    val cap = col("t1") - when(col("user_id") % 3 === 1, 10L * UsPerDay)
+      .when(col("user_id") % 3 === 2, 20L * UsPerDay)
+      .otherwise(0L)
+    kaplanMeier(events.crossJoin(broadcast(bounds))
+      .where(col("ts") <= cap)
+      .select(events.columns.map(col): _*))
+  }
+
   /** Per-user inter-arrival profile — the gap distribution that JUSTIFIES
     * a sessionization gap parameter ([[SessionGapMinutes]]): for each
     * user, the count/mean/lower-median/max of consecutive-event gaps and
@@ -1266,6 +1336,7 @@ object Events {
     "events_rfm" -> ((s, d) => rfm(Tables.events(s, d))),
     "events_churn_segments" -> ((s, d) => churnSegments(Tables.events(s, d))),
     "events_churn_probe" -> ((s, d) => churnProbe(Tables.events(s, d))),
+    "events_survival" -> ((s, d) => survivalProbe(Tables.events(s, d))),
     "events_ab_lift" -> ((s, d) => abLift(Tables.events(s, d))),
     "events_seasonality" -> ((s, d) => seasonality(Tables.events(s, d))),
     "events_skew_profile" -> ((s, d) => skewProfile(Tables.events(s, d))),
@@ -1480,6 +1551,43 @@ object Events {
          |     WHEN 2 THEN 20 * ${UsPerDay}::BIGINT
          |     ELSE 0 END),
          | ${churnSqlBody("ev")}""".stripMargin,
+
+    "events_survival" ->
+      s"""WITH b AS (SELECT MAX(epoch_us(ts)) AS t1 FROM events),
+         | ev AS (SELECT e.* FROM events e CROSS JOIN b
+         |   WHERE epoch_us(e.ts) <= b.t1 - CASE e.user_id % 3
+         |     WHEN 1 THEN 10 * ${UsPerDay}::BIGINT
+         |     WHEN 2 THEN 20 * ${UsPerDay}::BIGINT
+         |     ELSE 0 END),
+         | pu AS (SELECT user_id, MIN(epoch_us(ts)) AS first_ts,
+         |     MAX(epoch_us(ts)) AS last_ts FROM ev GROUP BY user_id),
+         | a AS (SELECT MAX(last_ts) AS corpus_last FROM pu),
+         | lt AS (SELECT
+         |     CASE WHEN (corpus_last // $UsPerDay) - (last_ts // $UsPerDay)
+         |         > $ChurnAtRiskDays
+         |       THEN (last_ts // $UsPerDay) - (first_ts // $UsPerDay)
+         |       ELSE (corpus_last // $UsPerDay) - (first_ts // $UsPerDay) END AS t,
+         |     (corpus_last // $UsPerDay) - (last_ts // $UsPerDay)
+         |       > $ChurnAtRiskDays AS death
+         |   FROM pu CROSS JOIN a),
+         | led AS (SELECT t,
+         |     CAST(SUM(CASE WHEN death THEN 1 ELSE 0 END) AS BIGINT) AS n_deaths,
+         |     CAST(COUNT(*) AS BIGINT) AS n_total FROM lt GROUP BY t),
+         | n AS (SELECT CAST(SUM(n_total) AS BIGINT) AS n_users FROM led),
+         | r AS (SELECT t, n_deaths, n_total,
+         |     n_users - COALESCE(SUM(n_total) OVER (ORDER BY t
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+         |   FROM led CROSS JOIN n),
+         | s AS (SELECT t, n_deaths, n_risk,
+         |     exp(SUM(CASE WHEN n_deaths > 0
+         |       THEN ln(CAST(n_risk - n_deaths AS DOUBLE) / n_risk)
+         |       ELSE CAST(0 AS DOUBLE) END)
+         |       OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+         |         AND CURRENT ROW)) AS survival
+         |   FROM r)
+         | SELECT t AS t_days, CAST(n_risk AS BIGINT) AS n_risk, n_deaths,
+         |   round(survival, 6) AS survival
+         | FROM s WHERE n_deaths > 0""".stripMargin,
 
     "events_ab_lift" ->
       s"""WITH firsts AS (SELECT user_id, MIN(epoch_us(ts)) AS first_ts,

@@ -669,6 +669,45 @@ class EventsSpec extends SparkSpec {
     hContribA shouldBe (3.0 / 5) * hA +- 1e-6
   }
 
+  test("kaplan-meier: hand-computed curve with mixed deaths and censoring") {
+    def day(d: Long): Long = d * 86400L * 1000000L
+    // anchor = day 30 (u1's last). ChurnAtRiskDays = 14:
+    //   u1 0..30  recency 0  → censored at 30
+    //   u2 0..5   recency 25 → DEATH  t=5
+    //   u3 2..10  recency 20 → DEATH  t=8
+    //   u4 20..29 recency 1  → censored at 10
+    //   u5 0 only recency 30 → DEATH  t=0
+    var id = 0L
+    def ev(u: Long, d: Long) = { id += 1; (id, day(d), u, "view", 1.0, "{}") }
+    val events = eventsDf(Seq(
+      ev(1, 0), ev(1, 30), ev(2, 0), ev(2, 5), ev(3, 2), ev(3, 10),
+      ev(4, 20), ev(4, 29), ev(5, 0)))
+    val out = Events.kaplanMeier(events).orderBy("t_days").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.length shouldBe 3
+    out(0) shouldBe ((0L, 5L, 1L, 0.8))      // S = 4/5
+    out(1) shouldBe ((5L, 4L, 1L, 0.6))      // S = 4/5 · 3/4
+    out(2) shouldBe ((8L, 3L, 1L, 0.4))      // S = 4/5 · 3/4 · 2/3
+  }
+
+  test("kaplan-meier: an all-active corpus has no observed deaths — empty curve, not a crash") {
+    def day(d: Long): Long = d * 86400L * 1000000L
+    val events = eventsDf(Seq(
+      (1L, day(0), 1L, "view", 1.0, "{}"), (2L, day(10), 1L, "view", 1.0, "{}"),
+      (3L, day(5), 2L, "view", 1.0, "{}"), (4L, day(10), 2L, "view", 1.0, "{}")))
+    Events.kaplanMeier(events).count() shouldBe 0L
+  }
+
+  test("kaplan-meier: survival is monotone non-increasing on the registered probe face") {
+    val out = Events.queries("events_survival")(spark,
+      "/root/testdata/sf0.001").orderBy("t_days").collect()
+    out.length should be > 0
+    val s = out.map(_.getDouble(3))
+    s.zip(s.tail).foreach { case (a, b) => b should be <= a }
+    all(s) should (be > 0.0 or be >= 0.0)
+    all(s) should be <= 1.0
+  }
+
   test("gini: uniform traffic scores 0, degenerate single user scores 0") {
     val uniform = (1L to 6L).map(i => (i, us(i), i % 3, "view", 1.0, "{}"))
     Events.gini(eventsDf(uniform)).collect()(0).getDouble(2) shouldBe 0.0
