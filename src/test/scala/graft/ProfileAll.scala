@@ -34,7 +34,10 @@ object ProfileAll {
     "dedup_minhash_incremental", "sim_ann_recall", "sim_ann_lsh_topk",
     "mm_block_dedup",
     // round-9 session additions worth watching across decades
-    "text_novelty", "dedup_threshold_histogram", "text_tfidf_keywords")
+    "text_novelty", "dedup_threshold_histogram", "text_tfidf_keywords",
+    // round-10: the suffix-array-grain span family + arrival gates
+    "dedup_span_exact", "dedup_span_probe", "mm_block_probe",
+    "events_survival")
 
   private val AmplifyVersion = "v3" // v2: + events; v3: + part/lineitem (full-suite sf1 bench)
 
