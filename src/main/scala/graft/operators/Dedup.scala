@@ -1278,11 +1278,13 @@ object Dedup {
        |       (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
        |   FROM est c JOIN hsd sa ON sa.doc_id = c.a JOIN hsd sb ON sb.doc_id = c.b)""".stripMargin
 
-  /** [[spanExact]]'s full DuckDB mirror — shared verbatim by the
-    * `dedup_span_exact` oracle and `dedup_span_savings`' rollup (the
-    * drift-proofing convention of [[shingleWith]]). */
-  private val spanExactSql: String =
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+  /** DuckDB mirror of [[spanGrams]] — the positional gram-hash CTE chain
+    * (no leading WITH), stated ONCE and shared by [[spanExactSql]] and
+    * the `dedup_span_probe` oracle so the gram definition (tokenize,
+    * range bound, slice, hash) cannot drift between the closed-corpus
+    * and probe faces. */
+  private val spanGramsSqlWith: String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS t,
        |     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
        |   FROM documents),
        | g AS (SELECT doc_id, unnest(range(0, n_tok - $MinSpanTokens + 1)) AS pos, t
@@ -1290,7 +1292,13 @@ object Dedup {
        | h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
        |     ${h32SqlOf(s"""array_to_string(t[CAST(pos + 1 AS INTEGER) :
          CAST(pos + $MinSpanTokens AS INTEGER)], ' ')""")} AS gh
-       |   FROM g),
+       |   FROM g)""".stripMargin
+
+  /** [[spanExact]]'s full DuckDB mirror — shared verbatim by the
+    * `dedup_span_exact` oracle and `dedup_span_savings`' rollup (the
+    * drift-proofing convention of [[shingleWith]]). */
+  private val spanExactSql: String =
+    s"""WITH $spanGramsSqlWith,
        | occ AS (SELECT gh, CAST(COUNT(*) AS BIGINT) AS n_occ
        |   FROM h GROUP BY 1 HAVING COUNT(*) > 1),
        | c AS (SELECT doc_id, pos, n_occ FROM h JOIN occ USING (gh)),
@@ -1321,15 +1329,7 @@ object Dedup {
          | FROM tok, sp""".stripMargin,
 
     "dedup_span_probe" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
-         |     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-         |   FROM documents),
-         | g AS (SELECT doc_id, unnest(range(0, n_tok - $MinSpanTokens + 1)) AS pos, t
-         |   FROM d WHERE n_tok >= $MinSpanTokens),
-         | h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-         |     ${h32SqlOf(s"""array_to_string(t[CAST(pos + 1 AS INTEGER) :
-           CAST(pos + $MinSpanTokens AS INTEGER)], ' ')""")} AS gh
-         |   FROM g),
+      s"""WITH $spanGramsSqlWith,
          | ref AS (SELECT DISTINCT gh FROM h WHERE doc_id % $IncomingMod <> 0),
          | c AS (SELECT doc_id, pos FROM h JOIN ref USING (gh)
          |   WHERE doc_id % $IncomingMod = 0),

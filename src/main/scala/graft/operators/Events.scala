@@ -535,15 +535,23 @@ object Events {
     * materialize and the oracle checks the full CASE. (A user with no
     * event before their cap drops out on both sides, which only happens
     * when the corpus spans fewer days than the offset.) */
-  def churnProbe(events: DataFrame): DataFrame = {
+  /** The probe-convention activity caps — ONE definition shared by
+    * [[churnProbe]] and [[survivalProbe]] (and mirrored once in SQL by
+    * [[silencedSqlWith]]) so the cohort constants cannot drift between
+    * the lifecycle and survival faces: user%3==1 silenced for the last
+    * 10 days before the anchor, user%3==2 for 20, user%3==0 untouched. */
+  private def silencedEvents(events: DataFrame): DataFrame = {
     val bounds = events.agg(max("ts").as("t1"))
     val cap = col("t1") - when(col("user_id") % 3 === 1, 10L * UsPerDay)
       .when(col("user_id") % 3 === 2, 20L * UsPerDay)
       .otherwise(0L)
-    churnSegments(events.crossJoin(broadcast(bounds))
+    events.crossJoin(broadcast(bounds))
       .where(col("ts") <= cap)
-      .select(events.columns.map(col): _*))
+      .select(events.columns.map(col): _*)
   }
+
+  def churnProbe(events: DataFrame): DataFrame =
+    churnSegments(silencedEvents(events))
 
   /** Kaplan–Meier survival estimator over user lifetimes — the
     * censoring-aware retention curve [[churnSegments]]' point-in-time
@@ -590,30 +598,33 @@ object Events {
       .withColumn("n_risk",
         col("n_users") - coalesce(sum("n_total").over(before), lit(0L)))
       // censored-only rows contribute ln(1) = 0, so the cumulative sum
-      // over ALL ledger rows equals the sum over death times alone
+      // over ALL ledger rows equals the sum over death times alone. A
+      // death time that EXHAUSTS the risk set (n_risk == n_deaths — by
+      // construction the last ledger row) contributes −∞ explicitly, so
+      // exp gives the true S = 0.0 on both engines: Spark's log(0) is
+      // NULL (silently dropped by the window sum → a false survival of
+      // 1.0) and DuckDB's ln(0) throws, so neither may ever be evaluated.
       .withColumn("lnterm", when(col("n_deaths") > 0,
-          log((col("n_risk") - col("n_deaths")).cast("double")
-            / col("n_risk"))).otherwise(lit(0.0)))
+          when(col("n_risk") > col("n_deaths"),
+            log((col("n_risk") - col("n_deaths")).cast("double")
+              / col("n_risk")))
+          .otherwise(lit(Double.NegativeInfinity))).otherwise(lit(0.0)))
       .withColumn("survival", exp(sum("lnterm").over(upTo)))
       .where(col("n_deaths") > 0)
       .select(col("t").as("t_days"), col("n_risk"), col("n_deaths"),
         round(col("survival"), 6).as("survival"))
   }
 
-  /** The registered face — the [[churnProbe]] activity-cap convention,
-    * verbatim (the synthetic stream's users are ALL active, so the raw
-    * table has zero observed deaths and the estimator would be vacuous):
-    * user%3==1 silenced 10 days before the anchor, user%3==2 silenced 20
-    * (→ observed deaths), user%3==0 untouched (→ censored). */
-  def survivalProbe(events: DataFrame): DataFrame = {
-    val bounds = events.agg(max("ts").as("t1"))
-    val cap = col("t1") - when(col("user_id") % 3 === 1, 10L * UsPerDay)
-      .when(col("user_id") % 3 === 2, 20L * UsPerDay)
-      .otherwise(0L)
-    kaplanMeier(events.crossJoin(broadcast(bounds))
-      .where(col("ts") <= cap)
-      .select(events.columns.map(col): _*))
-  }
+  /** The registered face — [[silencedEvents]]' activity caps (the
+    * synthetic stream's users are ALL active, so the raw table has zero
+    * observed deaths and the estimator would be vacuous). Cohort roles
+    * for the estimator: user%3==2 (20-day silence, recency > 14) are the
+    * OBSERVED DEATHS; user%3==1 (10-day silence, recency ≤ 14) are
+    * censored EARLY — a shorter time-under-observation than the
+    * untouched %3==0 cohort, so the probe exercises deaths plus two
+    * distinct censoring depths. */
+  def survivalProbe(events: DataFrame): DataFrame =
+    kaplanMeier(silencedEvents(events))
 
   /** Per-user inter-arrival profile — the gap distribution that JUSTIFIES
     * a sessionization gap parameter ([[SessionGapMinutes]]): for each
@@ -1357,6 +1368,17 @@ object Events {
   /** The [[churnSegments]] oracle body over event relation `rel` — one
     * text for the raw and probe faces so the segmentation can never
     * drift between them. */
+  /** SQL mirror of [[silencedEvents]] — the b/ev CTE pair both probe
+    * oracles open with, stated once so the cohort constants cannot
+    * drift between the churn and survival faces. */
+  private def silencedSqlWith: String =
+    s"""b AS (SELECT MAX(epoch_us(ts)) AS t1 FROM events),
+       | ev AS (SELECT e.* FROM events e CROSS JOIN b
+       |   WHERE epoch_us(e.ts) <= b.t1 - CASE e.user_id % 3
+       |     WHEN 1 THEN 10 * ${UsPerDay}::BIGINT
+       |     WHEN 2 THEN 20 * ${UsPerDay}::BIGINT
+       |     ELSE 0 END)""".stripMargin
+
   private def churnSqlBody(rel: String): String =
     s"""per AS (SELECT user_id, MAX(epoch_us(ts)) AS last_ts,
        |     CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -1544,21 +1566,11 @@ object Events {
     "events_churn_segments" -> s"WITH ${churnSqlBody("events")}",
 
     "events_churn_probe" ->
-      s"""WITH b AS (SELECT MAX(epoch_us(ts)) AS t1 FROM events),
-         | ev AS (SELECT e.* FROM events e CROSS JOIN b
-         |   WHERE epoch_us(e.ts) <= b.t1 - CASE e.user_id % 3
-         |     WHEN 1 THEN 10 * ${UsPerDay}::BIGINT
-         |     WHEN 2 THEN 20 * ${UsPerDay}::BIGINT
-         |     ELSE 0 END),
+      s"""WITH $silencedSqlWith,
          | ${churnSqlBody("ev")}""".stripMargin,
 
     "events_survival" ->
-      s"""WITH b AS (SELECT MAX(epoch_us(ts)) AS t1 FROM events),
-         | ev AS (SELECT e.* FROM events e CROSS JOIN b
-         |   WHERE epoch_us(e.ts) <= b.t1 - CASE e.user_id % 3
-         |     WHEN 1 THEN 10 * ${UsPerDay}::BIGINT
-         |     WHEN 2 THEN 20 * ${UsPerDay}::BIGINT
-         |     ELSE 0 END),
+      s"""WITH $silencedSqlWith,
          | pu AS (SELECT user_id, MIN(epoch_us(ts)) AS first_ts,
          |     MAX(epoch_us(ts)) AS last_ts FROM ev GROUP BY user_id),
          | a AS (SELECT MAX(last_ts) AS corpus_last FROM pu),
@@ -1579,8 +1591,9 @@ object Events {
          |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
          |   FROM led CROSS JOIN n),
          | s AS (SELECT t, n_deaths, n_risk,
-         |     exp(SUM(CASE WHEN n_deaths > 0
+         |     exp(SUM(CASE WHEN n_deaths > 0 AND n_risk > n_deaths
          |       THEN ln(CAST(n_risk - n_deaths AS DOUBLE) / n_risk)
+         |       WHEN n_deaths > 0 THEN CAST('-infinity' AS DOUBLE)
          |       ELSE CAST(0 AS DOUBLE) END)
          |       OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
          |         AND CURRENT ROW)) AS survival

@@ -142,10 +142,16 @@ object Multimodal {
   def blockHashes(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val hx = hex(payload)
     // sorted: Dedup.bestMatchBySets intersects these by linear merge
-    // (SortedIntersectCount) — order carries no information here
-    sort_array(array_distinct(transform(
-      sequence(lit(0), ceil(length(hx).cast("double") / BlockHexChars).cast("int") - 1),
-      i => Dedup.h32(hx.substr(i * BlockHexChars + 1, lit(BlockHexChars))) % Dedup.P)))
+    // (SortedIntersectCount) — order carries no information here.
+    // Empty payloads carry NO blocks: unguarded, Spark's
+    // sequence(0, ceil(0/32)-1) = sequence(0, -1) infers step -1 and
+    // fabricates a phantom h32("") block, while the oracle's range(0)
+    // is empty — the two engines would diverge on zero-length records.
+    when(length(hx) > 0,
+      sort_array(array_distinct(transform(
+        sequence(lit(0), ceil(length(hx).cast("double") / BlockHexChars).cast("int") - 1),
+        i => Dedup.h32(hx.substr(i * BlockHexChars + 1, lit(BlockHexChars))) % Dedup.P))))
+      .otherwise(array().cast("array<long>"))
   }
 
   /** Binary near-dup best match — the multimodal member of the dedup
@@ -183,7 +189,7 @@ object Multimodal {
     * ([[graft.streaming.StreamingBlockProbe]] runs the same probe per
     * micro-batch). */
   def probeBlocks(index: DataFrame, incoming: DataFrame): DataFrame =
-    records(incoming)
+    records(Tables.spread(incoming))
       .select(col("doc_id"), explode(blockHashes(col("payload"))).as("bh"))
       .join(index.select(col("bh"), lit(true).as("seen")), Seq("bh"), "left")
       .groupBy("doc_id")

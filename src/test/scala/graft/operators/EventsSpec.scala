@@ -690,6 +690,20 @@ class EventsSpec extends SparkSpec {
     out(2) shouldBe ((8L, 3L, 1L, 0.4))      // S = 4/5 · 3/4 · 2/3
   }
 
+  test("kaplan-meier: a death that exhausts the risk set reports survival 0.0, not a silently-dropped log(0)") {
+    def day(d: Long): Long = d * 86400L * 1000000L
+    // u1: days 28..30 → censored at t = 2; u2: days 0..10 → recency 20 →
+    // DEATH at t = 10 with n_risk = 1 (u1's lifetime 2 < 10): the 1−d/n
+    // factor is 0, so S(10) must be exactly 0.0 — Spark's log(0) is NULL
+    // and a window sum silently drops NULLs, which would report 1.0
+    val events = eventsDf(Seq(
+      (1L, day(28), 1L, "view", 1.0, "{}"), (2L, day(30), 1L, "view", 1.0, "{}"),
+      (3L, day(0), 2L, "view", 1.0, "{}"), (4L, day(10), 2L, "view", 1.0, "{}")))
+    val out = Events.kaplanMeier(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.toSeq shouldBe Seq((10L, 1L, 1L, 0.0))
+  }
+
   test("kaplan-meier: an all-active corpus has no observed deaths — empty curve, not a crash") {
     def day(d: Long): Long = d * 86400L * 1000000L
     val events = eventsDf(Seq(

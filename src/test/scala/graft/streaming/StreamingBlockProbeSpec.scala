@@ -69,6 +69,14 @@ class StreamingBlockProbeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("an empty payload carries zero blocks — no phantom h32(\"\") row on either face") {
+    val idx = Multimodal.buildBlockIndex(base)
+    // unguarded, Spark's sequence(0, ceil(0/32)-1) fabricates one block
+    // for the empty hex string while the oracle's range(0) is empty
+    Multimodal.probeBlocks(idx, docsDf(Seq(30L -> ""))).count() shouldBe 0L
+    Multimodal.buildBlockIndex(docsDf(Seq(1L -> ""))).count() shouldBe 0L
+  }
+
   test("registered split face == explicit index+probe composition (testdata)") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val isIncoming = org.apache.spark.sql.functions.col("doc_id") % graft.operators.Dedup.IncomingMod === 0

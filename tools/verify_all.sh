@@ -34,8 +34,10 @@ SPARK_GRAFT_CPUS=$VERIFY_CPUS sbt -batch \
   || { tail -20 "$WORK/verify.log"; echo "[verify_all] VERIFY DUMP FAILED"; exit 1; }
 python3 tools/oracle_check.py "$SF_VERIFY" "$WORK/verify_out" \
   > "$WORK/oracle.log" 2>&1 || true
-CORRECTNESS=$(grep -Eo '[0-9]+/[0-9]+ queries pass' "$WORK/oracle.log" | tail -1)
-PASS=${CORRECTNESS%%/*}; TOTAL_Q=$(echo "$CORRECTNESS" | grep -Eo '/[0-9]+' | tr -d /)
+# `|| true` on every extraction: under set -e/pipefail an empty grep
+# would abort the script before the diagnostic branch below can run
+CORRECTNESS=$(grep -Eo '[0-9]+/[0-9]+ queries pass' "$WORK/oracle.log" | tail -1 || true)
+PASS=${CORRECTNESS%%/*}; TOTAL_Q=$(echo "$CORRECTNESS" | grep -Eo '/[0-9]+' | tr -d / || true)
 if [ -z "$CORRECTNESS" ] || [ "$PASS" != "$TOTAL_Q" ]; then
   grep -E '^(FAIL|ERR)' "$WORK/oracle.log" | head -20 || true
   echo "[verify_all] ORACLE GATE FAILED: ${CORRECTNESS:-no tally}"; exit 1
@@ -46,7 +48,7 @@ echo "[verify_all] 3/4 sbt test"
 sbt -batch test > "$WORK/test.log" 2>&1 \
   || { grep -E 'TESTS FAILED|\*\*\* FAILED' "$WORK/test.log" | head -20; \
        echo "[verify_all] TEST GATE FAILED"; exit 1; }
-TESTS=$(grep -Eo 'Tests: succeeded [0-9]+, failed [0-9]+' "$WORK/test.log" | tail -1)
+TESTS=$(grep -Eo 'Tests: succeeded [0-9]+, failed [0-9]+' "$WORK/test.log" | tail -1 || true)
 echo "[verify_all]    $TESTS"
 
 echo "[verify_all] 4/4 bench at $SF_BENCH"
@@ -67,7 +69,7 @@ if [ ! -s "$BENCH_JSON" ] || ! grep -q '"errors":\[\]' "$BENCH_JSON"; then
   restore_bench; tail -20 "$WORK/bench.log"
   echo "[verify_all] BENCH GATE FAILED (errors in record)"; exit 1
 fi
-TOTAL_S=$(grep -Eo '"value":[0-9.]+' "$BENCH_JSON" | head -1 | cut -d: -f2)
+TOTAL_S=$(grep -Eo '"value":[0-9.]+' "$BENCH_JSON" | head -1 | cut -d: -f2 || true)
 echo "[verify_all]    total ${TOTAL_S}s"
 
 # ---- all gates green: publish atomically from the single run ----
