@@ -73,6 +73,53 @@ object Corpus {
         .otherwise(lit("kept")).as("reason"))
   }
 
+  /** Filter-ablation accounting over [[clean]]'s heuristic gate chain —
+    * the report a data team reads before touching a threshold: for each
+    * gate (duplicate → repetitive → low_quality, [[clean]]'s order), how
+    * many documents/tokens the gate flags ON ITS OWN (`n_flagged` — what
+    * removing every other gate would still drop) and how many it drops
+    * MARGINALLY at its pipeline position (`n_marginal` — [[clean]]'s
+    * first-reason attribution; marginal counts sum to exactly the
+    * pipeline's total drops). A gate whose marginal share is far below
+    * its alone share is shadowed by earlier gates — the redundancy
+    * signal [[metricCorr]] gives at the score grain, here at the
+    * decision grain. One row per gate:
+    * (stage, gate, n_flagged, tok_flagged, n_marginal, tok_marginal).
+    *
+    * 100 TB shape: the same digest-shuffle + per-doc-signal joins as
+    * [[clean]] (the gate predicates are shared by construction), then a
+    * 3-way per-document explode collapsing map-side into ≤3 rows — no
+    * second pass over the corpus per gate, no driver-side anything. */
+  def filterAblation(documents: DataFrame): DataFrame = {
+    val dr = Dedup.docReps(documents)
+    val q = TextAnalysis.quality(documents).select(col("doc_id"), col("quality_score"))
+    val rep = TextAnalysis.repetition(documents).select(col("doc_id"), col("repetitive"))
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val base = documents.select(col("doc_id"), nTok.as("n_tok"))
+      .join(dr, "doc_id").join(rep, "doc_id").join(q, "doc_id")
+      .select(col("n_tok"),
+        (col("doc_id") =!= col("rep")).as("is_dup"),
+        col("repetitive").as("is_rep"),
+        (col("quality_score") < QualityKeepThreshold).as("is_lowq"))
+    base
+      .select(col("n_tok"), explode(array(
+        struct(lit(1).as("stage"), lit("duplicate").as("gate"),
+          col("is_dup").as("flagged"), col("is_dup").as("marginal")),
+        struct(lit(2).as("stage"), lit("repetitive").as("gate"),
+          col("is_rep").as("flagged"),
+          (!col("is_dup") && col("is_rep")).as("marginal")),
+        struct(lit(3).as("stage"), lit("low_quality").as("gate"),
+          col("is_lowq").as("flagged"),
+          (!col("is_dup") && !col("is_rep") && col("is_lowq")).as("marginal"))))
+        .as("g"))
+      .groupBy(col("g.stage").as("stage"), col("g.gate").as("gate"))
+      .agg(
+        sum(when(col("g.flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("g.flagged"), col("n_tok")).otherwise(0L)).as("tok_flagged"),
+        sum(when(col("g.marginal"), 1L).otherwise(0L)).as("n_marginal"),
+        sum(when(col("g.marginal"), col("n_tok")).otherwise(0L)).as("tok_marginal"))
+  }
+
   /** The sampling hash: uniform in [0, 1000) per document, independent of
     * the strata, portable ([[Dedup.h32]] is md5-derived on both engines).
     * Salted so it is independent of every other hash in the engine. */
@@ -620,6 +667,41 @@ object Corpus {
       least(target / share, lit(MaxUpsample)).as("weight"))
   }
 
+  /** Temperature for [[temperatureMix]] — the α of p^α renormalized
+    * sampling (mC4/mT5 use α ≈ 0.3 for language balancing): α = 1 keeps
+    * the natural mix, α = 0 is uniform; 0.3 lifts long-tail sources
+    * without the starve-the-head failure of a uniform mix. */
+  val MixTemperature = 0.3
+
+  /** Temperature-scaled source mixing — the declared-target-free
+    * companion of [[mixPlan]]: where mixPlan needs a hand-tuned
+    * [[TargetMix]] per stratum, the temperature rule DERIVES the target
+    * from the corpus itself (q_s ∝ p_s^α, renormalized), which is how
+    * multilingual/multi-source pretraining mixes are actually set when
+    * no per-source eval exists. One row per source:
+    * (source, n_docs, n_tokens, token_share, temp_share, weight) with
+    * weight = temp_share / token_share (> 1 upsamples the tail).
+    *
+    * 100 TB shape: identical to [[mixPlan]] — one map-side-combined
+    * aggregation to ≤ #sources rows; the share/renormalization windows
+    * run over that driver-sized aggregate, never the corpus. */
+  def temperatureMix(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = documents
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val all = Window.partitionBy()
+    val share = col("n_tokens").cast("double") / sum("n_tokens").over(all)
+    val tempShare = col("p_alpha") / sum("p_alpha").over(all)
+    perSource
+      .withColumn("token_share", share)
+      .withColumn("p_alpha", pow(col("token_share"), lit(MixTemperature)))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("token_share"),
+        tempShare.as("temp_share"),
+        (tempShare / col("token_share")).as("weight"))
+  }
+
   /** Training-sequence token budget for [[packPlan]] (a real pipeline uses
     * the model context length, e.g. 2048/4096/8192). */
   val SeqTokenBudget = 256
@@ -782,6 +864,72 @@ object Corpus {
       avg("q").as("avg_quality"),
       sum("is_dup").as("n_exact_dups"),
       (sum("is_dup").cast("double") / count(lit(1))).as("dup_rate"))
+  }
+
+  /** Vocabulary cap for [[klDivergence]] — the distribution is modeled
+    * over the top-V corpus words so the per-source model is a bounded,
+    * broadcastable table at any corpus scale (the long tail folds into
+    * add-one smoothing mass). */
+  val KlVocabSize = 512
+
+  /** Per-source unigram KL divergence against the whole corpus — the
+    * distribution-shift diagnostic behind data-mixing decisions (the
+    * question DSIR answers per DOCUMENT, asked per SOURCE): for each
+    * source s, KL(P_s ‖ P_corpus) over the top-[[KlVocabSize]] corpus
+    * vocabulary with add-one smoothing (both sides normalized over the
+    * same V-word support, so KL ≥ 0 and a source that mirrors the corpus
+    * mix scores ≈ 0; an off-distribution source scores high — the
+    * candidates for reweighting or curriculum placement). One row per
+    * source: (source, vocab_tokens, n_vocab_present, kl_nats).
+    *
+    * Numerics: the present-word sum is taken TERM-WISE
+    * (p·(ln p − ln q), each term O(p)) rather than via the algebraic
+    * Σ(c+1)ln(c+1) decomposition — the decomposed aggregates are
+    * den-scaled and their difference cancels catastrophically past the
+    * oracle's 1e-9 tolerance; term-wise partial sums stay O(1). The
+    * absent-word mass is closed-form ((V−m)·a·ln a − a·(S_q − D),
+    * a = 1/(tot_s+V)), so NO dense source×vocab join ever forms.
+    *
+    * 100 TB shape: one token-grain map-side-combined (source, word)
+    * count, staged once for its three consumers; the vocabulary is a
+    * TakeOrdered top-V (per-partition heaps, no global sort) joined back
+    * by BROADCAST; everything after the count runs at ≤ #sources·V rows. */
+  def klDivergence(documents: DataFrame): DataFrame = {
+    val sw = graft.engine.Staging.stage(
+      Tables.spread(documents)
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("cnt_sw")))
+    val vocab = sw.groupBy("word").agg(sum("cnt_sw").as("cnt_w"))
+      .orderBy(col("cnt_w").desc, col("word").asc).limit(KlVocabSize)
+    // smoothing support is the ACTUAL vocabulary size n_v (≤ the cap):
+    // smoothing over the constant cap would leave both sides
+    // sub-normalized on a corpus narrower than V words and the KL could
+    // go negative — with n_v both p and q sum to exactly 1 over the
+    // vocabulary, so KL ≥ 0 always
+    val stats = vocab.agg(sum("cnt_w").as("tot_c"), count(lit(1)).as("n_v"))
+    val vq = vocab.crossJoin(broadcast(stats))
+      .select(col("word"),
+        log((col("cnt_w") + 1).cast("double")
+          / (col("tot_c") + col("n_v"))).as("ln_q"))
+    val sQ = vq.agg(sum("ln_q").as("s_q"))
+    val present = sw.join(broadcast(vq), "word")
+    val totals = present.groupBy("source")
+      .agg(sum("cnt_sw").as("tot_s"), count(lit(1)).as("m"))
+      .crossJoin(broadcast(stats.select(col("n_v"))))
+    val den = (col("tot_s") + col("n_v")).cast("double")
+    val p = (col("cnt_sw") + 1).cast("double") / col("den")
+    present.join(broadcast(totals), "source")
+      .withColumn("den", den)
+      .select(col("source"), col("tot_s"), col("m"), col("n_v"), col("den"),
+        (p * (log(p) - col("ln_q"))).as("t"), col("ln_q"))
+      .groupBy("source", "tot_s", "m", "n_v", "den")
+      .agg(sum("t").as("t_present"), sum("ln_q").as("d"))
+      .crossJoin(broadcast(sQ))
+      .select(col("source"), col("tot_s").as("vocab_tokens"),
+        col("m").as("n_vocab_present"),
+        (col("t_present")
+          - (col("n_v") - col("m")).cast("double") * log(col("den")) / col("den")
+          - (col("s_q") - col("d")) / col("den")).as("kl_nats"))
   }
 
   // ---- DSIR importance weights ---------------------------------------------
@@ -1097,6 +1245,9 @@ object Corpus {
     "corpus_pack_apply" -> ((s, d) => packApply(Tables.documents(s, d))),
     "corpus_chunk_plan" -> ((s, d) => chunkPlan(Tables.documents(s, d))),
     "corpus_mix_plan"   -> ((s, d) => mixPlan(Tables.documents(s, d))),
+    "corpus_temperature_mix" -> ((s, d) => temperatureMix(Tables.documents(s, d))),
+    "corpus_filter_ablation" -> ((s, d) => filterAblation(Tables.documents(s, d))),
+    "corpus_kl_divergence" -> ((s, d) => klDivergence(Tables.documents(s, d))),
     "corpus_mix_apply"  -> ((s, d) => mixApply(Tables.documents(s, d))),
     "corpus_mix_epochs" -> ((s, d) => mixEpochs(Tables.documents(s, d))),
     "corpus_dsir_weights" -> ((s, d) => dsirWeightsArtifact(s, d)),
@@ -1539,6 +1690,77 @@ object Corpus {
               .mkString("CASE ", " ", " ELSE CAST(0 AS DOUBLE) END")}) / token_share,
          |     $MaxUpsample) AS weight
          | FROM sh""".stripMargin,
+
+    "corpus_temperature_mix" ->
+      s"""WITH ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |     CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |   FROM documents GROUP BY source),
+         | sh AS (SELECT *, CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()
+         |     AS token_share FROM ps),
+         | pa AS (SELECT *, pow(token_share, $MixTemperature) AS p_alpha FROM sh)
+         | SELECT source, n_docs, n_tokens, token_share,
+         |   p_alpha / SUM(p_alpha) OVER () AS temp_share,
+         |   (p_alpha / SUM(p_alpha) OVER ()) / token_share AS weight
+         | FROM pa""".stripMargin,
+
+    "corpus_filter_ablation" ->
+      s"""WITH k AS (SELECT md5(text) AS sha, MIN(doc_id) AS keeper
+         |   FROM documents GROUP BY md5(text)),
+         | ${TextAnalysis.qualityScoreSqlWith},
+         | ${TextAnalysis.repetitionSqlWith},
+         | f AS (SELECT CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+         |     (d.doc_id <> k.keeper) AS is_dup, rr.repetitive AS is_rep,
+         |     (sc.quality_score < $QualityKeepThreshold) AS is_lowq
+         |   FROM documents d
+         |   JOIN k ON md5(d.text) = k.sha
+         |   JOIN qscore sc ON sc.doc_id = d.doc_id
+         |   JOIN rrep rr ON rr.doc_id = d.doc_id),
+         | s AS (SELECT
+         |   CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_n,
+         |   CAST(SUM(CASE WHEN is_dup THEN n_tok ELSE 0 END) AS BIGINT) AS dup_t,
+         |   CAST(SUM(CASE WHEN is_rep THEN 1 ELSE 0 END) AS BIGINT) AS rep_n,
+         |   CAST(SUM(CASE WHEN is_rep THEN n_tok ELSE 0 END) AS BIGINT) AS rep_t,
+         |   CAST(SUM(CASE WHEN NOT is_dup AND is_rep THEN 1 ELSE 0 END) AS BIGINT) AS repm_n,
+         |   CAST(SUM(CASE WHEN NOT is_dup AND is_rep THEN n_tok ELSE 0 END) AS BIGINT) AS repm_t,
+         |   CAST(SUM(CASE WHEN is_lowq THEN 1 ELSE 0 END) AS BIGINT) AS lq_n,
+         |   CAST(SUM(CASE WHEN is_lowq THEN n_tok ELSE 0 END) AS BIGINT) AS lq_t,
+         |   CAST(SUM(CASE WHEN NOT is_dup AND NOT is_rep AND is_lowq THEN 1 ELSE 0 END) AS BIGINT) AS lqm_n,
+         |   CAST(SUM(CASE WHEN NOT is_dup AND NOT is_rep AND is_lowq THEN n_tok ELSE 0 END) AS BIGINT) AS lqm_t
+         |   FROM f)
+         | SELECT 1 AS stage, 'duplicate' AS gate, dup_n AS n_flagged,
+         |   dup_t AS tok_flagged, dup_n AS n_marginal, dup_t AS tok_marginal FROM s
+         | UNION ALL SELECT 2, 'repetitive', rep_n, rep_t, repm_n, repm_t FROM s
+         | UNION ALL SELECT 3, 'low_quality', lq_n, lq_t, lqm_n, lqm_t FROM s""".stripMargin,
+
+    "corpus_kl_divergence" ->
+      s"""WITH tk AS (SELECT source, unnest(string_split(lower(text), ' ')) AS word
+         |   FROM documents),
+         | sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt_sw
+         |   FROM tk GROUP BY 1, 2),
+         | v AS (SELECT word, CAST(SUM(cnt_sw) AS BIGINT) AS cnt_w FROM sw GROUP BY 1
+         |   ORDER BY cnt_w DESC, word ASC LIMIT $KlVocabSize),
+         | vt AS (SELECT CAST(SUM(cnt_w) AS BIGINT) AS tot_c,
+         |     CAST(COUNT(*) AS BIGINT) AS n_v FROM v),
+         | vq AS (SELECT word, ln(CAST(cnt_w + 1 AS DOUBLE) / (tot_c + n_v))
+         |     AS ln_q FROM v CROSS JOIN vt),
+         | sq AS (SELECT SUM(ln_q) AS s_q FROM vq),
+         | tot AS (SELECT source, CAST(SUM(cnt_sw) AS BIGINT) AS tot_s,
+         |     CAST(COUNT(*) AS BIGINT) AS m, vt.n_v
+         |   FROM sw JOIN vq USING (word) CROSS JOIN vt GROUP BY source, vt.n_v),
+         | term AS (SELECT p.source, t.tot_s, t.m, t.n_v,
+         |     CAST(t.tot_s + t.n_v AS DOUBLE) AS den,
+         |     (CAST(p.cnt_sw + 1 AS DOUBLE) / CAST(t.tot_s + t.n_v AS DOUBLE))
+         |       * (ln(CAST(p.cnt_sw + 1 AS DOUBLE)
+         |           / CAST(t.tot_s + t.n_v AS DOUBLE)) - vq.ln_q) AS t_term,
+         |     vq.ln_q
+         |   FROM sw p JOIN vq USING (word) JOIN tot t ON t.source = p.source),
+         | agg AS (SELECT source, tot_s, m, n_v, den, SUM(t_term) AS t_present,
+         |     SUM(ln_q) AS d
+         |   FROM term GROUP BY source, tot_s, m, n_v, den)
+         | SELECT source, tot_s AS vocab_tokens, m AS n_vocab_present,
+         |   t_present - CAST(n_v - m AS DOUBLE) * ln(den) / den
+         |     - (s_q - d) / den AS kl_nats
+         | FROM agg CROSS JOIN sq""".stripMargin,
 
     "corpus_mix_apply" ->
       s"""WITH pl AS (SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)

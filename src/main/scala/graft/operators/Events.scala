@@ -330,6 +330,60 @@ object Events {
         (col("n_active").cast("double") / col("cohort_size")).as("retention"))
   }
 
+  /** Daily growth accounting — the standard DAU decomposition every
+    * growth dashboard carries (the flow view of [[retention]]'s cohort
+    * stock view): for each day, how many active users are NEW (first
+    * observed day), RETAINED (also active the previous day), or
+    * RESURRECTED (returning after a gap ≥ 2 days), plus how many
+    * CHURNED into the day (active the previous day but not this one —
+    * attributed to the first inactive day). new + retained +
+    * resurrected = the day's DAU, and every churn is later cancelled by
+    * a resurrection or stands at corpus end; churn is censored at the
+    * last observed day (nobody can churn past the observation window).
+    * Output: (day, n_new, n_retained, n_resurrected, n_churned).
+    *
+    * 100 TB shape: ONE hash(user) exchange — the per-user distinct
+    * active days collapse map-side into a bounded sorted array (≤ the
+    * observation window's day count), classification and churn emission
+    * are per-row array ops, and the day rollup is a map-side-combined
+    * sum over ≤ 2 emitted rows per user-day. The corpus-end bound is a
+    * 1-row broadcast. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val lastDay = events.agg(expr(s"max(ts div $UsPerDay)").as("last_day"))
+    val perUser = events
+      .select(col("user_id"), expr(s"ts div $UsPerDay").as("day"))
+      .groupBy("user_id")
+      .agg(sort_array(array_distinct(collect_list("day"))).as("days"))
+      .crossJoin(broadcast(lastDay))
+    val ex = perUser
+      .select(posexplode(col("days")).as(Seq("i", "day")),
+        col("days"), col("last_day"))
+      // element_at is 1-based, i is the 0-based position: element_at(days,
+      // i) is the PREVIOUS active day, element_at(days, i + 2) the NEXT —
+      // both guarded so the 1-based bounds are never violated
+      .withColumn("prev",
+        when(col("i") > 0, element_at(col("days"), col("i"))))
+      .withColumn("nxt",
+        when(col("i") < size(col("days")) - 1,
+          element_at(col("days"), col("i") + 2)))
+    ex.select(explode(array(
+        struct(col("day").as("day"),
+          when(col("prev").isNull, lit("new"))
+            .when(col("prev") === col("day") - 1, lit("retained"))
+            .otherwise(lit("resurrected")).as("kind")),
+        struct((col("day") + 1).as("day"),
+          when(col("day") < col("last_day") &&
+              (col("nxt").isNull || col("nxt") > col("day") + 1),
+            lit("churned")).as("kind")))).as("r"))
+      .where(col("r.kind").isNotNull)
+      .groupBy(col("r.day").as("day"))
+      .agg(
+        sum(when(col("r.kind") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("r.kind") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("r.kind") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"),
+        sum(when(col("r.kind") === "churned", 1L).otherwise(0L)).as("n_churned"))
+  }
+
   /** Time-to-convert — the latency companion of [[funnel]]: per user with
     * any 'view', the first view, the first strictly-later 'purchase', and
     * the lag between them in seconds (null lag / converted=false when the
@@ -547,7 +601,7 @@ object Events {
       .otherwise(0L)
     events.crossJoin(broadcast(bounds))
       .where(col("ts") <= cap)
-      .select(events.columns.map(col): _*)
+      .select(events.columns.toIndexedSeq.map(col): _*)
   }
 
   def churnProbe(events: DataFrame): DataFrame =
@@ -1338,6 +1392,7 @@ object Events {
     "events_wau"             -> ((s, d) => rollingActives(Tables.events(s, d))),
     "events_conversion_lag"  -> ((s, d) => conversionLag(Tables.events(s, d))),
     "events_retention"       -> ((s, d) => retention(Tables.events(s, d))),
+    "events_growth_accounting" -> ((s, d) => growthAccounting(Tables.events(s, d))),
     "events_sessionize"    -> ((s, d) => sessionize(Tables.events(s, d))),
     "events_session_stats" -> ((s, d) => sessionStats(Tables.events(s, d))),
     "events_session_funnel" -> ((s, d) => sessionFunnel(Tables.events(s, d))),
@@ -1520,6 +1575,29 @@ object Events {
          |   CAST(s.cohort_size AS BIGINT) AS cohort_size,
          |   CAST(a.n_active AS DOUBLE) / s.cohort_size AS retention
          | FROM act a JOIN sizes s USING (cohort_day)""".stripMargin,
+
+    "events_growth_accounting" ->
+      s"""WITH d AS (SELECT DISTINCT user_id,
+         |     epoch_us(ts) // ${UsPerDay}::BIGINT AS day FROM events),
+         | b AS (SELECT MAX(epoch_us(ts)) // ${UsPerDay}::BIGINT AS last_day
+         |   FROM events),
+         | x AS (SELECT user_id, day,
+         |     LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+         |     LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+         |   FROM d),
+         | r AS (
+         |   SELECT day, CASE WHEN prev IS NULL THEN 'new'
+         |     WHEN prev = day - 1 THEN 'retained'
+         |     ELSE 'resurrected' END AS kind FROM x
+         |   UNION ALL
+         |   SELECT day + 1, 'churned' FROM x CROSS JOIN b
+         |   WHERE day < last_day AND (nxt IS NULL OR nxt > day + 1))
+         | SELECT day,
+         |   CAST(SUM(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         |   CAST(SUM(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+         |   CAST(SUM(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+         |   CAST(SUM(CASE WHEN kind = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+         | FROM r GROUP BY day""".stripMargin,
 
     "events_conversion_lag" -> conversionLagSql(""),
 

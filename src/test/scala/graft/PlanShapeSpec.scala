@@ -973,4 +973,38 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "CartesianProduct"
     p should not include "Window"               // best + runner-up from one fold
   }
+
+  test("corpus_temperature_mix: one corpus shuffle to ≤#sources rows; windows run over the tiny aggregate") {
+    val p = planOf("corpus_temperature_mix")
+    countOf(p, "Exchange hashpartitioning") shouldBe 1 // the per-source two-phase agg
+    p should include("Window")                  // renormalization over the aggregate
+    p should not include "Join"                 // no join of any kind
+    p should not include "Exchange rangepartitioning"
+  }
+
+  test("corpus_filter_ablation: clean's digest shuffle + broadcast signal joins, one generate, two-phase rollup") {
+    val p = planOf("corpus_filter_ablation")
+    p should not include "CartesianProduct"
+    p should not include "SortMergeJoin"        // every per-doc signal broadcasts
+    p should include("Generate")                // the 3-gate explode
+    p should not include "Window"
+  }
+
+  test("corpus_kl_divergence: vocab is TakeOrdered and broadcasts; the corpus count shuffles once, never the terms") {
+    val p = planOf("corpus_kl_divergence")
+    p should include("TakeOrderedAndProject")   // top-V vocab, no global sort
+    p should include("BroadcastHashJoin")       // vocab + per-source totals attach
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    p should not include "Exchange rangepartitioning"
+  }
+
+  test("events_growth_accounting: user collapse + day rollup are the only corpus shuffles; no window, no sort") {
+    val p = planOf("events_growth_accounting")
+    countOf(p, "Exchange hashpartitioning") shouldBe 2
+    p should include("ObjectHashAggregate")     // per-user day-array collapse
+    p should not include "Window"               // lag/lead ride the sorted array
+    p should not include "SortMergeJoin"
+    p should not include "Exchange rangepartitioning"
+  }
 }

@@ -181,6 +181,88 @@ class CorpusSpec extends SparkSpec {
     zh.getDouble(5) shouldBe Corpus.MaxUpsample
   }
 
+  test("temperature mix: α ∈ (0,1) flattens toward uniform — head damped, tail lifted, shares renormalize") {
+    val sp = spark; import sp.implicits._
+    // web: 900 docs × 10 tokens (90%); niche: 100 × 10 (10%)
+    val docs = ((0 until 900).map(i => (i.toLong, "a b c d e f g h i j", "en", "web")) ++
+      (900 until 1000).map(i => (i.toLong, "a b c d e f g h i j", "en", "niche")))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Corpus.temperatureMix(docs).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    out.values.map(_._1).sum shouldBe 1.0 +- 1e-12
+    out.values.map(_._2).sum shouldBe 1.0 +- 1e-12
+    val a = Corpus.MixTemperature
+    val (pw, pn) = (0.9, 0.1)
+    val z = math.pow(pw, a) + math.pow(pn, a)
+    out("web")._2 shouldBe (math.pow(pw, a) / z) +- 1e-12
+    out("niche")._2 shouldBe (math.pow(pn, a) / z) +- 1e-12
+    out("web")._3 should be < 1.0     // head downweighted
+    out("niche")._3 should be > 1.0   // tail upweighted
+    // temp share still orders by size: flattened, not inverted
+    out("web")._2 should be > out("niche")._2
+  }
+
+  test("temperature mix: a balanced corpus is a fixed point (weight 1 everywhere)") {
+    val sp = spark; import sp.implicits._
+    val docs = (0 until 400).map(i =>
+      (i.toLong, "a b c d", "en", if (i % 2 == 0) "s1" else "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Corpus.temperatureMix(docs).collect()
+    out.foreach(r => r.getDouble(5) shouldBe 1.0 +- 1e-12)
+  }
+
+  test("filter ablation: alone vs marginal attribution, and marginal sums equal clean's drops") {
+    val sp = spark; import sp.implicits._
+    // doc 1: clean keeper; doc 2: exact dup of 1 AND low quality (dup wins
+    // marginally); doc 3: repetitive; doc 4: low quality only
+    val docs = Seq(
+      (1L, good, "en", "web"), (2L, good, "en", "web"),
+      (3L, loopy, "en", "web"), (4L, bad, "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Corpus.filterAblation(docs).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(4)))).toMap
+    out("duplicate") shouldBe ((1L, 1L))          // doc 2, alone == marginal
+    out("repetitive") shouldBe ((1L, 1L))         // doc 3
+    // doc 2 (dup+lowq) and doc 4 flagged alone; only doc 4 survives to the gate
+    out("low_quality") shouldBe ((2L, 1L))
+    // marginal attribution == clean's first-reason ledger, total drops agree
+    val dropped = Corpus.clean(docs).where(!org.apache.spark.sql.functions.col("keep")).count()
+    out.values.map(_._2).sum shouldBe dropped
+  }
+
+  test("kl divergence: a corpus-mirroring source scores near zero, a skewed source far above it") {
+    val sp = spark; import sp.implicits._
+    val common = "the of and to a in is it you that"
+    // mirror: two sources with identical token distributions;
+    // skew: a third source speaking a disjoint vocabulary
+    val docs = ((0 until 50).map(i => (i.toLong, common, "en", "s1")) ++
+      (50 until 100).map(i => (i.toLong, common, "en", "s2")) ++
+      (100 until 110).map(i => (i.toLong, "zx qv wk jm", "en", "skew")))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Corpus.klDivergence(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // smoothing keeps the mirrored sources slightly above exact zero
+    out("s1")._3 should (be >= 0.0 and be < 0.05)
+    out("s2")._3 shouldBe out("s1")._3 +- 1e-12   // identical sources, identical score
+    out("skew")._3 should be > 1.0                // disjoint vocabulary
+    out("s1")._1 shouldBe 500L                    // 50 docs × 10 vocab tokens
+    out("skew")._2 shouldBe 4L                    // 4 vocab words present
+  }
+
+  test("kl divergence: the vocabulary cap bounds the model (absent-mass closed form still sums to a distribution)") {
+    val sp = spark; import sp.implicits._
+    // vocabulary wider than the cap: 600 distinct words, each once, plus a
+    // head word that dominates so the cap keeps deterministic winners
+    val wide = (0 until 600).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, wide, "en", "s1"), (2L, "head head head head", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Corpus.klDivergence(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // s1 presents at most V vocab words even though it speaks 600
+    out("s1")._1 should be <= Corpus.KlVocabSize.toLong
+    out.values.foreach(_._2 should be >= 0.0)     // KL is non-negative
+  }
+
   test("pack plan: concat-and-chunk invariants hold per shard") {
     val sp = spark; import sp.implicits._
     // 10 tokens per doc, budget 256: within a shard, doc i starts at 10*i

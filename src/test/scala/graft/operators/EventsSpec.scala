@@ -49,6 +49,38 @@ class EventsSpec extends SparkSpec {
     out.size shouldBe 5
   }
 
+  test("growth accounting: new/retained/resurrected classify active days; churn lands on the first silent day, censored at corpus end") {
+    def dus(day: Long): Long = day * 86400L * 1000000L
+    // user 1 active days 0,1,3; user 2 active day 1 only; last day = 3
+    val out = Events.growthAccounting(eventsDf(Seq(
+      (1L, dus(0), 1L, "view", 0.0, "{}"),
+      (2L, dus(1), 1L, "view", 0.0, "{}"),
+      (3L, dus(3), 1L, "view", 0.0, "{}"),
+      (4L, dus(1), 2L, "view", 0.0, "{}"))))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    out(0L) shouldBe ((1L, 0L, 0L, 0L))  // u1 first seen
+    out(1L) shouldBe ((1L, 1L, 0L, 0L))  // u2 new, u1 retained
+    out(2L) shouldBe ((0L, 0L, 0L, 2L))  // both silent on day 2: churn flow
+    out(3L) shouldBe ((0L, 0L, 1L, 0L))  // u1 returns after the gap; no churn
+    out.size shouldBe 4                  //   past the last observed day
+  }
+
+  test("growth accounting: DAU identity — new + retained + resurrected equals the day's distinct actives") {
+    def dus(day: Long): Long = day * 86400L * 1000000L
+    val evs = (0L until 60L).map(i =>
+      (i, dus(i % 7), i % 5, "view", 0.0, "{}"))
+    val out = Events.growthAccounting(eventsDf(evs)).collect()
+    val dau = eventsDf(evs).select(
+        org.apache.spark.sql.functions.expr("ts div 86400000000").as("day"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .distinct().groupBy("day").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      (r.getLong(1) + r.getLong(2) + r.getLong(3)) shouldBe dau.getOrElse(r.getLong(0), 0L)
+    }
+  }
+
   test("session stats: counts, errors, value mass, duration from the session span") {
     val out = Events.sessionStats(eventsDf(Seq(
       (1L, us(0), 7L, "view", 1.5, "{}"),
