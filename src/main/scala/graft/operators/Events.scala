@@ -288,8 +288,10 @@ object Events {
         col("q").getItem(1).as("p95"),
         col("q").getItem(2).as("p99"))
 
-  /** Microseconds per day (for the portable integer day index). */
-  private val UsPerDay = 86400L * 1000L * 1000L
+  /** Microseconds per day (for the portable integer day index). Shared
+    * with the streaming faces so the day grain cannot drift between
+    * batch and stream. */
+  private[graft] val UsPerDay = 86400L * 1000L * 1000L
 
   /** Daily × event-type counts with ROLLUP subtotals — the
     * multi-dimensional aggregation surface (per (day, type), per day, and

@@ -54,6 +54,37 @@ class CrossOpInvariantSpec extends SparkSpec {
     }
   }
 
+  test("growth accounting flows reconcile with wau's stock and retention's cohorts") {
+    val growth = Events.growthAccounting(events).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // flow identity: new + retained + resurrected == the day's DAU (the
+    // same distinct (user, day) grain wau and retention stand on)
+    val dau = events
+      .select(col("user_id"), expr("ts div 86400000000").as("day"))
+      .distinct().groupBy("day").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    growth.foreach { case (day, (nw, re, rs, _)) =>
+      (nw + re + rs) shouldBe dau.getOrElse(day, 0L)
+    }
+    // stock identity: total news == the user population, and each day's
+    // news == retention's cohort size for that cohort day
+    val cohorts = Events.retention(events).collect()
+      .filter(r => r.getLong(1) == 0L)
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    growth.collect { case (d, (nw, _, _, _)) if nw > 0 => d -> nw } shouldBe cohorts
+    growth.values.map(_._1).sum shouldBe events.select("user_id").distinct().count()
+    // conservation: every churn ends one activity SPELL, and spells open
+    // as news or resurrections (a user can churn repeatedly) — cumulative
+    // churn through day D never exceeds cumulative spell-opens before D
+    val days = growth.keys.toSeq.sorted
+    days.foreach { d =>
+      val churnTo = days.filter(_ <= d).map(growth(_)._4).sum
+      val opensBefore = days.filter(_ < d).map(g => growth(g)._1 + growth(g)._3).sum
+      churnTo should be <= opensBefore
+    }
+  }
+
   test("asof click agrees with attribution's latest in-horizon pair") {
     // for every purchase whose attribution pairs are non-empty, the as-of
     // value must equal the latest-click pair's value whenever the as-of
