@@ -894,11 +894,17 @@ object Corpus {
     * count, staged once for its three consumers; the vocabulary is a
     * TakeOrdered top-V (per-partition heaps, no global sort) joined back
     * by BROADCAST; everything after the count runs at ≤ #sources·V rows. */
-  def klDivergence(documents: DataFrame): DataFrame = {
-    val sw = graft.engine.Staging.stage(
-      Tables.spread(documents)
-        .select(col("source"), explode(split(lower(col("text")), " ")).as("word"))
-        .groupBy("source", "word").agg(count(lit(1)).as("cnt_sw")))
+  /** The (source, word) count grain every KL face opens with. */
+  private def klCounts(documents: DataFrame): DataFrame =
+    Tables.spread(documents)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt_sw"))
+
+  /** The frozen reference model: top-V vocabulary with smoothed
+    * log-probabilities plus the model constants repeated per row
+    * (word, ln_q, n_v, s_q) — one broadcastable V-row frame, the
+    * train-offline artifact the probe and streaming faces score against. */
+  def klModelFromCounts(sw: DataFrame): DataFrame = {
     val vocab = sw.groupBy("word").agg(sum("cnt_sw").as("cnt_w"))
       .orderBy(col("cnt_w").desc, col("word").asc).limit(KlVocabSize)
     // smoothing support is the ACTUAL vocabulary size n_v (≤ the cap):
@@ -910,26 +916,72 @@ object Corpus {
     val vq = vocab.crossJoin(broadcast(stats))
       .select(col("word"),
         log((col("cnt_w") + 1).cast("double")
-          / (col("tot_c") + col("n_v"))).as("ln_q"))
-    val sQ = vq.agg(sum("ln_q").as("s_q"))
-    val present = sw.join(broadcast(vq), "word")
+          / (col("tot_c") + col("n_v"))).as("ln_q"), col("n_v"))
+    vq.crossJoin(broadcast(vq.agg(sum("ln_q").as("s_q"))))
+  }
+
+  /** Score a (source, word) count frame against a frozen model — the
+    * shared leg of the registered, probe, and streaming faces. */
+  def klScoreFromCounts(model: DataFrame, sw: DataFrame): DataFrame = {
+    val present = sw.join(broadcast(model), "word")
     val totals = present.groupBy("source")
-      .agg(sum("cnt_sw").as("tot_s"), count(lit(1)).as("m"))
-      .crossJoin(broadcast(stats.select(col("n_v"))))
+      .agg(sum("cnt_sw").as("tot_s"), count(lit(1)).as("m"),
+        max("n_v").as("n_v"), max("s_q").as("s_q"))
     val den = (col("tot_s") + col("n_v")).cast("double")
     val p = (col("cnt_sw") + 1).cast("double") / col("den")
-    present.join(broadcast(totals), "source")
+    present.select(col("source"), col("cnt_sw"), col("ln_q"))
+      .join(broadcast(totals), "source")
       .withColumn("den", den)
-      .select(col("source"), col("tot_s"), col("m"), col("n_v"), col("den"),
-        (p * (log(p) - col("ln_q"))).as("t"), col("ln_q"))
-      .groupBy("source", "tot_s", "m", "n_v", "den")
+      .select(col("source"), col("tot_s"), col("m"), col("n_v"), col("s_q"),
+        col("den"), (p * (log(p) - col("ln_q"))).as("t"), col("ln_q"))
+      .groupBy("source", "tot_s", "m", "n_v", "s_q", "den")
       .agg(sum("t").as("t_present"), sum("ln_q").as("d"))
-      .crossJoin(broadcast(sQ))
       .select(col("source"), col("tot_s").as("vocab_tokens"),
         col("m").as("n_vocab_present"),
         (col("t_present")
           - (col("n_v") - col("m")).cast("double") * log(col("den")) / col("den")
           - (col("s_q") - col("d")) / col("den")).as("kl_nats"))
+  }
+
+  /** The streaming face's scoring entry: arriving documents against the
+    * frozen model ([[graft.streaming.StreamingKl]] calls this per
+    * micro-batch, so a streamed document scores exactly like the batch
+    * probe). */
+  def klScoreAgainst(model: DataFrame, documents: DataFrame): DataFrame =
+    klScoreFromCounts(model, klCounts(documents))
+
+  /** Train the frozen reference model on a corpus snapshot. */
+  def klModelOf(documents: DataFrame): DataFrame =
+    klModelFromCounts(klCounts(documents))
+
+  def klDivergence(documents: DataFrame): DataFrame = {
+    val sw = graft.engine.Staging.stage(klCounts(documents))
+    klScoreFromCounts(klModelFromCounts(sw), sw)
+  }
+
+  /** Distribution-drift probe — the train-offline / score-online split
+    * of [[klDivergence]] (the [[dsirProbe]] / novelty-probe convention):
+    * the reference model freezes on the RESIDENT corpus
+    * (doc_id % [[Dedup.IncomingMod]] ≠ 0) and the INCOMING slice scores
+    * against it per source — the monitor that catches a crawl whose
+    * token distribution is drifting away from the corpus it is about to
+    * join, BEFORE it is admitted. Same output grain as the registered
+    * query; [[graft.streaming.StreamingKl]] runs the identical scoring
+    * per micro-batch. Read BOTH columns: kl_nats alarms on within-vocab
+    * distribution shift; OUT-of-vocabulary drift is invisible to a
+    * vocab-capped KL by construction and alarms as `vocab_tokens`
+    * collapsing against the slice's raw token count (pinned in
+    * `StreamingKlSpec`).
+    *
+    * 100 TB shape: the model is a once-built broadcastable V-row
+    * artifact; per-probe cost is one map-side-combined count of the
+    * incoming slice plus broadcast joins — O(incoming), independent of
+    * corpus size. */
+  def klProbe(documents: DataFrame): DataFrame = {
+    val isIncoming = col("doc_id") % Dedup.IncomingMod === 0
+    klScoreFromCounts(
+      klModelFromCounts(klCounts(documents.where(!isIncoming))),
+      klCounts(documents.where(isIncoming)))
   }
 
   // ---- DSIR importance weights ---------------------------------------------
@@ -1248,6 +1300,7 @@ object Corpus {
     "corpus_temperature_mix" -> ((s, d) => temperatureMix(Tables.documents(s, d))),
     "corpus_filter_ablation" -> ((s, d) => filterAblation(Tables.documents(s, d))),
     "corpus_kl_divergence" -> ((s, d) => klDivergence(Tables.documents(s, d))),
+    "corpus_kl_probe" -> ((s, d) => klProbe(Tables.documents(s, d))),
     "corpus_mix_apply"  -> ((s, d) => mixApply(Tables.documents(s, d))),
     "corpus_mix_epochs" -> ((s, d) => mixEpochs(Tables.documents(s, d))),
     "corpus_dsir_weights" -> ((s, d) => dsirWeightsArtifact(s, d)),
@@ -1260,6 +1313,46 @@ object Corpus {
         Tables.documents(s, d)))),
     "corpus_e2e"        -> ((s, d) => endToEnd(Tables.documents(s, d))),
   )
+
+  /** SQL mirror of the KL faces, parameterized by the model slice and
+    * the scored slice — ONE text for the registered query (both slices
+    * the whole corpus) and the drift probe (resident model, incoming
+    * scored), so the model and scoring formulas cannot drift between
+    * faces. Mirrors [[klModelFromCounts]] (v/vt/vq/sq) and
+    * [[klScoreFromCounts]] (tot/term/agg) exactly. */
+  private def klOracleSql(baseWhere: String, scoreWhere: String): String =
+    s"""WITH tkb AS (SELECT source, unnest(string_split(lower(text), ' ')) AS word
+       |   FROM documents$baseWhere),
+       | swb AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt_sw
+       |   FROM tkb GROUP BY 1, 2),
+       | v AS (SELECT word, CAST(SUM(cnt_sw) AS BIGINT) AS cnt_w FROM swb GROUP BY 1
+       |   ORDER BY cnt_w DESC, word ASC LIMIT $KlVocabSize),
+       | vt AS (SELECT CAST(SUM(cnt_w) AS BIGINT) AS tot_c,
+       |     CAST(COUNT(*) AS BIGINT) AS n_v FROM v),
+       | vq AS (SELECT word, ln(CAST(cnt_w + 1 AS DOUBLE) / (tot_c + n_v))
+       |     AS ln_q FROM v CROSS JOIN vt),
+       | sq AS (SELECT SUM(ln_q) AS s_q FROM vq),
+       | tks AS (SELECT source, unnest(string_split(lower(text), ' ')) AS word
+       |   FROM documents$scoreWhere),
+       | sws AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt_sw
+       |   FROM tks GROUP BY 1, 2),
+       | tot AS (SELECT source, CAST(SUM(cnt_sw) AS BIGINT) AS tot_s,
+       |     CAST(COUNT(*) AS BIGINT) AS m, vt.n_v
+       |   FROM sws JOIN vq USING (word) CROSS JOIN vt GROUP BY source, vt.n_v),
+       | term AS (SELECT p.source, t.tot_s, t.m, t.n_v,
+       |     CAST(t.tot_s + t.n_v AS DOUBLE) AS den,
+       |     (CAST(p.cnt_sw + 1 AS DOUBLE) / CAST(t.tot_s + t.n_v AS DOUBLE))
+       |       * (ln(CAST(p.cnt_sw + 1 AS DOUBLE)
+       |           / CAST(t.tot_s + t.n_v AS DOUBLE)) - vq.ln_q) AS t_term,
+       |     vq.ln_q
+       |   FROM sws p JOIN vq USING (word) JOIN tot t ON t.source = p.source),
+       | agg AS (SELECT source, tot_s, m, n_v, den, SUM(t_term) AS t_present,
+       |     SUM(ln_q) AS d
+       |   FROM term GROUP BY source, tot_s, m, n_v, den)
+       | SELECT source, tot_s AS vocab_tokens, m AS n_vocab_present,
+       |   t_present - CAST(n_v - m AS DOUBLE) * ln(den) / den
+       |     - (s_q - d) / den AS kl_nats
+       | FROM agg CROSS JOIN sq""".stripMargin
 
   /** SQL mirror of [[dsirWeightsBy]] with the target slice spelled as a
     * WHERE predicate — shared by the registered and probe oracles so the
@@ -1732,35 +1825,11 @@ object Corpus {
          | UNION ALL SELECT 2, 'repetitive', rep_n, rep_t, repm_n, repm_t FROM s
          | UNION ALL SELECT 3, 'low_quality', lq_n, lq_t, lqm_n, lqm_t FROM s""".stripMargin,
 
-    "corpus_kl_divergence" ->
-      s"""WITH tk AS (SELECT source, unnest(string_split(lower(text), ' ')) AS word
-         |   FROM documents),
-         | sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt_sw
-         |   FROM tk GROUP BY 1, 2),
-         | v AS (SELECT word, CAST(SUM(cnt_sw) AS BIGINT) AS cnt_w FROM sw GROUP BY 1
-         |   ORDER BY cnt_w DESC, word ASC LIMIT $KlVocabSize),
-         | vt AS (SELECT CAST(SUM(cnt_w) AS BIGINT) AS tot_c,
-         |     CAST(COUNT(*) AS BIGINT) AS n_v FROM v),
-         | vq AS (SELECT word, ln(CAST(cnt_w + 1 AS DOUBLE) / (tot_c + n_v))
-         |     AS ln_q FROM v CROSS JOIN vt),
-         | sq AS (SELECT SUM(ln_q) AS s_q FROM vq),
-         | tot AS (SELECT source, CAST(SUM(cnt_sw) AS BIGINT) AS tot_s,
-         |     CAST(COUNT(*) AS BIGINT) AS m, vt.n_v
-         |   FROM sw JOIN vq USING (word) CROSS JOIN vt GROUP BY source, vt.n_v),
-         | term AS (SELECT p.source, t.tot_s, t.m, t.n_v,
-         |     CAST(t.tot_s + t.n_v AS DOUBLE) AS den,
-         |     (CAST(p.cnt_sw + 1 AS DOUBLE) / CAST(t.tot_s + t.n_v AS DOUBLE))
-         |       * (ln(CAST(p.cnt_sw + 1 AS DOUBLE)
-         |           / CAST(t.tot_s + t.n_v AS DOUBLE)) - vq.ln_q) AS t_term,
-         |     vq.ln_q
-         |   FROM sw p JOIN vq USING (word) JOIN tot t ON t.source = p.source),
-         | agg AS (SELECT source, tot_s, m, n_v, den, SUM(t_term) AS t_present,
-         |     SUM(ln_q) AS d
-         |   FROM term GROUP BY source, tot_s, m, n_v, den)
-         | SELECT source, tot_s AS vocab_tokens, m AS n_vocab_present,
-         |   t_present - CAST(n_v - m AS DOUBLE) * ln(den) / den
-         |     - (s_q - d) / den AS kl_nats
-         | FROM agg CROSS JOIN sq""".stripMargin,
+    "corpus_kl_divergence" -> klOracleSql("", ""),
+
+    "corpus_kl_probe" -> klOracleSql(
+      s" WHERE doc_id % ${Dedup.IncomingMod} <> 0",
+      s" WHERE doc_id % ${Dedup.IncomingMod} = 0"),
 
     "corpus_mix_apply" ->
       s"""WITH pl AS (SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)

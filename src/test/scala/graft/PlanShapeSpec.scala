@@ -999,6 +999,15 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
   }
 
+  test("corpus_kl_probe: frozen model broadcasts; the incoming slice never shuffles past its own count") {
+    val p = planOf("corpus_kl_probe")
+    p should include("TakeOrderedAndProject")   // model vocab, no global sort
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    p should not include "Exchange rangepartitioning"
+  }
+
   test("events_growth_accounting: user collapse + day rollup are the only corpus shuffles; no window, no sort") {
     val p = planOf("events_growth_accounting")
     countOf(p, "Exchange hashpartitioning") shouldBe 2
