@@ -442,11 +442,13 @@ object Events {
       .select(col("event_type"), expr(s"ts div $UsPerDay").as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("n_events"))
 
-  /** Score a (event_type, day, n_events) frame: z against the type's own
-    * daily distribution. Shared by the batch query and the streaming
-    * monitor. */
-  def scoreDaily(daily: DataFrame): DataFrame = {
-    val stats = daily.groupBy("event_type").agg(
+  /** The shared z-score leg of the anomaly faces: score each `daily` row
+    * against the exact-integer-moment distribution of its `keys` group.
+    * ONE implementation for the raw ([[scoreDaily]]) and day-of-week
+    * ([[dowAnomaly]]) groupings so the scoring math cannot drift. */
+  private def zScoreBy(daily: DataFrame, keys: Seq[String],
+                       meanAlias: String): DataFrame = {
+    val stats = daily.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n_days"),
       sum("n_events").as("sum_cnt"),
       sum(col("n_events") * col("n_events")).as("sum_sq"))
@@ -455,10 +457,38 @@ object Events {
     val z = when(variance > 0,
       (col("n_events").cast("double") - mean) / sqrt(variance))
       .otherwise(lit(0.0))
-    daily.join(broadcast(stats), "event_type")
-      .select(col("event_type"), col("day"), col("n_events"),
-        mean.as("mean_daily"), z.as("z"), (abs(z) > AnomalyZMax).as("anomalous"))
+    daily.join(broadcast(stats), keys)
+      .withColumn(meanAlias, mean)
+      .withColumn("z", z)
+      .withColumn("anomalous", abs(z) > AnomalyZMax)
+      .drop("n_days", "sum_cnt", "sum_sq")
   }
+
+  /** Score a (event_type, day, n_events) frame: z against the type's own
+    * daily distribution. Shared by the batch query and the streaming
+    * monitor. */
+  def scoreDaily(daily: DataFrame): DataFrame =
+    zScoreBy(daily, Seq("event_type"), "mean_daily")
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("mean_daily"), col("z"), col("anomalous"))
+
+  /** Day-of-week–adjusted anomaly detection — [[dailyAnomaly]]'s fix for
+    * weekly seasonality (which [[seasonality]] MEASURES and the raw
+    * per-type z then false-alarms on: every weekend looks 3σ quiet
+    * against a pooled weekday mean): each (type, day) count scores
+    * against the distribution of its own weekday slot (dow = day mod 7 —
+    * the portable integer grain, no calendar), so a quiet Sunday is
+    * normal among Sundays and a quiet Tuesday alarms. Same exact
+    * integer moment sums and [[AnomalyZMax]] gate as the raw face.
+    * Output: (event_type, day, dow, n_events, mean_dow, z, anomalous).
+    *
+    * 100 TB shape: identical to [[dailyAnomaly]] — one shuffle to the
+    * (type, day) grain; the 7×-types stats table broadcasts back. */
+  def dowAnomaly(events: DataFrame): DataFrame =
+    zScoreBy(dailyCounts(events).withColumn("dow", pmod(col("day"), lit(7L))),
+      Seq("event_type", "dow"), "mean_dow")
+      .select(col("event_type"), col("day"), col("dow"), col("n_events"),
+        col("mean_dow"), col("z"), col("anomalous"))
 
   /** Spike factor for [[anomalyProbe]]. */
   val AnomalySpike = 5
@@ -1389,6 +1419,7 @@ object Events {
     "events_value_quantiles" -> ((s, d) => valueQuantiles(Tables.events(s, d))),
     "events_daily_rollup"    -> ((s, d) => dailyRollup(Tables.events(s, d))),
     "events_anomaly"         -> ((s, d) => dailyAnomaly(Tables.events(s, d))),
+    "events_anomaly_dow"     -> ((s, d) => dowAnomaly(Tables.events(s, d))),
     "events_anomaly_probe"   -> ((s, d) => anomalyProbe(Tables.events(s, d))),
     "events_conversion_probe" -> ((s, d) => conversionProbe(Tables.events(s, d))),
     "events_wau"             -> ((s, d) => rollingActives(Tables.events(s, d))),
@@ -1481,23 +1512,27 @@ object Events {
   /** [[scoreDaily]]'s SQL twin over a (event_type, day, n_events)
     * relation `src` — shared by the anomaly oracle and its spike probe so
     * the z math cannot drift between them. */
-  private def anomalyScoreSql(src: String): String =
-    s""", stats AS (SELECT event_type, COUNT(*) AS n_days,
+  private def anomalyScoreSql(src: String,
+      keys: String = "event_type",
+      sel: String = "d.event_type, d.day",
+      out: String = "event_type, day",
+      meanAlias: String = "mean_daily"): String =
+    s""", stats AS (SELECT $keys, COUNT(*) AS n_days,
        |     CAST(SUM(n_events) AS BIGINT) AS sum_cnt,
        |     CAST(SUM(n_events * n_events) AS BIGINT) AS sum_sq
-       |   FROM $src GROUP BY 1),
-       | j AS (SELECT d.event_type, d.day, d.n_events,
-       |     CAST(s.sum_cnt AS DOUBLE) / s.n_days AS mean_daily,
+       |   FROM $src GROUP BY $keys),
+       | j AS (SELECT $sel, d.n_events,
+       |     CAST(s.sum_cnt AS DOUBLE) / s.n_days AS $meanAlias,
        |     CAST(s.sum_sq AS DOUBLE) / s.n_days
        |       - (CAST(s.sum_cnt AS DOUBLE) / s.n_days)
        |         * (CAST(s.sum_cnt AS DOUBLE) / s.n_days) AS variance
-       |   FROM $src d JOIN stats s USING (event_type))
-       | SELECT event_type, day, n_events, mean_daily,
+       |   FROM $src d JOIN stats s USING ($keys))
+       | SELECT $out, n_events, $meanAlias,
        |   CASE WHEN variance > 0
-       |        THEN (CAST(n_events AS DOUBLE) - mean_daily) / sqrt(variance)
+       |        THEN (CAST(n_events AS DOUBLE) - $meanAlias) / sqrt(variance)
        |        ELSE CAST(0 AS DOUBLE) END AS z,
        |   CASE WHEN variance > 0
-       |        THEN abs((CAST(n_events AS DOUBLE) - mean_daily) / sqrt(variance))
+       |        THEN abs((CAST(n_events AS DOUBLE) - $meanAlias) / sqrt(variance))
        |             > $AnomalyZMax
        |        ELSE FALSE END AS anomalous
        | FROM j""".stripMargin
@@ -1622,6 +1657,14 @@ object Events {
     "events_anomaly" ->
       s"""WITH daily AS ($dailyCountsSql)
          | ${anomalyScoreSql("daily")}""".stripMargin,
+
+    "events_anomaly_dow" ->
+      s"""WITH daily AS ($dailyCountsSql),
+         | dowd AS (SELECT event_type, day, day % 7 AS dow, n_events
+         |   FROM daily)
+         | ${anomalyScoreSql("dowd", keys = "event_type, dow",
+             sel = "d.event_type, d.day, d.dow",
+             out = "event_type, day, dow", meanAlias = "mean_dow")}""".stripMargin,
 
     "events_anomaly_probe" ->
       s"""WITH daily AS ($dailyCountsSql),

@@ -1142,6 +1142,32 @@ object Similarity {
         "norm_outlier")
   }
 
+  /** Embedding-store coverage audit — the cross-table integrity check a
+    * feature store runs before training: per document source, how many
+    * documents have an embedding vector yet. The store is modeled under
+    * the engine-wide arrival convention ([[Dedup.IncomingMod]]): the
+    * incoming slice (vec_id % mod == 0) has not been embedded yet, so
+    * coverage reads ~80% everywhere until the embedding job catches up —
+    * the lag this audit exists to surface. Output:
+    * (source, n_docs, n_embedded, coverage).
+    *
+    * 100 TB shape: an id-grain join of two coarse projections (doc_id +
+    * source vs vec_id alone) — co-partitionable/bucketable on the shared
+    * id, neither side carries text or vectors (the shuffle is id bytes),
+    * then one map-side-combined rollup to ≤ #sources rows. */
+  def embeddingCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val embedded = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") % Dedup.IncomingMod =!= 0)
+      .select(col("vec_id").as("doc_id"), lit(true).as("has_vec"))
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+      .join(embedded, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("has_vec"), 1L).otherwise(0L)).as("n_embedded"))
+      .select(col("source"), col("n_docs"), col("n_embedded"),
+        (col("n_embedded").cast("double") / col("n_docs")).as("coverage"))
+  }
+
   // ---- product quantization --------------------------------------------------
   /** PQ geometry: 64 dims = [[PqSubspaces]] × [[PqSubDim]];
     * [[PqCodebookSize]] centroids per subspace → 4 bits per code, the
@@ -1331,6 +1357,7 @@ object Similarity {
     "sim_ivf_topk" -> (ivfTopK _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_embedding_audit" -> (embeddingAudit _),
+    "sim_embedding_coverage" -> (embeddingCoverage _),
     "sim_mmr_topk" -> (mmrTopK _),
     "sim_reciprocal_nn" -> (reciprocalNn _),
     "sim_kmeans_train" -> (kmeansTrain _),
@@ -1817,6 +1844,16 @@ object Similarity {
          |        ELSE (l2_norm - med.nm) / ($MadSigma * mad.nd) END)
          |     > $AuditZThreshold AS norm_outlier
          | FROM pv, med, mad""".stripMargin,
+
+    "sim_embedding_coverage" ->
+      s"""SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |   CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |     AS BIGINT) AS n_embedded,
+         |   CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |     AS DOUBLE) / COUNT(*) AS coverage
+         | FROM documents d LEFT JOIN (SELECT vec_id FROM embeddings
+         |   WHERE vec_id % ${Dedup.IncomingMod} <> 0) e ON e.vec_id = d.doc_id
+         | GROUP BY d.source""".stripMargin,
 
     "sim_cosine_topk" ->
       s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -81,6 +81,31 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("dow anomaly: weekly seasonality is normal within its slot; a masked quiet weekday alarms") {
+    def dus(day: Long, i: Long): Long = day * 86400L * 1000000L + i * 60000000L
+    // 12 weeks: weekdays 20 events, weekends 2 — plus ONE quiet weekday
+    // (day 8, dow 1) at weekend volume
+    var id = 0L
+    val rows = (0L until 84L).flatMap { d =>
+      val n = if (d % 7 == 6 || d == 8L) 2 else 20
+      (0 until n).map { i =>
+        id += 1; (id, dus(d, i.toLong), id % 50, "view", 0.0, "{}") }
+    }
+    val dow = Events.dowAnomaly(eventsDf(rows)).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), r.getDouble(5), r.getBoolean(6)))).toMap
+    // the quiet weekday alarms against its OWN slot (z = -sqrt(11))
+    dow(8L)._3 shouldBe true
+    dow(8L)._2 should be < -3.0
+    // weekends are normal among weekends: constant slot, z exactly 0
+    dow(6L) shouldBe ((2L, 0.0, false))
+    // the raw face is MASKED: weekend variance inflates the pooled sd, so
+    // the same day scores under 3 sigma and passes silently
+    val raw = Events.dailyAnomaly(eventsDf(rows)).collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(4), r.getBoolean(5)))).toMap
+    raw(8L)._2 shouldBe false
+    math.abs(raw(8L)._1) should be < 3.0
+  }
+
   test("session stats: counts, errors, value mass, duration from the session span") {
     val out = Events.sessionStats(eventsDf(Seq(
       (1L, us(0), 7L, "view", 1.5, "{}"),

@@ -9,6 +9,27 @@ class SimilaritySpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("embedding coverage: per-source masses reconcile and the arrival lag shows as sub-full coverage") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.embeddingCoverage(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    rows.map(_._2).sum shouldBe docs.count() // every doc accounted once
+    val embeddedIds = graft.sources.Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") % Dedup.IncomingMod =!= 0)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val expected = docs.select(col("doc_id"), col("source")).collect()
+      .groupBy(_.getString(1))
+      .view.mapValues(_.count(r => embeddedIds(r.getLong(0)))).toMap
+    rows.foreach { case (src, n, e, c) =>
+      e shouldBe expected(src).toLong
+      c shouldBe e.toDouble / n
+    }
+    // the arrival lag shows at the corpus grain (a source whose ids never
+    // hit the incoming modulus can legitimately sit at full coverage)
+    rows.map(_._3).sum should be < rows.map(_._2).sum
+  }
+
   test("ANN sign-LSH recall@5 vs exact cosine top-k is materially high") {
     val exact = Similarity.cosineTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
