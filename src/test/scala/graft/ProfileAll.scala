@@ -37,7 +37,9 @@ object ProfileAll {
     "text_novelty", "dedup_threshold_histogram", "text_tfidf_keywords",
     // round-10: the suffix-array-grain span family + arrival gates
     "dedup_span_exact", "dedup_span_probe", "mm_block_probe",
-    "events_survival")
+    "events_survival",
+    // round-10 second wave: the KL drift pair (token-grain count + model)
+    "corpus_kl_divergence", "corpus_kl_probe")
 
   private val AmplifyVersion = "v3" // v2: + events; v3: + part/lineitem (full-suite sf1 bench)
 
