@@ -697,6 +697,32 @@ class CrossOpInvariantSpec extends SparkSpec {
     b shouldBe a
   }
 
+  test("mixing/accounting wave is bit-identical across shuffle parallelism") {
+    // the r10 closing wave's exact-integer outputs (growth flows, gate
+    // ablation ledger, coverage masses) plus the KL scores, whose
+    // term-wise formulation exists precisely so partial-sum order cannot
+    // leak into the result beyond 1 ulp — demand equality, not tolerance
+    def snapshot(): (Set[(Long, Long, Long, Long, Long)],
+        Set[(Int, String, Long, Long, Long, Long)],
+        Set[(String, Long, Long)], Set[(String, Long, Long)]) = (
+      Events.growthAccounting(events).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet,
+      Corpus.filterAblation(docs).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet,
+      Corpus.klDivergence(docs).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet,
+      Similarity.embeddingCoverage(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
+    val a = snapshot()
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    val b = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3"); snapshot()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    b shouldBe a
+  }
+
   test("kfold plan partitions the corpus; dim variance audit is well-formed") {
     val folds = Corpus.kfoldPlan(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
