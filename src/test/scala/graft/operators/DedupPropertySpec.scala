@@ -154,6 +154,33 @@ class DedupPropertySpec extends SparkSpec {
     })
   }
 
+  test("kl divergence: always ≥ 0, and twin sources with identical content score identically") {
+    // random corpora with a TWIN pair: two sources carrying the exact same
+    // document multiset must get the same KL (they see the same corpus
+    // model and have the same own-distribution), and every score is ≥ 0
+    // because model and source distributions normalize over the same
+    // smoothed vocabulary support
+    val genDocs = for {
+      nDocs <- Gen.choose(2, 6)
+      texts <- Gen.listOfN(nDocs, Gen.nonEmptyListOf(Gen.choose(0, 12))
+        .map(_.map(i => s"w$i").mkString(" ")))
+      extra <- Gen.nonEmptyListOf(Gen.choose(0, 39))
+    } yield (texts, extra.map(i => s"w$i").mkString(" "))
+    run(Prop.forAll(genDocs) { case (twinTexts, otherText) =>
+      val sp = spark; import sp.implicits._
+      var id = 0L
+      val rows =
+        twinTexts.flatMap { t => Seq("twinA", "twinB").map { s =>
+          id += 1; (id, t, "en", s) } } :+ { id += 1; (id, otherText, "en", "other") }
+      val out = Corpus.klDivergence(
+          rows.toDF("doc_id", "text", "lang", "source")).collect()
+        .map(r => r.getString(0) -> r.getDouble(3)).toMap
+      (Prop(out.values.forall(_ >= -1e-12)) :| s"non-negative: $out") &&
+        (Prop(math.abs(out("twinA") - out("twinB")) < 1e-12) :|
+          s"twins equal: $out")
+    })
+  }
+
   test("stratified sample: subset, deterministic, stratum-pure") {
     run(Prop.forAll(Gen.choose(50, 300)) { n =>
       val sp = spark; import sp.implicits._

@@ -68,6 +68,30 @@ class StreamingGrowthSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("state is O(users), not O(events): heavy per-user volume never grows the store") {
+    val sp = spark; import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingGrowth.increments(in.toDS())
+      .writeStream.format("memory").queryName("growth_state_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-growth-state-").toString)
+      .start()
+    try {
+      var id = 0L
+      // 5 users × 20 days × 10 events/day across 4 batches: 1000 events
+      (0 until 4).foreach { b =>
+        val evs = for (d <- (b * 5) until (b * 5 + 5); u <- 0 until 5;
+                       i <- 0 until 10)
+          yield { id += 1; Ev(id, dus(d.toLong) + i.toLong, u.toLong) }
+        in.addData(evs); q.processAllAvailable()
+      }
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      stateRows shouldBe 5L // one last-day number per user, ever
+    } finally q.stop()
+  }
+
   test("terminal churn is the exact batch-streamed delta: never-returning users censor") {
     val sp = spark; import sp.implicits._
     // user 9 stops on day 1 and never returns; corpus runs to day 4
