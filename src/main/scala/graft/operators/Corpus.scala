@@ -895,10 +895,15 @@ object Corpus {
     * TakeOrdered top-V (per-partition heaps, no global sort) joined back
     * by BROADCAST; everything after the count runs at ≤ #sources·V rows. */
   /** The (source, word) count grain every KL face opens with. */
-  private def klCounts(documents: DataFrame): DataFrame =
-    Tables.spread(documents)
+  private def klCountsOf(documents: DataFrame): DataFrame =
+    documents
       .select(col("source"), explode(split(lower(col("text")), " ")).as("word"))
       .groupBy("source", "word").agg(count(lit(1)).as("cnt_sw"))
+
+  /** The batch entry: spread the parquet scan first (micro-batches skip
+    * this — see [[klScoreAgainst]]). */
+  private def klCounts(documents: DataFrame): DataFrame =
+    klCountsOf(Tables.spread(documents))
 
   /** The frozen reference model: top-V vocabulary with smoothed
     * log-probabilities plus the model constants repeated per row
@@ -921,34 +926,54 @@ object Corpus {
   }
 
   /** Score a (source, word) count frame against a frozen model — the
-    * shared leg of the registered, probe, and streaming faces. */
+    * shared leg of the registered, probe, and streaming faces. Every
+    * source with ≥1 token gets a row, INCLUDING a source with zero
+    * in-vocabulary words: the all-OOV case is the most extreme drift a
+    * monitor can see, so it must surface as a (vocab_tokens = 0,
+    * n_vocab_present = 0) row scoring the uniform-vs-model KL — an
+    * inner join to the vocab would silently drop exactly the batch that
+    * most needs the alarm. */
   def klScoreFromCounts(model: DataFrame, sw: DataFrame): DataFrame = {
     val present = sw.join(broadcast(model), "word")
-    val totals = present.groupBy("source")
-      .agg(sum("cnt_sw").as("tot_s"), count(lit(1)).as("m"),
-        max("n_v").as("n_v"), max("s_q").as("s_q"))
+    val consts = model.select(col("n_v"), col("s_q")).limit(1)
+    // every source with ≥1 token, its in-vocab aggregates zero-defaulted —
+    // all joined/broadcast sides from here on are ≤ #sources rows; the
+    // per-(source, word) frame is only ever a join's probe side
+    val totals = sw.select(col("source")).distinct()
+      .join(broadcast(present.groupBy("source")
+        .agg(sum("cnt_sw").as("tot_s"), count(lit(1)).as("m"))),
+        Seq("source"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("source"), coalesce(col("tot_s"), lit(0L)).as("tot_s"),
+        coalesce(col("m"), lit(0L)).as("m"), col("n_v"), col("s_q"))
     val den = (col("tot_s") + col("n_v")).cast("double")
     val p = (col("cnt_sw") + 1).cast("double") / col("den")
-    present.select(col("source"), col("cnt_sw"), col("ln_q"))
-      .join(broadcast(totals), "source")
+    val termAgg = present.select(col("source"), col("cnt_sw"), col("ln_q"))
+      .join(broadcast(totals.select(col("source"), col("tot_s"), col("n_v"))),
+        "source")
       .withColumn("den", den)
-      .select(col("source"), col("tot_s"), col("m"), col("n_v"), col("s_q"),
-        col("den"), (p * (log(p) - col("ln_q"))).as("t"), col("ln_q"))
-      .groupBy("source", "tot_s", "m", "n_v", "s_q", "den")
+      .select(col("source"), (p * (log(p) - col("ln_q"))).as("t"), col("ln_q"))
+      .groupBy("source")
       .agg(sum("t").as("t_present"), sum("ln_q").as("d"))
+    totals
+      .join(broadcast(termAgg), Seq("source"), "left")
+      .withColumn("den", den)
       .select(col("source"), col("tot_s").as("vocab_tokens"),
         col("m").as("n_vocab_present"),
-        (col("t_present")
+        (coalesce(col("t_present"), lit(0.0))
           - (col("n_v") - col("m")).cast("double") * log(col("den")) / col("den")
-          - (col("s_q") - col("d")) / col("den")).as("kl_nats"))
+          - (col("s_q") - coalesce(col("d"), lit(0.0))) / col("den"))
+          .as("kl_nats"))
   }
 
   /** The streaming face's scoring entry: arriving documents against the
     * frozen model ([[graft.streaming.StreamingKl]] calls this per
     * micro-batch, so a streamed document scores exactly like the batch
-    * probe). */
+    * probe). Counts the micro-batch as-is — [[Tables.spread]] exists for
+    * single-row-group parquet scans, a condition a micro-batch never
+    * has, and would add a corpus-width shuffle per trigger. */
   def klScoreAgainst(model: DataFrame, documents: DataFrame): DataFrame =
-    klScoreFromCounts(model, klCounts(documents))
+    klScoreFromCounts(model, klCountsOf(documents))
 
   /** Train the frozen reference model on a corpus snapshot. */
   def klModelOf(documents: DataFrame): DataFrame =
@@ -1336,23 +1361,29 @@ object Corpus {
        |   FROM documents$scoreWhere),
        | sws AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt_sw
        |   FROM tks GROUP BY 1, 2),
-       | tot AS (SELECT source, CAST(SUM(cnt_sw) AS BIGINT) AS tot_s,
-       |     CAST(COUNT(*) AS BIGINT) AS m, vt.n_v
-       |   FROM sws JOIN vq USING (word) CROSS JOIN vt GROUP BY source, vt.n_v),
-       | term AS (SELECT p.source, t.tot_s, t.m, t.n_v,
-       |     CAST(t.tot_s + t.n_v AS DOUBLE) AS den,
+       | iv AS (SELECT source, CAST(SUM(cnt_sw) AS BIGINT) AS tot_s,
+       |     CAST(COUNT(*) AS BIGINT) AS m
+       |   FROM sws JOIN vq USING (word) GROUP BY source),
+       | tot AS (SELECT s.source, COALESCE(iv.tot_s, CAST(0 AS BIGINT)) AS tot_s,
+       |     COALESCE(iv.m, CAST(0 AS BIGINT)) AS m, vt.n_v
+       |   FROM (SELECT source FROM sws GROUP BY source) s
+       |   LEFT JOIN iv USING (source) CROSS JOIN vt),
+       | term AS (SELECT p.source,
        |     (CAST(p.cnt_sw + 1 AS DOUBLE) / CAST(t.tot_s + t.n_v AS DOUBLE))
        |       * (ln(CAST(p.cnt_sw + 1 AS DOUBLE)
        |           / CAST(t.tot_s + t.n_v AS DOUBLE)) - vq.ln_q) AS t_term,
        |     vq.ln_q
        |   FROM sws p JOIN vq USING (word) JOIN tot t ON t.source = p.source),
-       | agg AS (SELECT source, tot_s, m, n_v, den, SUM(t_term) AS t_present,
-       |     SUM(ln_q) AS d
-       |   FROM term GROUP BY source, tot_s, m, n_v, den)
-       | SELECT source, tot_s AS vocab_tokens, m AS n_vocab_present,
-       |   t_present - CAST(n_v - m AS DOUBLE) * ln(den) / den
-       |     - (s_q - d) / den AS kl_nats
-       | FROM agg CROSS JOIN sq""".stripMargin
+       | agg AS (SELECT source, SUM(t_term) AS t_present, SUM(ln_q) AS d
+       |   FROM term GROUP BY source)
+       | SELECT t.source, t.tot_s AS vocab_tokens, t.m AS n_vocab_present,
+       |   COALESCE(a.t_present, CAST(0 AS DOUBLE))
+       |     - CAST(t.n_v - t.m AS DOUBLE)
+       |       * ln(CAST(t.tot_s + t.n_v AS DOUBLE))
+       |       / CAST(t.tot_s + t.n_v AS DOUBLE)
+       |     - (s_q - COALESCE(a.d, CAST(0 AS DOUBLE)))
+       |       / CAST(t.tot_s + t.n_v AS DOUBLE) AS kl_nats
+       | FROM tot t LEFT JOIN agg a USING (source) CROSS JOIN sq""".stripMargin
 
   /** SQL mirror of [[dsirWeightsBy]] with the target slice spelled as a
     * WHERE predicate — shared by the registered and probe oracles so the

@@ -1008,6 +1008,22 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
   }
 
+  test("events_anomaly_dow: one corpus shuffle to the day grain; slot stats broadcast back") {
+    val p = planOf("events_anomaly_dow")
+    p should include("BroadcastHashJoin")       // the ≤7×types stats attach
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    p should not include "Window"
+  }
+
+  test("sim_embedding_coverage: id-grain join of two coarse projections, no vectors or text in the shuffle") {
+    val p = planOf("sim_embedding_coverage")
+    p should not include "CartesianProduct"
+    p should not include "Window"
+    p should not include "embedding#"           // vector column pruned at the scan
+    p should not include "Exchange rangepartitioning"
+  }
+
   test("events_growth_accounting: user collapse + day rollup are the only corpus shuffles; no window, no sort") {
     val p = planOf("events_growth_accounting")
     countOf(p, "Exchange hashpartitioning") shouldBe 2

@@ -699,9 +699,11 @@ class CrossOpInvariantSpec extends SparkSpec {
 
   test("mixing/accounting wave is bit-identical across shuffle parallelism") {
     // the r10 closing wave's exact-integer outputs (growth flows, gate
-    // ablation ledger, coverage masses) plus the KL scores, whose
-    // term-wise formulation exists precisely so partial-sum order cannot
-    // leak into the result beyond 1 ulp — demand equality, not tolerance
+    // ablation ledger, coverage masses): bit-equality. The KL doubles are
+    // term-wise sums, so a partition-count change may reorder partial
+    // sums within ~1 ulp — those are pinned to the oracle's 1e-9 band,
+    // which a regression to the cancelling decomposed aggregates (the
+    // docstring's warning) would blow by orders of magnitude.
     def snapshot(): (Set[(Long, Long, Long, Long, Long)],
         Set[(Int, String, Long, Long, Long, Long)],
         Set[(String, Long, Long)], Set[(String, Long, Long)]) = (
@@ -715,12 +717,19 @@ class CrossOpInvariantSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet,
       Similarity.embeddingCoverage(spark, sf).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
+    def klScores(): Map[String, Double] =
+      Corpus.klDivergence(docs).collect()
+        .map(r => r.getString(0) -> r.getDouble(3)).toMap
     val a = snapshot()
+    val ka = klScores()
     val old = spark.conf.get("spark.sql.shuffle.partitions")
-    val b = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "3"); snapshot()
+    val (b, kb) = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      (snapshot(), klScores())
     } finally spark.conf.set("spark.sql.shuffle.partitions", old)
     b shouldBe a
+    kb.keySet shouldBe ka.keySet
+    kb.foreach { case (s, v) => v shouldBe ka(s) +- 1e-9 }
   }
 
   test("kfold plan partitions the corpus; dim variance audit is well-formed") {

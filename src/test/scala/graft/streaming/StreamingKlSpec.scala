@@ -43,18 +43,30 @@ class StreamingKlSpec extends SparkSpec {
       batches.map(_._1) shouldBe Vector(0L, 1L)
       // each batch scored exactly as the batch face scores that slice —
       // the per-batch sample, not a running merge (drift is judged per
-      // arrival window)
+      // arrival window). Ints exact; kl_nats within the oracle's 1e-9
+      // band (term-wise sums reorder within ~1 ulp across the different
+      // physical partitionings of a MemoryStream batch vs a parquet read)
+      def keyed(rows: Iterable[Row]): Map[String, (Long, Long, Double)] =
+        rows.map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      def sameScores(x: Map[String, (Long, Long, Double)],
+                     y: Map[String, (Long, Long, Double)]): Unit = {
+        x.keySet shouldBe y.keySet
+        x.foreach { case (s, (t, m, k)) =>
+          (t, m) shouldBe ((y(s)._1, y(s)._2))
+          k shouldBe y(s)._3 +- 1e-9
+        }
+      }
       Seq(b1, b2).zip(batches).foreach { case (slice, (_, streamed)) =>
         val ids = slice.map(_._1).toSet
-        val batchScore = Corpus.klScoreAgainst(model,
-          incoming.where(col("doc_id").isin(ids.toSeq: _*))).collect().toSet
-        streamed shouldBe batchScore
+        sameScores(keyed(streamed), keyed(Corpus.klScoreAgainst(model,
+          incoming.where(col("doc_id").isin(ids.toSeq: _*))).collect().toSeq))
       }
+      // the whole incoming split in one shot == the registered probe
+      sameScores(
+        keyed(Corpus.klScoreAgainst(model, incoming).collect().toSeq),
+        keyed(Corpus.klProbe(docs).collect().toSeq))
     } finally q.stop()
-
-    // the whole incoming split in one shot == the registered probe
-    Corpus.klScoreAgainst(model, incoming).collect().toSet shouldBe
-      Corpus.klProbe(docs).collect().toSet
   }
 
   test("a matching batch scores near zero, within-vocab skew scores high, OOV drift shows as coverage collapse") {
@@ -72,10 +84,17 @@ class StreamingKlSpec extends SparkSpec {
       .getDouble(3) should (be >= 0.0 and be < 0.1)
     // within-vocab inversion ('of' dominates): strong KL alarm
     score("of of of of of of of of of the").getDouble(3) should be > 1.0
-    // OOV drift is INVISIBLE to a vocab-capped KL by construction — the
+    // OOV drift barely moves a vocab-capped kl_nats by construction — the
     // alarm for it is the coverage column collapsing, not kl_nats
     val oov = score("the zx qv wk jm zx qv wk jm zx")
     oov.getDouble(3) should be < 1.0
     oov.getLong(1) shouldBe 1L // 1 of 10 tokens in vocab: the drift signal
+    // the EXTREME case — a batch with zero vocab words — must still emit
+    // its row (an inner join to the vocab would silently drop exactly the
+    // batch that most needs the alarm): coverage 0, uniform-vs-model KL
+    val allOov = score("zx qv wk jm zx qv wk jm zx qv")
+    allOov.getLong(1) shouldBe 0L
+    allOov.getLong(2) shouldBe 0L
+    allOov.getDouble(3) should be >= 0.0
   }
 }
