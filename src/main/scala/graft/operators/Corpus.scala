@@ -934,21 +934,21 @@ object Corpus {
     * inner join to the vocab would silently drop exactly the batch that
     * most needs the alarm. */
   def klScoreFromCounts(model: DataFrame, sw: DataFrame): DataFrame = {
-    val present = sw.join(broadcast(model), "word")
     val consts = model.select(col("n_v"), col("s_q")).limit(1)
-    // every source with ≥1 token, its in-vocab aggregates zero-defaulted —
-    // all joined/broadcast sides from here on are ≤ #sources rows; the
-    // per-(source, word) frame is only ever a join's probe side
-    val totals = sw.select(col("source")).distinct()
-      .join(broadcast(present.groupBy("source")
-        .agg(sum("cnt_sw").as("tot_s"), count(lit(1)).as("m"))),
-        Seq("source"), "left")
+    // ONE left-join pass over the counts carries the source universe and
+    // the in-vocab aggregates together (an OOV word rides with ln_q
+    // null), so the all-OOV row costs no extra scan; every joined or
+    // broadcast side after the counts is ≤ #sources (or V) rows
+    val lj = sw.join(broadcast(model.select(col("word"), col("ln_q"))),
+      Seq("word"), "left")
+    val totals = lj.groupBy("source")
+      .agg(coalesce(sum(when(col("ln_q").isNotNull, col("cnt_sw"))), lit(0L))
+          .as("tot_s"),
+        count(col("ln_q")).as("m"))
       .crossJoin(broadcast(consts))
-      .select(col("source"), coalesce(col("tot_s"), lit(0L)).as("tot_s"),
-        coalesce(col("m"), lit(0L)).as("m"), col("n_v"), col("s_q"))
     val den = (col("tot_s") + col("n_v")).cast("double")
     val p = (col("cnt_sw") + 1).cast("double") / col("den")
-    val termAgg = present.select(col("source"), col("cnt_sw"), col("ln_q"))
+    val termAgg = lj.where(col("ln_q").isNotNull)
       .join(broadcast(totals.select(col("source"), col("tot_s"), col("n_v"))),
         "source")
       .withColumn("den", den)
@@ -975,9 +975,10 @@ object Corpus {
   def klScoreAgainst(model: DataFrame, documents: DataFrame): DataFrame =
     klScoreFromCounts(model, klCountsOf(documents))
 
-  /** Train the frozen reference model on a corpus snapshot. */
+  /** Train the frozen reference model on a corpus snapshot (counts
+    * staged: the vocab/stats/s_q chain reads them three times). */
   def klModelOf(documents: DataFrame): DataFrame =
-    klModelFromCounts(klCounts(documents))
+    klModelFromCounts(graft.engine.Staging.stage(klCounts(documents)))
 
   def klDivergence(documents: DataFrame): DataFrame = {
     val sw = graft.engine.Staging.stage(klCounts(documents))
@@ -1004,9 +1005,15 @@ object Corpus {
     * corpus size. */
   def klProbe(documents: DataFrame): DataFrame = {
     val isIncoming = col("doc_id") % Dedup.IncomingMod === 0
+    // the scoring counts feed two consumers (totals, term sums) — staged
+    // like klDivergence's, so the incoming tokenization runs once
+    // both count frames feed multiple consumers (the model's vocab/stats/
+    // s_q chain; the scorer's totals and term sums) — staged like
+    // klDivergence's, so each slice tokenizes exactly once
     klScoreFromCounts(
-      klModelFromCounts(klCounts(documents.where(!isIncoming))),
-      klCounts(documents.where(isIncoming)))
+      klModelFromCounts(
+        graft.engine.Staging.stage(klCounts(documents.where(!isIncoming)))),
+      graft.engine.Staging.stage(klCounts(documents.where(isIncoming))))
   }
 
   // ---- DSIR importance weights ---------------------------------------------
