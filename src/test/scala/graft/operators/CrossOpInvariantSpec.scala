@@ -732,6 +732,27 @@ class CrossOpInvariantSpec extends SparkSpec {
     kb.foreach { case (s, v) => v shouldBe ka(s) +- 1e-9 }
   }
 
+  test("dow anomaly's slot means and seasonality's weekly profile stand on the same masses") {
+    val dowRows = Events.dowAnomaly(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // the slot mean is exactly the slot's average day count, and every
+    // member of a slot carries the same mean
+    dowRows.groupBy(r => (r._1, r._3)).foreach { case (_, rows) =>
+      val mean = rows.head._5
+      mean shouldBe (rows.map(_._4).sum.toDouble / rows.size) +- 1e-9
+      all(rows.map(_._5).toSeq) shouldBe mean
+    }
+    // bucketed by dow and summed over types, the anomaly face's day-grain
+    // counts equal seasonality's per-dow event mass — the two weekly
+    // views must agree on what a weekday weighs
+    val seas = Events.seasonality(events).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    dowRows.groupBy(_._3).view.mapValues(_.map(_._4).sum).foreach {
+      case (dow, n) => n shouldBe seas(dow.toInt)
+    }
+  }
+
   test("kfold plan partitions the corpus; dim variance audit is well-formed") {
     val folds = Corpus.kfoldPlan(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
