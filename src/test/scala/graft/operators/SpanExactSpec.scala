@@ -102,6 +102,61 @@ class SpanExactSpec extends SparkSpec {
     row.getDouble(5) shouldBe (160.0 / 205) +- 1e-6
   }
 
+  test("spanSavings: overlapping maximal spans merge — union accounting never double-counts (ADVICE r10)") {
+    // A's grams at 0 (= B) and 10 (= C) are each duplicated but nothing
+    // between them is: two maximal spans [0,50) and [10,60) overlap by 40
+    // tokens. Union accounting must report 60 for A, not 100.
+    val a  = uniq("a", 60)
+    val docA = (a ++ uniq("f", 50)).mkString(" ")       // 110 tokens
+    val docB = a.take(K).mkString(" ")                  // = A[0..49]
+    val docC = a.slice(10, 60).mkString(" ")            // = A[10..59]
+    val row = Dedup.spanSavings(docsDf(Seq(1L -> docA, 2L -> docB, 3L -> docC)))
+      .collect()(0)
+    row.getLong(0) shouldBe 3L                          // n_docs
+    row.getLong(1) shouldBe 210L                        // tokens_total
+    row.getLong(2) shouldBe 3L                          // n_spanned_docs
+    row.getLong(3) shouldBe 3L                          // disjoint union intervals
+    row.getLong(4) shouldBe 160L                        // 60 + 50 + 50, no overlap
+    row.getDouble(5) shouldBe (160.0 / 210) +- 1e-6
+    // ...while the maximal-span report still shows all four fine-grain spans
+    Dedup.spanExact(docsDf(Seq(1L -> docA, 2L -> docB, 3L -> docC)))
+      .count() shouldBe 4L
+  }
+
+  test("spanApply: removes every covered token, keeps the rest in order") {
+    val shared = uniq("s", 80)
+    val a = (uniq("p", 10) ++ shared ++ uniq("q", 10)).mkString(" ")
+    val b = (uniq("r", 20) ++ shared ++ uniq("u", 5)).mkString(" ")
+    val out = Dedup.spanApply(docsDf(Seq(1L -> a, 2L -> b)))
+      .orderBy("doc_id").collect()
+    out.length shouldBe 2
+    // ExactSubstr tool semantics: EVERY occurrence of the span goes
+    (out(0).getLong(1), out(0).getLong(2)) shouldBe ((100L, 80L))
+    out(0).getString(3) shouldBe (uniq("p", 10) ++ uniq("q", 10)).mkString(" ")
+    (out(1).getLong(1), out(1).getLong(2)) shouldBe ((105L, 80L))
+    out(1).getString(3) shouldBe (uniq("r", 20) ++ uniq("u", 5)).mkString(" ")
+  }
+
+  test("spanApply: overlapping spans cut once; a fully-covered doc empties") {
+    val a  = uniq("a", 60)
+    val docA = (a ++ uniq("f", 50)).mkString(" ")
+    val docB = a.take(K).mkString(" ")
+    val out = Dedup.spanApply(docsDf(Seq(1L -> docA, 2L -> docB,
+        3L -> a.slice(10, 60).mkString(" ")))).orderBy("doc_id").collect()
+    (out(0).getLong(1), out(0).getLong(2)) shouldBe ((110L, 60L))
+    out(0).getString(3) shouldBe uniq("f", 50).mkString(" ") // union cut [0,60)
+    (out(1).getLong(2), out(1).getString(3)) shouldBe ((50L, ""))
+    (out(2).getLong(2), out(2).getString(3)) shouldBe ((50L, ""))
+  }
+
+  test("spanApply: a span-free corpus passes through byte-identical") {
+    val texts = Seq(1L -> uniq("x", 120).mkString(" "),
+      2L -> uniq("y", K - 1).mkString(" "))              // incl. sub-grain doc
+    val out = Dedup.spanApply(docsDf(texts)).orderBy("doc_id").collect()
+    out.map(_.getLong(2)).sum shouldBe 0L
+    out.map(_.getString(3)).toSeq shouldBe texts.map(_._2)
+  }
+
   test("spanSavings: a span-free corpus reports zero coverage, not null") {
     val row = Dedup.spanSavings(docsDf(Seq(
       1L -> uniq("x", 120).mkString(" "),
