@@ -38,7 +38,8 @@ object MainApp {
       stateDir: Option[String] = None,
       publishEverySec: Long = 10L,
       staging: Option[String] = None,
-      stagingDir: Option[String] = None)
+      stagingDir: Option[String] = None,
+      stateStore: String = "default")
 
   def parse(args: Array[String]): Conf = {
     require(args.length % 2 == 0,
@@ -53,6 +54,7 @@ object MainApp {
       case (c, Array("--publish-every", v)) => c.copy(publishEverySec = v.toLong)
       case (c, Array("--staging", v))       => c.copy(staging = Some(v))
       case (c, Array("--staging-dir", v))   => c.copy(stagingDir = Some(v))
+      case (c, Array("--state-store", v))   => c.copy(stateStore = v)
       case (_, other) =>
         throw new IllegalArgumentException(s"unknown arguments: ${other.mkString(" ")}")
     }
@@ -63,6 +65,8 @@ object MainApp {
         graft.engine.Staging.ReliableCheckpoint, graft.engine.Staging.Persist)(p),
         s"--staging must be local-checkpoint|reliable-checkpoint|persist, got '$p'")
     }
+    require(Set("default", "rocksdb")(conf.stateStore),
+      s"--state-store must be default|rocksdb, got '${conf.stateStore}'")
     conf
   }
 
@@ -81,6 +85,11 @@ object MainApp {
     // so an executor loss recovers instead of killing the stream
     conf.staging.foreach(spark.conf.set(graft.engine.Staging.PolicyKey, _))
     conf.stagingDir.foreach(spark.conf.set(graft.engine.Staging.DirKey, _))
+    // `--state-store rocksdb`: off-heap keyed state for user/document-
+    // cardinality ledgers (streaming.StateStores) — set BEFORE any
+    // query starts, kept stable across restarts of one checkpoint
+    if (conf.stateStore == "rocksdb")
+      graft.streaming.StateStores.useRocksDb(spark)
     val ckptExists = new java.io.File(conf.checkpoint).exists()
     require(conf.stateDir.nonEmpty || !ckptExists,
       s"checkpoint ${conf.checkpoint} exists but no --state was given: sources " +

@@ -976,9 +976,22 @@ object Corpus {
     klScoreFromCounts(model, klCountsOf(documents))
 
   /** Train the frozen reference model on a corpus snapshot (counts
-    * staged: the vocab/stats/s_q chain reads them three times). */
-  def klModelOf(documents: DataFrame): DataFrame =
-    klModelFromCounts(graft.engine.Staging.stage(klCounts(documents)))
+    * staged: the vocab/stats/s_q chain reads them three times).
+    *
+    * Fails LOUDLY on an empty snapshot: [[klScoreFromCounts]] attaches
+    * the model constants by join, so an empty model silently empties
+    * every score — and a drift monitor wired to a mis-pathed resident
+    * corpus would emit nothing for exactly the batches that most need an
+    * alarm (ADVICE r10). The check is one action on the staged V-row
+    * counts at train time — once per session, never per probe. */
+  def klModelOf(documents: DataFrame): DataFrame = {
+    val model = klModelFromCounts(graft.engine.Staging.stage(klCounts(documents)))
+    require(!model.isEmpty,
+      "klModelOf: the reference corpus snapshot has no tokens — a frozen " +
+        "empty model would silently zero-row every probe; point the " +
+        "monitor at a non-empty resident corpus")
+    model
+  }
 
   def klDivergence(documents: DataFrame): DataFrame = {
     val sw = graft.engine.Staging.stage(klCounts(documents))
@@ -1236,16 +1249,16 @@ object Corpus {
     * consumer. (The probe face keeps its own computation — it scores
     * against a DIFFERENT target slice by design.) */
   private val dsirMemo =
-    new scala.collection.concurrent.TrieMap[(String, String), String]
+    new graft.engine.Artifacts.Memo[(String, String), String]
 
   def dsirWeightsArtifact(s: SparkSession, d: String): DataFrame = {
-    val path = dsirMemo.getOrElseUpdate((s.sparkContext.applicationId, d), {
+    val path = dsirMemo.once((s.sparkContext.applicationId, d)) {
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-dsirweights-${s.sparkContext.applicationId}-${math.abs(d.hashCode)}")
         .getAbsolutePath
       dsirWeights(Tables.documents(s, d)).write.mode("overwrite").parquet(dir)
       dir
-    })
+    }
     s.read.parquet(path)
   }
 

@@ -251,10 +251,10 @@ object Dedup {
     * including the cluster artifact itself, reopens them as columnar
     * scans: sign once, audit AND cluster many. */
   private val sigMemo =
-    new scala.collection.concurrent.TrieMap[(String, String), (String, String)]
+    new graft.engine.Artifacts.Memo[(String, String), (String, String)]
 
   private def repSigPaths(s: SparkSession, d: String): (String, String) =
-    sigMemo.getOrElseUpdate((s.sparkContext.applicationId, d), {
+    sigMemo.once((s.sparkContext.applicationId, d)) {
       val base = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-sigs-${s.sparkContext.applicationId}-${math.abs(d.hashCode)}")
         .getAbsolutePath
@@ -266,7 +266,7 @@ object Dedup {
       val (withSig, _) = signaturePipeline(repDocs(docs, dr), eager = false)
       withSig.write.mode("overwrite").parquet(s"$base-sig")
       (s"$base-dr", s"$base-sig")
-    })
+    }
 
   /** The session's (doc_id, rep) exact-dup map for a corpus directory. */
   def drArtifact(s: SparkSession, d: String): DataFrame =
@@ -474,13 +474,13 @@ object Dedup {
     * persistent-block release. At 100 TB this is the difference between
     * clustering the corpus once and once per downstream consumer. */
   private val clusterMemo =
-    new scala.collection.concurrent.TrieMap[(String, String), String]
+    new graft.engine.Artifacts.Memo[(String, String), String]
 
   /** The session's cluster artifact for a corpus directory — built at
     * most once per (session, dir); identical rows to [[minhashLsh]]
     * (parquet round-trips longs exactly). */
   def lshClusterArtifact(s: SparkSession, d: String): DataFrame = {
-    val path = clusterMemo.getOrElseUpdate((s.sparkContext.applicationId, d), {
+    val path = clusterMemo.once((s.sparkContext.applicationId, d)) {
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-lshclusters-${s.sparkContext.applicationId}-${math.abs(d.hashCode)}")
         .getAbsolutePath
@@ -490,7 +490,7 @@ object Dedup {
       minhashLshFrom(drArtifact(s, d), withSig, bands)
         .write.mode("overwrite").parquet(dir)
       dir
-    })
+    }
     s.read.parquet(path)
   }
 
@@ -638,7 +638,39 @@ object Dedup {
     val dr = Staging.stage(docReps(docs))
     // staged once: the simhash aggregate feeds the band join (3 consumers)
     // and both sides of the Hamming verify
-    val reps = Staging.stage(simhashes(repDocs(docs, dr)))
+    simhashDedupFrom(dr, Staging.stage(simhashes(repDocs(docs, dr))))
+  }
+
+  /** Sign-once memo for the SimHash family (VERDICT r10 #3 — [[sigMemo]]'s
+    * convention at the 60-bit grain): the registered query rebuilt the
+    * exact-dup collapse the MinHash artifact already stores and re-signed
+    * the representatives per run. The artifact rides [[drArtifact]] for
+    * the collapse (ONE sha pass per session serves both hash families)
+    * and stores the (doc_id, simhash) representative signature table as
+    * parquet — int64 signatures round-trip exactly, so every consumer
+    * clusters bit-identically to an inline signing
+    * (`SessionArtifactSpec`). */
+  private val simhashMemo =
+    new graft.engine.Artifacts.Memo[(String, String), String]
+
+  /** The session's representative (doc_id, simhash) table for a corpus
+    * directory — signed at most once per session. */
+  def simhashArtifact(s: SparkSession, d: String): DataFrame = {
+    val path = simhashMemo.once((s.sparkContext.applicationId, d)) {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-simhash-${s.sparkContext.applicationId}-${math.abs(d.hashCode)}")
+        .getAbsolutePath
+      simhashes(repDocs(Tables.spread(Tables.documents(s, d)), drArtifact(s, d)))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    s.read.parquet(path)
+  }
+
+  /** [[simhashDedup]] core over a prebuilt (doc_id, rep) map and
+    * representative signature table — the artifact consumer face. */
+  private[operators] def simhashDedupFrom(dr: DataFrame,
+                                          reps: DataFrame): DataFrame = {
     val bands = reps.select(col("doc_id"),
       posexplode(array((0 until SimhashBands).map(j =>
         shiftright(col("simhash"), SimhashBandBits * j)
@@ -1251,7 +1283,8 @@ object Dedup {
     // the two LSH-cluster consumers share the session cluster artifact
     // (cluster once, consume many — identical rows to minhashLsh)
     "dedup_minhash_lsh"   -> ((s, d) => lshClusterArtifact(s, d)),
-    "dedup_simhash"       -> ((s, d) => simhashDedup(Tables.documents(s, d))),
+    "dedup_simhash"       -> ((s, d) =>
+      simhashDedupFrom(drArtifact(s, d), simhashArtifact(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardBestMatch(Tables.documents(s, d))),
     "dedup_minhash_incremental" -> ((s, d) => minhashLshIncremental(Tables.documents(s, d))),
     "dedup_containment"   -> ((s, d) => containmentBestMatch(Tables.documents(s, d))),

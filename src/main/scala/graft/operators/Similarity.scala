@@ -344,12 +344,12 @@ object Similarity {
     * reopened as a columnar scan by [[embeddingDedup]] (τ =
     * [[CosDupThreshold]]) and [[rangeSimJoin]] (τ = [[RangeSimTau]]). */
   private val pairMemo =
-    new scala.collection.concurrent.TrieMap[(String, String), String]
+    new graft.engine.Artifacts.Memo[(String, String), String]
 
   /** All banded-candidate pair cosines for a corpus dir — built at most
     * once per session (doubles round-trip parquet exactly). */
   def pairCosineArtifact(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = pairMemo.getOrElseUpdate((spark.sparkContext.applicationId, sfDir), {
+    val path = pairMemo.once((spark.sparkContext.applicationId, sfDir)) {
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-paircos-${spark.sparkContext.applicationId}-${math.abs(sfDir.hashCode)}")
         .getAbsolutePath
@@ -358,7 +358,7 @@ object Similarity {
       pairCosines(vs, lshCandidatePairs(vs))
         .write.mode("overwrite").parquet(dir)
       dir
-    })
+    }
     spark.read.parquet(path)
   }
 
@@ -625,17 +625,17 @@ object Similarity {
     * hash-matches). Six consumers now ride one training pass; at 100 TB
     * this is the difference between training once and once per query. */
   private val centroidMemo =
-    new scala.collection.concurrent.TrieMap[(String, String), String]
+    new graft.engine.Artifacts.Memo[(String, String), String]
 
   def trainedCentroids(s: SparkSession, d: String): DataFrame = {
-    val path = centroidMemo.getOrElseUpdate((s.sparkContext.applicationId, d), {
+    val path = centroidMemo.once((s.sparkContext.applicationId, d)) {
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-centroids-${s.sparkContext.applicationId}-${math.abs(d.hashCode)}")
         .getAbsolutePath
       saveCentroids(kmeansCentroids(
         Staging.stage(vectors(s, d).select(col("vec_id"), col("v")))), dir)
       dir
-    })
+    }
     loadCentroids(s, path)
   }
 

@@ -865,7 +865,7 @@ object TextAnalysis {
     * lineage-truncated frame), and rebuilt deterministically if a new
     * session asks. This is the offline-train / online-apply split
     * ([[saveMerges]]/[[bpeApply]]) applied to the registry itself. */
-  private val mergeMemo = new scala.collection.concurrent.TrieMap[
+  private val mergeMemo = new graft.engine.Artifacts.Memo[
     (String, String), Array[(Int, String, Long, String)]]
 
   /** The trained merge table for a corpus directory — training runs at
@@ -873,7 +873,7 @@ object TextAnalysis {
     * (NOT a hot-path collect: the merge table is broadcast-sized by
     * construction at any corpus scale). */
   def trainedMerges(s: SparkSession, d: String): DataFrame = {
-    val rows = mergeMemo.getOrElseUpdate((s.sparkContext.applicationId, d),
+    val rows = mergeMemo.once((s.sparkContext.applicationId, d))(
       bpeMerges(Tables.documents(s, d)).collect().map(r =>
         (r.getInt(0), r.getString(1), r.getLong(2), r.getString(3))))
     import s.implicits._
@@ -1384,7 +1384,7 @@ object TextAnalysis {
     * Keyed by (session, dir, split): `full` = the closed-corpus models,
     * `ref` = the resident split the [[Dedup.IncomingMod]] probes score
     * against. */
-  private val surprisalMemo = new scala.collection.concurrent.TrieMap[
+  private val surprisalMemo = new graft.engine.Artifacts.Memo[
     (String, String, Boolean), (String, String)]
 
   /** The session's frozen [[BigramModel]] for a corpus directory — built
@@ -1393,8 +1393,8 @@ object TextAnalysis {
     * inline [[buildBigramModel]]. */
   def surprisalModelArtifact(s: SparkSession, d: String,
                              full: Boolean): BigramModel = {
-    val (uniP, biP) = surprisalMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, d, full), {
+    val (uniP, biP) = surprisalMemo.once(
+      (s.sparkContext.applicationId, d, full)) {
         val tag = if (full) "full" else "ref"
         val base = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft-surprisal-${s.sparkContext.applicationId}-" +
@@ -1406,7 +1406,7 @@ object TextAnalysis {
         unigramCounts(src).write.mode("overwrite").parquet(s"$base-uni")
         bigramCounts(src).write.mode("overwrite").parquet(s"$base-bi")
         (s"$base-uni", s"$base-bi")
-      })
+      }
     val uni = s.read.parquet(uniP)
     BigramModel(uni, s.read.parquet(biP), uni.agg(sum("uf").as("total")))
   }

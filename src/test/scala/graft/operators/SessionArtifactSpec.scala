@@ -116,4 +116,18 @@ class SigArtifactSpec extends SparkSpec {
     withSig.count() shouldBe nReps
     withSig.select("doc_id").distinct().count() shouldBe nReps
   }
+
+  test("simhash dedup via the session signature artifact == inline signing (r11)") {
+    assertSameRows(
+      Dedup.queries("dedup_simhash")(spark, sf),
+      Dedup.simhashDedup(docs))
+  }
+
+  test("the simhash artifact rides the shared exact-dup map: one row per representative") {
+    val reps = Dedup.simhashArtifact(spark, sf)
+    val nReps = Dedup.drArtifact(spark, sf)
+      .where(col("doc_id") === col("rep")).count()
+    reps.count() shouldBe nReps
+    reps.columns.toSeq shouldBe Seq("doc_id", "simhash")
+  }
 }

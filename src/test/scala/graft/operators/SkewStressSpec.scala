@@ -167,6 +167,71 @@ class SkewStressSpec extends SparkSpec {
     (probed(0).getLong(1), probed(0).getLong(2)) shouldBe ((0L, 60L))
   }
 
+  test("kl: a 10^4x hot source combines map-side; exact integers and kl bit-stable across 2-vs-32 partitions") {
+    // the r10 KL claim under adversarial skew (VERDICT r10 #4): one
+    // source carries 10^4 copies of one document (one blazing-hot
+    // (source, word) cell per word) while two cold sources stay tiny.
+    // The count grain collapses the hot cells map-side — nothing later
+    // runs at token grain — and the exact-integer columns plus the
+    // term-wise kl sum must be BIT-identical however the tokens were
+    // partitioned.
+    val sp = spark; import sp.implicits._
+    val rows = (1L to 10000L).map(i => (i, "the quick brown fox", "hot")) ++
+      Seq((20001L, "the slow green fox", "coldA"),
+        (20002L, "a quick red dog", "coldB"))
+    val df = rows.toDF("doc_id", "text", "source")
+    def snap(): Map[String, (Long, Long, Double)] =
+      Corpus.klDivergence(df).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val a = snap()
+    a("hot")._1 shouldBe 40000L // every token in-vocab, exact
+    a("hot")._2 shouldBe 4L
+    // the model IS dominated by the hot source, so the hot source
+    // diverges least and a cold source with off-model mass scores higher
+    a("hot")._3 should be < a("coldB")._3
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    val b = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2"); snap()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    // integers bit-equal; the term-wise kl sum reorders across partition
+    // counts by design — ~1 ulp per term, pinned far inside the oracle's
+    // 1e-9 band (the CrossOpInvariantSpec convention for the KL doubles)
+    b.keySet shouldBe a.keySet
+    a.foreach { case (s, (t, m, k)) =>
+      (b(s)._1, b(s)._2) shouldBe ((t, m))
+      b(s)._3 shouldBe k +- 1e-9
+    }
+  }
+
+  test("growth accounting: a 10^4-event user never leaves its partition; flows exact across 2-vs-32 partitions") {
+    // the r10 growth claim under per-user volume skew: one user fires
+    // 10^4 same-day events plus a gap-and-return arc; the day collapse
+    // is user-local (hash(user) exchange, partition-local sort), so the
+    // hot user costs one task ONE sorted slice, and the exact flow
+    // counts cannot depend on parallelism.
+    val sp = spark; import sp.implicits._
+    val us = 86400L * 1000000L
+    val rows = (1L to 10000L).map(i => (i, (i % 7) * us / 7, 1L)) ++ // day 0, 10^4 events
+      Seq((20001L, 1L * us, 1L), (20002L, 3L * us, 1L),  // retained, gap → churn+resurrect
+        (20003L, 0L * us, 2L))                           // cold user
+    val df = rows.map { case (e, t, u) => (e, t, u, "view", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def snap(): Set[Seq[Any]] =
+      Events.growthAccounting(df).collect().map(_.toSeq.toSeq).toSet
+    val a = snap()
+    // day 0: both users new; day 1: u1 retained; day 2: u1 churned;
+    // day 3: u1 resurrected — and u2's terminal churn at day 1
+    a.map(r => (r(0), r(1), r(2), r(3), r(4))) shouldBe Set(
+      (0L, 2L, 0L, 0L, 0L), (1L, 0L, 1L, 0L, 1L),
+      (2L, 0L, 0L, 0L, 1L), (3L, 0L, 0L, 1L, 0L))
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    val b = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2"); snap()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    b shouldBe a
+  }
+
   test("source attribution: one text duplicated 10^4 times combines before it moves") {
     val sp = spark; import sp.implicits._
     val rows = (1L to 10000L).map(i => (i, "same boilerplate", "feedA")) ++

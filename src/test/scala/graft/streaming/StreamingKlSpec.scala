@@ -97,4 +97,14 @@ class StreamingKlSpec extends SparkSpec {
     allOov.getLong(2) shouldBe 0L
     allOov.getDouble(3) should be >= 0.0
   }
+
+  test("an empty resident snapshot fails loudly at train time (ADVICE r10)") {
+    val sp = spark; import sp.implicits._
+    // an empty frozen model would silently zero-row every probe —
+    // exactly the batches a drift monitor most needs to alarm on
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    val ex = intercept[IllegalArgumentException](Corpus.klModelOf(empty))
+    ex.getMessage should include("no tokens")
+  }
 }
