@@ -1198,6 +1198,42 @@ object Dedup {
           .as("span_coverage_rate"))
   }
 
+  /** Span-duplication provenance per source — [[sourceAttribution]]'s
+    * twin at the substring grain (completing the family's ops-evidence
+    * set beside savings/apply/probe): which feed carries the repeated
+    * ≥[[MinSpanTokens]]-token mass, i.e. where the [[spanApply]] rewrite
+    * will actually cut. A crawl whose span_coverage_rate spikes against
+    * the corpus's base rate is shipping templated or lifted content —
+    * the per-source alarm the one-row [[spanSavings]] headline cannot
+    * localize. Output one row per source: (source, n_docs,
+    * n_spanned_docs, tokens_total, tokens_in_spans, span_coverage_rate);
+    * per-source rates tile exactly — Σ tokens_in_spans over sources ==
+    * [[spanSavings]].tokens_in_spans (CrossOpInvariantSpec).
+    *
+    * 100 TB shape: the covered-position pipeline (the corpus shuffles
+    * 8-byte hashes), the per-doc union ledger rolled doc_id-local, ONE
+    * broadcastable doc_id→mass join back to the scan, and two
+    * map-side-combined ≤|sources|-row rollups. */
+  def spanAttribution(documents: DataFrame): DataFrame = {
+    val docs = Tables.spread(documents)
+    val tok = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("tokens_total"))
+    val perDoc = mergedSpans(coveredPositions(documents))
+      .groupBy("doc_id").agg(sum(col("e") - col("s")).as("doc_span_tokens"))
+    val sp = docs.select("doc_id", "source").join(perDoc, "doc_id")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_spanned_docs"),
+        sum("doc_span_tokens").as("tokens_in_spans"))
+    tok.join(sp, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_spanned_docs"), lit(0L)).as("n_spanned_docs"),
+        col("tokens_total"),
+        coalesce(col("tokens_in_spans"), lit(0L)).as("tokens_in_spans"),
+        round(coalesce(col("tokens_in_spans"), lit(0L)).cast("double")
+          / col("tokens_total"), 6).as("span_coverage_rate"))
+  }
+
   /** EXECUTE the span rewrite [[spanSavings]] prices — the plan→apply
     * pairing of the mix/pack/dsir families at the substring-dedup grain:
     * emit the corpus with every token inside an exactly-repeated
@@ -1277,6 +1313,7 @@ object Dedup {
     "dedup_span_exact"    -> ((s, d) => spanExact(Tables.documents(s, d))),
     "dedup_span_savings"  -> ((s, d) => spanSavings(Tables.documents(s, d))),
     "dedup_span_apply"    -> ((s, d) => spanApply(Tables.documents(s, d))),
+    "dedup_span_attribution" -> ((s, d) => spanAttribution(Tables.documents(s, d))),
     "dedup_span_probe"    -> ((s, d) => spanProbeSplit(Tables.documents(s, d))),
     "dedup_exact"         -> ((s, d) => exact(Tables.documents(s, d))),
     "dedup_exact_probe"   -> ((s, d) => exactProbe(Tables.documents(s, d))),
@@ -1464,6 +1501,27 @@ object Dedup {
          |   round(CAST(tokens_in_spans AS DOUBLE) / tokens_total, 6)
          |     AS span_coverage_rate
          | FROM tok, agg""".stripMargin,
+
+    "dedup_span_attribution" ->
+      s"""WITH $spanGramsSqlWith,
+         | $mergedSpansSqlWith,
+         | tok AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |     CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_total
+         |   FROM documents GROUP BY source),
+         | pd AS (SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS doc_span_tokens
+         |   FROM sp GROUP BY doc_id),
+         | agg AS (SELECT dd.source,
+         |     CAST(COUNT(*) AS BIGINT) AS n_spanned_docs,
+         |     CAST(SUM(pd.doc_span_tokens) AS BIGINT) AS tokens_in_spans
+         |   FROM documents dd JOIN pd ON pd.doc_id = dd.doc_id
+         |   GROUP BY dd.source)
+         | SELECT tok.source, tok.n_docs,
+         |   CAST(COALESCE(agg.n_spanned_docs, 0) AS BIGINT) AS n_spanned_docs,
+         |   tok.tokens_total,
+         |   CAST(COALESCE(agg.tokens_in_spans, 0) AS BIGINT) AS tokens_in_spans,
+         |   round(CAST(COALESCE(agg.tokens_in_spans, 0) AS DOUBLE)
+         |     / tok.tokens_total, 6) AS span_coverage_rate
+         | FROM tok LEFT JOIN agg ON agg.source = tok.source""".stripMargin,
 
     "dedup_span_apply" ->
       s"""WITH $spanGramsSqlWith,

@@ -380,8 +380,9 @@ object TextAnalysis {
     * logistic regression over hashed token features); the weights being
     * data-independent is exactly what makes the SERVING plan — the part
     * this engine owns — oracle-checkable. Values in [-1, 1] in tenths. */
-  val ClfWeights: Seq[Double] =
-    (0 until ClfDim).map(j => ((j * 37 + 11) % 21 - 10) / 10.0)
+  val ClfWeightTenths: Seq[Int] =
+    (0 until ClfDim).map(j => (j * 37 + 11) % 21 - 10)
+  val ClfWeights: Seq[Double] = ClfWeightTenths.map(_ / 10.0)
   /** Chosen so the gate genuinely splits the synthetic corpus (~52/48 at
     * sf0.01) — a bias that kept or dropped everything would leave the
     * decision branch dead at the oracle (the probe-query lesson). */
@@ -394,25 +395,38 @@ object TextAnalysis {
     * buckets through the portable [[Dedup.h32]] family, the document's
     * logit is `bias + mean(weight[bucket(token)])` (the exact linear
     * model over L1-normalized hashed counts), `clf_score` its sigmoid,
-    * `keep` the ≥ 0.5 decision. The logit is rounded to 1e-6 BEFORE the
-    * sigmoid/decision so a zero-sum weight cancellation (true logit 0,
-    * floating sums straddling ±1e-17 under different add orders) can
-    * never flip `keep` between engines — the [[qualityDeciles]]
-    * discipline.
+    * `keep` the ≥ 0.5 decision.
+    *
+    * Numerics (hardened after the r11 sf0.1 parity sweep caught a
+    * `round(·,6)` knife edge): the weights are EXACT tenths, so
+    * logit = bias + Σwᵢ/(10n) is the rational (3n+2Σwᵢ)/(20n) — and one
+    * sf0.1 document lands EXACTLY on a .5·10⁻⁶ boundary, where Spark's
+    * BigDecimal HALF_UP and DuckDB's float-multiply `round` disagree
+    * even on identical inputs. So the published 1e-6 logit grain is
+    * computed IN INTEGERS on both engines: micro = half-away-from-zero
+    * round of 50000·(3n+2Σwᵢ)/n via explicit positive-operand integer
+    * division, logit = micro/10⁶ — no float enters until the final
+    * constant division, which is one identical IEEE op per engine.
     *
     * 100 TB shape: map-only hash + weight lookup against a literal array
     * (no model table, no join), then one map-side-combined per-doc mean —
     * the cheapest possible serving plan for a linear gate. */
   def qualityClassifier(documents: DataFrame): DataFrame = {
-    val w = typedLit(ClfWeights)
+    val w = typedLit(ClfWeightTenths)
     Tables.spread(documents)
       .select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("term"))
       .select(col("doc_id"),
-        element_at(w, (Dedup.h32(col("term")) % ClfDim).cast("int") + 1).as("tw"))
+        element_at(w, (Dedup.h32(col("term")) % ClfDim).cast("int") + 1).as("twi"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        round(lit(ClfBias) + avg(col("tw")), 6).as("logit"))
+        (lit(50000L) * (lit(3L) * count(lit(1))
+          + lit(2L) * sum(col("twi")))).as("a"))
+      .withColumn("micro", when(col("a") >= 0,
+          expr("(2*a + n_tokens) DIV (2*n_tokens)"))
+        .otherwise(-expr("(-2*a + n_tokens) DIV (2*n_tokens)")))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("micro").cast("double") / lit(1000000.0)).as("logit"))
       .select(col("doc_id"), col("n_tokens"), col("logit"),
         (lit(1.0) / (lit(1.0) + exp(-col("logit")))).as("clf_score"),
         (col("logit") >= 0).as("keep"))
@@ -1810,12 +1824,18 @@ object TextAnalysis {
     s"""ctk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
        |  FROM $src),
        | ctw AS (SELECT doc_id,
-       |   (${ClfWeights.mkString("[", ", ", "]")}::DOUBLE[])[
+       |   (${ClfWeightTenths.mkString("[", ", ", "]")}::BIGINT[])[
        |     CAST(('0x' || substring(md5(term), 1, 8))::BIGINT % $ClfDim AS INTEGER) + 1]
-       |     AS tw
+       |     AS twi
        |  FROM ctk),
-       | clf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       |   round($ClfBias + AVG(tw), 6) AS logit FROM ctw GROUP BY doc_id)""".stripMargin
+       | cagg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |   CAST(50000 * (3 * COUNT(*) + 2 * SUM(twi)) AS BIGINT) AS a
+       |  FROM ctw GROUP BY doc_id),
+       | clf AS (SELECT doc_id, n_tokens,
+       |   CAST(CASE WHEN a >= 0 THEN (2*a + n_tokens) // (2*n_tokens)
+       |     ELSE -((-2*a + n_tokens) // (2*n_tokens)) END AS DOUBLE)
+       |     / 1000000.0 AS logit
+       |  FROM cagg)""".stripMargin
 
   /** SQL mirror of [[buildBigramModel]] + [[probeBigramSurprisal]],
     * parametric over the model/probe source predicates so the closed

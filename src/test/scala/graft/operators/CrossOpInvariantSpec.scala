@@ -700,6 +700,19 @@ class CrossOpInvariantSpec extends SparkSpec {
     b shouldBe a
   }
 
+  test("span attribution tiles the savings headline source-by-source") {
+    // per-source masses must re-aggregate to the one-row headline as
+    // exact integers — same covered-position relation, two groupings
+    val savings = Dedup.spanSavings(docs).collect()(0)
+    val attr = Dedup.spanAttribution(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    attr.map(_._2).sum shouldBe savings.getLong(0) // n_docs
+    attr.map(_._3).sum shouldBe savings.getLong(2) // n_spanned_docs
+    attr.map(_._4).sum shouldBe savings.getLong(1) // tokens_total
+    attr.map(_._5).sum shouldBe savings.getLong(4) // tokens_in_spans
+  }
+
   test("spanApply removes EXACTLY the token mass spanSavings prices, doc-by-doc") {
     // the plan→apply contract at the substring-dedup grain: the rewrite's
     // removed mass must reconcile with the priced union coverage as exact

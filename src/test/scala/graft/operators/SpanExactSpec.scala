@@ -149,6 +149,20 @@ class SpanExactSpec extends SparkSpec {
     (out(2).getLong(2), out(2).getString(3)) shouldBe ((50L, ""))
   }
 
+  test("spanAttribution: the carrying source localizes the mass; clean sources report zero") {
+    val sp = spark; import sp.implicits._
+    val shared = uniq("s", 80)
+    val rows = Seq(
+      (1L, (uniq("p", 20) ++ shared).mkString(" "), "feedA"),  // 100 tok, 80 in span
+      (2L, (shared ++ uniq("q", 20)).mkString(" "), "feedA"),  // 100 tok, 80 in span
+      (3L, uniq("z", 100).mkString(" "), "feedB"))             // clean
+    val out = Dedup.spanAttribution(rows.toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    out("feedA") shouldBe ((2L, 2L, 200L, 160L, 0.8))
+    out("feedB") shouldBe ((1L, 0L, 100L, 0L, 0.0))
+  }
+
   test("spanApply: a span-free corpus passes through byte-identical") {
     val texts = Seq(1L -> uniq("x", 120).mkString(" "),
       2L -> uniq("y", K - 1).mkString(" "))              // incl. sub-grain doc
