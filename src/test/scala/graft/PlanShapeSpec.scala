@@ -370,6 +370,34 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("dedup_span_apply: ONE gram-side explode, doc-partitioned merge, no token-grain explode on the rewrite side") {
+    // the rewrite side carries the token ARRAY through a higher-order
+    // aggregate — the plan's only Generates are the covered-position gram
+    // explode's two consumers (occurrence count + join-back, same as
+    // dedup_span_exact); ONE MORE would mean the rewrite exploded tokens
+    val p = planOf("dedup_span_apply")
+    countOf(p, "Generate") shouldBe countOf(planOf("dedup_span_exact"), "Generate")
+    p should include("windowspecdefinition(doc_id")
+    p should not include "CartesianProduct"
+  }
+
+  test("dedup_span_attribution: map-side-combined rollups, doc-grain ledger join, no cartesian") {
+    val p = planOf("dedup_span_attribution")
+    p should include("partial_count")
+    p should include("windowspecdefinition(doc_id")
+    p should not include "CartesianProduct"
+  }
+
+  test("dedup_simhash rides the session artifacts: parquet signature scan, no re-sign, no re-collapse") {
+    // r11: the registered face reopens the shared exact-dup map and the
+    // per-session simhash signature table — the plan must scan parquet
+    // and must NOT contain the signing expression or the sha collapse
+    val p = planOf("dedup_simhash")
+    p should include("Scan parquet")
+    p should not include "graft_simhash60"
+    p should not include "sha2"
+  }
+
   test("dedup audit family rides the signature artifact: parquet scans, no corpus re-sign") {
     // r10: the registered band-profile / threshold-histogram / calibration
     // faces reopen the session signature artifact — the plan must scan
