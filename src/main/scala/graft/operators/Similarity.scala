@@ -468,6 +468,64 @@ object Similarity {
         (coalesce(col("n_hits"), lit(0L)).cast("double") / TopK).as("recall_at_k"))
   }
 
+  /** Prefix dims for [[matryoshkaRecall]] — powers of two up to the full
+    * embedding width, the ladder Matryoshka-trained models publish. */
+  val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** Matryoshka truncation-recall curve (Kusupati et al. 2022): mean
+    * recall@[[TopK]] of exact cosine search over the FIRST d dimensions
+    * vs the full-width exact ranking, for each prefix width in
+    * [[MatryoshkaDims]] — the measurement that decides whether the
+    * embedding column can ship truncated. At 100 TB the embedding store
+    * is often the single largest table, and a model whose 16-dim prefix
+    * already recalls ~0.9 cuts that store (and every downstream ANN
+    * index) 4× — but only a measured curve justifies the cut, exactly as
+    * the nprobe/bands curves justify index geometry. The full-width
+    * point is exact 1.0 by construction (same arithmetic as the
+    * reference ranking — the self-check). Output one row per dim:
+    * (dim, n_hits, mean_recall_at_k); n_hits is the exact integer hit
+    * total, the mean ONE division of exact ints.
+    *
+    * 100 TB shape: the corpus vector frame stages ONCE and each sweep
+    * point re-scores it against the broadcast query block with the
+    * bounded top-k finisher — per dim one map-only scan of the staged
+    * frame, vectors never shuffle, and the truncated dots cost LESS
+    * than the full referee's exact arm. Zero-norm truncated prefixes
+    * (possible for sparse embeddings) are excluded on both sides rather
+    * than scored — a NaN cosine orders differently across engines. */
+  def matryoshkaRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = Staging.stage(vectors(spark, sfDir))
+    val exactTk = Staging.stage(
+      exactCosineProbe(vs, vs.where(col("vec_id") < NumQueryVectors)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn")))
+        .select(col("query_id"), col("neighbor_id")))
+    MatryoshkaDims.map { d =>
+      exactTk.join(prefixTk(vs, d), Seq("query_id", "neighbor_id"))
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_hits"))
+        .select(lit(d.toLong).as("dim"), col("n_hits"),
+          (col("n_hits").cast("double")
+            / lit((TopK * NumQueryVectors).toDouble)).as("mean_recall_at_k"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Exact cosine top-k over the FIRST d embedding dimensions — one
+    * sweep point of [[matryoshkaRecall]], exposed for the spec's
+    * independent re-derivation. */
+  def prefixTopK(spark: SparkSession, sfDir: String, d: Int): DataFrame =
+    prefixTk(vectors(spark, sfDir), d)
+
+  private def prefixTk(vs: DataFrame, d: Int): DataFrame = {
+    val tv = vs.select(col("vec_id"), slice(col("v"), 1, d).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .where(col("nrm") > 0)
+    exactCosineProbe(tv,
+      tv.where(col("vec_id") < NumQueryVectors)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn")))
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
   /** IVF (inverted-file) top-k — the other classic ANN scale path: assign
     * every corpus vector to its nearest centroid once, then search only the
     * [[NProbe]] centroid lists nearest each query. Same output shape as
@@ -1354,6 +1412,7 @@ object Similarity {
     "sim_range_join" -> (rangeSimJoin _),
     "sim_ann_lsh_topk" -> (annLshTopK _),
     "sim_ann_recall" -> (annRecall _),
+    "sim_matryoshka_recall" -> (matryoshkaRecall _),
     "sim_ivf_topk" -> (ivfTopK _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_embedding_audit" -> (embeddingAudit _),
@@ -1547,7 +1606,49 @@ object Similarity {
        | $fin""".stripMargin
   }
 
+  /** One sweep point of the `sim_matryoshka_recall` oracle: exact top-k
+    * over the d-dim prefix (same tiebreak as the reference ranking),
+    * counted against `exact_tk`. Shared template so a tiebreak or guard
+    * change cannot drift between sweep points. */
+  private def matryoshkaDimSql(d: Int): String =
+    s"""SELECT CAST($d AS BIGINT) AS dim,
+       |   CAST(COALESCE((SELECT COUNT(*) FROM exact_tk e JOIN (
+       |     WITH tv AS (SELECT vec_id, v[1:$d] AS v,
+       |         sqrt(list_dot_product(v[1:$d], v[1:$d])) AS nrm
+       |       FROM vs WHERE sqrt(list_dot_product(v[1:$d], v[1:$d])) > 0),
+       |     tq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM tv
+       |       WHERE vec_id < $NumQueryVectors),
+       |     scored AS (SELECT tq.query_id, tv.vec_id AS neighbor_id,
+       |         list_dot_product(tv.v, tq.qv) / (tv.nrm * tq.qn) AS cosine_sim
+       |       FROM tv CROSS JOIN tq WHERE tv.vec_id <> tq.query_id)
+       |     SELECT query_id, neighbor_id FROM (SELECT *,
+       |       ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM scored)
+       |     WHERE rank <= $TopK
+       |   ) t ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id), 0)
+       |   AS BIGINT) AS n_hits""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "sim_matryoshka_recall" ->
+      s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                           CAST(embedding AS DOUBLE[]))) AS nrm
+         |   FROM embeddings),
+         | q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM vs
+         |   WHERE vec_id < $NumQueryVectors),
+         | fscored AS (SELECT q.query_id, vs.vec_id AS neighbor_id,
+         |     list_dot_product(vs.v, q.qv) / (vs.nrm * q.qn) AS cosine_sim
+         |   FROM vs CROSS JOIN q WHERE vs.vec_id <> q.query_id),
+         | exact_tk AS (SELECT query_id, neighbor_id FROM (SELECT *,
+         |     ROW_NUMBER() OVER (PARTITION BY query_id
+         |       ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM fscored)
+         |   WHERE rank <= $TopK),
+         | per_dim AS (
+         | ${MatryoshkaDims.map(matryoshkaDimSql).mkString("", "\n UNION ALL\n ", "")})
+         | SELECT dim, n_hits,
+         |   CAST(n_hits AS DOUBLE) / ${TopK * NumQueryVectors}.0
+         |     AS mean_recall_at_k
+         | FROM per_dim""".stripMargin,
     "sim_ivf_pq_topk" ->
       s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

@@ -970,6 +970,18 @@ class PlanShapeSpec extends SparkSpec {
     countOf(p, "Exchange SinglePartition") should be <= 2 // the final sums only
   }
 
+  test("sim_matryoshka_recall: staged corpus re-scored per prefix width, vectors never shuffle-join") {
+    val p = planOf("sim_matryoshka_recall")
+    p should not include "CartesianProduct"
+    p should not include "SortMergeJoin"            // vectors never shuffle
+    p should include("ObjectHashAggregate")         // bounded top-k finisher
+    // every sweep point scores the SAME staged vector frame (+ the staged
+    // reference ranking) — prefix scans reuse checkpointed blocks, the
+    // raw embeddings parquet is not re-read per dim
+    countOf(p, "Scan ExistingRDD") should be >=
+      graft.operators.Similarity.MatryoshkaDims.size
+  }
+
   test("sim_ivf_nprobe_curve: one staged scored scan funds all sweep points") {
     val p = planOf("sim_ivf_nprobe_curve")
     p should not include "CartesianProduct"

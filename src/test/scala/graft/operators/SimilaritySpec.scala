@@ -188,6 +188,28 @@ class SimilaritySpec extends SparkSpec {
     out.count(_._3 > 0) should be > 0
   }
 
+  test("matryoshka recall: full width is exact 1.0, hits bounded, one row per sweep dim") {
+    val out = Similarity.matryoshkaRecall(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    out.keySet shouldBe Similarity.MatryoshkaDims.map(_.toLong).toSet
+    val denom = Similarity.TopK * Similarity.NumQueryVectors
+    out.values.foreach { case (hits, rec) =>
+      hits should (be >= 0L and be <= denom.toLong)
+      rec shouldBe hits.toDouble / denom
+    }
+    // the full-width sweep point IS the reference ranking: exact 1.0, no
+    // tolerance — same arithmetic, same tiebreak, nothing to diverge
+    out(64L) shouldBe ((denom.toLong, 1.0))
+    // truncated hits re-derive from an independent prefix re-ranking
+    val exact = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Similarity.MatryoshkaDims.foreach { d =>
+      val tk = Similarity.prefixTopK(spark, sfDir, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      out(d.toLong)._1 shouldBe exact.intersect(tk).size.toLong
+    }
+  }
+
   test("ann recall: one row per query, recall in [0,1] and equal to the measured overlap") {
     val recall = Similarity.annRecall(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
