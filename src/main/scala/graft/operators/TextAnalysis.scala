@@ -1497,6 +1497,40 @@ object TextAnalysis {
         round(col("n_types").cast("double")
           / sqrt(col("n_tokens").cast("double")), 6).as("root_ttr"))
 
+  /** Character-level Shannon entropy per document — the gibberish gate
+    * the token-grain signals cannot see: base64/hex blobs score near the
+    * uniform ceiling (ln of the alphabet in use), repeated-character
+    * padding scores near 0, while natural English sits in a narrow band
+    * (~2.8–3.1 nats) — both tails are curation drops before a tokenizer
+    * ever meets them. Complements [[quality]] (punct/stopword ratios at
+    * the token grain) and [[lexicalDiversity]] (vocabulary richness):
+    * a base64 blob is ONE "token" with perfect type-token ratio and no
+    * flagged punctuation, invisible to both. Output:
+    * (doc_id, n_chars, n_distinct_chars, char_entropy).
+    *
+    * Numerics: H = ln n − (Σ c·ln c)/n over the per-(doc, char) exact
+    * integer counts — identical expression shape on both engines; the
+    * ≤|charset| per-doc terms reorder within ~1 ulp. `.` (portable
+    * between Java regex and RE2: both exclude newline, both advance one
+    * code point) extracts the character stream.
+    *
+    * 100 TB shape: one map-side-combined (doc, char) count — the cell
+    * grain is ≤ printable-ASCII per doc, so the combine collapses ~n/95
+    * per cell before the exchange — then a per-doc rollup; no joins, no
+    * windows. */
+  def charEntropy(documents: DataFrame): DataFrame =
+    Tables.spread(documents)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("slc"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        (log(col("n_chars").cast("double"))
+          - col("slc") / col("n_chars").cast("double")).as("char_entropy"))
+
   /** Minimum corpus instances for a burstiness candidate. */
   val BurstMinCount = 5L
   /** Burstiness report size. */
@@ -1661,6 +1695,7 @@ object TextAnalysis {
     "text_novelty_probe" -> ((s, d) => noveltyProbeSplit(Tables.documents(s, d))),
     "text_term_burstiness" -> ((s, d) => termBurstiness(Tables.documents(s, d))),
     "text_lexical_diversity" -> ((s, d) => lexicalDiversity(Tables.documents(s, d))),
+    "text_char_entropy" -> ((s, d) => charEntropy(Tables.documents(s, d))),
     // the surprisal family trains ONCE per (session, dir, split) via the
     // parquet model artifact; each query replays the frozen counts
     // (bit-identical to an inline build — SurprisalArtifactSpec pins it)
@@ -1990,6 +2025,18 @@ object TextAnalysis {
         | round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
         |   / sqrt(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS root_ttr
         | FROM documents""".stripMargin,
+
+    "text_char_entropy" ->
+      """WITH cells AS (SELECT doc_id, unnest(regexp_extract_all(text, '.'))
+        |     AS ch FROM documents),
+        | cc AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        |   FROM cells GROUP BY doc_id, ch)
+        | SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+        |   CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+        |   ln(CAST(SUM(c) AS DOUBLE))
+        |     - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+        |       / CAST(SUM(c) AS DOUBLE) AS char_entropy
+        | FROM cc GROUP BY doc_id""".stripMargin,
 
     "text_term_burstiness" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' '))

@@ -94,14 +94,21 @@ object Tables {
           "normalization) in ONE place rather than patching queries.")
     }
 
-  /** Once-per-(dir, table) memo so the contract costs one footer-schema
-    * comparison per session, not one per query. */
+  /** Once-per-(dir, table, mtime) memo so the contract costs one
+    * footer-schema comparison per session, not one per query — keyed on
+    * the parquet path's modification time so a testdata regeneration
+    * into the SAME directory mid-session re-validates instead of riding
+    * a stale pass (ADVICE r10: a process-lifetime memo bypassed the very
+    * tripwire it guards). */
   private val schemaChecked =
-    new scala.collection.concurrent.TrieMap[(String, String), Unit]
+    new scala.collection.concurrent.TrieMap[(String, String, Long), Unit]
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    schemaChecked.getOrElseUpdate((sfDir, name), validateSchema(name, df.schema))
+    val path = s"$sfDir/$name.parquet"
+    val df = spark.read.parquet(path)
+    schemaChecked.getOrElseUpdate(
+      (sfDir, name, new java.io.File(path).lastModified),
+      validateSchema(name, df.schema))
     df
   }
 

@@ -345,6 +345,14 @@ class PlanShapeSpec extends SparkSpec {
     p should include("partial_count")
   }
 
+  test("text_char_entropy: two map-side-combined aggregates, no join, no window") {
+    val p = planOf("text_char_entropy")
+    p should not include "Join"
+    p should not include "Window"
+    p should include("partial_count")   // the (doc, char) cell count combines
+    countOf(p, "HashAggregate") shouldBe 4 // two 2-phase aggs, nothing more
+  }
+
   test("text_bigram_surprisal: map-only history pairing, no window, 1-row total broadcast") {
     val p = planOf("text_bigram_surprisal")
     p should not include "Window"               // history via array transform, not lag()

@@ -11,6 +11,22 @@ class TextAnalysisSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("char entropy: degenerate padding scores 0, a 50/50 mix ln 2, the uniform blob ln |alphabet|") {
+    val out = TextAnalysis.charEntropy(docs(
+      1L -> "aaaaaaaa",                      // one symbol: H = 0 exactly
+      2L -> "abababab",                      // two symbols 50/50: H = ln 2
+      3L -> "abcdefgh",                      // uniform 8: H = ln 8 (ceiling)
+      4L -> "the cat sat"))                  // natural-ish: strictly between
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out(1L) shouldBe ((8L, 1L, 0.0))         // exact: ln 8 - 8·ln 8/8
+    out(2L)._3 shouldBe math.log(2) +- 1e-12
+    out(3L)._3 shouldBe math.log(8) +- 1e-12
+    val (n4, d4, h4) = out(4L)
+    n4 shouldBe 11L; d4 shouldBe 7L          // 'the cats' + space
+    h4 should (be > math.log(2) and be < math.log(7.0))
+  }
+
   test("token stats: chars, whitespace tokens, sub-tokens, mean length") {
     val r = TextAnalysis.tokenStats(docs(1L -> "Hello, world! x2")).collect()(0)
     r.getLong(1) shouldBe 16L  // chars
