@@ -113,6 +113,21 @@ class CrossOpInvariantSpec extends SparkSpec {
     sup shouldBe nTok
   }
 
+  test("char entropy's character grain agrees with token stats; entropy inside the ceiling") {
+    // '.' extracts every character of the newline-free corpus, so the
+    // entropy op's n_chars must equal token-stats' length(text) doc-by-doc,
+    // and H is bounded by ln(distinct) — the uniform ceiling
+    val nChars = TextAnalysis.tokenStats(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ent = TextAnalysis.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    ent.view.mapValues(_._1).toMap shouldBe nChars
+    ent.values.foreach { case (_, distinct, h) =>
+      h should (be >= 0.0 and be <= math.log(distinct.toDouble) + 1e-9)
+    }
+  }
+
   test("zipf head size agrees with the distinct-term count") {
     val r = TextAnalysis.zipf(docs).collect()(0)
     val nTerms = r.getLong(0)
