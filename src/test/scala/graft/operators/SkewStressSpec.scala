@@ -165,6 +165,16 @@ class SkewStressSpec extends SparkSpec {
       .collect()
     probed.length shouldBe 1
     (probed(0).getLong(1), probed(0).getLong(2)) shouldBe ((0L, 60L))
+    // and the REWRITE: every doc loses exactly the 60-token block and
+    // keeps its unique 10-token tail — the hot span costs one interval
+    // row per doc, never a pairing, and no doc survives with block text
+    val applied = Dedup.spanApply(docs).collect()
+    applied.length shouldBe n
+    all(applied.map(r => (r.getLong(1), r.getLong(2)))) shouldBe ((70L, 60L))
+    val tails = applied.map(r => r.getLong(0) -> r.getString(3)).toMap
+    (0L until n).foreach { id =>
+      tails(id) shouldBe (0 until 10).map(i => s"u${id}x$i").mkString(" ")
+    }
   }
 
   test("kl: a 10^4x hot source combines map-side; exact integers and kl bit-stable across 2-vs-32 partitions") {
