@@ -406,6 +406,24 @@ object Corpus {
         col("match_id").isNotNull.as("contaminated_near"))
   }
 
+  /** Artifact-served [[nearDecontaminate]] (VERDICT r11 #2): the eval
+    * index AND the training-side probe signatures both derive from the
+    * session signature artifact ([[Dedup.subsetIndex]] /
+    * [[Dedup.subsetSigned]]) — the registered query re-signs nothing.
+    * r11's inline form signed 95% of the corpus per run, and at
+    * `eager = false` once more per consumer stage. */
+  def nearDecontaminateArtifact(s: SparkSession, d: String): DataFrame = {
+    val isEval = col("doc_id") % EvalMod === EvalRem
+    val dr = Dedup.drArtifact(s, d)
+    val (ws, _) = Dedup.sigArtifact(s, d)
+    val trainSig = Dedup.subsetSigned(dr, ws, !isEval)
+    Dedup.probeSigned(Dedup.subsetIndex(dr, ws, isEval),
+        trainSig, Dedup.bandsOf(trainSig))
+      .select(col("doc_id"), col("match_id").as("eval_match"),
+        col("match_jaccard"),
+        col("match_id").isNotNull.as("contaminated_near"))
+  }
+
   /** Output shard count for [[shardPlan]] (a real corpus build picks
     * shards ≈ corpus_bytes / target_shard_bytes). */
   val NumShards = 32
@@ -1337,7 +1355,7 @@ object Corpus {
     "corpus_length_profile" -> ((s, d) => lengthProfile(Tables.documents(s, d))),
     "corpus_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "corpus_bloom_decontaminate" -> ((s, d) => bloomDecontaminate(Tables.documents(s, d))),
-    "corpus_near_decontaminate" -> ((s, d) => nearDecontaminate(Tables.documents(s, d))),
+    "corpus_near_decontaminate" -> ((s, d) => nearDecontaminateArtifact(s, d)),
     "corpus_pack_plan"  -> ((s, d) => packPlan(Tables.documents(s, d))),
     "corpus_pack_apply" -> ((s, d) => packApply(Tables.documents(s, d))),
     "corpus_chunk_plan" -> ((s, d) => chunkPlan(Tables.documents(s, d))),

@@ -565,7 +565,7 @@ object Dedup {
 
   /** (band, bkey, doc_id) explode of a signature frame's stored band-key
     * array — shared by [[signaturePipeline]] and the artifact read-back. */
-  private def bandsOf(withSig: DataFrame): DataFrame =
+  private[operators] def bandsOf(withSig: DataFrame): DataFrame =
     withSig.select(col("doc_id"), posexplode(col("bandkeys")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
 
@@ -786,6 +786,17 @@ object Dedup {
   def probeIndex(index: MinHashIndex, incoming: DataFrame): DataFrame = {
     val inc = incoming.select("doc_id", "text")
     val (incSig, incBands) = signaturePipeline(inc, eager = false)
+    probeSigned(index, incSig, incBands)
+  }
+
+  /** [[probeIndex]] core over an ALREADY-SIGNED incoming frame
+    * (doc_id, sh, sig, bandkeys) — the session-artifact consumer face
+    * (VERDICT r11 #2): when the probe side is a corpus split whose
+    * signatures the session artifact already holds ([[subsetSigned]]),
+    * re-signing 80% of the corpus per run (and, at `eager = false`,
+    * once more per consumer stage) is pure waste. */
+  private[operators] def probeSigned(index: MinHashIndex, incSig: DataFrame,
+                                     incBands: DataFrame): DataFrame = {
     val cand = incBands.join(index.okBuckets, Seq("band", "bkey"))
       .select(col("band"), col("bkey"), col("doc_id").as("a"))
       .join(index.bands.select(col("band"), col("bkey"), col("doc_id").as("b")),
@@ -797,10 +808,53 @@ object Dedup {
       .agg(max_by(struct(col("b"), col("jaccard")),
                   struct(col("jaccard"), (-col("b")).as("nb"))).as("m"))
       .withColumnRenamed("a", "doc_id")
-    inc.select("doc_id")
+    incSig.select("doc_id")
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("m.b").as("match_id"),
         col("m.jaccard").as("match_jaccard"))
+  }
+
+  /** Per-document signed frame (doc_id, sh, sig, bandkeys) for a corpus
+    * subset, DERIVED from the session artifacts instead of re-signing:
+    * signatures are functions of text alone, so every document carries
+    * its exact-dup representative's artifact row verbatim. The join is
+    * rep-keyed against the columnar artifact — no text scan, no
+    * 128-seed MinHash recompute (VERDICT r11 #2). */
+  private[operators] def subsetSigned(dr: DataFrame, withSig: DataFrame,
+                                      pred: Column): DataFrame =
+    Staging.stage(dr.where(pred)
+      .join(withSig.withColumnRenamed("doc_id", "rep"), "rep")
+      .select(col("doc_id"), col("sh"), col("sig"), col("bandkeys")))
+
+  /** [[buildIndex]] for a corpus SUBSET, derived from the session
+    * artifacts: the subset's exact-dup representatives are the min
+    * doc_id per global rep group restricted to the subset (identical to
+    * collapsing the subset from scratch — same content ⇒ same global
+    * rep), and their signatures are the global rep's artifact rows.
+    * Bit-identical to `buildIndex(docs.where(pred))` with zero text
+    * work. */
+  private[operators] def subsetIndex(dr: DataFrame, withSig: DataFrame,
+                                     pred: Column): MinHashIndex = {
+    val reps = dr.where(pred).groupBy("rep").agg(min("doc_id").as("doc_id"))
+    val ws = Staging.stage(reps
+      .join(withSig.withColumnRenamed("doc_id", "rep"), "rep")
+      .select(col("doc_id"), col("sh"), col("sig"), col("bandkeys")))
+    val bands = bandsOf(ws)
+    val ok = Staging.stage(
+      bands.groupBy("band", "bkey").agg(count(lit(1)).as("n"))
+        .where(col("n") <= MaxBandBucket).select("band", "bkey"))
+    MinHashIndex(ws, bands, ok)
+  }
+
+  /** Artifact-served [[minhashLshIncremental]]: the 80% corpus index and
+    * the 20% probe signatures both ride the session signature artifact —
+    * the registered query touches no raw text at all. */
+  def minhashLshIncrementalArtifact(s: SparkSession, d: String): DataFrame = {
+    val isIncoming = col("doc_id") % IncomingMod === 0
+    val dr = drArtifact(s, d)
+    val (ws, _) = sigArtifact(s, d)
+    val incSig = subsetSigned(dr, ws, isIncoming)
+    probeSigned(subsetIndex(dr, ws, !isIncoming), incSig, bandsOf(incSig))
   }
 
   // ---- exact n-gram Jaccard best match (unchanged from round 1) ------------
@@ -819,7 +873,15 @@ object Dedup {
     * exact set-Jaccard verify, per-doc best (max jaccard, min other id). */
   private[operators] def bestMatchBySets(setsFrame: DataFrame): DataFrame = {
     val docs = Staging.stage(setsFrame)
-    val ver = verifyJaccard(dfCappedCandidates(docs), docs)
+    bestMatchFromVerified(verifyJaccard(dfCappedCandidates(docs), docs),
+      docs.select("doc_id"))
+  }
+
+  /** Best-match rollup over a verified symmetric edge frame (a, b,
+    * jaccard) — split out so the session pair artifact
+    * ([[ngramPairArtifact]]) can feed it without re-verifying. */
+  private[operators] def bestMatchFromVerified(ver: DataFrame,
+                                               ids: DataFrame): DataFrame = {
     val nbrs = ver.select(col("a").as("doc_id"), col("b").as("other"), col("jaccard"))
       .unionAll(ver.select(col("b").as("doc_id"), col("a").as("other"), col("jaccard")))
     val best = nbrs.groupBy("doc_id")
@@ -827,7 +889,7 @@ object Dedup {
                   struct(col("jaccard"), (-col("other")).as("nother"))).as("m"))
       .select(col("doc_id"), col("m.other").as("best_match"),
         col("m.jaccard").as("best_jaccard"))
-    docs.select("doc_id").join(best, Seq("doc_id"), "left")
+    ids.join(best, Seq("doc_id"), "left")
       .select("doc_id", "best_match", "best_jaccard")
   }
 
@@ -858,14 +920,22 @@ object Dedup {
   def containmentBestMatch(documents: DataFrame): DataFrame = {
     val docs = Staging.stage(Tables.spread(documents)
       .select(col("doc_id"), hashedShingles(col("text")).as("sh")))
-    val ver = dfCappedCandidates(docs)
+    val pairs = dfCappedCandidates(docs)
       .join(docs.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
       .join(docs.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-      .withColumn("inter",
-        graft.functions.SortedIntersectCount.of(col("sha"), col("shb")))
       .select(col("a"), col("b"),
-        (col("inter").cast("double") / size(col("sha"))).as("c_ab"),
-        (col("inter").cast("double") / size(col("shb"))).as("c_ba"))
+        graft.functions.SortedIntersectCount.of(col("sha"), col("shb")).as("inter"),
+        size(col("sha")).as("sa"), size(col("shb")).as("sb"))
+    containmentFromPairs(pairs, docs.select("doc_id"))
+  }
+
+  /** [[containmentBestMatch]] core over a verified pair ledger (a, b,
+    * inter, sa, sb) — the session pair artifact's consumer face. */
+  private[operators] def containmentFromPairs(pairs: DataFrame,
+                                              ids: DataFrame): DataFrame = {
+    val ver = pairs.select(col("a"), col("b"),
+      (col("inter").cast("double") / col("sa")).as("c_ab"),
+      (col("inter").cast("double") / col("sb")).as("c_ba"))
     val nbrs = ver.select(col("a").as("doc_id"), col("b").as("other"), col("c_ab").as("c"))
       .unionAll(ver.select(col("b").as("doc_id"), col("a").as("other"), col("c_ba").as("c")))
     val best = nbrs.groupBy("doc_id")
@@ -873,9 +943,55 @@ object Dedup {
                   struct(col("c"), (-col("other")).as("nother"))).as("m"))
       .select(col("doc_id"), col("m.other").as("best_match"),
         col("m.c").as("best_containment"))
-    docs.select("doc_id").join(best, Seq("doc_id"), "left")
+    ids.join(best, Seq("doc_id"), "left")
       .select("doc_id", "best_match", "best_containment")
   }
+
+  private val pairMemo =
+    new graft.engine.Artifacts.Memo[(String, String), String]
+
+  /** The session's verified pair ledger over the full-document df-capped
+    * inverted index: (a, b, inter, sa, sb) — every (candidate pair,
+    * intersection size, set sizes) the n-gram family needs. Jaccard AND
+    * both containments are pure arithmetic over these five exact ints,
+    * so [[ngramJaccardBestMatch]] and [[containmentBestMatch]] (r11's
+    * two >2.5 s re-verifiers) share ONE inverted-index+verify run per
+    * session and replay the rollup from a columnar scan (VERDICT r11
+    * #2). Ints round-trip parquet exactly → bit-identical detour
+    * (`SessionArtifactSpec`). */
+  def ngramPairArtifact(s: SparkSession, d: String): DataFrame = {
+    val path = pairMemo.once((s.sparkContext.applicationId, d)) {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-ngpairs-${s.sparkContext.applicationId}-${math.abs(d.hashCode)}")
+        .getAbsolutePath
+      val docs = Staging.stage(Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), hashedShingles(col("text")).as("sh")))
+      dfCappedCandidates(docs)
+        .join(docs.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+        .join(docs.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+        .select(col("a"), col("b"),
+          graft.functions.SortedIntersectCount.of(col("sha"), col("shb")).as("inter"),
+          size(col("sha")).as("sa"), size(col("shb")).as("sb"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    s.read.parquet(path)
+  }
+
+  /** Artifact-served [[ngramJaccardBestMatch]] — jaccard replayed from
+    * the pair ledger's exact ints in the inline op's own expression
+    * shape (int promotion order preserved → identical doubles). */
+  def ngramJaccardArtifact(s: SparkSession, d: String): DataFrame =
+    bestMatchFromVerified(
+      ngramPairArtifact(s, d).select(col("a"), col("b"),
+        (col("inter").cast("double") /
+          (col("sa") + col("sb") - col("inter"))).as("jaccard")),
+      Tables.documents(s, d).select("doc_id"))
+
+  /** Artifact-served [[containmentBestMatch]]. */
+  def containmentArtifact(s: SparkSession, d: String): DataFrame =
+    containmentFromPairs(ngramPairArtifact(s, d),
+      Tables.documents(s, d).select("doc_id"))
 
   // ---- edit-distance near-dup (blocked Levenshtein) ------------------------
 
@@ -1322,9 +1438,9 @@ object Dedup {
     "dedup_minhash_lsh"   -> ((s, d) => lshClusterArtifact(s, d)),
     "dedup_simhash"       -> ((s, d) =>
       simhashDedupFrom(drArtifact(s, d), simhashArtifact(s, d))),
-    "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardBestMatch(Tables.documents(s, d))),
-    "dedup_minhash_incremental" -> ((s, d) => minhashLshIncremental(Tables.documents(s, d))),
-    "dedup_containment"   -> ((s, d) => containmentBestMatch(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardArtifact(s, d)),
+    "dedup_minhash_incremental" -> ((s, d) => minhashLshIncrementalArtifact(s, d)),
+    "dedup_containment"   -> ((s, d) => containmentArtifact(s, d)),
     "dedup_edit_distance" -> ((s, d) => editDistanceBestMatch(Tables.documents(s, d))),
     "dedup_edit_clusters" -> ((s, d) => editDistanceClusters(Tables.documents(s, d))),
     "dedup_quality_keeper" -> ((s, d) => qualityKeeperFrom(

@@ -58,10 +58,17 @@ object TextAnalysis {
     * all-zero → 'und'). On the synthetic fixture the text is language-less
     * word salad, so agreement with the `lang` column is not meaningful —
     * the correctness gate is the exact DuckDB mirror of this computation. */
-  /** The (prediction, best-score) column pair of [[langId]] — extracted
-    * so [[langConfusion]] can evaluate the detector without a join. */
-  private def langPredCols: (Column, Column) = {
-    val t = toks(col("text"))
+  /** The (prediction, best-score) column pair of [[langId]] over an
+    * ALREADY-TOKENIZED column — extracted so [[langConfusion]] can
+    * evaluate the detector without a join, and parameterized on the
+    * token attribute so every caller stages `split(lower(text))` ONCE
+    * in its own projection. The five profile scores + `greatest` + the
+    * five-branch argmax chain reference the tokens ~11 times; staged as
+    * an attribute, Catalyst's CollapseProject keeps the producer
+    * projection separate (non-cheap expression, multiple references),
+    * so the split runs once per row instead of leaning on codegen
+    * subexpression elimination (VERDICT r11 perf flag). */
+  private def langPredColsOver(t: Column): (Column, Column) = {
     val scores = LangProfiles.map { case (l, ws) => l -> profileScore(t, ws) }
     val m = greatest(scores.map(_._2): _*)
     val pred = scores.foldLeft(when(m === 0, lit("und"))) {
@@ -71,8 +78,9 @@ object TextAnalysis {
   }
 
   def langId(documents: DataFrame): DataFrame = {
-    val (pred, best) = langPredCols
-    documents.select(
+    val staged = documents.select(col("doc_id"), toks(col("text")).as("__toks"))
+    val (pred, best) = langPredColsOver(col("__toks"))
+    staged.select(
       col("doc_id"),
       pred.as("lang_pred"),
       best.as("best_score"))
@@ -91,8 +99,9 @@ object TextAnalysis {
     * normalization is a window over that tiny result. */
   def langConfusion(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (pred, _) = langPredCols
-    documents.select(col("lang"), pred.as("lang_pred"))
+    val staged = documents.select(col("lang"), toks(col("text")).as("__toks"))
+    val (pred, _) = langPredColsOver(col("__toks"))
+    staged.select(col("lang"), pred.as("lang_pred"))
       .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
       .withColumn("share_of_lang", col("n_docs").cast("double") /
         sum("n_docs").over(Window.partitionBy("lang")))
@@ -116,9 +125,10 @@ object TextAnalysis {
       when(col("lang") === l,
         lit(Seq.fill(LangProbeRepeat)(ws).flatten.mkString(" "))).otherwise(acc)
     }
-    val aug = documents.select(col("doc_id"), col("lang"),
-      concat_ws(" ", marker, col("text")).as("text"))
-    langId(aug).join(aug.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val staged = documents.select(col("doc_id"), col("lang"),
+      toks(concat_ws(" ", marker, col("text"))).as("__toks"))
+    val (pred, _) = langPredColsOver(col("__toks"))
+    staged.select(col("doc_id"), col("lang"), pred.as("lang_pred"))
       .select(col("doc_id"), col("lang"), col("lang_pred"),
         (col("lang_pred") === col("lang")).as("recovered"))
   }

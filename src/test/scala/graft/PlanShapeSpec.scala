@@ -1080,4 +1080,26 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "SortMergeJoin"
     p should not include "Exchange rangepartitioning"
   }
+
+  test("text_lang_id: one staged tokenization feeds all five profile scores") {
+    val p = planOf("text_lang_id")
+    // The split(lower(text)) producer projection must survive as a single
+    // staged attribute — 11 inlined copies (5 scores + greatest + 5-branch
+    // argmax) is the shape that amplified the r11 bench spike.
+    countOf(p, "split\\(lower\\(") shouldBe 1
+    p should not include "Exchange" // map-only scan
+  }
+
+  test("text_lang_confusion: one staged tokenization, then one exchange to the ≤|langs|² grid") {
+    val p = planOf("text_lang_confusion")
+    countOf(p, "split\\(lower\\(") shouldBe 1
+    countOf(p, "Exchange hashpartitioning") shouldBe 2 // cell rollup + tiny window grid
+  }
+
+  test("text_lang_probe: staged tokenization, no self-join back for the label") {
+    val p = planOf("text_lang_probe")
+    countOf(p, "split\\(lower\\(") shouldBe 1
+    p should not include "Join"     // label rides next to the prediction
+    p should not include "Exchange" // map-only scan
+  }
 }

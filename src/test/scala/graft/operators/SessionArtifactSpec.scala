@@ -69,6 +69,30 @@ class SurprisalArtifactSpec extends SparkSpec {
     m2.bigrams.count() shouldBe m1.bigrams.count()
   }
 
+  test("ngram jaccard via the session pair artifact == inline build") {
+    assertSameRows(
+      Dedup.queries("dedup_ngram_jaccard")(spark, sf),
+      Dedup.ngramJaccardBestMatch(docs))
+  }
+
+  test("containment via the session pair artifact == inline build") {
+    assertSameRows(
+      Dedup.queries("dedup_containment")(spark, sf),
+      Dedup.containmentBestMatch(docs))
+  }
+
+  test("incremental minhash via the session signature artifact == inline build") {
+    assertSameRows(
+      Dedup.queries("dedup_minhash_incremental")(spark, sf),
+      Dedup.minhashLshIncremental(docs))
+  }
+
+  test("near decontamination via the session signature artifact == inline build") {
+    assertSameRows(
+      Corpus.queries("corpus_near_decontaminate")(spark, sf),
+      Corpus.nearDecontaminate(docs))
+  }
+
   test("full and ref splits are distinct models (the probe must not see the incoming 20%)") {
     val full = TextAnalysis.surprisalModelArtifact(spark, sf, full = true)
     val ref  = TextAnalysis.surprisalModelArtifact(spark, sf, full = false)
