@@ -1257,6 +1257,20 @@ object Dedup {
   def buildSpanIndex(corpus: DataFrame): DataFrame =
     Staging.stage(spanGrams(corpus).select("gh").distinct())
 
+  /** Persist a frozen span index as a BUCKETED table — the [[saveIndex]]
+    * convention at the span grain (VERDICT r11 #4): at 100 TB the
+    * resident corpus's distinct-gram set IS a persisted table, bucketed
+    * and sorted on the 8-byte hash, so every batch or streaming probe
+    * joins it on the table's own partitioning — the corpus grams shuffle
+    * ONCE at write time and never again. */
+  def saveSpanIndex(index: DataFrame, table: String): Unit =
+    index.write.mode("overwrite").format("parquet")
+      .bucketBy(IndexBuckets, "gh").sortBy("gh").saveAsTable(table)
+
+  /** Reopen a persisted span index carrying its bucket partitioning. */
+  def loadSpanIndex(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** Probe incoming documents against a FROZEN span index: an incoming
     * position is covered iff its gram REPEATS RESIDENT CONTENT (the
     * decontamination/ingestion-gate semantic — within-batch repetition is

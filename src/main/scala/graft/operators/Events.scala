@@ -1126,6 +1126,60 @@ object Events {
           .as("stickiness"))
   }
 
+  /** KMV sketch size for [[rollingActivesApprox]] (rsd ≈ 1/√(K−2) ≈ 13%). */
+  val KmvK = 64
+  /** [[Dedup.h32]]'s value space: 2³². */
+  val KmvSpace = 4294967296L
+
+  /** Sketch-grain WAU — [[rollingActives]]' 1-billion-user form (VERDICT
+    * r11 #6, the `q2Approx` convention at the rolling-distinct grain):
+    * instead of exploding every distinct (user, day) ×7, each day keeps a
+    * KMV bottom-[[KmvK]] sketch of the salted user hash (bounded ≤K per
+    * partition pre-shuffle — [[graft.functions.BottomKDistinctLongs]]),
+    * the trailing window merges 7 such K-long arrays per report day, and
+    * the estimate is the textbook (K−1)·2³²/kth_min (exact distinct-hash
+    * count below K). KMV — unlike HLL's register blobs — is pure integer
+    * order statistics, so the DuckDB oracle replays it EXACTLY (it
+    * computes the window bottom-K directly from the hashes: hash equality
+    * doubles as a proof of sketch mergeability), and the exact wau rides
+    * along so every row referees its own approximation error. Output:
+    * (day, wau, wau_est, rel_err).
+    *
+    * 100 TB shape: the exact face's ×7 explode ships every distinct
+    * (user, day) pair 7 times; the sketch face ships K longs per day —
+    * per-day sketches persist as a tiny table and ANY window re-answers
+    * from them without touching the event stream. (Here both run, since
+    * the registered query IS the referee; a production rollup keeps only
+    * the sketch side.) */
+  def rollingActivesApprox(events: DataFrame): DataFrame = {
+    val bottomK = udaf(new graft.functions.BottomKDistinctLongs(KmvK))
+    val days = events
+      .select(col("user_id"), expr(s"ts div $UsPerDay").as("day"))
+      .distinct()
+    val wau = days
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + (RollingDays - 1))).as("day"))
+      .groupBy("day").agg(count_distinct(col("user_id")).as("wau"))
+    val daily = days
+      .select(col("day"),
+        Dedup.h32(concat(lit("wau:"), col("user_id").cast("string"))).as("hv"))
+      .groupBy("day").agg(bottomK(col("hv")).as("mins"))
+    val merged = daily
+      .select(explode(sequence(col("day"), col("day") + (RollingDays - 1))).as("day"),
+        col("mins"))
+      .groupBy("day")
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("mins"))))),
+        1, KmvK).as("ms"))
+    val est = merged.select(col("day"),
+      when(size(col("ms")) < KmvK, size(col("ms")).cast("double"))
+        .otherwise(lit((KmvK - 1) * KmvSpace).cast("double")
+          / element_at(col("ms"), KmvK)).as("wau_est"))
+    wau.join(est, Seq("day"))
+      .select(col("day"), col("wau"), col("wau_est"),
+        (abs(col("wau_est") - col("wau").cast("double")) / col("wau"))
+          .as("rel_err"))
+  }
+
   /** AS-OF join — the operator the builder brief names as a canonical
     * Spark gap, here as the standard scale-correct composition: instead
     * of a per-row backward probe (quadratic or index-dependent), union
@@ -1423,6 +1477,7 @@ object Events {
     "events_anomaly_probe"   -> ((s, d) => anomalyProbe(Tables.events(s, d))),
     "events_conversion_probe" -> ((s, d) => conversionProbe(Tables.events(s, d))),
     "events_wau"             -> ((s, d) => rollingActives(Tables.events(s, d))),
+    "events_wau_approx"      -> ((s, d) => rollingActivesApprox(Tables.events(s, d))),
     "events_conversion_lag"  -> ((s, d) => conversionLag(Tables.events(s, d))),
     "events_retention"       -> ((s, d) => retention(Tables.events(s, d))),
     "events_growth_accounting" -> ((s, d) => growthAccounting(Tables.events(s, d))),
@@ -1653,6 +1708,27 @@ object Events {
          |   CAST(w.wau AS BIGINT) AS wau,
          |   CAST(COALESCE(a.dau, 0) AS DOUBLE) / w.wau AS stickiness
          | FROM wau w LEFT JOIN dau a ON a.day = w.day""".stripMargin,
+
+    "events_wau_approx" ->
+      s"""WITH days AS (SELECT DISTINCT user_id,
+         |     epoch_us(ts) // ${UsPerDay}::BIGINT AS day FROM events),
+         | wau AS (SELECT d.day + o.off AS day,
+         |     CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS wau
+         |   FROM days d CROSS JOIN range($RollingDays) o(off) GROUP BY 1),
+         | hv AS (SELECT day,
+         |     ${Dedup.h32SqlOf("'wau:' || CAST(user_id AS VARCHAR)")} AS hv
+         |   FROM days),
+         | hexp AS (SELECT h.day + o.off AS day, h.hv
+         |   FROM hv h CROSS JOIN range($RollingDays) o(off)),
+         | sk AS (SELECT day, list_sort(list(DISTINCT hv))[1:$KmvK] AS ms
+         |   FROM hexp GROUP BY 1),
+         | est AS (SELECT day,
+         |     CASE WHEN len(ms) < $KmvK THEN CAST(len(ms) AS DOUBLE)
+         |          ELSE CAST(${(KmvK - 1) * KmvSpace} AS DOUBLE) / ms[$KmvK]
+         |     END AS wau_est FROM sk)
+         | SELECT w.day, w.wau, e.wau_est,
+         |   abs(e.wau_est - CAST(w.wau AS DOUBLE)) / w.wau AS rel_err
+         | FROM wau w JOIN est e USING (day)""".stripMargin,
 
     "events_anomaly" ->
       s"""WITH daily AS ($dailyCountsSql)

@@ -46,13 +46,22 @@ object ReplayFold {
     * by construction — `reduce` never looks back at the key's current
     * value, only at the stored winner.
     *
+    * `seedMetric` is the value the reference's initializer PARSES to, and
+    * it competes like a real incumbent (ADVICE r11): the max folds seed
+    * with `""` → count 0, so a first update with metric ≤ 0 is REJECTED
+    * there (nothing ever emitted) — pass 0.0 to match; the min folds seed
+    * with `Double.MAX_VALUE` — pass -Double.MaxValue on the negated
+    * metric. The default (-∞) accepts any first update: the generic
+    * running-argmax face.
+    *
     * CONTRACT: order-dependent — `merge` only ever meets the zero buffer
     * when the input is one sorted partition, which [[runningArgmax]]
     * enforces; never use this aggregator on multi-partition input. */
-  class NonRetractableArgmax extends Aggregator[Update, Winner, Winner] {
-    def zero: Winner = Winner("", Double.NegativeInfinity, seen = false)
+  class NonRetractableArgmax(seedMetric: Double = Double.NegativeInfinity)
+      extends Aggregator[Update, Winner, Winner] {
+    def zero: Winner = Winner("", seedMetric, seen = false)
     def reduce(b: Winner, u: Update): Winner =
-      if (!b.seen || u.metric > b.metric) Winner(u.key, u.metric, seen = true)
+      if (u.metric > b.metric) Winner(u.key, u.metric, seen = true)
       else b
     def merge(a: Winner, b: Winner): Winner =
       if (!a.seen) b else if (!b.seen) a
@@ -65,10 +74,12 @@ object ReplayFold {
 
   /** Replay a (seq, key, metric) changelog through the reference fold.
     * Output: one row (key, metric) — the reference topic's final value —
-    * or zero rows on an empty changelog (the empty-seed filter,
+    * or zero rows when nothing beat the seed (the empty-seed filter,
     * `NamePassengerMostTrips.java:53`). For the reference's running-MIN
-    * folds pass the negated metric. */
-  def runningArgmax(changelog: DataFrame): DataFrame = {
+    * folds pass the negated metric with `seedMetric = -Double.MaxValue`;
+    * for its count-max folds pass `seedMetric = 0.0` (the `""` parse). */
+  def runningArgmax(changelog: DataFrame,
+                    seedMetric: Double = Double.NegativeInfinity): DataFrame = {
     val spark = changelog.sparkSession
     import spark.implicits._
     changelog.select(col("seq").cast("long").as("seq"),
@@ -76,7 +87,7 @@ object ReplayFold {
         col("metric").cast("double").as("metric"))
       .as[Update]
       .repartition(1).sortWithinPartitions("seq")
-      .select(new NonRetractableArgmax().toColumn)
+      .select(new NonRetractableArgmax(seedMetric).toColumn)
       .where(col("seen"))
       .select(col("key"), col("metric"))
   }
@@ -106,8 +117,27 @@ object ReplayFold {
         col("ts"), col("trip_id"))
       .withColumn("seq", row_number().over(
         Window.partitionBy().orderBy("ts", "trip_id")).cast("long"))
-    runningArgmax(changelog.select("seq", "key", "metric"))
+    runningArgmax(changelog.select("seq", "key", "metric"), seedMetric = 0.0)
       .select(col("key").as("passenger_name"))
+  }
+
+  /** Q10 in replay mode — the same count-max fold as Q3 keyed by
+    * transport type (`TransportTypeMaxPassengers.java:33-52`), with the
+    * reference's `""`-parse seed (0.0): ties keep the first type to
+    * reach the count, where the registered [[TransitQueries.q10]]'s
+    * deterministic (count desc, type asc) order may pick the other tie
+    * member. */
+  def q10Replay(trips: DataFrame): DataFrame = {
+    val w = Window.partitionBy("transport_type").orderBy("ts", "trip_id")
+    val changelog = trips.filter(col("transport_type").isNotNull)
+      .select(col("transport_type").as("key"),
+        count(lit(1)).over(w).cast("double").as("metric"),
+        col("ts"), col("trip_id"))
+      .withColumn("seq", row_number().over(
+        Window.partitionBy().orderBy("ts", "trip_id")).cast("long"))
+    runningArgmax(changelog.select("seq", "key", "metric"), seedMetric = 0.0)
+      .select(col("key").as("transport_type"),
+        col("metric").cast("long").as("max_passengers"))
   }
 
   /** Q11 in replay mode: the per-window non-retractable argmax

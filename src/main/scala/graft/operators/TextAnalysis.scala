@@ -1528,18 +1528,37 @@ object TextAnalysis {
     * grain is ≤ printable-ASCII per doc, so the combine collapses ~n/95
     * per cell before the exchange — then a per-doc rollup; no joins, no
     * windows. */
-  def charEntropy(documents: DataFrame): DataFrame =
-    Tables.spread(documents)
+  def charEntropy(documents: DataFrame): DataFrame = {
+    // Σ c·ln(c) as a LEFT FOLD over the ch-sorted count list, not a float
+    // SUM aggregate: a float sum's within-group order is a plan artifact
+    // (adding the r11 left-join below reordered it by 1 ulp), while the
+    // sorted fold is a fixed-shape expression over exact ints — the same
+    // sequence of IEEE adds on both engines under ANY plan (DuckDB
+    // list_sum folds its list in order; ≤|charset| elements per doc).
+    val clnc = (acc: Column, x: Column) => acc +
+      x.getField("c").cast("double") * log(x.getField("c").cast("double"))
+    val scored = Tables.spread(documents)
       .select(col("doc_id"),
         explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
       .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(
         sum("c").as("n_chars"),
         count(lit(1)).as("n_distinct_chars"),
-        sum(col("c").cast("double") * log(col("c").cast("double"))).as("slc"))
+        sort_array(collect_list(struct(col("ch"), col("c")))).as("cl"))
       .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
         (log(col("n_chars").cast("double"))
-          - col("slc") / col("n_chars").cast("double")).as("char_entropy"))
+          - aggregate(col("cl"), lit(0.0), clnc)
+            / col("n_chars").cast("double")).as("char_entropy"))
+    // per-doc contract (ADVICE r11): the explode emits zero rows for a
+    // document whose text yields an empty character stream, which would
+    // silently drop the doc from the report — unlike every sibling
+    // per-doc op. Left-join back and emit the degenerate row instead.
+    documents.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_distinct_chars"), lit(0L)).as("n_distinct_chars"),
+        coalesce(col("char_entropy"), lit(0.0)).as("char_entropy"))
+  }
 
   /** Minimum corpus instances for a burstiness candidate. */
   val BurstMinCount = 5L
@@ -2040,13 +2059,18 @@ object TextAnalysis {
       """WITH cells AS (SELECT doc_id, unnest(regexp_extract_all(text, '.'))
         |     AS ch FROM documents),
         | cc AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
-        |   FROM cells GROUP BY doc_id, ch)
-        | SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+        |   FROM cells GROUP BY doc_id, ch),
+        | sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
         |   CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
         |   ln(CAST(SUM(c) AS DOUBLE))
-        |     - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+        |     - list_sum(list_transform(list(c ORDER BY ch),
+        |         x -> CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE))))
         |       / CAST(SUM(c) AS DOUBLE) AS char_entropy
-        | FROM cc GROUP BY doc_id""".stripMargin,
+        | FROM cc GROUP BY doc_id)
+        | SELECT d.doc_id, COALESCE(sc.n_chars, 0) AS n_chars,
+        |   COALESCE(sc.n_distinct_chars, 0) AS n_distinct_chars,
+        |   COALESCE(sc.char_entropy, CAST(0 AS DOUBLE)) AS char_entropy
+        | FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
 
     "text_term_burstiness" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' '))

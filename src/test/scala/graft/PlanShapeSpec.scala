@@ -345,9 +345,13 @@ class PlanShapeSpec extends SparkSpec {
     p should include("partial_count")
   }
 
-  test("text_char_entropy: two map-side-combined aggregates, no join, no window") {
+  test("text_char_entropy: two map-side-combined aggregates, one id-grain contract join, no window") {
     val p = planOf("text_char_entropy")
-    p should not include "Join"
+    // ADVICE r11: every doc reports (empty text → degenerate row), so the
+    // scored frame joins back to the doc-id set — a 2-column broadcast,
+    // not a corpus shuffle; the scoring itself stays two 2-phase aggs
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
     p should not include "Window"
     p should include("partial_count")   // the (doc, char) cell count combines
     countOf(p, "HashAggregate") shouldBe 4 // two 2-phase aggs, nothing more

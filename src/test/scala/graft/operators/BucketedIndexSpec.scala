@@ -64,4 +64,86 @@ class BucketedIndexSpec extends SparkSpec {
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     }
   }
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  private def exchanges(plan: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan).length
+
+  /** Run `body` with broadcast joins off — at test size the planner would
+    * rather broadcast (rightly disabling bucketed reads); the pins below
+    * are about the 100 TB regime where both sides are too big for that. */
+  private def noBroadcast[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try { spark.conf.set(key, "-1"); body }
+    finally spark.conf.set(key, saved)
+  }
+
+  test("persisted span index: probe parity, and the corpus grams never reshuffle") {
+    val warehouse = Files.createTempDirectory("graft-sidx-").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$warehouse'")
+    try {
+      val sp = spark; import sp.implicits._
+      def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+      val block = uniq("res", 60)
+      val resident = Seq(1L -> (uniq("pre", 15) ++ block ++ uniq("post", 10))
+        .mkString(" ")).toDF("doc_id", "text")
+      val incoming = Seq(
+        10L -> (uniq("a", 20) ++ block ++ uniq("b", 5)).mkString(" "),
+        11L -> uniq("fresh", 90).mkString(" ")).toDF("doc_id", "text")
+
+      val index = Dedup.buildSpanIndex(resident)
+      Dedup.saveSpanIndex(index, s"$db.spanidx")
+      val loaded = Dedup.loadSpanIndex(spark, s"$db.spanidx")
+
+      assertSameRows(
+        Dedup.probeSpans(loaded, incoming),
+        Dedup.probeSpans(index, incoming))
+
+      noBroadcast {
+        val plan = finalPlan(Dedup.probeSpans(loaded, incoming))
+        plan should include("Bucketed: true") // the index scan reads its buckets
+        // probe grams exchange on gh + the islands window's doc_id
+        // exchange — and NOTHING for the corpus side (a third exchange
+        // here means the persisted index got reshuffled per probe)
+        exchanges(plan) shouldBe 2
+        plan should include("SortMergeJoin")
+      }
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
+  test("persisted block index: probe parity, and the store's blocks never reshuffle") {
+    val warehouse = Files.createTempDirectory("graft-bkidx-").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$warehouse'")
+    try {
+      val sp = spark; import sp.implicits._
+      val blocks = Seq("aaaaaaaaaaaaaaaa", "bbbbbbbbbbbbbbbb",
+        "cccccccccccccccc", "dddddddddddddddd")
+      val resident = Seq(1L -> blocks.mkString).toDF("doc_id", "text")
+      val incoming = Seq(
+        10L -> blocks.mkString,                    // re-upload: 1.0
+        11L -> ("pppppppppppppppp" * 4)).toDF("doc_id", "text")
+
+      val index = Multimodal.buildBlockIndex(resident)
+      Multimodal.saveBlockIndex(index, s"$db.blockidx")
+      val loaded = Multimodal.loadBlockIndex(spark, s"$db.blockidx")
+
+      assertSameRows(
+        Multimodal.probeBlocks(loaded, incoming),
+        Multimodal.probeBlocks(index, incoming))
+
+      noBroadcast {
+        val plan = finalPlan(Multimodal.probeBlocks(loaded, incoming))
+        plan should include("Bucketed: true")
+        // incoming blocks exchange on bh + the per-record rollup's doc_id
+        // exchange; zero for the store side
+        exchanges(plan) shouldBe 2
+        plan should include("SortMergeJoin")
+      }
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
 }

@@ -268,6 +268,42 @@ class EventsSpec extends SparkSpec {
     out.keySet should not contain 15L  // gap days with empty windows: absent
   }
 
+  test("wau approx: sub-K windows are exact; the estimate referees itself above K") {
+    def dus(day: Long): Long = day * 86400L * 1000000L
+    // sub-K regime: a handful of users — the sketch holds every hash, so
+    // the estimate IS the distinct-hash count and rel_err is 0 exactly
+    // (barring a 32-bit hash collision among 3 users: none here)
+    val small = Events.rollingActivesApprox(eventsDf(Seq(
+      (1L, dus(0), 1L, "view", 0.0, "{}"),
+      (2L, dus(0), 2L, "view", 0.0, "{}"),
+      (3L, dus(1), 3L, "view", 0.0, "{}"))))
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    small(0L) shouldBe ((2L, 2.0, 0.0))
+    small(1L) shouldBe ((3L, 3.0, 0.0))
+
+    // estimation regime: 5000 users per day over 3 days (disjoint
+    // thirds overlap pairwise) — window cardinalities ~5000-10000 >> K,
+    // so the kth-min estimator actually runs. KMV rsd ≈ 1/√(K−2) ≈ 13%
+    // at K=64; pin the referee columns to sane bounds, not luck: every
+    // day within 4σ, mean within 2σ.
+    var id = 0L
+    val rows = for (d <- 0L to 2L; u <- 1L to 5000L) yield {
+      id += 1; (id, dus(d), d * 2500L + u, "view", 0.0, "{}")
+    }
+    val out = Events.rollingActivesApprox(eventsDf(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    out.foreach { case (_, wau, est, rel) =>
+      rel shouldBe math.abs(est - wau) / wau +- 1e-12 // the referee column is honest
+      rel should be < 4.0 * 0.13
+    }
+    (out.map(_._4).sum / out.length) should be < 2.0 * 0.13
+    // and the exact column agrees with the exact face
+    val exact = Events.rollingActives(eventsDf(rows))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.foreach { case (day, wau, _, _) => wau shouldBe exact(day) }
+  }
+
   test("conversion lag: first view to first strictly-LATER purchase, else unconverted") {
     val out = Events.conversionLag(eventsDf(Seq(
       (1L, us(10), 1L, "view", 0.0, "{}"),

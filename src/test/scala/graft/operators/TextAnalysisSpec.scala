@@ -27,6 +27,20 @@ class TextAnalysisSpec extends SparkSpec {
     h4 should (be > math.log(2) and be < math.log(7.0))
   }
 
+  test("char entropy: a doc with an empty character stream still gets its degenerate row") {
+    // ADVICE r11: the explode emits zero rows for empty text, which used
+    // to drop the doc from the report entirely — a gate consumer joining
+    // on doc_id saw it as unscored rather than degenerate.
+    val out = TextAnalysis.charEntropy(docs(
+      1L -> "", 2L -> "\n\n", 3L -> "ab"))   // '.' excludes newline
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L)      // every doc reports
+    out(1L) shouldBe ((0L, 0L, 0.0))
+    out(2L) shouldBe ((0L, 0L, 0.0))
+    out(3L)._3 shouldBe math.log(2) +- 1e-12
+  }
+
   test("token stats: chars, whitespace tokens, sub-tokens, mean length") {
     val r = TextAnalysis.tokenStats(docs(1L -> "Hello, world! x2")).collect()(0)
     r.getLong(1) shouldBe 16L  // chars

@@ -85,4 +85,31 @@ class StreamingBlockProbeSpec extends SparkSpec {
       Multimodal.probeBlocks(Multimodal.buildBlockIndex(docs.where(!isIncoming)),
         docs.where(isIncoming)))
   }
+
+  test("streamed probe against the PERSISTED bucketed index == in-memory index (the 100 TB form)") {
+    val sp = spark; import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val db = "graft_blockidx_stream"
+    val warehouse = Files.createTempDirectory("graft-bkidxs-").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$warehouse'")
+    try {
+      Multimodal.saveBlockIndex(Multimodal.buildBlockIndex(base), s"$db.blockidx")
+      val loaded = Multimodal.loadBlockIndex(spark, s"$db.blockidx")
+      val in = MemoryStream[Doc]
+      var got = Map.empty[Long, (Long, Long, Double)]
+      val q = StreamingBlockProbe.run(in.toDF(), loaded,
+        Files.createTempDirectory("blkps-").toString) { (_, scored) =>
+        got ++= scored.collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      }
+      try {
+        in.addData(Doc(10L, residentText), Doc(11L, "pppppppppppppppp" * 4))
+        q.processAllAvailable()
+        val batch = Multimodal.probeBlocks(Multimodal.buildBlockIndex(base),
+          docsDf(Seq(10L -> residentText, 11L -> "pppppppppppppppp" * 4))).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+        got shouldBe batch
+      } finally q.stop()
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
 }

@@ -88,4 +88,33 @@ class StreamingSpanProbeSpec extends SparkSpec {
       Dedup.probeSpans(Dedup.buildSpanIndex(docs.where(!isIncoming)),
         docs.where(isIncoming)))
   }
+
+  test("streamed probe against the PERSISTED bucketed index == in-memory index (the 100 TB form)") {
+    val sp = spark; import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val db = "graft_spanidx_stream"
+    val warehouse = Files.createTempDirectory("graft-sidxs-").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$warehouse'")
+    try {
+      Dedup.saveSpanIndex(Dedup.buildSpanIndex(resident), s"$db.spanidx")
+      val loaded = Dedup.loadSpanIndex(spark, s"$db.spanidx")
+      val lifted = (uniq("a", 20) ++ block ++ uniq("b", 5)).mkString(" ")
+      val fresh = uniq("fresh", 90).mkString(" ")
+      val in = MemoryStream[Doc]
+      var got = Set.empty[(Long, Long, Long, Long)]
+      val q = StreamingSpanProbe.run(in.toDF(), loaded,
+        Files.createTempDirectory("spanps-").toString) { (_, spans) =>
+        got ++= spans.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+      try {
+        in.addData(Doc(10L, lifted), Doc(11L, fresh))
+        q.processAllAvailable()
+        val batch = Dedup.probeSpans(Dedup.buildSpanIndex(resident),
+          docsDf(Seq(10L -> lifted, 11L -> fresh))).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        got shouldBe batch
+      } finally q.stop()
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
 }
