@@ -1,0 +1,205 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.engine.Schemas.{Route, Trip}
+import graft.operators.Dedup
+import graft.sources.{ScenarioGenerator, Tables}
+import graft.streaming._
+
+/** Streaming throughput record (VERDICT r11 #5) — the measured evidence
+  * behind the 100 TB streaming story: drive the 13-query transit job and
+  * three keyed LLM-pipeline faces (MinHash ingestion probe, growth
+  * accounting, churn ledger) through MemoryStream at sf-scale volumes and
+  * record sustained rows/s plus keyed-state size, the keyed faces under
+  * BOTH state-store providers (on-heap HDFS-backed and RocksDB). The
+  * reference publishes no throughput figures — its producers emit
+  * ~0.4 events/s (BASELINE.md `producers/RoutesProducer.java:60`) — so
+  * the record here is the rebuild's own sustained-rate floor, measured
+  * end-to-end through real triggers (source → state fold → sink), not a
+  * source micro-benchmark.
+  *
+  * Prints ONE JSON line (the [[Bench]] convention);
+  * `tools/streambench.sh` publishes it as STREAMBENCH.json. */
+object StreamBench {
+
+  final case class FaceResult(rows: Long, seconds: Double, stateRows: Long,
+                              stateBytes: Long) {
+    def rowsPerSec: Long = math.round(rows / seconds)
+    def json: String =
+      s"""{"rows":$rows,"seconds":${"%.3f".format(seconds)},""" +
+        s""""rows_per_sec":$rowsPerSec,"state_rows":$stateRows,""" +
+        s""""state_bytes":$stateBytes}"""
+  }
+
+  private def time[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** (numRowsTotal, memoryUsedBytes) summed over the query's state
+    * operators, from the last progress event. */
+  private def stateOf(q: StreamingQuery): (Long, Long) = {
+    val ops = Option(q.lastProgress).map(_.stateOperators).getOrElse(Array.empty)
+    (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum)
+  }
+
+  /** The full 13-query transit job at scenario volume: every native agg,
+    * the windowed handler, and the union runner all fed per trigger —
+    * the rows/s one ingest sustains while keeping all 13 result tables
+    * current. */
+  private def transitLeg(spark: SparkSession, nTrips: Int, chunks: Int): FaceResult = {
+    val sp = spark; import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val routes = ScenarioGenerator.scenarioRoutes(7L, nTicks = 200)
+    val trips = ScenarioGenerator.scenarioTrips(8L, routes, nTrips)
+    val routesIn = MemoryStream[Route]
+    val tripsIn = MemoryStream[Trip]
+    val job = new TransitStreamingJob(spark, routesIn.toDF(), tripsIn.toDF())
+    val qs = job.startAll(Files.createTempDirectory("sb-transit-").toString)
+    def processAll(): Unit = {
+      qs.find(_.name == "union_runner").foreach(_.processAllAvailable())
+      qs.filter(_.name != "union_runner").foreach(_.processAllAvailable())
+    }
+    val (_, sec) = time {
+      routesIn.addData(routes)
+      trips.grouped(math.max(1, trips.size / chunks)).foreach { c =>
+        tripsIn.addData(c); processAll()
+      }
+      processAll()
+    }
+    val st = qs.map(stateOf)
+    qs.foreach(_.stop())
+    FaceResult(routes.size.toLong + trips.size, sec,
+      st.map(_._1).sum, st.map(_._2).sum)
+  }
+
+  /** MinHash ingestion probe: the sf corpus's 80% indexed ONCE (the
+    * prebuilt 100 TB side — excluded from the clock), the 20% streamed
+    * against it through [[StreamingDedup]], verdict rows forced per
+    * trigger. */
+  private def dedupProbeLeg(spark: SparkSession, sfDir: String,
+                            chunks: Int): FaceResult = {
+    val sp = spark; import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val isIncoming = col("doc_id") % Dedup.IncomingMod === 0
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val index = Dedup.buildIndex(docs.where(!isIncoming))
+    index.okBuckets.count() // materialize the index before the clock starts
+    val incoming = docs.where(isIncoming).as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    var n = 0L
+    val q = StreamingDedup.run(in.toDF().toDF("doc_id", "text"), index,
+      Files.createTempDirectory("sb-dedup-").toString) { (_, verdicts) =>
+      n += verdicts.count()
+    }
+    val (_, sec) = time {
+      incoming.grouped(math.max(1, incoming.size / chunks)).foreach { c =>
+        in.addData(c); q.processAllAvailable()
+      }
+    }
+    q.stop()
+    FaceResult(n, sec, 0L, 0L) // foreachBatch face: the index IS the state
+  }
+
+  /** Growth accounting (flatMapGroupsWithState, one ledger per user). */
+  private def growthLeg(spark: SparkSession, evs: Seq[StreamingGrowth.Ev],
+                        chunks: Int): FaceResult = {
+    val sp = spark; import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[StreamingGrowth.Ev]
+    val q = StreamingGrowth.increments(in.toDS())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("sb-growth-").toString)
+      .foreachBatch(
+        (b: org.apache.spark.sql.Dataset[StreamingGrowth.Inc], _: Long) =>
+          { b.count(); () })
+      .start()
+    val (_, sec) = time {
+      evs.grouped(math.max(1, evs.size / chunks)).foreach { c =>
+        in.addData(c); q.processAllAvailable()
+      }
+    }
+    val (rows, bytes) = stateOf(q)
+    q.stop()
+    FaceResult(evs.size.toLong, sec, rows, bytes)
+  }
+
+  /** Churn ledger (mapGroupsWithState, update mode). */
+  private def churnLeg(spark: SparkSession, evs: Seq[StreamingChurn.Ev],
+                       chunks: Int): FaceResult = {
+    val sp = spark; import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[StreamingChurn.Ev]
+    val q = StreamingChurn.ledger(in.toDS())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("sb-churn-").toString)
+      .foreachBatch(
+        (b: org.apache.spark.sql.Dataset[StreamingChurn.UserLedger], _: Long) =>
+          { b.count(); () })
+      .start()
+    val (_, sec) = time {
+      evs.grouped(math.max(1, evs.size / chunks)).foreach { c =>
+        in.addData(c); q.processAllAvailable()
+      }
+    }
+    val (rows, bytes) = stateOf(q)
+    q.stop()
+    FaceResult(evs.size.toLong, sec, rows, bytes)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-streambench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .collect()
+    val gEvs = events.map(r =>
+      StreamingGrowth.Ev(r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val cEvs = events.map(r => StreamingChurn.Ev(r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getString(3), r.getDouble(4))).toSeq
+
+    val transit = transitLeg(spark, nTrips = 60000, chunks = 6)
+    val dedup = dedupProbeLeg(spark, sfDir, chunks = 4)
+
+    StateStores.useDefault(spark)
+    val growthH = growthLeg(spark, gEvs, chunks = 5)
+    val churnH = churnLeg(spark, cEvs, chunks = 5)
+    StateStores.useRocksDb(spark)
+    val growthR = growthLeg(spark, gEvs, chunks = 5)
+    val churnR = churnLeg(spark, cEvs, chunks = 5)
+    StateStores.useDefault(spark)
+
+    val faces = Seq(
+      "transit_13q" -> transit, "dedup_probe" -> dedup,
+      "growth_hdfs" -> growthH, "growth_rocksdb" -> growthR,
+      "churn_hdfs" -> churnH, "churn_rocksdb" -> churnR)
+    val floor = faces.map(_._2.rowsPerSec).min
+    println(s"""{"metric":"graft_stream_suite","value":$floor,""" +
+      s""""unit":"rows_per_sec_min_face","sf":"$sfDir",""" +
+      s""""reference_input_rate_ev_s":0.4,""" +
+      faces.map { case (n, r) => s""""$n":${r.json}""" }
+        .mkString("\"faces\":{", ",", "}}"))
+    spark.stop()
+  }
+}

@@ -193,6 +193,14 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Window" // rolling distinct via explode, not a frame
   }
 
+  test("events_wau_approx: bounded KMV aggregator combines map-side; sketches, not users, ride the ×7 explode") {
+    val p = planOf("events_wau_approx")
+    p should include("ObjectHashAggregate") // BottomKDistinctLongs: ≤K per partition pre-shuffle
+    p should include("partial_")            // day-sketch build combines map-side
+    p should not include "Window"
+    p should not include "CartesianProduct"
+  }
+
   test("dedup_chunk_exact: map-only window hashing, two-phase count, no window frame") {
     val p = planOf("dedup_chunk_exact")
     p should include("Generate")      // the per-row chunk explode

@@ -936,4 +936,16 @@ class CrossOpInvariantSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     silSizes shouldBe puritySizes
   }
+
+  test("wau_approx's exact column tiles events_wau day-by-day; its referee is honest") {
+    val exact = Events.rollingActives(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val approx = Events.rollingActivesApprox(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    approx.map(_._1).toSet shouldBe exact.keySet // same reported days
+    approx.foreach { case (day, wau, est, rel) =>
+      wau shouldBe exact(day) // the sketch face carries the true wau verbatim
+      rel shouldBe math.abs(est - wau) / wau +- 1e-12
+    }
+  }
 }
