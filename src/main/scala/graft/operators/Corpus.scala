@@ -1271,9 +1271,7 @@ object Corpus {
 
   def dsirWeightsArtifact(s: SparkSession, d: String): DataFrame = {
     val path = dsirMemo.once((s.sparkContext.applicationId, d)) {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-dsirweights-${s.sparkContext.applicationId}-${math.abs(d.hashCode)}")
-        .getAbsolutePath
+      val dir = graft.engine.Artifacts.path(s, "dsirweights", d)
       dsirWeights(Tables.documents(s, d)).write.mode("overwrite").parquet(dir)
       dir
     }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.Staging
+import graft.engine.{Artifacts, Staging}
 import graft.functions.{MinHashSeeds, MinHashSignatures, SimHash60}
 import graft.sources.Tables
 
@@ -255,9 +255,7 @@ object Dedup {
 
   private def repSigPaths(s: SparkSession, d: String): (String, String) =
     sigMemo.once((s.sparkContext.applicationId, d)) {
-      val base = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-sigs-${s.sparkContext.applicationId}-${math.abs(d.hashCode)}")
-        .getAbsolutePath
+      val base = graft.engine.Artifacts.path(s, "sigs", d)
       val docs = Tables.spread(Tables.documents(s, d))
       docReps(docs).write.mode("overwrite").parquet(s"$base-dr")
       val dr = s.read.parquet(s"$base-dr")
@@ -481,9 +479,7 @@ object Dedup {
     * (parquet round-trips longs exactly). */
   def lshClusterArtifact(s: SparkSession, d: String): DataFrame = {
     val path = clusterMemo.once((s.sparkContext.applicationId, d)) {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-lshclusters-${s.sparkContext.applicationId}-${math.abs(d.hashCode)}")
-        .getAbsolutePath
+      val dir = graft.engine.Artifacts.path(s, "lshclusters", d)
       // rides the session signature artifact: the suite signs the corpus
       // once, then audits AND clusters from the stored signatures
       val (withSig, bands) = sigArtifact(s, d)
@@ -657,9 +653,7 @@ object Dedup {
     * directory — signed at most once per session. */
   def simhashArtifact(s: SparkSession, d: String): DataFrame = {
     val path = simhashMemo.once((s.sparkContext.applicationId, d)) {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-simhash-${s.sparkContext.applicationId}-${math.abs(d.hashCode)}")
-        .getAbsolutePath
+      val dir = graft.engine.Artifacts.path(s, "simhash", d)
       simhashes(repDocs(Tables.spread(Tables.documents(s, d)), drArtifact(s, d)))
         .write.mode("overwrite").parquet(dir)
       dir
@@ -753,13 +747,17 @@ object Dedup {
     * to match the bucket count). `BucketedIndexSpec` pins the plan:
     * co-bucketed joins run with zero Exchange on the corpus side. */
   def saveIndex(index: MinHashIndex, prefix: String): Unit = {
+    val s = index.withSig.sparkSession
     index.withSig.write.mode("overwrite").format("parquet")
+      .option("path", Artifacts.freshTableLocation(s, s"${prefix}_sig"))
       .bucketBy(IndexBuckets, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${prefix}_sig")
     index.bands.write.mode("overwrite").format("parquet")
+      .option("path", Artifacts.freshTableLocation(s, s"${prefix}_bands"))
       .bucketBy(IndexBuckets, "band", "bkey").sortBy("band", "bkey")
       .saveAsTable(s"${prefix}_bands")
     index.okBuckets.write.mode("overwrite").format("parquet")
+      .option("path", Artifacts.freshTableLocation(s, s"${prefix}_ok"))
       .bucketBy(IndexBuckets, "band", "bkey").sortBy("band", "bkey")
       .saveAsTable(s"${prefix}_ok")
   }
@@ -961,9 +959,7 @@ object Dedup {
     * (`SessionArtifactSpec`). */
   def ngramPairArtifact(s: SparkSession, d: String): DataFrame = {
     val path = pairMemo.once((s.sparkContext.applicationId, d)) {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-ngpairs-${s.sparkContext.applicationId}-${math.abs(d.hashCode)}")
-        .getAbsolutePath
+      val dir = graft.engine.Artifacts.path(s, "ngpairs", d)
       val docs = Staging.stage(Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), hashedShingles(col("text")).as("sh")))
       dfCappedCandidates(docs)
@@ -1265,6 +1261,8 @@ object Dedup {
     * ONCE at write time and never again. */
   def saveSpanIndex(index: DataFrame, table: String): Unit =
     index.write.mode("overwrite").format("parquet")
+      .option("path",
+        Artifacts.freshTableLocation(index.sparkSession, table))
       .bucketBy(IndexBuckets, "gh").sortBy("gh").saveAsTable(table)
 
   /** Reopen a persisted span index carrying its bucket partitioning. */

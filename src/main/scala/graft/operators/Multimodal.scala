@@ -183,6 +183,8 @@ object Multimodal {
     * probe. */
   def saveBlockIndex(index: DataFrame, table: String): Unit =
     index.write.mode("overwrite").format("parquet")
+      .option("path", graft.engine.Artifacts
+        .freshTableLocation(index.sparkSession, table))
       .bucketBy(Dedup.IndexBuckets, "bh").sortBy("bh").saveAsTable(table)
 
   /** Reopen a persisted block index carrying its bucket partitioning. */

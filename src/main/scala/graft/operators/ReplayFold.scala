@@ -51,8 +51,10 @@ object ReplayFold {
     * with `""` → count 0, so a first update with metric ≤ 0 is REJECTED
     * there (nothing ever emitted) — pass 0.0 to match; the min folds seed
     * with `Double.MAX_VALUE` — pass -Double.MaxValue on the negated
-    * metric. The default (-∞) accepts any first update: the generic
-    * running-argmax face.
+    * metric. The default (-∞) is the generic running-argmax face: the
+    * seed still competes STRICTLY, so any FINITE first update wins, but
+    * a first update of -∞ is rejected and NaN updates are always dropped
+    * (`NaN > x` is false) — the fold assumes finite metrics.
     *
     * CONTRACT: order-dependent — `merge` only ever meets the zero buffer
     * when the input is one sorted partition, which [[runningArgmax]]

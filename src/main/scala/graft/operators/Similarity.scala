@@ -350,9 +350,7 @@ object Similarity {
     * once per session (doubles round-trip parquet exactly). */
   def pairCosineArtifact(spark: SparkSession, sfDir: String): DataFrame = {
     val path = pairMemo.once((spark.sparkContext.applicationId, sfDir)) {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-paircos-${spark.sparkContext.applicationId}-${math.abs(sfDir.hashCode)}")
-        .getAbsolutePath
+      val dir = graft.engine.Artifacts.path(spark, "paircos", sfDir)
       val vs = Staging.stage(vectors(spark, sfDir)
         .withColumn("bands", signatureBands(col("v"), 64, DedupPlanes, DedupBands)))
       pairCosines(vs, lshCandidatePairs(vs))
@@ -687,9 +685,7 @@ object Similarity {
 
   def trainedCentroids(s: SparkSession, d: String): DataFrame = {
     val path = centroidMemo.once((s.sparkContext.applicationId, d)) {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-centroids-${s.sparkContext.applicationId}-${math.abs(d.hashCode)}")
-        .getAbsolutePath
+      val dir = graft.engine.Artifacts.path(s, "centroids", d)
       saveCentroids(kmeansCentroids(
         Staging.stage(vectors(s, d).select(col("vec_id"), col("v")))), dir)
       dir

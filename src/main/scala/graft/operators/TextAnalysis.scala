@@ -1420,9 +1420,7 @@ object TextAnalysis {
     val (uniP, biP) = surprisalMemo.once(
       (s.sparkContext.applicationId, d, full)) {
         val tag = if (full) "full" else "ref"
-        val base = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft-surprisal-${s.sparkContext.applicationId}-" +
-            s"${math.abs(d.hashCode)}-$tag").getAbsolutePath
+        val base = graft.engine.Artifacts.path(s, s"surprisal-$tag", d)
         val docs0 = Tables.documents(s, d)
         val src = Tables.spread(
           if (full) docs0

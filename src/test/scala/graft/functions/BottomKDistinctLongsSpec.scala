@@ -22,7 +22,7 @@ class BottomKDistinctLongsSpec extends AnyFunSuite with Matchers {
       val k = 1 + rnd.nextInt(8)
       val xs = Seq.fill(rnd.nextInt(60))(rnd.nextInt(50).toLong)
       val agg = new BottomKDistinctLongs(k)
-      xs.foldLeft(agg.zero)(agg.reduce) shouldBe expected(xs, k)
+      xs.foldLeft(agg.zero)(agg.reduce).toSeq shouldBe expected(xs, k)
     }
   }
 
@@ -36,7 +36,7 @@ class BottomKDistinctLongsSpec extends AnyFunSuite with Matchers {
       val merged = agg.merge(
         a.foldLeft(agg.zero)(agg.reduce),
         b.foldLeft(agg.zero)(agg.reduce))
-      merged shouldBe expected(a ++ b, k)
+      merged.toSeq shouldBe expected(a ++ b, k)
     }
   }
 
@@ -46,7 +46,7 @@ class BottomKDistinctLongsSpec extends AnyFunSuite with Matchers {
       val k = 1 + rnd.nextInt(5)
       val xs = Seq.fill(rnd.nextInt(50))(rnd.nextLong())
       val agg = new BottomKDistinctLongs(k)
-      val buf = xs.foldLeft(agg.zero)(agg.reduce)
+      val buf = xs.foldLeft(agg.zero)(agg.reduce).toSeq
       buf.size should be <= k
       buf shouldBe buf.distinct.sorted
     }

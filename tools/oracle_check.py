@@ -144,9 +144,14 @@ def main():
         oracle = json.load(f)
 
     if single is not None:
-        # isolation mode: one query, own process, full memory budget
-        print(check_one(connect(sf_dir), single, oracle[single], out_dir))
-        return
+        # isolation mode: one query, own process, full memory budget.
+        # Exit nonzero on FAIL so a direct CI invocation can't read a
+        # false green (ADVICE r12); the parent loop parses stdout and
+        # treats a FAIL line + rc 1 as a result, not a crash.
+        line = check_one(connect(sf_dir), single, oracle[single], out_dir)
+        print(line)
+        sys.exit(1 if any(l.startswith("FAIL")
+                          for l in line.splitlines()) else 0)
 
     con = connect(sf_dir)
     failures = 0
@@ -164,10 +169,21 @@ def main():
                  "--single", name],
                 capture_output=True, text=True)
             line = r.stdout.strip()
-            if r.returncode != 0 or not line:
+            # single mode exits 1 on a legit FAIL line — only synthesize a
+            # failure when the subprocess produced no verdict at all (crash)
+            if not line:
                 err = (r.stderr or "").strip().splitlines()
                 line = (f"FAIL  {name}: error {err[-1] if err else 'subprocess died'}"
                         " [oracle memory-bound at this sf]")
+            # a duckdb.Error may leave the parent connection's allocator in
+            # a poisoned state that false-fails NEIGHBOURS (observed in
+            # VERIFYALL_SF1: events_cusum/events_funnel) — rebuild it so
+            # every later query runs on a clean process state (ADVICE r12)
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = connect(sf_dir)
         except Exception as e:
             line = f"FAIL  {name}: error {e}"
         print(line)
