@@ -80,19 +80,19 @@ object StreamBench {
       st.map(_._1).sum, st.map(_._2).sum)
   }
 
-  /** MinHash ingestion probe: the sf corpus's 80% indexed ONCE (the
-    * prebuilt 100 TB side — excluded from the clock), the 20% streamed
-    * against it through [[StreamingDedup]], verdict rows forced per
-    * trigger. */
-  private def dedupProbeLeg(spark: SparkSession, sfDir: String,
-                            chunks: Int): FaceResult = {
+  /** MinHash ingestion probe at one micro-batch size: a fixed probe
+    * volume streamed against the prebuilt index (the 100 TB side —
+    * built once, excluded from the clock) in `batchSize`-doc triggers,
+    * verdict rows forced per trigger. Running the SAME total volume at
+    * several batch sizes is the amortization record VERDICT r12 #4
+    * asked for: per-trigger overhead (planning + state commit) is
+    * fixed, so rows/s should climb with trigger size until probe work
+    * dominates. */
+  private def dedupProbeLeg(spark: SparkSession, index: Dedup.MinHashIndex,
+                            probe: Seq[(Long, String)],
+                            batchSize: Int): FaceResult = {
     val sp = spark; import sp.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
-    val isIncoming = col("doc_id") % Dedup.IncomingMod === 0
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val index = Dedup.buildIndex(docs.where(!isIncoming))
-    index.okBuckets.count() // materialize the index before the clock starts
-    val incoming = docs.where(isIncoming).as[(Long, String)].collect().toSeq
     val in = MemoryStream[(Long, String)]
     var n = 0L
     val q = StreamingDedup.run(in.toDF().toDF("doc_id", "text"), index,
@@ -100,12 +100,32 @@ object StreamBench {
       n += verdicts.count()
     }
     val (_, sec) = time {
-      incoming.grouped(math.max(1, incoming.size / chunks)).foreach { c =>
+      probe.grouped(batchSize).foreach { c =>
         in.addData(c); q.processAllAvailable()
       }
     }
     q.stop()
     FaceResult(n, sec, 0L, 0L) // foreachBatch face: the index IS the state
+  }
+
+  /** The fixed probe stream for the dedup legs: the corpus's 20%
+    * incoming split, cycled with doc_id offsets up to `target` docs so
+    * every batch size probes the same content mix at the same total
+    * volume (ids stay unique; verdicts depend on text, not id). */
+  private def probeStream(spark: SparkSession, sfDir: String, target: Int)
+      : (Dedup.MinHashIndex, Seq[(Long, String)]) = {
+    val sp = spark; import sp.implicits._
+    val isIncoming = col("doc_id") % Dedup.IncomingMod === 0
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val index = Dedup.buildIndex(docs.where(!isIncoming))
+    index.okBuckets.count() // materialize the index before the clock starts
+    val incoming = docs.where(isIncoming).as[(Long, String)].collect().toSeq
+    val probe = Iterator.continually(incoming).flatten.take(target)
+      .zipWithIndex
+      .map { case ((id, text), i) =>
+        (id + (i / incoming.size).toLong * 1000000000L, text)
+      }.toVector
+    (index, probe)
   }
 
   /** Growth accounting (flatMapGroupsWithState, one ledger per user). */
@@ -180,7 +200,11 @@ object StreamBench {
       r.getLong(2), r.getString(3), r.getDouble(4))).toSeq
 
     val transit = transitLeg(spark, nTrips = 60000, chunks = 6)
-    val dedup = dedupProbeLeg(spark, sfDir, chunks = 4)
+    // amortization curve: same 5000-doc probe volume at three trigger sizes
+    val (index, probe) = probeStream(spark, sfDir, target = 5000)
+    val dedup250 = dedupProbeLeg(spark, index, probe, batchSize = 250)
+    val dedup1000 = dedupProbeLeg(spark, index, probe, batchSize = 1000)
+    val dedup5000 = dedupProbeLeg(spark, index, probe, batchSize = 5000)
 
     StateStores.useDefault(spark)
     val growthH = growthLeg(spark, gEvs, chunks = 5)
@@ -191,7 +215,9 @@ object StreamBench {
     StateStores.useDefault(spark)
 
     val faces = Seq(
-      "transit_13q" -> transit, "dedup_probe" -> dedup,
+      "transit_13q" -> transit,
+      "dedup_probe_b250" -> dedup250, "dedup_probe_b1000" -> dedup1000,
+      "dedup_probe_b5000" -> dedup5000,
       "growth_hdfs" -> growthH, "growth_rocksdb" -> growthR,
       "churn_hdfs" -> churnH, "churn_rocksdb" -> churnR)
     val floor = faces.map(_._2.rowsPerSec).min

@@ -10,8 +10,11 @@ object Verify {
     // (the driver always passes exactly two args → full suite)
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val builder = SparkSession.builder()
+      // master override: tools/verify_lc.sh proves the suite under
+      // local-cluster[2,4,…] — separate executor JVMs, real closure
+      // serialization / netty shuffle / broadcast transfer
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.maxFields", "200") // see Bench.scala
@@ -21,7 +24,14 @@ object Verify {
       .config(graft.engine.Staging.PolicyKey,
         sys.env.getOrElse("SPARK_GRAFT_STAGING", graft.engine.Staging.LocalCheckpoint))
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // extra confs for alternative topologies (';'-separated k=v pairs:
+    // spark.jars / executor memory / executor JVM opts for verify_lc)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -36,12 +36,22 @@ done
 
 echo "[verify_lc] 2/3 engine dump under local-cluster[2,4,6144] at $SF"
 export SPARK_HOME=/opt/spark
+# the launcher's getScalaVersion probes source-tree build dirs when this
+# is unset and dies with "Cannot find any build directories"
+export SPARK_SCALA_VERSION=2.13
+# non-default artifact root: executor-side artifact writes and memoized
+# read-backs must round-trip through the CONFIGURED shared dir, not the
+# tmpdir fallback — the multi-executor proof of the r12 portability fix
+ARTDIR=$(mktemp -d /tmp/graft-lc-artifacts-XXXX)
 SPARK_GRAFT_MASTER="local-cluster[2,4,6144]" \
-SPARK_GRAFT_CONF="spark.jars=file://$PWD/$JAR;spark.executor.memory=4g;spark.executor.extraJavaOptions=$OPENS" \
+SPARK_GRAFT_CONF="spark.jars=file://$PWD/$JAR;spark.executor.memory=4g;spark.graft.artifacts.dir=$ARTDIR;spark.executor.extraJavaOptions=$OPENS" \
 SPARK_GRAFT_CPUS=8 sbt -batch \
   "runMain graft.Verify $SF $WORK/out" > "$WORK/verify.log" 2>&1 \
   || { tail -30 "$WORK/verify.log"; echo "[verify_lc] DUMP FAILED"; exit 1; }
 ENGINE_ERRS=$(grep -c '^\[verify\].*failed' "$WORK/verify.log" || true)
+N_ART=$(ls "$ARTDIR" 2>/dev/null | wc -l)
+echo "[verify_lc]    $N_ART artifact trees under the configured root"
+rm -rf "$ARTDIR"
 
 echo "[verify_lc] 3/3 DuckDB oracle compare"
 python3 tools/oracle_check.py "$SF" "$WORK/out" > "$WORK/oracle.log" 2>&1
@@ -49,9 +59,9 @@ tail -3 "$WORK/oracle.log"
 CORRECTNESS=$(grep -Eo '[0-9]+/[0-9]+ queries pass' "$WORK/oracle.log" | tail -1 || true)
 [ -n "$CORRECTNESS" ] || { tail -30 "$WORK/oracle.log"; echo "[verify_lc] NO TALLY"; exit 1; }
 
-python3 - "$OUT" "$SF" "$CORRECTNESS" "$WORK/oracle.log" "$ENGINE_ERRS" <<'EOF'
+python3 - "$OUT" "$SF" "$CORRECTNESS" "$WORK/oracle.log" "$ENGINE_ERRS" "$N_ART" <<'EOF'
 import datetime, json, re, sys
-out, sf, tally, log, engine_errs = sys.argv[1:6]
+out, sf, tally, log, engine_errs, n_art = sys.argv[1:7]
 fails = [l.strip() for l in open(log) if re.match(r'^(FAIL|ERR)', l)]
 rec = {
     "when": datetime.datetime.now(datetime.timezone.utc)
@@ -60,6 +70,9 @@ rec = {
     "topology": "local-cluster[2,4,6144] — 2 executor JVMs x 4 cores, "
                 "classes shipped via spark.jars, real netty shuffle / "
                 "broadcast / closure serialization",
+    "artifacts_dir": f"non-default spark.graft.artifacts.dir honored: "
+                     f"{n_art} artifact trees written under the configured "
+                     f"root during the sweep",
     "engine_query_errors": int(engine_errs),
     "correctness": tally,
     "failures": fails,
