@@ -1034,6 +1034,104 @@ object Similarity {
           lit(0.0), (a, e) => greatest(a, e)).as("max_abs_err"))
   }
 
+  // ---- binary (1-bit) quantization + Hamming candidate search ---------------
+
+  /** BQ rerank depth: how many Hamming candidates per query get the exact
+    * cosine rescore. 10× [[TopK]] — the standard BQ oversampling ratio. */
+  val BqRerankDepth = 50
+
+  /** Bits per packed signature word. 32-bit words stored in signed int64
+    * columns keep every packed value positive — no sign-bit portability
+    * trap between the engines — and generalize to any dim as an array of
+    * words; at dim 64 the signature is two words (lo, hi): 8 bytes per
+    * vector, a 64× reduction over the float64 embedding column. */
+  val BqWordBits = 32
+
+  /** One packed sign word: bit i set iff v[j·32+i+1] > 0. A 32-term
+    * static sum of power-of-two literals — whole-stage-codegen'd integer
+    * compares and adds, no higher-order functions in the hot path. */
+  private def bqWord(v: Column, j: Int): Column =
+    (0 until BqWordBits).map { i =>
+      when(element_at(v, j * BqWordBits + i + 1) > 0.0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Binary (1-bit) quantization of the embedding store — the most
+    * aggressive member of the compression family ([[quantizeInt8]] keeps
+    * 8 bits/dim, [[pqCodes]] 4 bits/subspace): keep only each dimension's
+    * SIGN, packed 32 dims per int64 word. The production pattern behind
+    * every "binary quantization" vector-store tier: signatures are what
+    * the first-pass scan reads ([[hammingTopK]]), the float vectors only
+    * surface for the bounded rerank. Map-only scan, pure integer output —
+    * the oracle packs bit-for-bit. Output: (vec_id, bsig_lo, bsig_hi,
+    * n_pos). */
+  def binaryQuantize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        bqWord(col("v"), 0).as("bsig_lo"), bqWord(col("v"), 1).as("bsig_hi"))
+      .select(col("vec_id"), col("bsig_lo"), col("bsig_hi"),
+        (bit_count(col("bsig_lo")) + bit_count(col("bsig_hi")))
+          .cast("long").as("n_pos"))
+
+  /** BQ-accelerated top-k: Hamming distance over the packed sign
+    * signatures generates [[BqRerankDepth]] candidates per query (sign
+    * agreement is a monotone proxy for angular similarity — Charikar
+    * 2002's SimHash bound at 64 planes = the identity basis), then exact
+    * cosine reranks the survivors. Same output contract as
+    * [[cosineTopK]]: (query_id, neighbor_id, rank, cosine_sim).
+    *
+    * 100 TB shape: the first-pass scan touches 8 BYTES per corpus vector
+    * (xor + two popcounts — at scale the packed table IS the stored
+    * index, 64× smaller than the raw embedding column), queries
+    * broadcast, the bounded per-group aggregator keeps ≤depth candidates
+    * per (partition, query) before the shuffle, and the float vectors
+    * are only read back for the ≤depth×|queries| rerank rows — the
+    * corpus never shuffles vectors, same as every other ANN face. */
+  def hammingTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = vectors(spark, sfDir)
+    val bq = vs.select(col("vec_id"),
+      bqWord(col("v"), 0).as("lo"), bqWord(col("v"), 1).as("hi"))
+    val q = bq.where(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("query_id"),
+        col("lo").as("qlo"), col("hi").as("qhi"))
+    // stage 1 — candidates over SIGNATURES ONLY (integer xor+popcount);
+    // score = -hamming so the shared bounded top-k keeps the SMALLEST
+    // distances, ties to the smaller id (the oracle's row_number order)
+    val ham = bq.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (-(bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+            bit_count(col("hi").bitwiseXOR(col("qhi")))))
+          .cast("double").as("cosine_sim"))
+    val cand = graft.functions.TopKByScore.perGroup(ham, BqRerankDepth)
+      .select("query_id", "neighbor_id")
+    // stage 2 — exact rerank of the ≤depth ids per query
+    val qv = vs.where(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = vs.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine_sim"))
+    topKPerQuery(scored)
+  }
+
+  /** BQ recall referee — [[annRecall]]'s twin for the 1-bit path: with
+    * [[annLshTopK]] (banded LSH), [[ivfRecall]]/[[pqRecall]] (IVF/PQ)
+    * and [[matryoshkaRecall]] (truncation) this completes the measured
+    * recall story for every compression/candidate-gen tier the engine
+    * ships. Output: (query_id, recall_at_k). */
+  def bqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = cosineTopK(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+    val bq = hammingTopK(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(bq, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / TopK).as("recall_at_k"))
+  }
+
   /** Corpus-wide reciprocal-nearest-neighbor pairs — the mutual-best
     * check that PROMOTES a neighbor match to a trusted one (RNN pairs
     * seed agglomerative clustering and verify dedup candidates): a
@@ -1411,6 +1509,9 @@ object Similarity {
     "sim_matryoshka_recall" -> (matryoshkaRecall _),
     "sim_ivf_topk" -> (ivfTopK _),
     "sim_quantize_int8" -> (quantizeInt8 _),
+    "sim_binary_quantize" -> (binaryQuantize _),
+    "sim_hamming_topk" -> (hammingTopK _),
+    "sim_bq_recall" -> (bqRecall _),
     "sim_embedding_audit" -> (embeddingAudit _),
     "sim_embedding_coverage" -> (embeddingCoverage _),
     "sim_mmr_topk" -> (mmrTopK _),
@@ -1545,6 +1646,44 @@ object Similarity {
        |     CAST(j // $bitsPerBand AS INTEGER) AS band,
        |     SUM(bit) AS bv
        |   FROM bits GROUP BY 1, 2)""".stripMargin
+
+  /** SQL mirror of [[bqWord]] packing + the Hamming candidate/rerank CTE
+    * chain ending in `scored(query_id, neighbor_id, cosine_sim)` — ONE
+    * text shared by the `sim_hamming_topk` and `sim_bq_recall` oracles
+    * (the bandsSqlWith one-text discipline), with the packing prefix
+    * alone reused by `sim_binary_quantize`. Integer packing, xor and
+    * popcount are exact on both engines; the candidate boundary breaks
+    * ties (hamming asc, id asc) exactly like the bounded aggregator. */
+  private def bqSqlWith: String =
+    s"""vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                         CAST(embedding AS DOUBLE[]))) AS nrm
+       |   FROM embeddings),
+       | bq AS (SELECT vec_id,
+       |   CAST(list_sum(list_transform(range($BqWordBits),
+       |     i -> CASE WHEN v[CAST(i + 1 AS INTEGER)] > 0
+       |          THEN (1::BIGINT << CAST(i AS INTEGER))
+       |          ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+       |   CAST(list_sum(list_transform(range($BqWordBits),
+       |     i -> CASE WHEN v[CAST(i + $BqWordBits + 1 AS INTEGER)] > 0
+       |          THEN (1::BIGINT << CAST(i AS INTEGER))
+       |          ELSE 0::BIGINT END)) AS BIGINT) AS hi
+       |   FROM vs)""".stripMargin
+
+  private def bqScoredSqlWith: String =
+    s"""$bqSqlWith,
+       | h AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |     bit_count(xor(c.lo, q.lo)) + bit_count(xor(c.hi, q.hi)) AS hamming
+       |   FROM bq c, bq q
+       |   WHERE q.vec_id < $NumQueryVectors AND c.vec_id <> q.vec_id),
+       | cand AS (SELECT query_id, neighbor_id FROM (SELECT *,
+       |     ROW_NUMBER() OVER (PARTITION BY query_id
+       |       ORDER BY hamming ASC, neighbor_id ASC) AS cr FROM h)
+       |   WHERE cr <= $BqRerankDepth),
+       | scored AS (SELECT cand.query_id, cand.neighbor_id,
+       |     list_dot_product(vc.v, vq.v) / (vc.nrm * vq.nrm) AS cosine_sim
+       |   FROM cand JOIN vs vc ON vc.vec_id = cand.neighbor_id
+       |   JOIN vs vq ON vq.vec_id = cand.query_id)""".stripMargin
 
   // Both similarity queries are fully oracle-checked: the ANN hyperplanes
   // are deterministic literals on both engines, and dot products fold in
@@ -1748,6 +1887,51 @@ object Similarity {
          |     i -> abs(v[CAST(i + 1 AS INTEGER)]
          |              - qv[CAST(i + 1 AS INTEGER)] / scale))) AS max_abs_err
          | FROM q""".stripMargin,
+
+    "sim_binary_quantize" ->
+      s"""WITH $bqSqlWith
+         | SELECT b.vec_id, b.lo AS bsig_lo, b.hi AS bsig_hi,
+         |   CAST(bit_count(b.lo) + bit_count(b.hi) AS BIGINT) AS n_pos
+         | FROM bq b""".stripMargin,
+
+    "sim_hamming_topk" ->
+      s"""WITH $bqScoredSqlWith
+         | SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim
+         | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM scored)
+         | WHERE rank <= $TopK""".stripMargin,
+
+    "sim_bq_recall" ->
+      s"""WITH exact_tk AS (
+         |   SELECT query_id, neighbor_id FROM (
+         |     WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                               CAST(embedding AS DOUBLE[]))) AS nrm
+         |       FROM embeddings),
+         |     q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM vs
+         |       WHERE vec_id < $NumQueryVectors),
+         |     scored AS (SELECT q.query_id, vs.vec_id AS neighbor_id,
+         |       list_dot_product(vs.v, q.qv) / (vs.nrm * q.qn) AS cosine_sim
+         |       FROM vs CROSS JOIN q WHERE vs.vec_id <> q.query_id)
+         |     SELECT query_id, neighbor_id FROM (SELECT *,
+         |       ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM scored)
+         |     WHERE rank <= $TopK)),
+         | bq_tk AS (
+         |   SELECT query_id, neighbor_id FROM (
+         |     WITH $bqScoredSqlWith
+         |     SELECT query_id, neighbor_id FROM (SELECT *,
+         |       ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM scored)
+         |     WHERE rank <= $TopK)),
+         | hits AS (SELECT e.query_id, COUNT(*) AS n FROM exact_tk e
+         |   JOIN bq_tk a ON a.query_id = e.query_id
+         |     AND a.neighbor_id = e.neighbor_id
+         |   GROUP BY e.query_id)
+         | SELECT q.query_id,
+         |   CAST(COALESCE(hits.n, 0) AS DOUBLE) / $TopK AS recall_at_k
+         | FROM (SELECT DISTINCT query_id FROM exact_tk) q
+         | LEFT JOIN hits ON q.query_id = hits.query_id""".stripMargin,
 
     "sim_ann_lsh_topk" ->
       s"""WITH ${bandsSqlWith(SignatureBits, SignatureBits / BandsPerSignature)},

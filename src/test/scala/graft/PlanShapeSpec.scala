@@ -201,6 +201,15 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("sim_hamming_topk: queries broadcast, bounded candidate aggregator, no sort-merge or window") {
+    val p = planOf("sim_hamming_topk")
+    p should include("BroadcastExchange")   // the query signature block + candidate ids
+    p should include("ObjectHashAggregate") // TopKByScore: ≤depth per (partition, query)
+    p should not include "SortMergeJoin"    // the corpus never shuffles vectors
+    p should not include "Window"
+    p should not include "CartesianProduct"
+  }
+
   test("dedup_chunk_exact: map-only window hashing, two-phase count, no window frame") {
     val p = planOf("dedup_chunk_exact")
     p should include("Generate")      // the per-row chunk explode

@@ -225,6 +225,69 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("binary quantize: packed words reconstruct the per-dimension signs exactly") {
+    val raw = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val bq = Similarity.binaryQuantize(spark, sfDir).collect()
+    bq.length shouldBe raw.size
+    bq.foreach { r =>
+      val v = raw(r.getLong(0))
+      val expLo = (0 until 32).map(i => if (v(i) > 0f) 1L << i else 0L).sum
+      val expHi = (0 until 32).map(i => if (v(32 + i) > 0f) 1L << i else 0L).sum
+      r.getLong(1) shouldBe expLo
+      r.getLong(2) shouldBe expHi
+      r.getLong(3) shouldBe v.count(_ > 0f).toLong
+    }
+  }
+
+  test("hamming top-k: equals a driver-side replay (pack, top-depth by " +
+    "hamming, exact cosine rerank)") {
+    val raw = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def pack(v: Seq[Double]): (Long, Long) = (
+      (0 until 32).map(i => if (v(i) > 0) 1L << i else 0L).sum,
+      (0 until 32).map(i => if (v(32 + i) > 0) 1L << i else 0L).sum)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val sigs = raw.view.mapValues(pack).toMap
+    val expected = (0L until Similarity.NumQueryVectors.toLong).flatMap { q =>
+      val (qlo, qhi) = sigs(q)
+      val cand = raw.keys.filter(_ != q).toSeq
+        .map { id =>
+          val (lo, hi) = sigs(id)
+          (id, java.lang.Long.bitCount(lo ^ qlo) + java.lang.Long.bitCount(hi ^ qhi))
+        }
+        .sortBy { case (id, ham) => (ham, id) }
+        .take(Similarity.BqRerankDepth)
+      cand.map { case (id, _) => (id, cos(raw(id), raw(q))) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Similarity.TopK).zipWithIndex
+        .map { case ((id, _), i) => (q, id, i + 1) }
+    }.toSet
+    val got = Similarity.hammingTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    got shouldBe expected
+  }
+
+  test("bq recall: one row per query on the 1/k grid, equal to the measured overlap") {
+    val recall = Similarity.bqRecall(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    recall.keySet shouldBe (0L until Similarity.NumQueryVectors.toLong).toSet
+    val exact = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bq = Similarity.hammingTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    recall.foreach { case (q, rec) =>
+      rec should (be >= 0.0 and be <= 1.0)
+      val overlap = exact.count(p => p._1 == q && bq.contains(p))
+      rec shouldBe overlap.toDouble / Similarity.TopK
+    }
+  }
+
   test("semantic dedup: centroid argmax, keep-lowest-id policy, best lower-id match") {
     val out = Similarity.semanticDedup(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1),
