@@ -92,6 +92,32 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
     catch { case _: Throwable => () }
     spark.stop()
+    // The driver's grading harness keeps only the LAST ~2000 chars of
+    // stdout and scans them for a parseable JSON line; at 200 queries the
+    // full line above is ~7 KB and never fits (VERDICT r13 #3: BENCH_r*
+    // carried "parsed": null since r06). Emit a COMPACT final line that
+    // always fits the window: totals + per-family subtotals + as many of
+    // the slowest per-query timings as a 1500-char budget allows, with
+    // the full per-query record pointed at via "detail" (bench_out.json,
+    // committed per round). Printed after spark.stop() so no shutdown
+    // log line can land behind it.
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val families = timed.filter(_._2 >= 0)
+      .groupBy { case (n, _) => n.takeWhile(_ != '_') }
+      .toSeq.sortBy(_._1)
+      .map { case (f, qs2) => "\"" + f + "\":" + r3(qs2.map(_._2).sum) }
+      .mkString("{", ",", "}")
+    val slowest = timed.filter(_._2 >= 0).sortBy(-_._2)
+    val budget = 1500
+    val sb = new StringBuilder(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${timed.size},"families":$families,"errors":$errJson,"sf":"$sfDir","detail":"bench_out.json","queries_complete":false,"queries":{""")
+    var firstQ = true
+    slowest.foreach { case (n, v) =>
+      val entry = (if (firstQ) "" else ",") + "\"" + n + "\":" + r3(v)
+      if (sb.length + entry.length < budget) { sb ++= entry; firstQ = false }
+    }
+    sb ++= "}}"
+    println(sb.toString)
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -120,6 +120,9 @@ object StreamBench {
     val index = Dedup.buildIndex(docs.where(!isIncoming))
     index.okBuckets.count() // materialize the index before the clock starts
     val incoming = docs.where(isIncoming).as[(Long, String)].collect().toSeq
+    // a tiny/filtered corpus with no incoming split would otherwise hang
+    // take(target) forever and divide by zero below — fail loudly instead
+    require(incoming.nonEmpty, s"no incoming docs in $sfDir")
     val probe = Iterator.continually(incoming).flatten.take(target)
       .zipWithIndex
       .map { case ((id, text), i) =>

@@ -26,11 +26,17 @@ object Verify {
       .config("spark.ui.enabled", "false")
     // extra confs for alternative topologies (';'-separated k=v pairs:
     // spark.jars / executor memory / executor JVM opts for verify_lc)
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
-      .foreach { kv =>
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      if (kv.contains("=")) {
         val Array(k, v) = kv.split("=", 2)
         builder.config(k, v)
-      })
+      } else if (kv.trim.nonEmpty)
+        // a typo'd LC invocation must not silently run with default
+        // memory — the topology-parity evidence depends on these confs
+        System.err.println(
+          s"[verify] WARNING: ignoring malformed SPARK_GRAFT_CONF token " +
+            s"'$kv' (expected key=value)")
+    })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -43,12 +43,27 @@ object Artifacts {
       s"graft-$kind-${s.sparkContext.applicationId}-${math.abs(sfDir.hashCode)}")
       .toString
 
-  /** External-table location under the artifact root for a persisted
-    * bucketed index table (NOT appId-scoped: the saved index is the
-    * durable cross-session form — `saveIndex`/`loadIndex` pairs span
-    * sessions by design, so the location must be stable by name). */
-  def tablePath(s: SparkSession, table: String): String =
-    new Path(root(s), s"graft-table-$table").toString
+  /** External-table location for a persisted bucketed index table (NOT
+    * appId-scoped: the saved index is the durable cross-session form —
+    * `saveIndex`/`loadIndex` pairs span sessions by design, so the
+    * location must be stable by name).
+    *
+    * The durable-by-name location lives under the artifact root ONLY
+    * when [[DirKey]] is set explicitly — an operator who configures a
+    * shared root is opting into cross-session sharing and owns the name
+    * space. Without it the location falls back to the session WAREHOUSE
+    * dir (per-cwd `spark-warehouse`), NOT the host-shared
+    * `java.io.tmpdir` [[root]] fallback: [[freshTableLocation]] deletes
+    * the location before every overwrite, so a tmpdir default would let
+    * two unrelated sessions on one host (concurrent CI runs, a bench
+    * beside a verify) delete each other's live index files mid-read
+    * (ADVICE r13) — the warehouse default restores the isolation
+    * managed tables always had. */
+  def tablePath(s: SparkSession, table: String): String = {
+    val base = s.conf.getOption(DirKey)
+      .getOrElse(s.conf.get("spark.sql.warehouse.dir"))
+    new Path(base, s"graft-table-$table").toString
+  }
 
   /** Recursively delete a path before an external-table overwrite:
     * `saveAsTable(Overwrite)` drops the CATALOG entry but leaves an

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.Staging
+import graft.engine.{Artifacts, Staging}
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (vec_id, embedding
@@ -1090,30 +1090,108 @@ object Similarity {
     * corpus never shuffles vectors, same as every other ANN face. */
   def hammingTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val vs = vectors(spark, sfDir)
-    val bq = vs.select(col("vec_id"),
-      bqWord(col("v"), 0).as("lo"), bqWord(col("v"), 1).as("hi"))
-    val q = bq.where(col("vec_id") < NumQueryVectors)
+    probeHamming(buildBqIndex(vs), queryBlock(vs))
+  }
+
+  /** The (query_id, qv, qn) broadcast block for the fixed query-id set. */
+  private def queryBlock(vs: DataFrame): DataFrame =
+    vs.where(col("vec_id") < NumQueryVectors)
       .select(col("vec_id").as("query_id"),
-        col("lo").as("qlo"), col("hi").as("qhi"))
-    // stage 1 — candidates over SIGNATURES ONLY (integer xor+popcount);
-    // score = -hamming so the shared bounded top-k keeps the SMALLEST
-    // distances, ties to the smaller id (the oracle's row_number order)
-    val ham = bq.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        col("v").as("qv"), col("nrm").as("qn"))
+
+  /** A prebuilt binary-quantization index over a (vec_id, v, nrm) vector
+    * corpus: `packed` holds the 8-byte/vector sign signatures
+    * (vec_id, lo, hi) the first-pass Hamming scan reads, `vecs` the float
+    * store the bounded rerank joins back into. The BQ twin of
+    * [[graft.operators.Dedup.MinHashIndex]] — built once, probed by any
+    * number of batch or streaming query feeds
+    * ([[graft.streaming.StreamingHammingProbe]]). */
+  final case class BqIndex(packed: DataFrame, vecs: DataFrame)
+
+  /** Build a [[BqIndex]] from a (vec_id, v, nrm) frame ([[annCorpus]]
+    * shape). The packed table is staged: it is the index's whole point —
+    * 64× smaller than the vectors — and every probe scans it, so it must
+    * not be re-derived from the float column per probe. */
+  def buildBqIndex(corpus: DataFrame): BqIndex =
+    BqIndex(
+      Staging.stage(corpus.select(col("vec_id"),
+        bqWord(col("v"), 0).as("lo"), bqWord(col("v"), 1).as("hi"))),
+      corpus.select("vec_id", "v", "nrm"))
+
+  /** Probe a (query_id, qv, qn) query block against a [[BqIndex]] — the
+    * online-serving core behind [[hammingTopK]], [[bqProbe]] and the
+    * streaming face.
+    *
+    * Stage 1 scans SIGNATURES ONLY (integer xor+popcount; score =
+    * -hamming so the shared bounded top-k keeps the SMALLEST distances,
+    * ties to the smaller id — the oracle's row_number order); stage 2
+    * exact-reranks the ≤[[BqRerankDepth]] survivors per query against
+    * the float store.
+    *
+    * 100 TB shape: the first pass touches 8 BYTES per corpus vector,
+    * queries broadcast, the bounded per-group aggregator keeps ≤depth
+    * candidates per (partition, query) before the shuffle, and the float
+    * vectors are only read for the ≤depth×|queries| rerank rows — the
+    * corpus never shuffles vectors. */
+  def probeHamming(index: BqIndex, queries: DataFrame): DataFrame = {
+    val qp = queries.select(col("query_id"),
+      bqWord(col("qv"), 0).as("qlo"), bqWord(col("qv"), 1).as("qhi"))
+    val ham = index.packed
+      .join(broadcast(qp), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (-(bit_count(col("lo").bitwiseXOR(col("qlo"))) +
             bit_count(col("hi").bitwiseXOR(col("qhi")))))
           .cast("double").as("cosine_sim"))
     val cand = graft.functions.TopKByScore.perGroup(ham, BqRerankDepth)
       .select("query_id", "neighbor_id")
-    // stage 2 — exact rerank of the ≤depth ids per query
-    val qv = vs.where(col("vec_id") < NumQueryVectors)
-      .select(col("vec_id").as("query_id"),
-        col("v").as("qv"), col("nrm").as("qn"))
-    val scored = vs.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
-      .join(broadcast(qv), Seq("query_id"))
+    val scored = index.vecs
+      .join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine_sim"))
     topKPerQuery(scored)
+  }
+
+  /** Bucket count for the persisted BQ tables ([[saveBqIndex]]) — the
+    * [[graft.operators.Dedup.IndexBuckets]] convention. */
+  val BqIndexBuckets = 8
+
+  /** Persist a [[BqIndex]] as BUCKETED tables under the artifacts root —
+    * the durable form of the BQ serving tier: `{prefix}_bq` (packed
+    * signatures) and `{prefix}_vec` (the rerank store), both bucketed
+    * AND sorted by vec_id, so the rerank's candidate→vector join lands
+    * on the store's own partitioning — the vector store is shuffled ONCE
+    * at write time and never again by any probe batch too large to
+    * broadcast its candidates (`BucketedIndexSpec` pins the plan:
+    * the co-bucketed join runs with zero Exchange). */
+  def saveBqIndex(index: BqIndex, prefix: String): Unit = {
+    val s = index.packed.sparkSession
+    index.packed.write.mode("overwrite").format("parquet")
+      .option("path", Artifacts.freshTableLocation(s, s"${prefix}_bq"))
+      .bucketBy(BqIndexBuckets, "vec_id").sortBy("vec_id")
+      .saveAsTable(s"${prefix}_bq")
+    index.vecs.write.mode("overwrite").format("parquet")
+      .option("path", Artifacts.freshTableLocation(s, s"${prefix}_vec"))
+      .bucketBy(BqIndexBuckets, "vec_id").sortBy("vec_id")
+      .saveAsTable(s"${prefix}_vec")
+  }
+
+  /** Reopen a persisted BQ index. The returned frames carry the tables'
+    * own bucket partitioning. */
+  def loadBqIndex(spark: SparkSession, prefix: String): BqIndex =
+    BqIndex(spark.table(s"${prefix}_bq"), spark.table(s"${prefix}_vec"))
+
+  /** The registered online-serving split — [[hammingTopK]]'s index face:
+    * the corpus side is every vector OUTSIDE the query-id set (the index
+    * a deployment builds once), the query block probes it, neighbors come
+    * only from the corpus. Exactly [[buildBqIndex]] + [[probeHamming]],
+    * which is also the streaming ingestion path
+    * ([[graft.streaming.StreamingHammingProbe]] probes the same index per
+    * micro-batch), so the DuckDB oracle checks both. */
+  def bqProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = vectors(spark, sfDir)
+    probeHamming(buildBqIndex(vs.where(col("vec_id") >= NumQueryVectors)),
+      queryBlock(vs))
   }
 
   /** BQ recall referee — [[annRecall]]'s twin for the 1-bit path: with
@@ -1511,6 +1589,7 @@ object Similarity {
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_binary_quantize" -> (binaryQuantize _),
     "sim_hamming_topk" -> (hammingTopK _),
+    "sim_bq_probe" -> (bqProbe _),
     "sim_bq_recall" -> (bqRecall _),
     "sim_embedding_audit" -> (embeddingAudit _),
     "sim_embedding_coverage" -> (embeddingCoverage _),
@@ -1670,12 +1749,19 @@ object Similarity {
        |          ELSE 0::BIGINT END)) AS BIGINT) AS hi
        |   FROM vs)""".stripMargin
 
-  private def bqScoredSqlWith: String =
+  private def bqScoredSqlWith: String = bqScoredSqlWithPred("c.vec_id <> q.vec_id")
+
+  /** [[bqScoredSqlWith]] with the corpus-membership predicate swapped —
+    * `sim_bq_probe` restricts candidates to the index side
+    * (`c.vec_id >= NumQueryVectors`); the Spark probe's self-exclusion
+    * join condition is vacuously true there, so both engines see the
+    * same candidate universe. */
+  private def bqScoredSqlWithPred(corpusPred: String): String =
     s"""$bqSqlWith,
        | h AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |     bit_count(xor(c.lo, q.lo)) + bit_count(xor(c.hi, q.hi)) AS hamming
        |   FROM bq c, bq q
-       |   WHERE q.vec_id < $NumQueryVectors AND c.vec_id <> q.vec_id),
+       |   WHERE q.vec_id < $NumQueryVectors AND $corpusPred),
        | cand AS (SELECT query_id, neighbor_id FROM (SELECT *,
        |     ROW_NUMBER() OVER (PARTITION BY query_id
        |       ORDER BY hamming ASC, neighbor_id ASC) AS cr FROM h)
@@ -1896,6 +1982,13 @@ object Similarity {
 
     "sim_hamming_topk" ->
       s"""WITH $bqScoredSqlWith
+         | SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim
+         | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM scored)
+         | WHERE rank <= $TopK""".stripMargin,
+
+    "sim_bq_probe" ->
+      s"""WITH ${bqScoredSqlWithPred(s"c.vec_id >= $NumQueryVectors")}
          | SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim
          | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM scored)

@@ -45,6 +45,25 @@ class ArtifactDirSpec extends SparkSpec {
     }
   }
 
+  test("tablePath falls back to the session warehouse dir, never the " +
+    "host-shared tmpdir (ADVICE r13: freshTableLocation deletes before " +
+    "overwrite, so a tmpdir default would let two unrelated sessions on " +
+    "one host clobber each other's live index files)") {
+    spark.conf.unset(Artifacts.DirKey)
+    val p = Artifacts.tablePath(spark, "adirspec_fallback")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    p shouldBe new org.apache.hadoop.fs.Path(
+      warehouse, "graft-table-adirspec_fallback").toString
+    val tmp = new java.io.File(sys.props("java.io.tmpdir")).getAbsolutePath
+    assert(!p.stripPrefix("file:").startsWith(tmp),
+      s"fallback table path $p landed under the shared tmpdir")
+    withConfRoot {
+      Artifacts.tablePath(spark, "adirspec_fallback") shouldBe
+        new org.apache.hadoop.fs.Path(confRoot.getAbsolutePath,
+          "graft-table-adirspec_fallback").toString
+    }
+  }
+
   test("every session-artifact builder honors the configured root, " +
     "bit-identically to the default-root build") {
     withConfRoot {

@@ -146,4 +146,45 @@ class BucketedIndexSpec extends SparkSpec {
       }
     } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
   }
+
+  test("persisted BQ index: probe parity, and the co-bucketed " +
+    "signature→vector-store join elides the shuffle") {
+    val warehouse = Files.createTempDirectory("graft-bqidx-").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$warehouse'")
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      val vs = Similarity.annCorpus(spark, sfDir)
+      val corpus = vs.where(
+        org.apache.spark.sql.functions.col("vec_id") >=
+          Similarity.NumQueryVectors)
+      val queries = vs.where(
+          org.apache.spark.sql.functions.col("vec_id") <
+            Similarity.NumQueryVectors)
+        .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+          org.apache.spark.sql.functions.col("v").as("qv"),
+          org.apache.spark.sql.functions.col("nrm").as("qn"))
+
+      val index = Similarity.buildBqIndex(corpus)
+      Similarity.saveBqIndex(index, s"$db.bqidx")
+      val loaded = Similarity.loadBqIndex(spark, s"$db.bqidx")
+
+      // parity: probing the reopened index = probing the in-memory one
+      // (= the oracle-checked sim_bq_probe answer)
+      assertSameRows(
+        Similarity.probeHamming(loaded, queries),
+        Similarity.probeHamming(index, queries))
+
+      // the co-located join proof for the rerank path: at 100 TB a query
+      // batch too large to broadcast joins its candidate ids against the
+      // vector store by vec_id — both persisted tables bucket AND sort by
+      // vec_id, so that join runs with ZERO exchange on either side
+      noBroadcast {
+        val j = loaded.packed.join(loaded.vecs, Seq("vec_id"))
+        val plan = finalPlan(j)
+        plan should not include "Exchange" // neither shuffle nor broadcast
+        plan should include("SortMergeJoin")
+        plan should include("Bucketed: true")
+      }
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
 }

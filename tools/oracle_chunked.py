@@ -122,13 +122,23 @@ def table_ref(name, text):
 
 
 def run_recursive(con, name, cols, body, log):
-    """Semi-naive fixpoint for a self-referential CTE."""
+    """Semi-naive fixpoint for a self-referential CTE with WITH RECURSIVE
+    ... UNION (dedup) semantics: the seed is materialized DISTINCT and
+    each round inserts only never-seen rows (EXCEPT below)."""
     u = top_level_union(body)
     if u < 0:
         raise ValueError(f"recursive CTE {name} without top-level UNION")
     base, step = body[:u], body[u + 5:]
+    # UNION ALL has bag semantics the EXCEPT-based fixpoint below does
+    # not implement (a dup-producing step would terminate early / lose
+    # multiplicity) — refuse loudly rather than silently diverge
+    if re.match(r"\s*ALL\b", step, re.IGNORECASE):
+        raise ValueError(
+            f"recursive CTE {name} uses UNION ALL; this fixpoint only "
+            f"implements UNION (set) semantics")
     col_list = f" t({cols})" if cols else ""
-    con.sql(f"CREATE TABLE {name} AS SELECT * FROM ({base}){col_list}")
+    con.sql(f"CREATE TABLE {name} AS "
+            f"SELECT DISTINCT * FROM ({base}){col_list}")
     rounds = 0
     while True:
         got = con.execute(
@@ -144,6 +154,19 @@ def run_sigl_chunked(con, name, body, log):
     """The 128-seed minimum, SEED_CHUNK seeds at a time. The chunk filter
     goes on the seeds side of the cross join, so each pass's explode is
     |hsx| x SEED_CHUNK instead of x128."""
+    # the rewrite below is only valid for the exact dumped shape: one
+    # GROUP BY, the seeds relation cross-joined under alias `s`, and no
+    # pre-existing WHERE (the injected filter would otherwise land in the
+    # wrong scope or produce invalid SQL) — assert it, don't assume it
+    if len(re.findall(r"\bGROUP BY\b", body)) != 1:
+        raise ValueError("sigl CTE shape changed: expected exactly one "
+                         "GROUP BY; chunked rewrite unsafe")
+    if re.search(r"\bWHERE\b", body, re.IGNORECASE):
+        raise ValueError("sigl CTE shape changed: body already has a "
+                         "WHERE clause; chunked rewrite unsafe")
+    if not re.search(r"CROSS JOIN seeds\s+s\b", body):
+        raise ValueError("sigl CTE shape changed: expected "
+                         "'CROSS JOIN seeds s'; chunked rewrite unsafe")
     max_i = con.sql("SELECT max(i) FROM seeds").fetchall()[0][0]
     first = True
     for lo in range(0, max_i + 1, SEED_CHUNK):

@@ -53,8 +53,12 @@ chunked = [l.strip() for l in open(chunked_log)
 # single-statement resource failure for that query
 cleared = {re.match(r'^PASS\s+(\S+):', l).group(1)
            for l in chunked if l.startswith("PASS")}
-fails_left = [f for f in fails
-              if re.match(r'^FAIL\s+(\S+):', f).group(1) not in cleared]
+# extract with the SAME ^FAIL\s+(\S+): shape used above — an ERR line or
+# an unshaped FAIL must stay in fails_left verbatim, not crash the report
+def _fail_name(l):
+    m = re.match(r'^FAIL\s+(\S+):', l)
+    return m.group(1) if m else None
+fails_left = [f for f in fails if _fail_name(f) not in cleared]
 m = re.match(r'(\d+)/(\d+)', tally)
 combined = f"{int(m.group(1)) + len(cleared)}/{m.group(2)} queries pass" \
     if m else tally
