@@ -210,6 +210,15 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("sim_bq_probe: same serving shape as sim_hamming_topk over the index split") {
+    val p = planOf("sim_bq_probe")
+    p should include("BroadcastExchange")   // packed query block + candidate ids
+    p should include("ObjectHashAggregate") // TopKByScore: ≤depth per (partition, query)
+    p should not include "SortMergeJoin"    // the indexed corpus never shuffles vectors
+    p should not include "Window"
+    p should not include "CartesianProduct"
+  }
+
   test("dedup_chunk_exact: map-only window hashing, two-phase count, no window frame") {
     val p = planOf("dedup_chunk_exact")
     p should include("Generate")      // the per-row chunk explode

@@ -948,4 +948,23 @@ class CrossOpInvariantSpec extends SparkSpec {
       rel shouldBe math.abs(est - wau) / wau +- 1e-12
     }
   }
+
+  test("bq probe serves the index split: corpus-only neighbors, full k per " +
+    "query, cosines bit-equal to hamming_topk on shared pairs") {
+    val probe = Similarity.bqProbe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val whole = Similarity.hammingTopK(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    // every query answered with exactly TopK dense ranks
+    probe.groupBy(_._1).foreach { case (_, rows) =>
+      rows.map(_._3).sorted.toSeq shouldBe (1 to Similarity.TopK)
+    }
+    // neighbors come only from the indexed split, never the query set
+    all(probe.map(_._2 >= Similarity.NumQueryVectors)) shouldBe true
+    // a (query, neighbor) pair ranked by BOTH faces carries the SAME
+    // exact-rerank cosine — one shared probeHamming core, one arithmetic
+    val shared = probe.filter(p => whole.contains((p._1, p._2)))
+    shared should not be empty
+    shared.foreach { case (q, n, _, cos) => cos shouldBe whole((q, n)) }
+  }
 }

@@ -153,40 +153,51 @@ def main():
         sys.exit(1 if any(l.startswith("FAIL")
                           for l in line.splitlines()) else 0)
 
+    def run_single(name):
+        """One query in its own process, full memory budget. Returns the
+        verdict line; synthesizes a FAIL only when the child produced no
+        verdict at all (crash)."""
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), sf_dir, out_dir,
+             "--single", name],
+            capture_output=True, text=True)
+        line = r.stdout.strip()
+        if not line:
+            err = (r.stderr or "").strip().splitlines()
+            line = (f"FAIL  {name}: error {err[-1] if err else 'subprocess died'}"
+                    " [oracle memory-bound at this sf]")
+        return line
+
     con = connect(sf_dir)
     failures = 0
     for name in sorted(oracle):
         try:
+            if con is None:
+                # previous query OOM'd; try to resume in-process. connect()
+                # itself can raise while the allocator is still recovering
+                # — the duckdb.Error branch below then routes THIS query to
+                # an isolated subprocess and the next iteration retries.
+                con = connect(sf_dir)
             line = check_one(con, name, oracle[name], out_dir)
         except duckdb.Error:
             # the failed query's buffers are not reliably released back to
-            # this process (and an OOM/disk-full can poison the connection
-            # for NEIGHBOURS too) — retry ONCE in a fresh subprocess; a
-            # deterministic failure just fails again there
-            gc.collect()
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), sf_dir, out_dir,
-                 "--single", name],
-                capture_output=True, text=True)
-            line = r.stdout.strip()
-            # single mode exits 1 on a legit FAIL line — only synthesize a
-            # failure when the subprocess produced no verdict at all (crash)
-            if not line:
-                err = (r.stderr or "").strip().splitlines()
-                line = (f"FAIL  {name}: error {err[-1] if err else 'subprocess died'}"
-                        " [oracle memory-bound at this sf]")
-            # a duckdb.Error may leave the parent connection's allocator in
-            # a poisoned state that false-fails NEIGHBOURS (observed in
-            # VERIFYALL_SF1: events_cusum/events_funnel) — rebuild it so
-            # every later query runs on a clean process state (ADVICE r12)
+            # this process (an OOM/disk-full poisons the allocator for
+            # NEIGHBOURS too — observed r12: events_cusum/events_funnel
+            # false-failed; observed r14: even the reconnect OOM'd and the
+            # old code let that escape main, killing the whole sweep).
+            # Drop the connection FIRST so the retry subprocess is not
+            # memory-squeezed by our dead buffers, then retry isolated.
             try:
-                con.close()
+                if con is not None:
+                    con.close()
             except Exception:
                 pass
-            con = connect(sf_dir)
+            con = None
+            gc.collect()
+            line = run_single(name)
         except Exception as e:
             line = f"FAIL  {name}: error {e}"
-        print(line)
+        print(line, flush=True)
         if any(l.startswith("FAIL") for l in line.splitlines()):
             failures += 1
     print(f"\n{len(oracle) - failures}/{len(oracle)} queries pass")
