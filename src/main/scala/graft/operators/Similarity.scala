@@ -1540,6 +1540,50 @@ object Similarity {
     adcTopK(pairs)
   }
 
+  /** IVF+BQ top-k — [[ivfPqTopK]]'s 1-bit sibling and the third member
+    * of the composed-index matrix (IVF×{flat, PQ, BQ}): the coarse
+    * quantizer prunes the corpus to the [[NProbe]] probed lists per
+    * query, Hamming distance over the 8-byte packed sign signatures
+    * ranks ONLY those candidates ([[bqWord]] packing, the
+    * [[probeHamming]] first pass), and exact cosine reranks the
+    * ≤[[BqRerankDepth]] survivors. All three stages reuse the verified
+    * pieces unchanged — [[ivfTopK]]'s assignment/probing,
+    * [[hammingTopK]]'s signature scan, [[cosineTopK]]'s rerank contract —
+    * so this query is their composition, not a fourth implementation.
+    * Output: (query_id, neighbor_id, rank, cosine_sim).
+    *
+    * 100 TB shape: the probe join prunes to nprobe/nlist of the
+    * SIGNATURES (8 bytes each — at scale the packed table is persisted
+    * partitioned by cent_id, [[writeCodeTable]]'s layout at 1/4 the PQ
+    * code width), queries broadcast, the bounded per-group aggregator
+    * caps the float-vector reads at depth×|queries| rows — the corpus
+    * never shuffles vectors through any stage. */
+  def ivfBqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val full = Staging.stage(vectors(spark, sfDir))
+    val cands = coarseCandidates(coarseScored(full))
+    val packed = full.select(col("vec_id"),
+      bqWord(col("v"), 0).as("lo"), bqWord(col("v"), 1).as("hi"))
+    val qp = packed.where(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("query_id"),
+        col("lo").as("qlo"), col("hi").as("qhi"))
+    val ham = cands.join(packed, "vec_id")
+      .join(broadcast(qp), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (-(bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+            bit_count(col("hi").bitwiseXOR(col("qhi")))))
+          .cast("double").as("cosine_sim"))
+    val keep = graft.functions.TopKByScore.perGroup(ham, BqRerankDepth)
+      .select("query_id", "neighbor_id")
+    val rescored = full.select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(keep), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(full.where(col("vec_id") < NumQueryVectors)
+        .select(col("vec_id").as("query_id"),
+          col("v").as("qv"), col("nrm").as("qn"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine_sim"))
+    topKPerQuery(rescored)
+  }
+
   /** Persist the IVF+PQ index artifact: one row per (vector, subspace)
     * with its code, PARTITIONED by the vector's coarse centroid — the
     * layout [[ivfPqTopK]]'s scale note promises: a probe restricted to
@@ -1574,6 +1618,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_pq_topk" -> (ivfPqTopK _),
+    "sim_ivf_bq_topk" -> (ivfBqTopK _),
     "sim_pq" -> (pqCodes _),
     "sim_pq_adc_topk" -> (pqAdcTopK _),
     "sim_cosine_topk" -> (cosineTopK _),
@@ -2147,6 +2192,46 @@ object Similarity {
          |   FROM cands c JOIN vs x ON x.vec_id = c.vec_id
          |   JOIN vs q ON q.vec_id = c.query_id)
          | SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim
+         | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM rescored)
+         | WHERE rank <= $TopK""".stripMargin,
+
+    // The IVF+BQ oracle composes the two proven CTE texts verbatim:
+    // bqSqlWith's packing (vs + bq) and sim_ivf_topk's coarse chain
+    // (cents/assign/probes/cands), then the probeHamming candidate
+    // boundary (hamming asc, id asc) and exact-cosine rerank tail.
+    "sim_ivf_bq_topk" ->
+      s"""WITH $bqSqlWith,
+         | cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM vs
+         |   WHERE vec_id < $NumCentroids),
+         | cscored AS (SELECT vs.vec_id, cent_id,
+         |     list_dot_product(vs.v, cv) / (vs.nrm * cn) AS cs
+         |   FROM vs CROSS JOIN cents),
+         | assign AS (SELECT vec_id, cent_id FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY cs DESC, cent_id ASC) AS rn FROM cscored) WHERE rn = 1),
+         | probes AS (SELECT vec_id AS query_id, cent_id FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY cs DESC, cent_id ASC) AS rn FROM cscored
+         |   WHERE vec_id < $NumQueryVectors) WHERE rn <= $NProbe),
+         | cands AS (SELECT DISTINCT p.query_id, a.vec_id
+         |   FROM assign a JOIN probes p ON a.cent_id = p.cent_id
+         |   WHERE a.vec_id <> p.query_id),
+         | h AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+         |     bit_count(xor(bc.lo, bqq.lo)) + bit_count(xor(bc.hi, bqq.hi))
+         |       AS hamming
+         |   FROM cands c JOIN bq bc ON bc.vec_id = c.vec_id
+         |   JOIN bq bqq ON bqq.vec_id = c.query_id),
+         | keep AS (SELECT query_id, neighbor_id FROM (SELECT *,
+         |     ROW_NUMBER() OVER (PARTITION BY query_id
+         |       ORDER BY hamming ASC, neighbor_id ASC) AS cr FROM h)
+         |   WHERE cr <= $BqRerankDepth),
+         | rescored AS (SELECT keep.query_id, keep.neighbor_id,
+         |     list_dot_product(x.v, q.v) / (x.nrm * q.nrm) AS cosine_sim
+         |   FROM keep JOIN vs x ON x.vec_id = keep.neighbor_id
+         |   JOIN vs q ON q.vec_id = keep.query_id)
+         | SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+         |   cosine_sim
          | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM rescored)
          | WHERE rank <= $TopK""".stripMargin,

@@ -967,4 +967,52 @@ class CrossOpInvariantSpec extends SparkSpec {
     shared should not be empty
     shared.foreach { case (q, n, _, cos) => cos shouldBe whole((q, n)) }
   }
+
+  test("ivf+bq stays inside the probed cells, never beats ivf rank-for-rank, " +
+    "and reranks with ivf's exact arithmetic") {
+    val out = Similarity.ivfBqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // dense ranks for every query
+    out.groupBy(_._1).keySet shouldBe (0L until Similarity.NumQueryVectors).toSet
+    out.groupBy(_._1).values.foreach { rows =>
+      rows.map(_._3).sorted.toSeq shouldBe (1 to Similarity.TopK)
+    }
+    // IVF membership, re-derived from the raw embeddings: each neighbor's
+    // nearest centroid (cosine argmax, tie to min cent_id) must be one of
+    // the query's NProbe best centroids — the composition can never leak
+    // a candidate the coarse quantizer didn't probe
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = (0L until Similarity.NumCentroids).map(c => c -> vecs(c))
+    def assign(id: Long): Long =
+      cents.map { case (c, cv) => (c, cos(vecs(id), cv)) }
+        .maxBy { case (c, s) => (s, -c) }._1
+    def probes(q: Long): Set[Long] =
+      cents.map { case (c, cv) => (c, cos(vecs(q), cv)) }
+        .sortBy { case (c, s) => (-s, c) }.take(Similarity.NProbe).map(_._1).toSet
+    out.foreach { case (q, n, _, _) =>
+      withClue(s"query $q neighbor $n: ") {
+        probes(q) should contain(assign(n))
+      }
+    }
+    // shared (query, neighbor) pairs carry bit-equal cosines (one rerank
+    // arithmetic), and rank-for-rank the BQ-restricted ranking can never
+    // beat IVF's exact ranking over the same candidate superset
+    val ivf = Similarity.ivfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val ivfCos = ivf.map(r => ((r._1, r._2), r._4)).toMap
+    val shared = out.filter(o => ivfCos.contains((o._1, o._2)))
+    shared should not be empty
+    shared.foreach { case (q, n, _, c) => c shouldBe ivfCos((q, n)) }
+    val ivfByRank = ivf.map(r => ((r._1, r._3), r._4)).toMap
+    out.foreach { case (q, _, rk, c) =>
+      c should be <= ivfByRank((q, rk)) + 1e-12
+    }
+  }
 }
