@@ -219,6 +219,15 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("sim_ivf_bq_topk: staged vectors reused, coarse sides broadcast, bounded top-k, no cartesian") {
+    val p = planOf("sim_ivf_bq_topk")
+    p should include("Scan ExistingRDD")     // the staged vector frame (computed once)
+    p should include("BroadcastExchange")    // centroids, probes, packed query block
+    p should include("ObjectHashAggregate")  // TopKByScore bounded Hamming finisher
+    p should not include "CartesianProduct"
+    p should not include "Exchange rangepartitioning" // no global sort anywhere
+  }
+
   test("dedup_chunk_exact: map-only window hashing, two-phase count, no window frame") {
     val p = planOf("dedup_chunk_exact")
     p should include("Generate")      // the per-row chunk explode

@@ -39,7 +39,10 @@ object ProfileAll {
     "dedup_span_exact", "dedup_span_probe", "mm_block_probe",
     "events_survival",
     // round-10 second wave: the KL drift pair (token-grain count + model)
-    "corpus_kl_divergence", "corpus_kl_probe")
+    "corpus_kl_divergence", "corpus_kl_probe",
+    // round-14: the binary-quantization scan tiers (8 bytes/vector first
+    // pass, bounded rerank) and the IVF-composed variant
+    "sim_hamming_topk", "sim_ivf_bq_topk")
 
   private val AmplifyVersion = "v3" // v2: + events; v3: + part/lineitem (full-suite sf1 bench)
 
