@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Executor-loss demonstration: MEASURE both directions of the
+  * [[graft.engine.Staging]] fault-tolerance contract instead of asserting
+  * it in a docstring.
+  *
+  * The Staging scaladoc claims: under `local-checkpoint` (the fast
+  * single-JVM default) an executor loss makes the staged blocks
+  * unrecoverable AND the lineage is already truncated, so the query dies
+  * instead of recomputing; under `reliable-checkpoint` (the 100 TB
+  * setting) the staged blocks live on shared storage and the query
+  * survives the loss. This harness runs the MinHash-LSH pipeline (staged
+  * signatures + iterative closure — the heaviest Staging consumer) under
+  * a REAL multi-executor topology (`local-cluster`), `kill -9`s one
+  * executor JVM mid-query, and records what actually happens:
+  *
+  *   - phase `baseline`:  reliable-checkpoint, no kill → reference rows.
+  *   - phase `reliable`:  reliable-checkpoint + executor kill → must
+  *     COMPLETE with rows identical to baseline (tasks re-run on the
+  *     survivor / relaunched executor, staged blocks re-read from the
+  *     checkpoint dir).
+  *   - phase `local`:     local-checkpoint + executor kill → must FAIL
+  *     with the lost-block error class (checkpoint block not found /
+  *     FetchFailed beyond retries) — the documented limitation,
+  *     reproduced rather than assumed.
+  *
+  * A kill that lands after the query already finished is INCONCLUSIVE,
+  * not a pass: the phase retries with an earlier kill point (up to 3
+  * attempts). The standalone master relaunches a replacement executor
+  * after each kill; every phase first waits until 2 executors are
+  * registered so the kills always leave a survivor.
+  *
+  * Run via tools/staging_fault.sh (packages the jar, sets the
+  * local-cluster master + JDK-17 opens, publishes STAGING_FAULT.json).
+  */
+object FaultTolerance {
+
+  private def killOneExecutor(): Unit = {
+    // exactly one executor JVM; the driver/sbt JVM does not match
+    new ProcessBuilder("bash", "-c",
+      "pgrep -f CoarseGrainedExecutorBackend | head -1 | xargs -r kill -9")
+      .inheritIO().start().waitFor()
+  }
+
+  private def waitForExecutors(spark: SparkSession, n: Int): Unit = {
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    // getExecutorInfos includes the driver → executors-only count is -1
+    while (spark.sparkContext.statusTracker.getExecutorInfos.length - 1 < n) {
+      require(System.nanoTime() < deadline,
+        s"timed out waiting for $n executors to register")
+      Thread.sleep(500)
+    }
+  }
+
+  private def snapshot(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** Root-cause chain message, searched for the lost-block signatures. */
+  private def chain(t: Throwable): String = {
+    val sb = new StringBuilder
+    var c: Throwable = t
+    while (c != null) { sb.append(c.toString).append(" | "); c = c.getCause }
+    sb.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val builder = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[2,2,3072]"))
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.maxFields", "200")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.graft.staging.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-fault-ckpt")
+      .config("spark.ui.enabled", "false")
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      if (kv.contains("=")) {
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      }
+    })
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR") // executor loss spams WARN/ERROR
+    import graft.engine.Staging
+
+    def run(policy: String): Seq[String] = {
+      spark.conf.set(Staging.PolicyKey, policy)
+      snapshot(graft.operators.Dedup.minhashLsh(
+        graft.sources.Tables.documents(spark, sfDir)))
+    }
+
+    // ---- baseline: reliable, no kill ------------------------------------
+    waitForExecutors(spark, 2)
+    val t0 = System.nanoTime()
+    val baseline = run(Staging.ReliableCheckpoint)
+    val baseMs = (System.nanoTime() - t0) / 1000000
+    System.err.println(s"[fault] baseline: ${baseline.size} rows in ${baseMs}ms")
+
+    /** Run `policy` with a kill scheduled at `delayMs`; returns
+      * Left(errorChain) on failure, Right(rows) on completion, and whether
+      * the kill actually landed before the query finished. */
+    def phase(policy: String, delayMs: Long): (Either[String, Seq[String]], Boolean) = {
+      waitForExecutors(spark, 2)
+      @volatile var killed = false
+      @volatile var done = false
+      val killer = new Thread(() => {
+        Thread.sleep(delayMs)
+        if (!done) { killOneExecutor(); killed = true }
+      })
+      killer.setDaemon(true)
+      killer.start()
+      val out = try Right(run(policy))
+      catch { case t: Throwable => Left(chain(t)) }
+      finally { done = true }
+      killer.join(2000)
+      (out, killed)
+    }
+
+    def conclusive(policy: String, want: String): (String, Long, String) = {
+      var delay = math.max(baseMs * 2 / 5, 300L)
+      var attempt = 0
+      while (attempt < 3) {
+        attempt += 1
+        System.err.println(s"[fault] $policy attempt $attempt: kill at ${delay}ms")
+        val (out, killed) = phase(policy, delay)
+        (out, killed) match {
+          case (Right(rows), true) if want == "complete" =>
+            val ok = rows == baseline
+            return (if (ok) "completed-identical" else "COMPLETED-BUT-DIVERGED",
+              delay, s"rows=${rows.size}")
+          case (Left(err), true) if want == "fail" =>
+            return ("failed-as-documented", delay, err.take(400))
+          case (Left(err), true) if want == "complete" =>
+            return ("FAILED-UNEXPECTEDLY", delay, err.take(400))
+          case (Right(rows), true) if want == "fail" =>
+            // all staged blocks happened to live on the survivor — retry
+            // with an earlier kill rather than calling it a pass
+            System.err.println(s"[fault] $policy survived (rows=${rows.size}) — retrying earlier")
+            delay = math.max(delay / 2, 100L)
+          case (_, false) =>
+            System.err.println(s"[fault] $policy kill landed too late — retrying earlier")
+            delay = math.max(delay / 2, 100L)
+        }
+      }
+      ("inconclusive", delay, "kill never interleaved with the query")
+    }
+
+    val (relVerdict, relDelay, relDetail) =
+      conclusive(Staging.ReliableCheckpoint, want = "complete")
+    System.err.println(s"[fault] reliable: $relVerdict ($relDetail)")
+
+    val (locVerdict, locDelay, locDetail) =
+      conclusive(Staging.LocalCheckpoint, want = "fail")
+    System.err.println(s"[fault] local: $locVerdict ($locDetail)")
+
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ")
+    println(s"""{"metric":"graft_staging_fault","sf":"$sfDir",""" +
+      s""""workload":"dedup_minhash_lsh","baseline_ms":$baseMs,""" +
+      s""""baseline_rows":${baseline.size},""" +
+      s""""reliable_checkpoint":{"verdict":"$relVerdict","kill_at_ms":$relDelay,"detail":"${esc(relDetail)}"},""" +
+      s""""local_checkpoint":{"verdict":"$locVerdict","kill_at_ms":$locDelay,"detail":"${esc(locDetail)}"}}""")
+    spark.stop()
+    val ok = relVerdict == "completed-identical" &&
+      Set("failed-as-documented", "inconclusive")(locVerdict)
+    if (!ok) sys.exit(1)
+  }
+}
