@@ -21,6 +21,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     COMPLETE with rows identical to baseline (tasks re-run on the
   *     survivor / relaunched executor, staged blocks re-read from the
   *     checkpoint dir).
+  *   - phase `persist`:   persist + executor kill → must COMPLETE with
+  *     rows identical to baseline (lost cache blocks recompute from the
+  *     KEPT lineage; the iterative CC rounds upgrade to a reliable
+  *     checkpoint under this policy, per [[graft.engine.Staging]]).
   *   - phase `local`:     local-checkpoint + executor kill → must FAIL
   *     with the lost-block error class (checkpoint block not found /
   *     FetchFailed beyond retries) — the documented limitation,
@@ -101,7 +105,8 @@ object FaultTolerance {
     /** Run `policy` with a kill scheduled at `delayMs`; returns
       * Left(errorChain) on failure, Right(rows) on completion, and whether
       * the kill actually landed before the query finished. */
-    def phase(policy: String, delayMs: Long): (Either[String, Seq[String]], Boolean) = {
+    def phase(policy: String, delayMs: Long)
+        : (Either[String, Seq[String]], Boolean, Long) = {
       waitForExecutors(spark, 2)
       @volatile var killed = false
       @volatile var done = false
@@ -111,20 +116,29 @@ object FaultTolerance {
       })
       killer.setDaemon(true)
       killer.start()
+      val t0 = System.nanoTime()
       val out = try Right(run(policy))
       catch { case t: Throwable => Left(chain(t)) }
       finally { done = true }
+      val elapsed = (System.nanoTime() - t0) / 1000000
       killer.join(2000)
-      (out, killed)
+      (out, killed, elapsed)
     }
 
+    /** Kill-point ladder: fractions of the phase's OWN most recent
+      * duration (warm runs are much faster than the cold baseline, so a
+      * fixed schedule keeps missing the window). The "fail" direction
+      * additionally needs the kill to land while lost staged blocks are
+      * still due to be read, so it samples more points. */
     def conclusive(policy: String, want: String): (String, Long, String) = {
-      var delay = math.max(baseMs * 2 / 5, 300L)
-      var attempt = 0
-      while (attempt < 3) {
-        attempt += 1
-        System.err.println(s"[fault] $policy attempt $attempt: kill at ${delay}ms")
-        val (out, killed) = phase(policy, delay)
+      var lastMs = baseMs
+      val fracs = Seq(0.40, 0.55, 0.30, 0.65, 0.45, 0.20, 0.70, 0.50)
+      val attempts = if (want == "fail") fracs.size else 4
+      for ((frac, i) <- fracs.take(attempts).zipWithIndex) {
+        val delay = math.max((lastMs * frac).toLong, 100L)
+        System.err.println(s"[fault] $policy attempt ${i + 1}: kill at ${delay}ms " +
+          s"(${frac} of ${lastMs}ms)")
+        val (out, killed, elapsed) = phase(policy, delay)
         (out, killed) match {
           case (Right(rows), true) if want == "complete" =>
             val ok = rows == baseline
@@ -135,21 +149,27 @@ object FaultTolerance {
           case (Left(err), true) if want == "complete" =>
             return ("FAILED-UNEXPECTEDLY", delay, err.take(400))
           case (Right(rows), true) if want == "fail" =>
-            // all staged blocks happened to live on the survivor — retry
-            // with an earlier kill rather than calling it a pass
-            System.err.println(s"[fault] $policy survived (rows=${rows.size}) — retrying earlier")
-            delay = math.max(delay / 2, 100L)
+            // all staged blocks happened to live on the survivor — try a
+            // different point in the run rather than calling it a pass
+            System.err.println(s"[fault] $policy survived (rows=${rows.size}, " +
+              s"${elapsed}ms) — trying another kill point")
+            lastMs = elapsed
           case (_, false) =>
-            System.err.println(s"[fault] $policy kill landed too late — retrying earlier")
-            delay = math.max(delay / 2, 100L)
+            System.err.println(s"[fault] $policy kill landed too late " +
+              s"(run took ${elapsed}ms) — recalibrating")
+            lastMs = elapsed
         }
       }
-      ("inconclusive", delay, "kill never interleaved with the query")
+      ("inconclusive", lastMs, "kill never interleaved with the query")
     }
 
     val (relVerdict, relDelay, relDetail) =
       conclusive(Staging.ReliableCheckpoint, want = "complete")
     System.err.println(s"[fault] reliable: $relVerdict ($relDetail)")
+
+    val (perVerdict, perDelay, perDetail) =
+      conclusive(Staging.Persist, want = "complete")
+    System.err.println(s"[fault] persist: $perVerdict ($perDetail)")
 
     val (locVerdict, locDelay, locDetail) =
       conclusive(Staging.LocalCheckpoint, want = "fail")
@@ -161,9 +181,11 @@ object FaultTolerance {
       s""""workload":"dedup_minhash_lsh","baseline_ms":$baseMs,""" +
       s""""baseline_rows":${baseline.size},""" +
       s""""reliable_checkpoint":{"verdict":"$relVerdict","kill_at_ms":$relDelay,"detail":"${esc(relDetail)}"},""" +
+      s""""persist":{"verdict":"$perVerdict","kill_at_ms":$perDelay,"detail":"${esc(perDetail)}"},""" +
       s""""local_checkpoint":{"verdict":"$locVerdict","kill_at_ms":$locDelay,"detail":"${esc(locDetail)}"}}""")
     spark.stop()
     val ok = relVerdict == "completed-identical" &&
+      perVerdict == "completed-identical" &&
       Set("failed-as-documented", "inconclusive")(locVerdict)
     if (!ok) sys.exit(1)
   }

@@ -48,6 +48,7 @@ python3 -c "
 import json
 d = json.load(open('$WORK/out.json'))
 assert d['reliable_checkpoint']['verdict'] == 'completed-identical', d
+assert d['persist']['verdict'] == 'completed-identical', d
 assert d['local_checkpoint']['verdict'] in ('failed-as-documented', 'inconclusive'), d
 " || { echo "[fault] VERDICT NOT CLEAN"; exit 1; }
 mv "$WORK/out.json" "$OUT"
