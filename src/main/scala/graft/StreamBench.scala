@@ -28,19 +28,38 @@ import graft.streaming._
   * `tools/streambench.sh` publishes it as STREAMBENCH.json. */
 object StreamBench {
 
+  /** One measured face. `rateUnit` says what `rows` counts — "rows" for
+    * genuine row-throughput faces, "queries" for the ANN serving faces
+    * (each query is answered with TopK result rows; counting served
+    * queries, not result rows, is the honest serving rate). The headline
+    * floor is computed over "rows"-unit faces only, so it stays
+    * dimensionally consistent (round-15 advice). */
   final case class FaceResult(rows: Long, seconds: Double, stateRows: Long,
-                              stateBytes: Long) {
+                              stateBytes: Long, rateUnit: String = "rows") {
     def rowsPerSec: Long = math.round(rows / seconds)
     def json: String =
       s"""{"rows":$rows,"seconds":${"%.3f".format(seconds)},""" +
-        s""""rows_per_sec":$rowsPerSec,"state_rows":$stateRows,""" +
-        s""""state_bytes":$stateBytes}"""
+        s""""rows_per_sec":$rowsPerSec,"rate_unit":"$rateUnit",""" +
+        s""""state_rows":$stateRows,"state_bytes":$stateBytes}"""
   }
 
   private def time[A](body: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = body
     (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Fresh checkpoint dir for one leg, recursively deleted after the leg
+    * finishes — repeated bench runs must not accumulate litter in /tmp
+    * (round-15 advice). */
+  private def withCkpt[A](prefix: String)(body: String => A): A = {
+    val dir = Files.createTempDirectory(prefix)
+    try body(dir.toString)
+    finally {
+      import java.nio.file.{Files => F, Path}
+      F.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => F.deleteIfExists(p))
+    }
   }
 
   /** (numRowsTotal, memoryUsedBytes) summed over the query's state
@@ -62,22 +81,24 @@ object StreamBench {
     val routesIn = MemoryStream[Route]
     val tripsIn = MemoryStream[Trip]
     val job = new TransitStreamingJob(spark, routesIn.toDF(), tripsIn.toDF())
-    val qs = job.startAll(Files.createTempDirectory("sb-transit-").toString)
-    def processAll(): Unit = {
-      qs.find(_.name == "union_runner").foreach(_.processAllAvailable())
-      qs.filter(_.name != "union_runner").foreach(_.processAllAvailable())
-    }
-    val (_, sec) = time {
-      routesIn.addData(routes)
-      trips.grouped(math.max(1, trips.size / chunks)).foreach { c =>
-        tripsIn.addData(c); processAll()
+    withCkpt("sb-transit-") { ckpt =>
+      val qs = job.startAll(ckpt)
+      def processAll(): Unit = {
+        qs.find(_.name == "union_runner").foreach(_.processAllAvailable())
+        qs.filter(_.name != "union_runner").foreach(_.processAllAvailable())
       }
-      processAll()
+      val (_, sec) = time {
+        routesIn.addData(routes)
+        trips.grouped(math.max(1, trips.size / chunks)).foreach { c =>
+          tripsIn.addData(c); processAll()
+        }
+        processAll()
+      }
+      val st = qs.map(stateOf)
+      qs.foreach(_.stop())
+      FaceResult(routes.size.toLong + trips.size, sec,
+        st.map(_._1).sum, st.map(_._2).sum)
     }
-    val st = qs.map(stateOf)
-    qs.foreach(_.stop())
-    FaceResult(routes.size.toLong + trips.size, sec,
-      st.map(_._1).sum, st.map(_._2).sum)
   }
 
   /** MinHash ingestion probe at one micro-batch size: a fixed probe
@@ -95,17 +116,19 @@ object StreamBench {
     implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
     val in = MemoryStream[(Long, String)]
     var n = 0L
-    val q = StreamingDedup.run(in.toDF().toDF("doc_id", "text"), index,
-      Files.createTempDirectory("sb-dedup-").toString) { (_, verdicts) =>
-      n += verdicts.count()
-    }
-    val (_, sec) = time {
-      probe.grouped(batchSize).foreach { c =>
-        in.addData(c); q.processAllAvailable()
+    withCkpt("sb-dedup-") { ckpt =>
+      val q = StreamingDedup.run(in.toDF().toDF("doc_id", "text"), index,
+        ckpt) { (_, verdicts) =>
+        n += verdicts.count()
       }
+      val (_, sec) = time {
+        probe.grouped(batchSize).foreach { c =>
+          in.addData(c); q.processAllAvailable()
+        }
+      }
+      q.stop()
+      FaceResult(n, sec, 0L, 0L) // foreachBatch face: the index IS the state
     }
-    q.stop()
-    FaceResult(n, sec, 0L, 0L) // foreachBatch face: the index IS the state
   }
 
   /** The fixed probe stream for the dedup legs: the corpus's 20%
@@ -147,17 +170,22 @@ object StreamBench {
     // queries served = rows / k: the corpus is far larger than k, so every
     // query gets exactly TopK rows — a plain count avoids paying an extra
     // distinct shuffle per trigger inside the measured window
-    val q = StreamingHammingProbe.run(in.toDF().toDF("query_id", "qv", "qn"),
-      index, Files.createTempDirectory("sb-ann-").toString) { (_, topk) =>
-      n += topk.count() / graft.operators.Similarity.TopK
-    }
-    val (_, sec) = time {
-      probe.grouped(batchSize).foreach { c =>
-        in.addData(c); q.processAllAvailable()
+    withCkpt("sb-ann-") { ckpt =>
+      val q = StreamingHammingProbe.run(in.toDF().toDF("query_id", "qv", "qn"),
+        index, ckpt) { (_, topk) =>
+        n += topk.count() / graft.operators.Similarity.TopK
       }
+      val (_, sec) = time {
+        probe.grouped(batchSize).foreach { c =>
+          in.addData(c); q.processAllAvailable()
+        }
+      }
+      q.stop()
+      // rateUnit "queries": n counts queries served, not result rows —
+      // keep it out of the rows/s floor (foreachBatch face: the index IS
+      // the state)
+      FaceResult(n, sec, 0L, 0L, rateUnit = "queries")
     }
-    q.stop()
-    FaceResult(n, sec, 0L, 0L) // foreachBatch face: the index IS the state
   }
 
   /** The fixed query stream for the ANN leg: corpus vectors cycled up to
@@ -187,22 +215,23 @@ object StreamBench {
     val sp = spark; import sp.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
     val in = MemoryStream[StreamingGrowth.Ev]
-    val q = StreamingGrowth.increments(in.toDS())
-      .writeStream.outputMode("append")
-      .option("checkpointLocation",
-        Files.createTempDirectory("sb-growth-").toString)
-      .foreachBatch(
-        (b: org.apache.spark.sql.Dataset[StreamingGrowth.Inc], _: Long) =>
-          { b.count(); () })
-      .start()
-    val (_, sec) = time {
-      evs.grouped(math.max(1, evs.size / chunks)).foreach { c =>
-        in.addData(c); q.processAllAvailable()
+    withCkpt("sb-growth-") { ckpt =>
+      val q = StreamingGrowth.increments(in.toDS())
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+          (b: org.apache.spark.sql.Dataset[StreamingGrowth.Inc], _: Long) =>
+            { b.count(); () })
+        .start()
+      val (_, sec) = time {
+        evs.grouped(math.max(1, evs.size / chunks)).foreach { c =>
+          in.addData(c); q.processAllAvailable()
+        }
       }
+      val (rows, bytes) = stateOf(q)
+      q.stop()
+      FaceResult(evs.size.toLong, sec, rows, bytes)
     }
-    val (rows, bytes) = stateOf(q)
-    q.stop()
-    FaceResult(evs.size.toLong, sec, rows, bytes)
   }
 
   /** Churn ledger (mapGroupsWithState, update mode). */
@@ -211,22 +240,23 @@ object StreamBench {
     val sp = spark; import sp.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
     val in = MemoryStream[StreamingChurn.Ev]
-    val q = StreamingChurn.ledger(in.toDS())
-      .writeStream.outputMode("update")
-      .option("checkpointLocation",
-        Files.createTempDirectory("sb-churn-").toString)
-      .foreachBatch(
-        (b: org.apache.spark.sql.Dataset[StreamingChurn.UserLedger], _: Long) =>
-          { b.count(); () })
-      .start()
-    val (_, sec) = time {
-      evs.grouped(math.max(1, evs.size / chunks)).foreach { c =>
-        in.addData(c); q.processAllAvailable()
+    withCkpt("sb-churn-") { ckpt =>
+      val q = StreamingChurn.ledger(in.toDS())
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+          (b: org.apache.spark.sql.Dataset[StreamingChurn.UserLedger], _: Long) =>
+            { b.count(); () })
+        .start()
+      val (_, sec) = time {
+        evs.grouped(math.max(1, evs.size / chunks)).foreach { c =>
+          in.addData(c); q.processAllAvailable()
+        }
       }
+      val (rows, bytes) = stateOf(q)
+      q.stop()
+      FaceResult(evs.size.toLong, sec, rows, bytes)
     }
-    val (rows, bytes) = stateOf(q)
-    q.stop()
-    FaceResult(evs.size.toLong, sec, rows, bytes)
   }
 
   def main(args: Array[String]): Unit = {
@@ -252,7 +282,20 @@ object StreamBench {
     val cEvs = events.map(r => StreamingChurn.Ev(r.getLong(0), r.getLong(1),
       r.getLong(2), r.getString(3), r.getDouble(4))).toSeq
 
-    val transit = transitLeg(spark, nTrips = 60000, chunks = 6)
+    // transit face: fixed event-time horizon (the same 200-tick scenario
+    // and 60k-trip volume every run), measured best-of-3 — this face
+    // swung 583-1,144 rows/s round-to-round with box state, so the record
+    // now carries all three runs plus the box loadavg at measure time and
+    // headlines the best (round-15 ask #8: same discipline the batch
+    // bench got in round 14)
+    val transitRuns = (1 to 3).map { i =>
+      val r = transitLeg(spark, nTrips = 60000, chunks = 6)
+      System.err.println(s"[streambench] transit run $i: ${r.rowsPerSec} rows/s")
+      r
+    }
+    val transit = transitRuns.maxBy(_.rowsPerSec)
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     // amortization curve: same 5000-doc probe volume at three trigger sizes
     val (index, probe) = probeStream(spark, sfDir, target = 5000)
     val dedup250 = dedupProbeLeg(spark, index, probe, batchSize = 250)
@@ -278,17 +321,24 @@ object StreamBench {
       "ann_probe_b200" -> ann200, "ann_probe_b2000" -> ann2000,
       "growth_hdfs" -> growthH, "growth_rocksdb" -> growthR,
       "churn_hdfs" -> churnH, "churn_rocksdb" -> churnR)
-    // headline floor = SUSTAINED faces only: the deliberately-small-trigger
-    // amortization-curve points (b250/b1000, b200) measure per-trigger
-    // overhead, not the rate a deployment would run at — they stay in the
-    // record but must not masquerade as the suite's sustained floor
+    // headline floor = SUSTAINED rows-unit faces only: the deliberately-
+    // small-trigger amortization-curve points (b250/b1000, b200) measure
+    // per-trigger overhead, not the rate a deployment would run at, and
+    // the ANN faces count queries/s, not rows/s — both stay in the record
+    // but must not enter the rows/s floor. The unit string and
+    // schema_version are bumped so cross-round headline comparisons can't
+    // silently conflate the old (all-face) floor with this one
+    // (round-15 advice).
     val curvePoints = Set("dedup_probe_b250", "dedup_probe_b1000",
       "ann_probe_b200")
     val floor = faces.collect {
-      case (n, r) if !curvePoints(n) => r.rowsPerSec
+      case (n, r) if !curvePoints(n) && r.rateUnit == "rows" => r.rowsPerSec
     }.min
+    val transitRunsJson = transitRuns.map(_.rowsPerSec).mkString("[", ",", "]")
     println(s"""{"metric":"graft_stream_suite","value":$floor,""" +
-      s""""unit":"rows_per_sec_min_face","sf":"$sfDir",""" +
+      s""""unit":"rows_per_sec_min_sustained_face","schema_version":2,""" +
+      s""""sf":"$sfDir","loadavg":${"%.2f".format(loadAvg)},""" +
+      s""""transit_runs_rows_per_sec":$transitRunsJson,""" +
       s""""reference_input_rate_ev_s":0.4,""" +
       faces.map { case (n, r) => s""""$n":${r.json}""" }
         .mkString("\"faces\":{", ",", "}}"))

@@ -14,14 +14,16 @@ import org.apache.spark.storage.StorageLevel
   * slower) — but HOW the materialized blocks are stored is a deployment
   * decision, not an operator decision:
   *
-  *   - `local-checkpoint` (default): executor-local blocks, lineage
-  *     truncated. Fastest, and right for single-JVM / local[] runs — but
-  *     on a multi-executor cluster an executor loss makes the blocks
-  *     unrecoverable AND the lineage is gone, so the query dies instead
-  *     of recomputing.
-  *   - `reliable-checkpoint`: blocks written to the checkpoint directory
-  *     (HDFS/object store on a cluster), lineage truncated. Survives
-  *     executor loss; the right setting for long 100 TB jobs.
+  *   - `local-checkpoint` (default on `local[...]`/`local-cluster`
+  *     masters): executor-local blocks, lineage truncated. Fastest, and
+  *     right for single-JVM / local[] runs — but on a multi-executor
+  *     cluster an executor loss makes the blocks unrecoverable AND the
+  *     lineage is gone, so the query dies instead of recomputing
+  *     (measured: STAGING_FAULT.json).
+  *   - `reliable-checkpoint` (default on every non-local master):
+  *     blocks written to the checkpoint directory (HDFS/object store on
+  *     a cluster), lineage truncated. Survives executor loss; the right
+  *     setting for long 100 TB jobs.
   *   - `persist`: `MEMORY_AND_DISK` cache, materialized eagerly, lineage
   *     KEPT. Lost blocks recompute from lineage — cheaper than reliable
   *     checkpoints when upstream is a cheap scan, and no checkpoint dir
@@ -48,8 +50,23 @@ object Staging {
   val ReliableCheckpoint = "reliable-checkpoint"
   val Persist = "persist"
 
+  /** Default policy for a given master URL. Measured round 14
+    * (STAGING_FAULT.json): local-checkpoint blocks are unrecoverable after
+    * an executor loss AND the truncated lineage can't recompute them, so
+    * the query dies — fine in `local[*]` (executor == driver JVM, no
+    * independent loss mode) and acceptable in `local-cluster` (a test
+    * topology), but a foot-gun on any real cluster. So the default is
+    * topology-aware: local masters keep the fast executor-local blocks;
+    * everything else (yarn, k8s, spark://, mesos) defaults to
+    * reliable-checkpoint, which completed bit-identical under executor
+    * kill -9 in the same fault matrix. An explicit `spark.graft.staging`
+    * conf always wins over this resolution. */
+  def defaultFor(master: String): String =
+    if (master.startsWith("local")) LocalCheckpoint else ReliableCheckpoint
+
   private def policy(df: DataFrame): String = {
-    val p = df.sparkSession.conf.get(PolicyKey, LocalCheckpoint)
+    val default = defaultFor(df.sparkSession.sparkContext.master)
+    val p = df.sparkSession.conf.get(PolicyKey, default)
     require(Set(LocalCheckpoint, ReliableCheckpoint, Persist)(p),
       s"$PolicyKey must be one of $LocalCheckpoint|$ReliableCheckpoint|$Persist, got '$p'")
     p

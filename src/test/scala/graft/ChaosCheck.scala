@@ -44,20 +44,24 @@ object ChaosCheck {
     * atomic is exact. */
   val injected = new AtomicLong(0)
 
-  /** Wrap a frame so first attempts of even-partition tasks fail. The
-    * wrap is semantically the identity, so `op(wrap(df)) == op(df)`
-    * exactly — any difference is retry-nondeterminism. */
-  private def chaos(df: DataFrame): DataFrame = {
+  /** Wrap a frame identically on both sides of the A/B — repartition(8)
+    * plus an identity mapPartitions — with failure injection only on the
+    * chaos side. Both arms share the SAME wrap so the only delta between
+    * them is the injected retries: a mismatch can't be blamed on
+    * partitioning-sensitivity, because both arms see 8 partitions.
+    *
+    * Why widen to 8: the sf0.01 parquet reads as 1-2 tasks, which would
+    * leave most jobs with a single injected failure — after the widen
+    * every job re-executes 4 of its 8 scan tasks, and the retried tasks
+    * sit AFTER a shuffle (post-shuffle recompute is exercised too, not
+    * just source re-reads). */
+  private def wrap(df: DataFrame, inject: Boolean): DataFrame = {
     val spark = df.sparkSession
     val schema = df.schema
-    // widen to 8 partitions first: the sf0.01 parquet reads as 1-2 tasks,
-    // which would leave most jobs with a single injected failure — after
-    // the widen every job re-executes 4 of its 8 scan tasks, and the
-    // retried tasks sit AFTER a shuffle (post-shuffle recompute is
-    // exercised too, not just source re-reads)
     val rdd = df.repartition(8).rdd.mapPartitions { it =>
       val tc = TaskContext.get()
-      if (tc != null && tc.attemptNumber() == 0 && tc.partitionId() % 2 == 0) {
+      if (inject && tc != null && tc.attemptNumber() == 0 &&
+          tc.partitionId() % 2 == 0) {
         ChaosCheck.injected.incrementAndGet()
         throw new RuntimeException(
           s"chaos: injected first-attempt failure (partition ${tc.partitionId()})")
@@ -84,10 +88,12 @@ object ChaosCheck {
 
     import graft.operators._
     import graft.sources.Tables
-    val docs = Tables.documents(spark, sfDir)
-    val events = Tables.events(spark, sfDir)
-    val cdocs = chaos(docs)
-    val cevents = chaos(events)
+    // calm arm: same repartition(8)+identity wrap, no injection — the A/B
+    // isolates the retries as the only variable (round-15 advice)
+    val docs = wrap(Tables.documents(spark, sfDir), inject = false)
+    val events = wrap(Tables.events(spark, sfDir), inject = false)
+    val cdocs = wrap(Tables.documents(spark, sfDir), inject = true)
+    val cevents = wrap(Tables.events(spark, sfDir), inject = true)
 
     // name -> (clean result, chaos result). Each pair runs the SAME
     // operator body; only the input wrap differs.

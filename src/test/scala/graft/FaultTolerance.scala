@@ -41,10 +41,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object FaultTolerance {
 
-  private def killOneExecutor(): Unit = {
-    // exactly one executor JVM; the driver/sbt JVM does not match
+  private def killOneExecutor(appId: String): Unit = {
+    // exactly one executor JVM OF THIS RUN: executor backends carry
+    // `--app-id <appId>` on their command line, so scoping the pgrep to
+    // the session's applicationId can't kill an executor belonging to a
+    // concurrent Spark job on a shared box (round-15 advice). The
+    // driver/sbt JVM does not match either pattern.
     new ProcessBuilder("bash", "-c",
-      "pgrep -f CoarseGrainedExecutorBackend | head -1 | xargs -r kill -9")
+      s"pgrep -f 'CoarseGrainedExecutorBackend.*$appId' | head -1 | " +
+        "xargs -r kill -9")
       .inheritIO().start().waitFor()
   }
 
@@ -110,9 +115,10 @@ object FaultTolerance {
       waitForExecutors(spark, 2)
       @volatile var killed = false
       @volatile var done = false
+      val appId = spark.sparkContext.applicationId
       val killer = new Thread(() => {
         Thread.sleep(delayMs)
-        if (!done) { killOneExecutor(); killed = true }
+        if (!done) { killOneExecutor(appId); killed = true }
       })
       killer.setDaemon(true)
       killer.start()

@@ -66,6 +66,27 @@ class StagingPolicySpec extends SparkSpec {
     spark.sparkContext.getCheckpointDir.isDefined shouldBe true
   }
 
+  test("the default policy is topology-aware: local masters keep the fast " +
+      "local-checkpoint, everything else gets the fault-tolerant default") {
+    // STAGING_FAULT.json measured local-checkpoint DYING on executor loss
+    // while reliable-checkpoint survived bit-identical — so a cluster
+    // master must not default to the policy that dies (VERDICT r14 #3)
+    Staging.defaultFor("local[32]") shouldBe Staging.LocalCheckpoint
+    Staging.defaultFor("local[8,3]") shouldBe Staging.LocalCheckpoint
+    Staging.defaultFor("local-cluster[2,4,6144]") shouldBe Staging.LocalCheckpoint
+    Staging.defaultFor("yarn") shouldBe Staging.ReliableCheckpoint
+    Staging.defaultFor("spark://host:7077") shouldBe Staging.ReliableCheckpoint
+    Staging.defaultFor("k8s://https://host:443") shouldBe Staging.ReliableCheckpoint
+    Staging.defaultFor("mesos://host:5050") shouldBe Staging.ReliableCheckpoint
+  }
+
+  test("an explicit policy conf always wins over the topology default") {
+    // this session runs on a local master (default local-checkpoint);
+    // setting the conf must override the resolution in both directions
+    underPolicy(Staging.ReliableCheckpoint) { lshRows() } shouldBe lshRows()
+    spark.sparkContext.master should startWith("local")
+  }
+
   test("an unknown policy value fails loudly, not silently") {
     underPolicy("memoize-harder") {
       val e = intercept[IllegalArgumentException] {
