@@ -20,8 +20,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val builder = SparkSession.builder()
+      // master override, mirroring Verify: tools/bench_lc.sh measures the
+      // per-query cost under local-cluster[...] (real netty shuffle /
+      // broadcast transfer) vs an equal-core local[...] — a plan can be
+      // cheap in-process purely because shuffle never touches the wire
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // keep the 128-column MinHash signature aggregate inside whole-stage
@@ -39,7 +43,18 @@ object Bench {
       .config(graft.engine.Staging.PolicyKey,
         sys.env.getOrElse("SPARK_GRAFT_STAGING", graft.engine.Staging.LocalCheckpoint))
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // extra confs for alternative topologies (';'-separated k=v pairs),
+    // same contract as Verify — spark.jars / executor memory / JVM opens
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      if (kv.contains("=")) {
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      } else if (kv.trim.nonEmpty)
+        System.err.println(
+          s"[bench] WARNING: ignoring malformed SPARK_GRAFT_CONF token " +
+            s"'$kv' (expected key=value)")
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def runOnce(fn: (SparkSession, String) => DataFrame): Unit = {

@@ -42,13 +42,13 @@ case class BoundedLevenshtein(left: Expression, right: Expression, k: Int)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     BoundedLevenshtein.of(
-      a.asInstanceOf[UTF8String].toString,
-      b.asInstanceOf[UTF8String].toString, k)
+      a.asInstanceOf[UTF8String].getBytes,
+      b.asInstanceOf[UTF8String].getBytes, k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.BoundedLevenshtein.of(" +
-        s"$a.toString(), $b.toString(), $k);")
+        s"$a.getBytes(), $b.getBytes(), $k);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BoundedLevenshtein =
@@ -61,9 +61,26 @@ object BoundedLevenshtein {
     bridge.column(
       BoundedLevenshtein(bridge.expression(a), bridge.expression(b), k))
 
+  /** String entry point (tests / ad-hoc callers): distance over the
+    * UTF-8 encodings — same grain as the byte kernel below. */
+  def of(s: String, t: String, k: Int): Int =
+    of(s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      t.getBytes(java.nio.charset.StandardCharsets.UTF_8), k)
+
   /** Static kernel (callable from generated code). Exact: equals the
-    * unbounded Levenshtein distance whenever that is ≤ k, else −1. */
-  def of(s: String, t: String, k: Int): Int = {
+    * unbounded Levenshtein distance whenever that is ≤ k, else −1.
+    *
+    * Operates on UTF-8 BYTES, not UTF-16 chars: the documented grain of
+    * this operator family is "edit distance over the UTF-8 byte
+    * sequence" — the grain DuckDB's `levenshtein` natively computes, so
+    * the oracle mirrors bit-for-bit on any script (the round-15 fuzz
+    * gate caught the old char-grain kernel diverging from the oracle on
+    * emoji/CJK corpora: é is 1 char but 2 bytes). On ASCII text the two
+    * grains are identical; on multi-byte scripts byte-grain weighs a
+    * substituted character by its encoded width — acceptable for a
+    * near-dup verifier, and it skips the UTF-16 decode entirely
+    * (UTF8String.getBytes is the stored representation). */
+  def of(s: Array[Byte], t: Array[Byte], k: Int): Int = {
     val ls = s.length
     val lt = t.length
     if (math.abs(ls - lt) > k) return -1
@@ -71,11 +88,11 @@ object BoundedLevenshtein {
     // unit-cost edit distance, and the whole point for near-copies
     var pre = 0
     val maxPre = math.min(ls, lt)
-    while (pre < maxPre && s.charAt(pre) == t.charAt(pre)) pre += 1
+    while (pre < maxPre && s(pre) == t(pre)) pre += 1
     var suf = 0
     val maxSuf = maxPre - pre
     while (suf < maxSuf &&
-      s.charAt(ls - 1 - suf) == t.charAt(lt - 1 - suf)) suf += 1
+      s(ls - 1 - suf) == t(lt - 1 - suf)) suf += 1
     val m = ls - pre - suf
     val n = lt - pre - suf
     if (m == 0) return n // n ≤ k: |m − n| ≤ k was checked above
@@ -99,7 +116,7 @@ object BoundedLevenshtein {
       var jj = from
       while (jj <= to) {
         val cost =
-          if (s.charAt(pre + i - 1) == t.charAt(pre + jj - 1)) 0 else 1
+          if (s(pre + i - 1) == t(pre + jj - 1)) 0 else 1
         var v = prev(jj - 1) + cost // substitution / match
         val del = prev(jj) + 1      // delete from s
         if (del < v) v = del

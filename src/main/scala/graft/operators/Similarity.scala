@@ -66,10 +66,20 @@ object Similarity {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Zero-norm vectors cannot participate in cosine similarity — drop
+    * them at corpus load, on BOTH engines (the oracle mirrors carry the
+    * same predicate in their normed-vector CTEs). Without the guard a
+    * single all-zero embedding — routine in a real 100 TB corpus (failed
+    * encoder call, padding row) — turns cosine into 0/0: ANSI Spark
+    * throws DIVIDE_BY_ZERO, DuckDB yields NULL, and the two engines
+    * diverge (found by the FuzzGen zeroNormVecs knob, round 15). */
+  private def dropZeroNorm(vs: DataFrame): DataFrame =
+    vs.where(col("nrm") > 0)
+
   private def vectors(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.spread(Tables.embeddings(spark, sfDir))
+    dropZeroNorm(Tables.spread(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", l2norm(col("v")))
+      .withColumn("nrm", l2norm(col("v"))))
 
   /** Exact brute-force cosine top-k: the first [[NumQueryVectors]] vec_ids
     * are the query set; rank all others by cosine similarity. Output one row
@@ -117,10 +127,10 @@ object Similarity {
     * "same source document / same near-dup cluster", i.e. any
     * positive-pair relation. */
   def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
-    val vs = Tables.spread(Tables.embeddings(spark, sfDir))
+    val vs = dropZeroNorm(Tables.spread(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", l2norm(col("v")))
+      .withColumn("nrm", l2norm(col("v"))))
     val queries = vs.where(col("vec_id") < NumQueryVectors)
       .select(col("vec_id").as("query_id"), col("label").as("q_label"),
         col("v").as("qv"), col("nrm").as("qn"))
@@ -148,10 +158,10 @@ object Similarity {
     * corpus scanned once, two map-side-combined conditional argmax
     * aggregates; the corpus never shuffles vectors. */
   def tripletMining(spark: SparkSession, sfDir: String): DataFrame = {
-    val vs = Tables.spread(Tables.embeddings(spark, sfDir))
+    val vs = dropZeroNorm(Tables.spread(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", l2norm(col("v")))
+      .withColumn("nrm", l2norm(col("v"))))
     val queries = vs.where(col("vec_id") < NumQueryVectors)
       .select(col("vec_id").as("query_id"), col("label").as("q_label"),
         col("v").as("qv"), col("nrm").as("qn"))
@@ -720,9 +730,15 @@ object Similarity {
     * majority argmax is a window over that tiny grid. */
   def clusterPurity(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = Staging.stage(Tables.spread(Tables.embeddings(spark, sfDir))
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
-        col("label")))
+    // the CLEANED corpus (zero-norm dropped), same rule as every other
+    // index-shaped op — the purity grid must count exactly the vectors
+    // the trained quantizer indexed
+    val base = Staging.stage(
+      dropZeroNorm(Tables.spread(Tables.embeddings(spark, sfDir))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
+        .withColumn("nrm", l2norm(col("v"))))
+        .drop("nrm"))
     val cents = trainedCentroids(spark, sfDir)
     val cells = kmeansAssign(base.select("vec_id", "v"), cents)
       .select("vec_id", "cent_id")
@@ -1066,8 +1082,7 @@ object Similarity {
     * the oracle packs bit-for-bit. Output: (vec_id, bsig_lo, bsig_hi,
     * n_pos). */
   def binaryQuantize(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.spread(Tables.embeddings(spark, sfDir))
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    vectors(spark, sfDir) // the CLEANED corpus: packing mirrors the index input
       .select(col("vec_id"),
         bqWord(col("v"), 0).as("bsig_lo"), bqWord(col("v"), 1).as("bsig_hi"))
       .select(col("vec_id"), col("bsig_lo"), col("bsig_hi"),
@@ -1353,7 +1368,13 @@ object Similarity {
     * `valueQuantiles`/`valueQuantilesApprox` twin convention,
     * `Events.scala`). */
   def embeddingAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    val perVec = vectors(spark, sfDir).select(
+    // deliberately NOT [[vectors]]: the audit is the one op that must SEE
+    // collapsed/zero vectors (they are exactly the outliers it reports),
+    // so it loads the raw store without the zero-norm corpus guard
+    val raw = Tables.spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val perVec = raw.select(
       col("vec_id"), size(col("v")).as("dim"), col("nrm").as("l2_norm"),
       size(filter(col("v"),
         x => isnan(x) || abs(x) === lit(Double.PositiveInfinity)))
@@ -1666,7 +1687,9 @@ object Similarity {
     * neighbor_id, adc)` — ONE text shared by the `sim_pq_adc_topk` and
     * `sim_pq_recall` oracles (the kmeansScoreSql one-text discipline). */
   private def pqAdcCtesSql: String =
-    s"""vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |   WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[])) > 0),
        | c AS (SELECT CAST(vec_id AS INTEGER) AS code, v AS cv FROM vs
        |   WHERE vec_id < $PqCodebookSize),
        | d AS (SELECT vs.vec_id, c.code, CAST(t.m AS INTEGER) AS m,
@@ -1737,7 +1760,9 @@ object Similarity {
     * `c$KmeansIters(cent_id, cv)` — one text for the `sim_kmeans_train`
     * and `sim_ivf_trained_topk` oracles so they can never train apart. */
   private def kmeansCtesSql: String =
-    s"""vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |   WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[])) > 0),
        | c0 AS (SELECT vec_id AS cent_id, v AS cv FROM vs WHERE vec_id < $KmeansK),
        | ${(1 to KmeansIters).map(kmeansIterSql).mkString(",\n ")}""".stripMargin
 
@@ -1760,7 +1785,8 @@ object Similarity {
        | vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
        |                         CAST(embedding AS DOUBLE[]))) AS nrm
-       |   FROM embeddings),
+       |   FROM embeddings WHERE list_dot_product(
+       |     CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
        | bits AS (SELECT vec_id, j,
        |     CASE WHEN list_dot_product(v, p) >= 0
        |          THEN (1 << CAST(j % $bitsPerBand AS INTEGER))
@@ -1782,7 +1808,8 @@ object Similarity {
     s"""vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
        |                         CAST(embedding AS DOUBLE[]))) AS nrm
-       |   FROM embeddings),
+       |   FROM embeddings WHERE list_dot_product(
+       |     CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
        | bq AS (SELECT vec_id,
        |   CAST(list_sum(list_transform(range($BqWordBits),
        |     i -> CASE WHEN v[CAST(i + 1 AS INTEGER)] > 0
@@ -1848,7 +1875,8 @@ object Similarity {
     s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
        |                         CAST(embedding AS DOUBLE[]))) AS nrm
-       |   FROM embeddings),
+       |   FROM embeddings WHERE list_dot_product(
+       |     CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
        | q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM vs
        |   WHERE vec_id < $NumQueryVectors),
        | scoredc AS (SELECT q.query_id, vs.vec_id AS neighbor_id,
@@ -1899,7 +1927,8 @@ object Similarity {
       s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
          |                           CAST(embedding AS DOUBLE[]))) AS nrm
-         |   FROM embeddings),
+         |   FROM embeddings WHERE list_dot_product(
+         |     CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
          | q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM vs
          |   WHERE vec_id < $NumQueryVectors),
          | fscored AS (SELECT q.query_id, vs.vec_id AS neighbor_id,
@@ -1919,7 +1948,8 @@ object Similarity {
       s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
          |                         CAST(embedding AS DOUBLE[]))) AS nrm
-         |   FROM embeddings),
+         |   FROM embeddings WHERE list_dot_product(
+         |     CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
          | cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM vs
          |   WHERE vec_id < $NumCentroids),
          | scored AS (SELECT vs.vec_id, cent_id,
@@ -1965,7 +1995,9 @@ object Similarity {
          | WHERE rank <= $TopK""".stripMargin,
 
     "sim_pq" ->
-      s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |   WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[])) > 0),
          | c AS (SELECT CAST(vec_id AS INTEGER) AS code, v AS cv FROM vs
          |   WHERE vec_id < $PqCodebookSize),
          | d AS (SELECT vs.vec_id, c.code, CAST(t.m AS INTEGER) AS m,
@@ -2045,7 +2077,8 @@ object Similarity {
          |     WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
          |                               CAST(embedding AS DOUBLE[]))) AS nrm
-         |       FROM embeddings),
+         |   FROM embeddings WHERE list_dot_product(
+         |     CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
          |     q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM vs
          |       WHERE vec_id < $NumQueryVectors),
          |     scored AS (SELECT q.query_id, vs.vec_id AS neighbor_id,
@@ -2117,9 +2150,10 @@ object Similarity {
          |   SELECT a, b FROM und
          |   UNION
          |   SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+         | allv AS (SELECT vec_id FROM embeddings),
          | comp AS (SELECT v.vec_id AS id,
          |     LEAST(v.vec_id, COALESCE(MIN(r.dst), v.vec_id)) AS component
-         |   FROM vs v LEFT JOIN reach r ON r.src = v.vec_id GROUP BY v.vec_id),
+         |   FROM allv v LEFT JOIN reach r ON r.src = v.vec_id GROUP BY v.vec_id),
          | sizes AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
          | SELECT c.id AS vec_id, c.component AS cluster_id,
          |   CAST(s.sz - 1 AS BIGINT) AS n_dups
@@ -2134,7 +2168,8 @@ object Similarity {
          |     WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
          |                               CAST(embedding AS DOUBLE[]))) AS nrm
-         |       FROM embeddings),
+         |   FROM embeddings WHERE list_dot_product(
+         |     CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
          |     q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM vs
          |       WHERE vec_id < $NumQueryVectors),
          |     scored AS (SELECT q.query_id, vs.vec_id AS neighbor_id,
@@ -2171,7 +2206,8 @@ object Similarity {
       s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
          |                         CAST(embedding AS DOUBLE[]))) AS nrm
-         |   FROM embeddings),
+         |   FROM embeddings WHERE list_dot_product(
+         |     CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
          | cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM vs
          |   WHERE vec_id < $NumCentroids),
          | scored AS (SELECT vs.vec_id, cent_id,
@@ -2239,7 +2275,8 @@ object Similarity {
       s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
          |                         CAST(embedding AS DOUBLE[]))) AS nrm
-         |   FROM embeddings),
+         |   FROM embeddings WHERE list_dot_product(
+         |     CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
          | cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM vs
          |   WHERE vec_id < $NumCentroids),
          | scored AS (SELECT vs.vec_id, cent_id,
@@ -2318,7 +2355,8 @@ object Similarity {
       s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
          |                         CAST(embedding AS DOUBLE[]))) AS nrm
-         |   FROM embeddings),
+         |   FROM embeddings WHERE list_dot_product(
+         |     CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
          | q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM vs
          |   WHERE vec_id < $NumQueryVectors),
          | scored AS (SELECT q.query_id, vs.vec_id AS neighbor_id,
@@ -2333,7 +2371,8 @@ object Similarity {
       s"""WITH vs AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
          |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
          |                         CAST(embedding AS DOUBLE[]))) AS nrm
-         |   FROM embeddings),
+         |   FROM embeddings WHERE list_dot_product(
+         |     CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
          | q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv, nrm AS qn
          |   FROM vs WHERE vec_id < $NumQueryVectors),
          | scored AS (SELECT q.query_id, q.q_label, vs.vec_id AS nid, vs.label,
@@ -2357,7 +2396,8 @@ object Similarity {
       s"""WITH vs AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
          |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
          |                         CAST(embedding AS DOUBLE[]))) AS nrm
-         |   FROM embeddings),
+         |   FROM embeddings WHERE list_dot_product(
+         |     CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
          | q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv, nrm AS qn
          |   FROM vs WHERE vec_id < $NumQueryVectors),
          | scored AS (SELECT q.query_id, vs.vec_id AS neighbor_id,
@@ -2373,7 +2413,8 @@ object Similarity {
       s"""WITH vs AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
          |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
          |                         CAST(embedding AS DOUBLE[]))) AS nrm
-         |   FROM embeddings),
+         |   FROM embeddings WHERE list_dot_product(
+         |     CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
          | q AS (SELECT vec_id AS query_id, label AS true_label, v AS qv,
          |     nrm AS qn
          |   FROM vs WHERE vec_id < $NumQueryVectors),
@@ -2400,7 +2441,9 @@ object Similarity {
 
     "sim_mips_topk" ->
       s"""WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |   FROM embeddings),
+         |   FROM embeddings
+         |   WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[])) > 0),
          | q AS (SELECT vec_id AS query_id, v AS qv FROM vs
          |   WHERE vec_id < $NumQueryVectors),
          | scored AS (SELECT q.query_id, vs.vec_id AS neighbor_id,

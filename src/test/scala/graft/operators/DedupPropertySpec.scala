@@ -115,6 +115,17 @@ class DedupPropertySpec extends SparkSpec {
     withClue(res.status.toString)(res.passed shouldBe true)
   }
 
+  test("bounded levenshtein grain is UTF-8 BYTES (the oracle's native grain)") {
+    // é = 2 UTF-8 bytes: substituting it for 'e' costs 2 byte edits
+    // (1 sub + 1 del), exactly what DuckDB levenshtein returns — the
+    // round-15 fuzz gate caught the old char-grain kernel returning 1
+    graft.functions.BoundedLevenshtein.of("héllo", "hello", 6) shouldBe 2
+    // 🚀 = 4 UTF-8 bytes
+    graft.functions.BoundedLevenshtein.of("a🚀b", "ab", 6) shouldBe 4
+    graft.functions.BoundedLevenshtein.of("中文", "中文", 6) shouldBe 0
+    graft.functions.BoundedLevenshtein.of("kitten", "sitting", 6) shouldBe 3 // ASCII: byte == char grain
+  }
+
   test("minhash clusters: exact dups always together, labels minimal, sizes consistent") {
     run(Prop.forAll(genCorpus) { corpus =>
       val out = Dedup.minhashLsh(docsDf(corpus)).collect()

@@ -10,6 +10,8 @@
 # Env:    SF_VERIFY  (default /root/testdata/sf0.01)  — oracle scale
 #         SF_BENCH   (default /root/testdata/sf0.1)   — bench scale
 #         VERIFY_CPUS (default 8), BENCH_CPUS (default 32)
+#         FUZZ_SEEDS (default 0 = skip) — optional stage 5: the
+#           cross-engine fuzz gate (tools/fuzz_gate.sh, FUZZ.json)
 #
 # Publishes on success (atomically, via rename):
 #   VERIFYALL.json   — {when, correctness, tests, bench} from this run
@@ -86,3 +88,11 @@ print(json.dumps({
 EOF
 mv "$WORK/VERIFYALL.json" VERIFYALL.json
 echo "[verify_all] ALL GREEN — published VERIFYALL.json + bench_out.json ($STAMP)"
+
+# ---- optional stage 5: cross-engine fuzz gate (VERDICT r14 #2) ----
+FUZZ_SEEDS=${FUZZ_SEEDS:-0}
+if [ "$FUZZ_SEEDS" -gt 0 ]; then
+  echo "[verify_all] 5/5 fuzz gate ($FUZZ_SEEDS seeds)"
+  tools/fuzz_gate.sh "$FUZZ_SEEDS" FUZZ.json \
+    || { echo "[verify_all] FUZZ GATE FAILED"; exit 1; }
+fi
