@@ -185,7 +185,7 @@ object Corpus {
   def sampleWeighted(documents: DataFrame): DataFrame =
     Tables.spread(documents)
       .select(col("doc_id"),
-        greatest(round(TextAnalysis.qualityScoreCol, 6), lit(1e-6)).as("weight"),
+        greatest(TextAnalysis.qualityScoreCol, lit(1e-6)).as("weight"),
         Dedup.h32(concat(lit("wsm:"), col("doc_id").cast("string"))).as("h"))
       .select(col("doc_id"), col("weight"),
         round(log((col("h") + 0.5) / lit(4294967296.0)) / col("weight"), 9)
@@ -553,7 +553,7 @@ object Corpus {
     import org.apache.spark.sql.expressions.Window
     val b = lit(budget)
     val scored = documents.select(col("doc_id"),
-        round(TextAnalysis.qualityScoreCol, 6).as("quality"),
+        TextAnalysis.qualityScoreCol.as("quality"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("qb", floor(round(col("quality") * 1000, 6)).cast("int"))
     val wAbove = Window.orderBy(col("qb").desc)
@@ -1304,7 +1304,7 @@ object Corpus {
   def metricCorr(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val base = Tables.spread(docs).select(col("doc_id"),
-      round(round(TextAnalysis.qualityScoreCol, 6) * 1e6, 0).cast("long").as("x"),
+      round(TextAnalysis.qualityScoreCol * 1e6, 0).cast("long").as("x"),
       size(split(col("text"), " ")).cast("long").as("z"))
     val nov = TextAnalysis.novelty(docs)
       .select(col("doc_id"), round(col("novelty") * 1e6, 0).cast("long").as("y"))
@@ -1497,7 +1497,7 @@ object Corpus {
          | tokz AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
          |     AS z FROM documents),
          | b AS (SELECT q.doc_id,
-         |     CAST(round(round(q.quality_score, 6) * 1000000, 0) AS BIGINT) AS x,
+         |     CAST(round(q.quality_score * 1000000, 0) AS BIGINT) AS x,
          |     CAST(round(nov.novelty * 1000000, 0) AS BIGINT) AS y, tokz.z
          |   FROM qscore q JOIN nov ON nov.doc_id = q.doc_id
          |   JOIN tokz ON tokz.doc_id = q.doc_id),
@@ -1584,7 +1584,7 @@ object Corpus {
     "sample_weighted" ->
       s"""WITH ${TextAnalysis.qualityScoreSqlWith},
          | p AS (SELECT d.doc_id,
-         |     GREATEST(round(sc.quality_score, 6), 0.000001) AS weight,
+         |     GREATEST(sc.quality_score, 0.000001) AS weight,
          |     (('0x' || substring(md5('wsm:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
          |       + 0.5) / 4294967296.0 AS u
          |   FROM documents d JOIN qscore sc ON sc.doc_id = d.doc_id)
@@ -1650,7 +1650,7 @@ object Corpus {
 
     "corpus_token_budget" ->
       s"""WITH ${TextAnalysis.qualityScoreSqlWith},
-         | s AS (SELECT d.doc_id, round(sc.quality_score, 6) AS quality,
+         | s AS (SELECT d.doc_id, sc.quality_score AS quality,
          |     CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
          |   FROM documents d JOIN qscore sc ON sc.doc_id = d.doc_id),
          | sb AS (SELECT *, CAST(FLOOR(round(quality * 1000, 6)) AS INT) AS qb FROM s),

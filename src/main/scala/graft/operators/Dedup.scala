@@ -515,7 +515,7 @@ object Dedup {
     val docs = Tables.spread(documents)
     val cl = Staging.stage(clusters.select("doc_id", "cluster_id")
       .join(docs.select(col("doc_id"),
-        round(TextAnalysis.qualityScoreCol, 6).as("q")), "doc_id"))
+        TextAnalysis.qualityScoreCol.as("q")), "doc_id"))
     // lexicographic struct max = (max q, then min doc_id via negation)
     val kp = cl.groupBy("cluster_id")
       .agg(max(struct(col("q"), (-col("doc_id")).as("nd"))).as("m"))
@@ -1848,7 +1848,7 @@ object Dedup {
          | edges AS (SELECT a, b FROM ver WHERE jaccard >= $JaccardThreshold),
          | $closureTail,
          | ${TextAnalysis.qualityScoreSqlWith},
-         | cl AS (SELECT l.doc_id, l.cluster_id, round(q.quality_score, 6) AS q
+         | cl AS (SELECT l.doc_id, l.cluster_id, q.quality_score AS q
          |   FROM labeled l JOIN qscore q ON q.doc_id = l.doc_id),
          | km AS (SELECT cluster_id, MAX(q) AS mq FROM cl GROUP BY cluster_id),
          | kp AS (SELECT cl.cluster_id, MIN(cl.doc_id) AS keeper_id FROM cl

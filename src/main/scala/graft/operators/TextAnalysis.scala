@@ -372,12 +372,22 @@ object TextAnalysis {
     * is `approx_percentile` for the threshold row, same shape. */
   def qualityDeciles(documents: DataFrame): DataFrame = {
     val scored = quality(documents)
-      .select(col("doc_id"), round(col("quality_score"), 6).as("qs"))
+      .select(col("doc_id"), col("quality_score").as("qs"))
     val ths = scored.agg(percentile(col("qs"),
       typedLit(DecileQs)).as("ths"))
+    // decile membership compares on the 1e-6 FLOOR grid: interpolated
+    // thresholds can differ by an ulp between engines (Spark `percentile`
+    // vs DuckDB `quantile_cont` order their arithmetic differently), and
+    // under heavy score ties that ulp decides a whole tie class's bucket.
+    // floor() of a bit-identical binary product is the one quantizer both
+    // engines agree on everywhere (round(x, k>0) is boundary-divergent —
+    // see the qualityDeciles fuzz note in SURVEY §2.4), so both the score
+    // and the threshold are floored to the grid before the comparison;
+    // the reported qs stays raw.
     scored.join(broadcast(ths))
       .select(col("doc_id"), col("qs"),
-        size(filter(col("ths"), t => col("qs") >= t)).as("decile"))
+        size(filter(col("ths"),
+          t => floor(col("qs") * 1e6) >= floor(t * 1e6))).as("decile"))
   }
 
   // ---- learned quality gate (fixed-weight linear classifier) --------------
@@ -2349,11 +2359,13 @@ object TextAnalysis {
 
     "text_quality_deciles" ->
       s"""WITH $qualityScoreSqlWith,
-         | q AS (SELECT doc_id, round(quality_score, 6) AS qs FROM qscore),
+         | q AS (SELECT doc_id, quality_score AS qs FROM qscore),
          | th AS (SELECT quantile_cont(qs,
          |   [${DecileQs.mkString(", ")}]) AS ths FROM q)
          | SELECT q.doc_id, q.qs,
-         |   CAST(len(list_filter(th.ths, t -> q.qs >= t)) AS INTEGER) AS decile
+         |   CAST(len(list_filter(th.ths,
+         |     t -> floor(q.qs * 1000000) >= floor(t * 1000000)))
+         |     AS INTEGER) AS decile
          | FROM q, th""".stripMargin,
 
     "text_ngram_freq" ->
