@@ -71,7 +71,14 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     var errors = Vector.empty[String]
-    names.foreach { n =>
+    // Pass-count knobs for LONG sweeps (the ~sf10 fourth-decade record:
+    // single queries run minutes there, so warmup + two timed passes
+    // would triple a multi-hour run for noise-reduction the exponent
+    // granularity doesn't need). Defaults preserve the sf0.1 discipline:
+    // one warmup pass + two timed passes, per-query min.
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt > 0
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+    if (warmup) names.foreach { n =>
       try runOnce(SparkEntry.queries(n))
       catch { case e: Throwable =>
         errors :+= n
@@ -85,17 +92,18 @@ object Bench {
     def timedPass(): Seq[(String, Double)] =
       names.filterNot(errors.contains).map { n =>
         val t0 = System.nanoTime()
-        try { runOnce(SparkEntry.queries(n)); n -> (System.nanoTime() - t0) / 1e9 }
+        try { runOnce(SparkEntry.queries(n)); n -> (System.nanoTime() - t0) / 1e9
+        }
         catch { case e: Throwable =>
           errors :+= n
           System.err.println(s"[bench] timed $n FAILED: $e")
           n -> -1.0
         }
       }
-    val pass1 = timedPass().toMap
-    val timed = timedPass().map { case (n, t2) =>
-      val t1 = pass1.getOrElse(n, t2)
-      n -> (if (t2 < 0 || t1 < 0) -1.0 else math.min(t1, t2))
+    val earlier = (1 until passes).map(_ => timedPass().toMap)
+    val timed = timedPass().map { case (n, tLast) =>
+      val ts = earlier.flatMap(_.get(n)) :+ tLast
+      n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
