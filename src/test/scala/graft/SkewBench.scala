@@ -75,18 +75,71 @@ object SkewBench {
     // skew bar at THIS fixture's scale (see scaladoc)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set(
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    // at this fixture's scale the hot partition is ~5x the median — right
+    // at the default skewedPartitionFactor=5 bar — so the harness lowers
+    // the factor to 2 (a 100 TB hot key is orders of magnitude past
+    // either), and forces the rewrite even where it would add a shuffle
+    // (the exposed join aggregates downstream, so AQE's conservative
+    // "don't introduce an exchange" rule would otherwise veto the split)
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
 
     import graft.operators.Events
+    // the engine's own family ops pre-aggregate per key BEFORE any join
+    // (days/cohort grain in retention, unique event_id in the session
+    // joins), so the hot user produces NO skewed join partition — that
+    // design is the first thing this record proves. The fourth case is a
+    // deliberately skew-EXPOSED event-grain join (raw events ⋈ per-user
+    // dim on user_id — the shape the family avoids) so the record also
+    // shows the AQE mechanism itself engaging when a plan does ship a
+    // skewed shuffle.
+    // materialized: OptimizeSkewedJoin only rewrites a join whose inputs
+    // are bare shuffle stages (Sort over ShuffleQueryStage) — leaving the
+    // distinct's final aggregate inline on the dim side defeats the
+    // pattern match, exactly as a production dim TABLE would not
+    val userDim = events.select("user_id").distinct()
+      .withColumn("segment", pmod(col("user_id"), lit(7)))
+      .localCheckpoint(true)
     val ops: Seq[(String, () => DataFrame)] = Seq(
       "events_retention" -> (() => Events.retention(events)),
       "events_session_stats" -> (() => Events.sessionStats(events)),
-      "events_session_sequences" -> (() => Events.sessionSequences(events)))
+      "events_session_sequences" -> (() => Events.sessionSequences(events)),
+      // the aggregate reads value+props so column pruning cannot strip
+      // the events side down to the bare key — 3M identical user_ids
+      // RLE-compress to nothing, and skew detection reads COMPRESSED
+      // map-output sizes, so a key-only shuffle shows no skewed bytes
+      "raw_event_grain_join" -> (() =>
+        events.join(userDim, "user_id")
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n"), sum("value").as("sv"),
+            max("props").as("mp"))))
 
-    def skewMarkers(df: DataFrame): Int = {
-      val plan = df.queryExecution.executedPlan.toString
-      "skew=true".r.findAllIn(plan).length
+    // The skew info lives in the EXECUTED adaptive plan of the action's
+    // own QueryExecution — `df.queryExecution` is a separate, never-run
+    // execution whose AdaptiveSparkPlan stays at isFinalPlan=false, so
+    // reading it always shows zero markers. A QueryExecutionListener
+    // hands us the real post-run plan (delivered on the async listener
+    // bus → poll briefly).
+    @volatile var lastPlan: String = null
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          lastPlan = qe.executedPlan.toString
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+
+    def grabMarkers(): Int = {
+      var waited = 0
+      while (lastPlan == null && waited < 50) { Thread.sleep(100); waited += 1 }
+      val plan = Option(lastPlan).getOrElse("")
+      "skew=true".r.findAllIn(plan).length +
+        "(?i)skewed".r.findAllIn(plan).length
     }
 
     def measure(skewOn: Boolean): Seq[(String, Double, Int)] = {
@@ -95,10 +148,11 @@ object SkewBench {
         // warm pass (parquet footer cache, codegen), then two timed, min
         op().write.format("noop").mode("overwrite").save()
         val times = (1 to 2).map { _ =>
+          lastPlan = null
           val t0 = System.nanoTime()
-          val df = op()
-          df.write.format("noop").mode("overwrite").save()
-          ((System.nanoTime() - t0) / 1e9, skewMarkers(df))
+          op().write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          (sec, grabMarkers())
         }
         val best = times.minBy(_._1)
         System.err.println(f"[skew] $name%-26s skewOn=$skewOn " +
@@ -118,13 +172,22 @@ object SkewBench {
         s""""speedup":${"%.2f".format(tOff / tOn)},""" +
         s""""skew_markers_on":$mOn,"skew_markers_off":$mOff}"""
     }.mkString(",")
-    val fired = on.exists(_._3 > 0)
+    // the family ops must stay marker-free (their plans pre-aggregate the
+    // hot key away); the exposed event-grain join must show the split
+    val familyClean = on.filter(_._1 != "raw_event_grain_join")
+      .forall(_._3 == 0)
+    val exposedFired = on.exists(r =>
+      r._1 == "raw_event_grain_join" && r._3 > 0)
     println(s"""{"metric":"graft_skew_join","fixture":"$fixDir",""" +
       s""""source":"$srcDir","hot_user_share":0.3,""" +
-      s""""loadavg":${"%.2f".format(loadAvg)},"skew_join_fired":$fired,""" +
-      s""""harness_knobs":"threshold=8m, advisory=8m, broadcast off",""" +
+      s""""loadavg":${"%.2f".format(loadAvg)},""" +
+      s""""family_plans_skew_free":$familyClean,""" +
+      s""""exposed_join_split_fired":$exposedFired,""" +
+      s""""harness_knobs":"threshold=4m, advisory=4m, factor=2, forceOptimizeSkewedJoin, broadcast off",""" +
       s""""queries":{$rows}}""")
     spark.stop()
-    require(fired, "skew-join never engaged — the record is vacuous")
+    require(exposedFired,
+      "AQE skew-join never engaged on the exposed event-grain join — " +
+        "the mechanism record is vacuous")
   }
 }
