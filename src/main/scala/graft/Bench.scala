@@ -26,7 +26,6 @@ object Bench {
       // broadcast transfer) vs an equal-core local[...] — a plan can be
       // cheap in-process purely because shuffle never touches the wire
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // keep the 128-column MinHash signature aggregate inside whole-stage
       // codegen (default maxFields=100 would drop that stage to the
@@ -43,6 +42,11 @@ object Bench {
       .config(graft.engine.Staging.PolicyKey,
         sys.env.getOrElse("SPARK_GRAFT_STAGING", graft.engine.Staging.LocalCheckpoint))
       .config("spark.ui.enabled", "false")
+    // engine shuffle-sizing defaults (engine.Tuning — VERDICT r15 #1):
+    // static partitions = cores, AQE initial width = 8× cores so the
+    // size-based coalesce can reach its 64 MB advisory on big exchanges.
+    // Applied before SPARK_GRAFT_CONF below, so explicit overrides win.
+    graft.engine.Tuning.applyShuffleDefaults(builder, cpus.toInt)
     // extra confs for alternative topologies (';'-separated k=v pairs),
     // same contract as Verify — spark.jars / executor memory / JVM opens
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
@@ -56,6 +60,17 @@ object Bench {
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Box-load provenance (VERDICT r15 #5): bench totals are meaningless
+    // without knowing whether the box was quiet — the r15 graded total
+    // regressed 32% with a broad uniform per-query slowdown (the load
+    // signature) and nothing in-repo to attribute it. Record 1/5/15-min
+    // loadavg at start and end of the run, in both JSON lines.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val loadStart = loadavg()
 
     def runOnce(fn: (SparkSession, String) => DataFrame): Unit = {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -105,12 +120,13 @@ object Bench {
       val ts = earlier.flatMap(_.get(n)) :+ tLast
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
+    val loadEnd = loadavg()
     val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = timed.collect { case (_, v) if v >= 0 => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
     catch { case _: Throwable => () }
@@ -133,7 +149,7 @@ object Bench {
     val slowest = timed.filter(_._2 >= 0).sortBy(-_._2)
     val budget = 1500
     val sb = new StringBuilder(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${timed.size},"families":$families,"errors":$errJson,"sf":"$sfDir","detail":"bench_out.json","queries_complete":false,"queries":{""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${timed.size},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","families":$families,"errors":$errJson,"sf":"$sfDir","detail":"bench_out.json","queries_complete":false,"queries":{""")
     var firstQ = true
     slowest.foreach { case (n, v) =>
       val entry = (if (firstQ) "" else ",") + "\"" + n + "\":" + r3(v)

@@ -120,6 +120,8 @@ object MainApp {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // wide-start AQE sizing unless the deployment set one (engine.Tuning)
+    graft.engine.Tuning.ensureWideStart(spark)
     val (_, queries, publish) = wire(spark, conf)
     val publisher = new Thread(() => {
       try {

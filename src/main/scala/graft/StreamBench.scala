@@ -262,15 +262,19 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-streambench")
-      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // engine shuffle-sizing defaults (engine.Tuning): streaming plans keep
+    // the static cores-wide state-store layout (AQE does not re-plan
+    // micro-batch shuffles); the wide start applies to the batch fixture
+    // prep only.
+    val spark =
+      graft.engine.Tuning.applyShuffleDefaults(builder, cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val events = Tables.events(spark, sfDir)

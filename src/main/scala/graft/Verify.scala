@@ -15,7 +15,6 @@ object Verify {
       // local-cluster[2,4,…] — separate executor JVMs, real closure
       // serialization / netty shuffle / broadcast transfer
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.maxFields", "200") // see Bench.scala
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -24,6 +23,9 @@ object Verify {
       .config(graft.engine.Staging.PolicyKey,
         sys.env.getOrElse("SPARK_GRAFT_STAGING", graft.engine.Staging.LocalCheckpoint))
       .config("spark.ui.enabled", "false")
+    // engine shuffle-sizing defaults (engine.Tuning): static = cores,
+    // AQE initial width = 8× cores. Before SPARK_GRAFT_CONF → overridable.
+    graft.engine.Tuning.applyShuffleDefaults(builder, cpus.toInt)
     // extra confs for alternative topologies (';'-separated k=v pairs:
     // spark.jars / executor memory / executor JVM opts for verify_lc)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
