@@ -268,6 +268,10 @@ object StreamBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fresh artifacts root per run unless explicitly shared (see Bench)
+      .config(graft.engine.Artifacts.DirKey,
+        sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS_DIR",
+          graft.engine.Artifacts.ephemeralRoot()))
       .config("spark.ui.enabled", "false")
     // engine shuffle-sizing defaults (engine.Tuning): streaming plans keep
     // the static cores-wide state-store layout (AQE does not re-plan

@@ -22,6 +22,12 @@ object Verify {
       // suite can be proven green under reliable-checkpoint/persist too
       .config(graft.engine.Staging.PolicyKey,
         sys.env.getOrElse("SPARK_GRAFT_STAGING", graft.engine.Staging.LocalCheckpoint))
+      // artifacts root: fresh per run (cold, measures HEAD) unless the
+      // caller opts into a shared durable root — the cross-session warm
+      // path (engine.Artifacts.durable, VERDICT r16 #1)
+      .config(graft.engine.Artifacts.DirKey,
+        sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS_DIR",
+          graft.engine.Artifacts.ephemeralRoot()))
       .config("spark.ui.enabled", "false")
     // engine shuffle-sizing defaults (engine.Tuning): static = cores,
     // AQE initial width = 8× cores. Before SPARK_GRAFT_CONF → overridable.

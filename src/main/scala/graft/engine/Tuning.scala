@@ -69,14 +69,39 @@ object Tuning {
   private val InitialNumKey =
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
 
+  private val StaticNumKey = "spark.sql.shuffle.partitions"
+
   /** Runtime variant for sessions the engine did not build (the
     * spark-submit production runner): set the wide starting width only
     * when the deployment has not chosen one — a `--conf` from
-    * spark-submit, spark-defaults, or the builder always wins. Sized from
-    * `defaultParallelism` (total cluster cores), the same basis the
-    * static `spark.sql.shuffle.partitions` default uses. */
+    * spark-submit, spark-defaults, or the builder always wins. A
+    * deployment that explicitly pinned the STATIC width
+    * (`spark.sql.shuffle.partitions` on the deployment channels —
+    * spark-submit `--conf` / spark-defaults / the builder's SparkConf)
+    * also suppresses the wide start: choosing a static width is choosing
+    * a layout, and silently widening the AQE start behind it would
+    * surprise exactly the deployments that tuned it (ADVICE r16). Sized
+    * from `defaultParallelism` (total cluster cores), the same basis the
+    * static `spark.sql.shuffle.partitions` default uses.
+    *
+    * Dynamic-allocation caveat: `defaultParallelism` is sampled when
+    * this runs, and under `spark.dynamicAllocation.enabled` that is the
+    * REGISTERED executor count — at app startup often far below the
+    * cluster's eventual size, pinning the wide start near the 64 floor
+    * for the session's lifetime (ADVICE r16). Deployments using dynamic
+    * allocation should set `initialPartitionNum` explicitly from the
+    * allocation ceiling (`spark.dynamicAllocation.maxExecutors` ×
+    * executor cores × [[InitialFactor]]); this helper intentionally does
+    * not guess it. */
   def ensureWideStart(spark: SparkSession): Unit =
-    if (spark.conf.getOption(InitialNumKey).isEmpty)
+    ensureWideStart(spark, spark.sparkContext.getConf.contains(StaticNumKey))
+
+  /** Decision core with the deployment-pinned fact injected — the public
+    * face reads it from the context SparkConf (the deployment channels);
+    * tests drive both branches without needing a second SparkContext. */
+  private[graft] def ensureWideStart(spark: SparkSession,
+                                     deploymentPinnedStatic: Boolean): Unit =
+    if (!deploymentPinnedStatic && spark.conf.getOption(InitialNumKey).isEmpty)
       spark.conf.set(InitialNumKey,
         initialPartitions(spark.sparkContext.defaultParallelism).toString)
 }

@@ -529,6 +529,57 @@ object Corpus {
       .select("doc_id", "shard", "pos")
   }
 
+  /** Execute one epoch of the shuffle plan — [[epochShuffle]] made
+    * material (VERDICT r16 #7, closing the plan→apply gap the
+    * [[packPlan]]/[[packApply]] and `writeSharded` pairs already
+    * closed): the epoch's permutation is WRITTEN as the sharded layout a
+    * training reader consumes — `shard=K/` directories, each file's row
+    * order = the plan's `pos` order (the `sortWithinPartitions` rides
+    * the same exchange the assignment needs), full document payload
+    * attached. Reading shards in index order, rows in file order,
+    * replays the epoch's global permutation with directory-level pruning
+    * per shard (pinned in `EpochShuffleApplySpec`, the `ShardedWriteSpec`
+    * convention).
+    *
+    * 100 TB shape: ONE exchange (hash-partition by shard) shared by the
+    * rank window and the partitioned write; payload joins on doc_id
+    * before that exchange, so text moves through exactly one shuffle and
+    * no global sort exists anywhere. */
+  def writeEpochShuffled(documents: DataFrame, epoch: Int,
+                         outDir: String): Unit =
+    epochShuffle(documents, epoch)
+      .join(documents, "doc_id")
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+
+  /** The epochs the registered apply face executes — two, so the
+    * per-epoch salt independence is exercised by the oracle, not just
+    * documented. */
+  val ApplyEpochs: Seq[Int] = Seq(1, 2)
+
+  /** The registered epoch-shuffle apply: write [[ApplyEpochs]] sharded
+    * epoch layouts under the session artifact root (overwrite per run —
+    * the WRITE is the operator), read them back through the partitioned
+    * scan, and return the round-trip evidence one row per (epoch, doc):
+    * (epoch, doc_id, shard, pos, n_chars). Hash-matching the DuckDB
+    * mirror proves the written layout carries exactly the plan's
+    * assignment AND the document payload — a torn write, a lost shard
+    * directory, or a mis-partitioned row all surface as a hash break. */
+  def epochShuffleApply(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = new org.apache.hadoop.fs.Path(
+      graft.engine.Artifacts.root(s), "graft-epochshuffle-apply").toString
+    ApplyEpochs.map { ep =>
+      writeEpochShuffled(docs, ep, s"$base/ep$ep")
+      s.read.parquet(s"$base/ep$ep")
+        .select(lit(ep).as("epoch"), col("doc_id"),
+          // the partition column reads back as int (inferred from the
+          // directory name); the plan face emits long — match it
+          col("shard").cast("long").as("shard"), col("pos"), col("n_chars"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Token budget for [[tokenBudget]] (a real run passes the training
     * budget, e.g. 10B tokens; the selection logic is budget-agnostic). */
   val TokenBudget = 50000L
@@ -1200,6 +1251,45 @@ object Corpus {
         (size(filter(col("ths"), t => col("ce") >= t)) + 1).as("phase"))
   }
 
+  /** Execute the curriculum — the phase assignment made a training ORDER
+    * (VERDICT r16 #7, [[curriculum]]'s apply face): within each phase
+    * documents rank easy→hard by (ce asc, doc_id asc), the global
+    * position adds the earlier phases' counts from a
+    * ≤[[CurriculumPhases]]-row broadcast offset ledger (a global
+    * training order with NO global sort), and each phase's documents
+    * concat-and-chunk into [[SeqTokenBudget]]-token training sequences
+    * in that order — [[packPlan]]'s rule applied to the curriculum
+    * order, so phase boundaries are sequence boundaries (a sequence
+    * never mixes difficulty phases). One row per document:
+    * (doc_id, phase, pos, global_pos, seq_id).
+    *
+    * 100 TB shape: ONE exchange (hash-partition by phase) funds the
+    * rank window and the running token sum; the offset ledger is
+    * ≤4 rows (its ordering window is over the LEDGER, a documented
+    * bounded-ledger exception); everything after is a broadcast join
+    * and per-row arithmetic. A real build uses shard×phase window keys
+    * to bound partition width — the composition [[epochShuffle]]
+    * already demonstrates. */
+  def curriculumApplyFrom(cur: DataFrame, documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val w = Window.partitionBy("phase").orderBy(col("ce").asc, col("doc_id").asc)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val ordered = cur.join(toks, "doc_id")
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(wPrev), lit(0L)))
+    val offsets = ordered.groupBy("phase").agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum("n").over(
+        Window.orderBy("phase").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("phase", "offset")
+    ordered.join(broadcast(offsets), "phase")
+      .select(col("doc_id"), col("phase"), col("pos"),
+        (col("pos") + col("offset")).as("global_pos"),
+        (col("cum_before") / SeqTokenBudget).cast("long").as("seq_id"))
+  }
+
   /** Execute the DSIR selection — importance RESAMPLING over
     * [[dsirWeights]]' oracle-checked scores, closing the loop the paper's
     * name promises (Xie et al. 2023: score, then resample): each document
@@ -1266,14 +1356,9 @@ object Corpus {
     * the difference between one corpus scoring pass and one per
     * consumer. (The probe face keeps its own computation — it scores
     * against a DIFFERENT target slice by design.) */
-  private val dsirMemo =
-    new graft.engine.Artifacts.Memo[(String, String), String]
-
   def dsirWeightsArtifact(s: SparkSession, d: String): DataFrame = {
-    val path = dsirMemo.once((s.sparkContext.applicationId, d)) {
-      val dir = graft.engine.Artifacts.path(s, "dsirweights", d)
-      dsirWeights(Tables.documents(s, d)).write.mode("overwrite").parquet(dir)
-      dir
+    val path = graft.engine.Artifacts.durable(s, "dsirweights", d) { tmp =>
+      dsirWeights(Tables.documents(s, d)).write.mode("overwrite").parquet(tmp)
     }
     s.read.parquet(path)
   }
@@ -1348,6 +1433,7 @@ object Corpus {
     "corpus_shard_balance" -> ((s, d) => shardBalance(Tables.documents(s, d))),
     "corpus_kfold_plan" -> ((s, d) => kfoldPlan(Tables.documents(s, d))),
     "corpus_shuffle"    -> ((s, d) => epochShuffle(Tables.documents(s, d))),
+    "corpus_shuffle_apply" -> (epochShuffleApply _),
     "corpus_token_budget" -> ((s, d) => tokenBudget(Tables.documents(s, d))),
     "corpus_dataset_card" -> ((s, d) => datasetCard(Tables.documents(s, d))),
     "corpus_length_profile" -> ((s, d) => lengthProfile(Tables.documents(s, d))),
@@ -1372,6 +1458,12 @@ object Corpus {
         TextAnalysis.surprisalModelArtifact(s, d, full = true).unigrams
           .select(col("term"), col("uf").as("freq")),
         Tables.documents(s, d)))),
+    "corpus_curriculum_apply" -> ((s, d) => curriculumApplyFrom(
+      curriculumFrom(TextAnalysis.unigramSurprisalFrom(
+        TextAnalysis.surprisalModelArtifact(s, d, full = true).unigrams
+          .select(col("term"), col("uf").as("freq")),
+        Tables.documents(s, d))),
+      Tables.documents(s, d))),
     "corpus_e2e"        -> ((s, d) => endToEnd(Tables.documents(s, d))),
   )
 
@@ -1647,6 +1739,19 @@ object Corpus {
          | FROM (SELECT doc_id,
          |   ('0x' || substring(md5('ep$ShuffleEpoch:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
          | FROM documents) s""".stripMargin,
+
+    // the plan mirror per executed epoch, payload joined back — the
+    // written layout must carry exactly this relation (round-trip check)
+    "corpus_shuffle_apply" ->
+      ApplyEpochs.map { ep =>
+        s"""SELECT $ep AS epoch, s.doc_id,
+           |   h % $NumShards AS shard,
+           |   row_number() OVER (PARTITION BY h % $NumShards ORDER BY h ASC, doc_id ASC) AS pos,
+           |   d.n_chars
+           | FROM (SELECT doc_id,
+           |   ('0x' || substring(md5('ep$ep:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+           | FROM documents) s JOIN documents d USING (doc_id)""".stripMargin
+      }.mkString("\n UNION ALL\n"),
 
     "corpus_token_budget" ->
       s"""WITH ${TextAnalysis.qualityScoreSqlWith},
@@ -1954,6 +2059,34 @@ object Corpus {
          | SELECT q.doc_id, q.ce,
          |   CAST(len(list_filter(th.ths, t -> q.ce >= t)) + 1 AS INTEGER) AS phase
          | FROM q, th""".stripMargin,
+
+    // the curriculum mirror, then the phase-ordered emission: per-phase
+    // rank + running token sum, global position via the ≤4-row phase
+    // offset ledger, sequence chunking at the SeqTokenBudget boundary
+    "corpus_curriculum_apply" ->
+      s"""WITH sc AS (${TextAnalysis.unigramSurprisalSql}),
+         | q AS (SELECT doc_id, round(cross_entropy, 6) AS ce FROM sc),
+         | th AS (SELECT quantile_cont(ce,
+         |   [${(1 until CurriculumPhases).map(_.toDouble / CurriculumPhases).mkString(", ")}])
+         |   AS ths FROM q),
+         | ph AS (SELECT q.doc_id, q.ce,
+         |   CAST(len(list_filter(th.ths, t -> q.ce >= t)) + 1 AS INTEGER) AS phase
+         | FROM q, th),
+         | tok AS (SELECT doc_id,
+         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         | o AS (SELECT ph.doc_id, ph.phase, ph.ce, tok.n_tok,
+         |     row_number() OVER (PARTITION BY phase ORDER BY ce ASC, doc_id ASC) AS pos,
+         |     COALESCE(SUM(n_tok) OVER (PARTITION BY phase ORDER BY ce ASC, doc_id ASC
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |   FROM ph JOIN tok USING (doc_id)),
+         | off AS (SELECT phase,
+         |     COALESCE(SUM(n) OVER (ORDER BY phase
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS phase_offset
+         |   FROM (SELECT phase, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY phase) c)
+         | SELECT o.doc_id, o.phase, o.pos,
+         |   CAST(o.pos + off.phase_offset AS BIGINT) AS global_pos,
+         |   CAST(o.cum_before // $SeqTokenBudget AS BIGINT) AS seq_id
+         | FROM o JOIN off USING (phase)""".stripMargin,
 
     // the weight pipeline verbatim (nested CTE), then the resampling
     // predicate in the same salted-hash convention as corpus_mix_apply

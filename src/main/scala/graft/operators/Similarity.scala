@@ -353,19 +353,15 @@ object Similarity {
     * materialized once per (session, dir) as a parquet artifact and
     * reopened as a columnar scan by [[embeddingDedup]] (τ =
     * [[CosDupThreshold]]) and [[rangeSimJoin]] (τ = [[RangeSimTau]]). */
-  private val pairMemo =
-    new graft.engine.Artifacts.Memo[(String, String), String]
-
   /** All banded-candidate pair cosines for a corpus dir — built at most
-    * once per session (doubles round-trip parquet exactly). */
+    * once per corpus generation, reopened across sessions (doubles
+    * round-trip parquet exactly). */
   def pairCosineArtifact(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = pairMemo.once((spark.sparkContext.applicationId, sfDir)) {
-      val dir = graft.engine.Artifacts.path(spark, "paircos", sfDir)
+    val path = graft.engine.Artifacts.durable(spark, "paircos", sfDir) { tmp =>
       val vs = Staging.stage(vectors(spark, sfDir)
         .withColumn("bands", signatureBands(col("v"), 64, DedupPlanes, DedupBands)))
       pairCosines(vs, lshCandidatePairs(vs))
-        .write.mode("overwrite").parquet(dir)
-      dir
+        .write.mode("overwrite").parquet(tmp)
     }
     spark.read.parquet(path)
   }
@@ -681,8 +677,8 @@ object Similarity {
   }
 
   /** Train-once / consume-many memo for the registered k-means consumers
-    * (the [[pairMemo]]/`lshClusterArtifact` convention): the first
-    * consumer in a session runs the Lloyd loop and persists the K-row
+    * (the [[pairCosineArtifact]]/`lshClusterArtifact` convention): the
+    * first consumer per corpus generation runs the Lloyd loop and persists the K-row
     * centroid table via [[saveCentroids]]; the training report, both IVF
     * searches, the purity and silhouette evals, and both IVF referees
     * reopen it as a parquet scan (doubles round-trip exactly, and
@@ -690,15 +686,10 @@ object Similarity {
     * fresh training; every consumer's oracle retrains in SQL and still
     * hash-matches). Six consumers now ride one training pass; at 100 TB
     * this is the difference between training once and once per query. */
-  private val centroidMemo =
-    new graft.engine.Artifacts.Memo[(String, String), String]
-
   def trainedCentroids(s: SparkSession, d: String): DataFrame = {
-    val path = centroidMemo.once((s.sparkContext.applicationId, d)) {
-      val dir = graft.engine.Artifacts.path(s, "centroids", d)
+    val path = graft.engine.Artifacts.durable(s, "centroids", d) { tmp =>
       saveCentroids(kmeansCentroids(
-        Staging.stage(vectors(s, d).select(col("vec_id"), col("v")))), dir)
-      dir
+        Staging.stage(vectors(s, d).select(col("vec_id"), col("v")))), tmp)
     }
     loadCentroids(s, path)
   }

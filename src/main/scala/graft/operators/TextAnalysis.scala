@@ -900,16 +900,26 @@ object TextAnalysis {
     * session asks. This is the offline-train / online-apply split
     * ([[saveMerges]]/[[bpeApply]]) applied to the registry itself. */
   private val mergeMemo = new graft.engine.Artifacts.Memo[
-    (String, String), Array[(Int, String, Long, String)]]
+    String, Array[(Int, String, Long, String)]]
 
   /** The trained merge table for a corpus directory — training runs at
-    * most once per session; later calls replay the memoized ≤6-row model
-    * (NOT a hot-path collect: the merge table is broadcast-sized by
-    * construction at any corpus scale). */
+    * most once per corpus GENERATION: the ≤[[BpeMergeRounds]]-row model
+    * is persisted as a durable parquet artifact (fingerprint-keyed, so a
+    * fresh session reopens the trained model instead of re-paying the
+    * 6-round corpus rewrite — the sf10 warm-pass record measured that
+    * tax at 13× on the compression-curve carrier), and held as plain
+    * driver rows per process (NOT a hot-path collect: the merge table is
+    * broadcast-sized by construction at any corpus scale). */
   def trainedMerges(s: SparkSession, d: String): DataFrame = {
-    val rows = mergeMemo.once((s.sparkContext.applicationId, d))(
-      bpeMerges(Tables.documents(s, d)).collect().map(r =>
-        (r.getInt(0), r.getString(1), r.getLong(2), r.getString(3))))
+    val dir = graft.engine.Artifacts.durable(s, "bpemerges", d) { tmp =>
+      bpeMerges(Tables.documents(s, d))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+    val rows = mergeMemo.once(dir)(
+      s.read.parquet(dir)
+        .select("merge_round", "pair", "freq", "new_token")
+        .sort("merge_round").collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getLong(2), r.getString(3))))
     import s.implicits._
     rows.toSeq.toDF("merge_round", "pair", "freq", "new_token")
   }
@@ -1418,29 +1428,24 @@ object TextAnalysis {
     * Keyed by (session, dir, split): `full` = the closed-corpus models,
     * `ref` = the resident split the [[Dedup.IncomingMod]] probes score
     * against. */
-  private val surprisalMemo = new graft.engine.Artifacts.Memo[
-    (String, String, Boolean), (String, String)]
-
-  /** The session's frozen [[BigramModel]] for a corpus directory — built
-    * at most once per (session, dir, split). Integer counts round-trip
-    * parquet exactly, so every consumer scores bit-identically to an
-    * inline [[buildBigramModel]]. */
+  /** The frozen [[BigramModel]] for a corpus directory — built at most
+    * once per (corpus generation, split), reopened across sessions.
+    * Integer counts round-trip parquet exactly, so every consumer scores
+    * bit-identically to an inline [[buildBigramModel]]. */
   def surprisalModelArtifact(s: SparkSession, d: String,
                              full: Boolean): BigramModel = {
-    val (uniP, biP) = surprisalMemo.once(
-      (s.sparkContext.applicationId, d, full)) {
-        val tag = if (full) "full" else "ref"
-        val base = graft.engine.Artifacts.path(s, s"surprisal-$tag", d)
-        val docs0 = Tables.documents(s, d)
-        val src = Tables.spread(
-          if (full) docs0
-          else docs0.where(col("doc_id") % Dedup.IncomingMod =!= 0))
-        unigramCounts(src).write.mode("overwrite").parquet(s"$base-uni")
-        bigramCounts(src).write.mode("overwrite").parquet(s"$base-bi")
-        (s"$base-uni", s"$base-bi")
-      }
-    val uni = s.read.parquet(uniP)
-    BigramModel(uni, s.read.parquet(biP), uni.agg(sum("uf").as("total")))
+    val tag = if (full) "full" else "ref"
+    val base = graft.engine.Artifacts.durable(s, s"surprisal-$tag", d) { tmp =>
+      val docs0 = Tables.documents(s, d)
+      val src = Tables.spread(
+        if (full) docs0
+        else docs0.where(col("doc_id") % Dedup.IncomingMod =!= 0))
+      unigramCounts(src).write.mode("overwrite").parquet(s"$tmp/uni")
+      bigramCounts(src).write.mode("overwrite").parquet(s"$tmp/bi")
+    }
+    val uni = s.read.parquet(s"$base/uni")
+    BigramModel(uni, s.read.parquet(s"$base/bi"),
+      uni.agg(sum("uf").as("total")))
   }
 
   /** [[UnigramModel]] face of the session artifact — the shape

@@ -16,6 +16,11 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
+      // hermetic durable-artifact root: artifacts persist across SESSIONS
+      // by design (engine.Artifacts.durable), but a test JVM must build
+      // from the code under test, not reopen a previous run's files
+      .config(graft.engine.Artifacts.DirKey,
+        graft.engine.Artifacts.ephemeralRoot())
       .config("spark.ui.enabled", value = false)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -20,26 +20,44 @@ import graft.sources.Tables
   * the same corpus. */
 class ArtifactDirSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
-  // Same parquet files, different dir STRING: fresh (appId, dir) memo
-  // keys and a fresh dir-hash in every artifact name.
+  // Same parquet files, different dir STRING: Artifacts.fingerprint hashes
+  // the RAW dir string (deliberately un-normalized), so the alias is a
+  // distinct durable key and every artifact builds a genuinely
+  // independent twin.
   private val alias = "/root/testdata/./sf0.001"
-  private val aliasTag = s"-${math.abs(alias.hashCode)}"
+  private lazy val aliasTag = Artifacts.fingerprint(spark, alias)
 
   private lazy val confRoot =
     Files.createTempDirectory("graft-adirspec-").toFile
 
   private def withConfRoot[T](f: => T): T = {
+    val prior = spark.conf.getOption(Artifacts.DirKey)
     spark.conf.set(Artifacts.DirKey, confRoot.getAbsolutePath)
-    try f finally spark.conf.unset(Artifacts.DirKey)
+    try f finally prior match {
+      // restore, don't unset: the test JVM pins a hermetic root
+      // (SparkSpec), and dropping it would leak later suites' artifact
+      // builds into the host-shared tmpdir
+      case Some(v) => spark.conf.set(Artifacts.DirKey, v)
+      case None    => spark.conf.unset(Artifacts.DirKey)
+    }
   }
 
   private def rootEntries: Seq[String] =
     Option(confRoot.list()).map(_.toSeq).getOrElse(Seq.empty)
 
-  test("root() resolves the conf key, falling back to java.io.tmpdir") {
+  /** Run `f` with [[Artifacts.DirKey]] UNSET, restoring the test JVM's
+    * hermetic root afterwards. */
+  private def withUnsetRoot[T](f: => T): T = {
+    val prior = spark.conf.getOption(Artifacts.DirKey)
     spark.conf.unset(Artifacts.DirKey)
-    Artifacts.root(spark) shouldBe
-      new java.io.File(sys.props("java.io.tmpdir")).getAbsolutePath
+    try f finally prior.foreach(spark.conf.set(Artifacts.DirKey, _))
+  }
+
+  test("root() resolves the conf key, falling back to java.io.tmpdir") {
+    withUnsetRoot {
+      Artifacts.root(spark) shouldBe
+        new java.io.File(sys.props("java.io.tmpdir")).getAbsolutePath
+    }
     withConfRoot {
       Artifacts.root(spark) shouldBe confRoot.getAbsolutePath
     }
@@ -49,14 +67,15 @@ class ArtifactDirSpec extends SparkSpec {
     "host-shared tmpdir (ADVICE r13: freshTableLocation deletes before " +
     "overwrite, so a tmpdir default would let two unrelated sessions on " +
     "one host clobber each other's live index files)") {
-    spark.conf.unset(Artifacts.DirKey)
-    val p = Artifacts.tablePath(spark, "adirspec_fallback")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    p shouldBe new org.apache.hadoop.fs.Path(
-      warehouse, "graft-table-adirspec_fallback").toString
-    val tmp = new java.io.File(sys.props("java.io.tmpdir")).getAbsolutePath
-    assert(!p.stripPrefix("file:").startsWith(tmp),
-      s"fallback table path $p landed under the shared tmpdir")
+    withUnsetRoot {
+      val p = Artifacts.tablePath(spark, "adirspec_fallback")
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      p shouldBe new org.apache.hadoop.fs.Path(
+        warehouse, "graft-table-adirspec_fallback").toString
+      val tmp = new java.io.File(sys.props("java.io.tmpdir")).getAbsolutePath
+      assert(!p.stripPrefix("file:").startsWith(tmp),
+        s"fallback table path $p landed under the shared tmpdir")
+    }
     withConfRoot {
       Artifacts.tablePath(spark, "adirspec_fallback") shouldBe
         new org.apache.hadoop.fs.Path(confRoot.getAbsolutePath,
@@ -104,6 +123,8 @@ class ArtifactDirSpec extends SparkSpec {
             s"(found: ${entries.sorted.mkString(", ")})")
       }
     // ...and nothing for the alias leaked into the tmpdir fallback
+    // (alias artifacts are recognizable by the alias's fingerprint in
+    // their durable name)
     val tmp = Option(new java.io.File(sys.props("java.io.tmpdir")).list())
       .map(_.toSeq).getOrElse(Seq.empty)
     tmp.filter(_.endsWith(aliasTag)) shouldBe empty

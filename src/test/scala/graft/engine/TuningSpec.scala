@@ -20,17 +20,27 @@ class TuningSpec extends SparkSpec {
     Tuning.initialPartitions(128) shouldBe 1024
   }
 
-  test("ensureWideStart sets the AQE initial width only when unset") {
+  test("ensureWideStart sets the AQE initial width only when unset, and " +
+    "defers to a deployment-pinned static width (ADVICE r16)") {
     val prior = spark.conf.getOption(Key)
     try {
       spark.conf.unset(Key)
-      Tuning.ensureWideStart(spark)
+      // deployment pinned spark.sql.shuffle.partitions → choosing a static
+      // width is choosing a layout; the wide start must not widen behind it
+      Tuning.ensureWideStart(spark, deploymentPinnedStatic = true)
+      spark.conf.getOption(Key) shouldBe None
+      Tuning.ensureWideStart(spark, deploymentPinnedStatic = false)
       spark.conf.get(Key) shouldBe
         Tuning.initialPartitions(spark.sparkContext.defaultParallelism).toString
       // an explicit deployment setting always wins
       spark.conf.set(Key, "7")
-      Tuning.ensureWideStart(spark)
+      Tuning.ensureWideStart(spark, deploymentPinnedStatic = false)
       spark.conf.get(Key) shouldBe "7"
+      // the public face reads the pin from the context SparkConf — this
+      // test session's builder set shuffle.partitions, so it must no-op
+      spark.conf.unset(Key)
+      Tuning.ensureWideStart(spark)
+      spark.conf.getOption(Key) shouldBe None
     } finally {
       prior match {
         case Some(v) => spark.conf.set(Key, v)

@@ -74,7 +74,16 @@ def main():
         if any(l.startswith("FAIL") for l in line.splitlines()):
             failures.append(line)
 
-    single_pass = len([l for l in lines if l.startswith("PASS")])
+    # A verdict can be multi-line (check_one prefixes WARN lines, e.g. a
+    # DECIMAL-type note, before the PASS line) — counting only
+    # line.startswith('PASS') would drop such a query from BOTH tallies
+    # and silently desync the headline count from the (empty) failures
+    # list (ADVICE r16). Mirror the FAIL check: a pass is any-line-PASS
+    # with no-line-FAIL.
+    single_pass = len([l for l in lines
+                       if any(s.startswith("PASS") for s in l.splitlines())
+                       and not any(s.startswith("FAIL")
+                                   for s in l.splitlines())])
     print(f"\n[isolated] single-statement: {single_pass}/"
           f"{len(oracle) - len(CHUNKED)} pass, routing "
           f"{len(CHUNKED)} known-heavy mirrors chunked: {','.join(CHUNKED)}",
