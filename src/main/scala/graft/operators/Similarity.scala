@@ -251,23 +251,21 @@ object Similarity {
     if ((z & 1L) == 0L) 1.0 else -1.0
   }
 
-  private def planeLit(j: Int, dim: Int): Column =
-    array((0 until dim).map(d => lit(planeSign(j, d))): _*)
-
   /** Signature bands: `bands` ints, each packing `planes/bands` sign bits
     * of hyperplane projections (plane j contributes bit j%bits of band
-    * j/bits). */
+    * j/bits). One native [[graft.functions.SignBands]] expression, NOT a
+    * when/sum tree of per-plane [[dot]]s: the composed tree generated
+    * ~13 KB of bytecode which `InferFiltersFromGenerate` + alias
+    * inlining then duplicated under the band explode, pushing the stage
+    * past HotSpot's 8000-bytecode JIT limit — the whole projection ran
+    * INTERPRETED, 52 s for 200k sf10 vectors where the JIT'd loop takes
+    * ~1 s (r17 profile; same fix class as the r1 DotProduct-vs-HOF
+    * decision, one level up). */
   private def signatureBands(v: Column, dim: Int,
                              planes: Int = SignatureBits,
-                             bands: Int = BandsPerSignature): Column = {
-    val bitsPerBand = planes / bands
-    array((0 until bands).map { b =>
-      (0 until bitsPerBand).map { i =>
-        val j = b * bitsPerBand + i
-        when(dot(v, planeLit(j, dim)) >= 0, lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }: _*)
-  }
+                             bands: Int = BandsPerSignature): Column =
+    graft.functions.SignBands.of(v,
+      Array.tabulate(planes, dim)((j, d) => planeSign(j, d)), planes / bands)
 
   /** ANN top-k via sign-LSH banding: a corpus vector is a candidate for a
     * query iff they agree on at least one 4-bit band of hyperplane signs.
@@ -309,6 +307,13 @@ object Similarity {
     * grain (vec_id, v, nrm) — the frame a deployment persists. */
   def annCorpus(spark: SparkSession, sfDir: String): DataFrame =
     vectors(spark, sfDir)
+
+  /** The ANN probe's banded corpus explode, exposed for diagnostics
+    * (band-bucket profiling) — identical expression to [[annProbe]]'s. */
+  private[operators] def annBandsDebug(corpus: DataFrame): DataFrame =
+    corpus.withColumn("bands", signatureBands(col("v"), 64))
+      .select(col("vec_id"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
 
   /** Embedding-cosine near-dup clustering — the vector-space member of the
     * dedup family (see [[Dedup]] for the text-space ones). Candidates via
