@@ -25,6 +25,22 @@ import graft.engine.Staging
   * full shuffle of the edge set, so round count IS the cost model — and the
   * edge set also shrinks monotonically toward one edge per non-root vertex.
   *
+  * Round-17 per-round cost work (guide §2.4/§1.2 — measured: the sf0.1
+  * simhash graph, 354 edges, spent 3.5 s here, ALL fixed per-round
+  * overhead; at that size the cost model is actions × stages, not bytes):
+  *   - the convergence check is ONE job: the new edge count and the
+  *     new-minus-old difference come from a single left-join aggregate
+  *     instead of a count plus a separate left-anti probe (both sides are
+  *     canonical distinct sets, so equal counts plus zero unmatched rows
+  *     IS set equality — exact, not probabilistic);
+  *   - NOT unrolled: materializing two star rounds per checkpoint looked
+  *     like it would halve the driver round-trips, but without a
+  *     materialization barrier every reference to the first application's
+  *     output duplicates its whole logical subtree into the second — the
+  *     composed plan's stage count grows multiplicatively and the measured
+  *     cycle cost was ~4× a single round (2.3–4.2 s vs 0.6–0.9 s). Kept
+  *     single-round materialization deliberately.
+  *
   * Skew note: a giant component funnels its edges to one root key during
   * the final rounds; large-star groups by each vertex (bounded degree after
   * the first contraction) and AQE skew-join splitting covers the join side.
@@ -49,11 +65,18 @@ object ConnectedComponents {
       .unionAll(e.select(col("v").as("id")))
       .distinct()
 
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    if (debug) println(s"[cc] initial edges=$eCnt")
     var iter = 0
     var changed = eCnt > 0
     while (changed && iter < maxIter) {
+      val tr0 = System.nanoTime()
       // -- large-star: per vertex x (over the directed adjacency), connect
-      // every LARGER neighbor to m = min(N(x) ∪ {x})
+      // every LARGER neighbor to m = min(N(x) ∪ {x}). (Joining `e`
+      // directly instead of dir.where(v > u) — the same row set — was
+      // tried and reverted: e's attribute ids then appear on BOTH join
+      // sides via `dir`, and Union constraint rewriting crashes on the
+      // ambiguous reference.)
       val dir = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val mn = dir.groupBy("u").agg(min("v").as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
@@ -65,20 +88,22 @@ object ConnectedComponents {
       // itself) to m = min of the smaller neighbors. Grouping canonical
       // edges by their larger endpoint covers every edge exactly once.
       // `ls` feeds two consumers inside ONE materialized plan — Spark's
-      // ReuseExchange dedupes its shuffle, so each round is a single
-      // checkpoint job plus a count (latency matters: rounds are few but
-      // driver-side).
+      // ReuseExchange dedupes its shuffle.
       val mn2 = ls.groupBy("v").agg(min("u").as("m")) // m < v
       val newE = Staging.stageIterative(mn2.select(col("m").as("u"), col("v"))
         .unionAll(ls.join(mn2, "v")
           .select(col("m").as("u"), ls("u").as("v"))
           .where(col("u") =!= col("v")))
         .distinct())
-      val newCnt = newE.count()
-      // fixpoint = the star forest (both stars leave it unchanged); the
-      // exact set-equality check only runs once counts stabilize
-      changed = newCnt != eCnt ||
-        newE.join(e, Seq("u", "v"), "left_anti").limit(1).count() > 0
+      // one-job convergence check: canonical distinct sets are equal iff
+      // the counts match and every new-side edge matches an old-side edge
+      val st = newE
+        .join(e.withColumn("_old", lit(1)), Seq("u", "v"), "left")
+        .agg(count(lit(1)).as("cnt"), count(col("_old")).as("matched"))
+        .head()
+      val newCnt = st.getLong(0)
+      changed = newCnt != eCnt || st.getLong(1) != newCnt
+      if (debug) println(f"[cc] round ${iter + 1} cnt=$newCnt matched=${st.getLong(1)} ${(System.nanoTime() - tr0) / 1e9}%.3f s")
       e = newE
       eCnt = newCnt
       iter += 1

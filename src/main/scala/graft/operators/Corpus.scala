@@ -603,10 +603,15 @@ object Corpus {
   def tokenBudget(documents: DataFrame, budget: Long = TokenBudget): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val b = lit(budget)
-    val scored = documents.select(col("doc_id"),
+    // staged: `scored` feeds the bucket ledger AND both keep/boundary
+    // branches — as one lazy frame each consumer re-runs the regex-heavy
+    // quality scoring over the whole corpus (3 full passes in the
+    // captured r17 plan). One scoring pass, three readers.
+    val scored = graft.engine.Staging.stage(
+      Tables.spread(documents).select(col("doc_id"),
         TextAnalysis.qualityScoreCol.as("quality"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("qb", floor(round(col("quality") * 1000, 6)).cast("int"))
+      .withColumn("qb", floor(round(col("quality") * 1000, 6)).cast("int")))
     val wAbove = Window.orderBy(col("qb").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val ledger = scored.groupBy("qb").agg(sum("n_tokens").as("bucket_tok"))
@@ -1054,7 +1059,13 @@ object Corpus {
     * alarm (ADVICE r10). The check is one action on the staged V-row
     * counts at train time — once per session, never per probe. */
   def klModelOf(documents: DataFrame): DataFrame = {
-    val model = klModelFromCounts(graft.engine.Staging.stage(klCounts(documents)))
+    // model staged, not just its counts: every per-batch scoring plan
+    // references the model several times, and a frozen-model face scores
+    // MANY batches — without staging, each reference of each batch
+    // rebuilds the vocab/stats/s_q chain (same finding as
+    // [[klDivergence]]'s 46-scan plan)
+    val model = graft.engine.Staging.stage(
+      klModelFromCounts(graft.engine.Staging.stage(klCounts(documents))))
     require(!model.isEmpty,
       "klModelOf: the reference corpus snapshot has no tokens — a frozen " +
         "empty model would silently zero-row every probe; point the " +
@@ -1064,7 +1075,14 @@ object Corpus {
 
   def klDivergence(documents: DataFrame): DataFrame = {
     val sw = graft.engine.Staging.stage(klCounts(documents))
-    klScoreFromCounts(klModelFromCounts(sw), sw)
+    // the model is referenced from several places in the scoring plan
+    // (constants, the ln_q attach, the per-source totals chain), and each
+    // DataFrame reference duplicates the whole vocab/stats/s_q build
+    // subtree — the captured r17 plan re-scanned the staged counts 46
+    // times through those copies. Staging the ≤V-row model collapses the
+    // build to one pass (guide §2.4: shared subtrees should share one
+    // materialization).
+    klScoreFromCounts(graft.engine.Staging.stage(klModelFromCounts(sw)), sw)
   }
 
   /** Distribution-drift probe — the train-offline / score-online split
@@ -1093,8 +1111,11 @@ object Corpus {
     // s_q chain; the scorer's totals and term sums) — staged like
     // klDivergence's, so each slice tokenizes exactly once
     klScoreFromCounts(
-      klModelFromCounts(
-        graft.engine.Staging.stage(klCounts(documents.where(!isIncoming)))),
+      // staged for the same reason as [[klDivergence]]'s model: the score
+      // plan references the model repeatedly and would rebuild it per
+      // reference
+      graft.engine.Staging.stage(klModelFromCounts(
+        graft.engine.Staging.stage(klCounts(documents.where(!isIncoming))))),
       graft.engine.Staging.stage(klCounts(documents.where(isIncoming))))
   }
 
@@ -1276,9 +1297,14 @@ object Corpus {
       size(split(col("text"), " ")).cast("long").as("n_tok"))
     val w = Window.partitionBy("phase").orderBy(col("ce").asc, col("doc_id").asc)
     val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
-    val ordered = cur.join(toks, "doc_id")
+    // staged: `ordered` feeds both the offset ledger and the final select;
+    // as one lazy frame each consumer re-runs the curriculum subtree
+    // (surprisal scan + percentile + join + two windows) — the captured
+    // r17 plan scanned the surprisal artifact 14 times through those
+    // copies
+    val ordered = graft.engine.Staging.stage(cur.join(toks, "doc_id")
       .withColumn("pos", row_number().over(w).cast("long"))
-      .withColumn("cum_before", coalesce(sum("n_tok").over(wPrev), lit(0L)))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(wPrev), lit(0L))))
     val offsets = ordered.groupBy("phase").agg(count(lit(1)).as("n"))
       .withColumn("offset", coalesce(sum("n").over(
         Window.orderBy("phase").rowsBetween(Window.unboundedPreceding, -1)),

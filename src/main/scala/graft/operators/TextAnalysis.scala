@@ -1376,17 +1376,34 @@ object TextAnalysis {
           get(t, i).as("term")))).as("p"))
       .select(col("doc_id"), col("p.hist").as("hist"), col("p.term").as("term"))
     val hu = model.unigrams.select(col("term").as("hist"), col("uf").as("hf"))
-    tk.join(model.unigrams, Seq("term"), "left")
-      .join(hu, Seq("hist"), "left")
+    // Attach order (guide §2.3 — shuffle fewer bytes): the old shape ran
+    // THREE token-grain shuffle joins (term, hist, (hist,term)); but
+    // uf(term) is only ever READ on the unigram-backoff branch — position
+    // 0 and unseen-history tokens. So join hist first, split on that
+    // branch predicate, and send ONLY the backoff rows (one per document
+    // plus OOV histories; on the closed corpus exactly one per document)
+    // through the term join. Two token-grain shuffles and one doc-grain
+    // one, same per-row formula on each branch, same rows out.
+    val withH = tk.join(hu, Seq("hist"), "left")
+    val backoff = withH.where(col("hist").isNull || col("hf").isNull)
+      .join(model.unigrams, Seq("term"), "left")
+      .select(col("doc_id"),
+        (lit(null).cast("double")).as("lhf"),
+        coalesce(col("uf"), lit(0L)).as("cnt"))
+    val cond = withH.where(col("hist").isNotNull && col("hf").isNotNull)
       .join(model.bigrams, Seq("hist", "term"), "left")
+      .select(col("doc_id"),
+        col("hf").cast("double").as("lhf"),
+        coalesce(col("bf"), lit(0L)).as("cnt"))
+    backoff.unionAll(cond)
       .crossJoin(broadcast(model.total))
       .select(col("doc_id"),
-        when(col("hist").isNull || col("hf").isNull,
+        when(col("lhf").isNull,
           log(col("total").cast("double") + 0.5)
-            - log(coalesce(col("uf"), lit(0L)).cast("double") + 0.5))
+            - log(col("cnt").cast("double") + 0.5))
         .otherwise(
-          log(col("hf").cast("double") + 0.5)
-            - log(coalesce(col("bf"), lit(0L)).cast("double") + 0.5))
+          log(col("lhf") + 0.5)
+            - log(col("cnt").cast("double") + 0.5))
         .as("nll"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), avg("nll").as("cross_entropy"))
@@ -1548,29 +1565,32 @@ object TextAnalysis {
     // sorted fold is a fixed-shape expression over exact ints — the same
     // sequence of IEEE adds on both engines under ANY plan (DuckDB
     // list_sum folds its list in order; ≤|charset| elements per doc).
-    val clnc = (acc: Column, x: Column) => acc +
-      x.getField("c").cast("double") * log(x.getField("c").cast("double"))
-    val scored = Tables.spread(documents)
+    //
+    // Round-17 shape (guide §2.4/§4): the histogram is a pure per-row
+    // function of `text`, so it is computed by the native [[CharCounts]]
+    // expression — count sequence identical to the old explode →
+    // groupBy(doc, ch) → sorted-collect pipeline (code point order ==
+    // UTF-8 string order), fold unchanged, so every double is the same
+    // sequence of IEEE adds. The old plan paid one exploded row per
+    // CHARACTER through the regex engine, two exchanges, and a left join
+    // to restore empty documents; this one is map-only — zero exchanges
+    // at any corpus size, and empty documents fall out of the same
+    // expression (empty list → the degenerate row) instead of a join.
+    val clnc = (acc: Column, x: Column) =>
+      acc + x.cast("double") * log(x.cast("double"))
+    documents
       .select(col("doc_id"),
-        explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
-      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(
-        sum("c").as("n_chars"),
-        count(lit(1)).as("n_distinct_chars"),
-        sort_array(collect_list(struct(col("ch"), col("c")))).as("cl"))
+        coalesce(graft.functions.CharCounts.of(col("text")),
+          typedLit(Array.empty[Long])).as("cl"))
+      .select(col("doc_id"),
+        aggregate(col("cl"), lit(0L), (acc, x) => acc + x).as("n_chars"),
+        size(col("cl")).cast("long").as("n_distinct_chars"),
+        col("cl"))
       .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
-        (log(col("n_chars").cast("double"))
-          - aggregate(col("cl"), lit(0.0), clnc)
-            / col("n_chars").cast("double")).as("char_entropy"))
-    // per-doc contract (ADVICE r11): the explode emits zero rows for a
-    // document whose text yields an empty character stream, which would
-    // silently drop the doc from the report — unlike every sibling
-    // per-doc op. Left-join back and emit the degenerate row instead.
-    documents.select("doc_id").join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
-        coalesce(col("n_distinct_chars"), lit(0L)).as("n_distinct_chars"),
-        coalesce(col("char_entropy"), lit(0.0)).as("char_entropy"))
+        when(col("n_chars") === 0L, lit(0.0))
+          .otherwise(log(col("n_chars").cast("double"))
+            - aggregate(col("cl"), lit(0.0), clnc)
+              / col("n_chars").cast("double")).as("char_entropy"))
   }
 
   /** Minimum corpus instances for a burstiness candidate. */
@@ -1671,7 +1691,11 @@ object TextAnalysis {
     * anywhere — cost is O(tokens), the same envelope as a shingle
     * scan. */
   def novelty(documents: DataFrame): DataFrame = {
-    val cells = gramCells(documents)
+    // staged: the gram cells feed BOTH the shared-gram rollup and the
+    // per-document join below; as one lazy frame each consumer re-runs
+    // the explode + (doc, gram) aggregation (the captured r17 plan
+    // tokenized the corpus twice). One materialization, two readers.
+    val cells = graft.engine.Staging.stage(gramCells(documents))
     val shared = cells.groupBy("gram").agg(count(lit(1)).as("n_docs_g"))
       .where(col("n_docs_g") > 1)
       .select(col("gram"), lit(true).as("is_shared"))

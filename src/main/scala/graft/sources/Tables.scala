@@ -191,7 +191,13 @@ object Tables {
   /** Trip fact view: one row = one passenger boarding
     * (`streamFunctions/AveragePassengersPerTransportType.java:36-39`). */
   def trips(spark: SparkSession, sfDir: String): DataFrame =
-    lineitem(spark, sfDir).select(
+    // spread BEFORE the projection: the sf0.1 lineitem parquet is one row
+    // group, so every trips consumer (the per-type/per-route aggregates,
+    // the latest-per-key upsert) otherwise runs its string concats AND its
+    // partial aggregation in a single task (measured: latest_per_key spent
+    // 1.5 s in a 1-task SortAggregate). At real scale the scan is already
+    // wider than the cluster and this is a no-op (Tables.spread's guard).
+    spread(lineitem(spark, sfDir)).select(
       concat(col("l_orderkey").cast("string"), lit("_"),
              col("l_linenumber").cast("string")).as("trip_id"),
       col("l_partkey").cast("string").as("route_id"),

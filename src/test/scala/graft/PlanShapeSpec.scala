@@ -380,16 +380,18 @@ class PlanShapeSpec extends SparkSpec {
     p should include("partial_count")
   }
 
-  test("text_char_entropy: two map-side-combined aggregates, one id-grain contract join, no window") {
+  test("text_char_entropy: map-only — native histogram, zero exchanges, no join") {
+    // r17: the per-doc histogram is the native CharCounts expression, so
+    // the whole query is scan → project: no exchange, no aggregate, no
+    // join at ANY corpus size. The ADVICE-r11 per-doc contract holds
+    // structurally (every scanned row emits exactly one output row —
+    // empty text → the degenerate row from an empty count list).
     val p = planOf("text_char_entropy")
-    // ADVICE r11: every doc reports (empty text → degenerate row), so the
-    // scored frame joins back to the doc-id set — a 2-column broadcast,
-    // not a corpus shuffle; the scoring itself stays two 2-phase aggs
-    p should include("BroadcastHashJoin")
-    p should not include "SortMergeJoin"
+    p should include("graft_char_counts")
+    p should not include "Exchange"
+    p should not include "Join"
     p should not include "Window"
-    p should include("partial_count")   // the (doc, char) cell count combines
-    countOf(p, "HashAggregate") shouldBe 4 // two 2-phase aggs, nothing more
+    p should not include "HashAggregate"
   }
 
   test("text_bigram_surprisal: map-only history pairing, no window, 1-row total broadcast") {
@@ -1077,19 +1079,36 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Window"
   }
 
-  test("corpus_kl_divergence: vocab is TakeOrdered and broadcasts; the corpus count shuffles once, never the terms") {
+  test("corpus_kl_divergence: staged model broadcasts; the corpus count shuffles once, never the terms") {
+    // r17: the ≤V-row model is STAGED (its build — TakeOrdered vocab, see
+    // the dedicated model-build test below — runs once instead of being
+    // re-expanded at every model reference; the old lazy-model plan
+    // re-scanned the staged counts 46 times), so the scoring plan reads
+    // it as an RDD scan and attaches it by broadcast.
     val p = planOf("corpus_kl_divergence")
-    p should include("TakeOrderedAndProject")   // top-V vocab, no global sort
-    p should include("BroadcastHashJoin")       // vocab + per-source totals attach
+    p should include("BroadcastHashJoin")       // model + per-source totals attach
+    p should include("Scan ExistingRDD")        // staged counts + staged model
     p should not include "SortMergeJoin"
     p should not include "CartesianProduct"
     p should not include "Exchange rangepartitioning"
   }
 
-  test("corpus_kl_probe: frozen model broadcasts; the incoming slice never shuffles past its own count") {
+  test("corpus_kl model build: vocab is TakeOrdered, no global sort") {
+    // the property the staged-model queries can no longer show in their
+    // own plans: the model BUILD bounds the vocab with TakeOrdered
+    import org.apache.spark.sql.functions.{col, count, explode, lit, lower, split}
+    val counts = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt_sw"))
+    val p = finalPlan(graft.operators.Corpus.klModelFromCounts(counts))
+    p should include("TakeOrderedAndProject")
+    p should not include "Exchange rangepartitioning"
+  }
+
+  test("corpus_kl_probe: staged frozen model broadcasts; the incoming slice never shuffles past its own count") {
     val p = planOf("corpus_kl_probe")
-    p should include("TakeOrderedAndProject")   // model vocab, no global sort
     p should include("BroadcastHashJoin")
+    p should include("Scan ExistingRDD")
     p should not include "SortMergeJoin"
     p should not include "CartesianProduct"
     p should not include "Exchange rangepartitioning"
