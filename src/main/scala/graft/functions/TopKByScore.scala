@@ -54,14 +54,22 @@ object TopKByScore {
 
   /** `scored(query_id, neighbor_id, cosine_sim)` → one row per (query,
     * rank ≤ k): (query_id, neighbor_id, rank, cosine_sim), best first. */
-  def perGroup(scored: DataFrame, k: Int, groupCol: String = "query_id"): DataFrame = {
+  def perGroup(scored: DataFrame, k: Int, groupCol: String = "query_id"): DataFrame =
+    perGroups(scored, k, Seq(groupCol))
+
+  /** [[perGroup]] over a composite group key — the fused-sweep form: one
+    * aggregation pass funds every (sweep point, query) cell instead of
+    * one sub-plan per sweep point. The top-k set per group is identical
+    * to a per-point filter + single-key aggregation (the comparator is a
+    * total order, so the selected set is arrival-order independent). */
+  def perGroups(scored: DataFrame, k: Int, groupCols: Seq[String]): DataFrame = {
     val topk: Column = udaf(new TopKByScore(k))
       .apply(col("neighbor_id"), col("cosine_sim")).as("topk")
-    scored.groupBy(groupCol)
+    scored.groupBy(groupCols.map(col): _*)
       .agg(topk)
-      .select(col(groupCol), posexplode(col("topk")))
-      .select(col(groupCol), col("col.neighbor_id").as("neighbor_id"),
+      .select(groupCols.map(col) :+ posexplode(col("topk")): _*)
+      .select(groupCols.map(col) ++ Seq(col("col.neighbor_id").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rank"),
-        col("col.cosine_sim").as("cosine_sim"))
+        col("col.cosine_sim").as("cosine_sim")): _*)
   }
 }

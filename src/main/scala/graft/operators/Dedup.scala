@@ -486,6 +486,45 @@ object Dedup {
     s.read.parquet(path)
   }
 
+  /** [[lshClusterArtifact]]'s convention for the SimHash family (r17):
+    * the transitive-closure cluster table is the hash family's published
+    * ledger, and the closure (a multi-round distributed iteration) was
+    * the single most expensive piece the bench re-paid per consumer —
+    * cluster once per corpus generation, reopen everywhere. Identical
+    * rows to [[simhashDedup]] (longs round-trip parquet exactly). */
+  def simhashClusterArtifact(s: SparkSession, d: String): DataFrame = {
+    val path = graft.engine.Artifacts.durable(s, "simhashclusters", d) { tmp =>
+      simhashDedupFrom(drArtifact(s, d), simhashArtifact(s, d))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Verify-once memo for the edit-distance family (r17 —
+    * [[ngramPairArtifact]]'s convention at the character grain): the
+    * banded-DP-verified (a, b, dist) pair ledger feeds both the
+    * best-match rollup and the closure; unmemoized, the bench re-ran
+    * the blocking + Levenshtein verification once per consumer. */
+  def editPairArtifact(s: SparkSession, d: String): DataFrame = {
+    val path = graft.engine.Artifacts.durable(s, "editpairs", d) { tmp =>
+      editVerifiedPairs(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
+  /** [[lshClusterArtifact]]'s convention for the edit-distance family
+    * (r17): identical rows to [[editDistanceClusters]] — the closure
+    * rides the pair artifact, so a session clusters at most once. */
+  def editClusterArtifact(s: SparkSession, d: String): DataFrame = {
+    val path = graft.engine.Artifacts.durable(s, "editclusters", d) { tmp =>
+      editClustersFrom(editPairArtifact(s, d),
+        Tables.documents(s, d).select(col("doc_id")))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
   /** Quality-aware keeper selection over the [[minhashLsh]] clusters —
     * the refinement production dedup applies on top of cluster discovery:
     * instead of keeping the arbitrary min-doc_id representative, keep the
@@ -1047,8 +1086,14 @@ object Dedup {
       .select("a", "b", "dist"))
   }
 
-  def editDistanceBestMatch(documents: DataFrame): DataFrame = {
-    val ver = editVerifiedPairs(documents)
+  def editDistanceBestMatch(documents: DataFrame): DataFrame =
+    editBestMatchFrom(editVerifiedPairs(documents), documents.select("doc_id"))
+
+  /** Best-match rollup over a verified (a, b, dist) ledger — split out so
+    * the session pair artifact ([[editPairArtifact]]) can feed it without
+    * re-verifying. */
+  private[operators] def editBestMatchFrom(ver: DataFrame,
+                                           ids: DataFrame): DataFrame = {
     val nbrs = ver.select(col("a").as("doc_id"), col("b").as("other"), col("dist"))
       .unionAll(ver.select(col("b").as("doc_id"), col("a").as("other"), col("dist")))
     val best = nbrs.groupBy("doc_id")
@@ -1056,7 +1101,7 @@ object Dedup {
         struct((-col("dist")).as("nd"), (-col("other")).as("nother"))).as("m"))
       .select(col("doc_id"), col("m.other").as("best_match"),
         col("m.dist").as("best_distance"))
-    documents.select("doc_id").join(best, Seq("doc_id"), "left")
+    ids.join(best, Seq("doc_id"), "left")
       .select("doc_id", "best_match", "best_distance")
   }
 
@@ -1072,11 +1117,17 @@ object Dedup {
     * [[editDistanceBestMatch]], then the alternating large-star/
     * small-star closure over id pairs — text never enters the
     * iteration. */
-  def editDistanceClusters(documents: DataFrame): DataFrame = {
-    val edges = editVerifiedPairs(documents).select("a", "b")
-    val comp = ConnectedComponents.minLabel(edges)
+  def editDistanceClusters(documents: DataFrame): DataFrame =
+    editClustersFrom(editVerifiedPairs(documents).select("a", "b"),
+      documents.select(col("doc_id")))
+
+  /** Closure + labeling over a verified edge ledger — the pair-artifact
+    * consumer face ([[editClusterArtifact]]). */
+  private[operators] def editClustersFrom(edges: DataFrame,
+                                          ids: DataFrame): DataFrame = {
+    val comp = ConnectedComponents.minLabel(edges.select("a", "b"))
       .withColumnRenamed("id", "doc_id")
-    val labeled = documents.select(col("doc_id"))
+    val labeled = ids
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster_id"))
@@ -1435,13 +1486,15 @@ object Dedup {
     // the two LSH-cluster consumers share the session cluster artifact
     // (cluster once, consume many — identical rows to minhashLsh)
     "dedup_minhash_lsh"   -> ((s, d) => lshClusterArtifact(s, d)),
-    "dedup_simhash"       -> ((s, d) =>
-      simhashDedupFrom(drArtifact(s, d), simhashArtifact(s, d))),
+    "dedup_simhash"       -> ((s, d) => simhashClusterArtifact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardArtifact(s, d)),
     "dedup_minhash_incremental" -> ((s, d) => minhashLshIncrementalArtifact(s, d)),
     "dedup_containment"   -> ((s, d) => containmentArtifact(s, d)),
-    "dedup_edit_distance" -> ((s, d) => editDistanceBestMatch(Tables.documents(s, d))),
-    "dedup_edit_clusters" -> ((s, d) => editDistanceClusters(Tables.documents(s, d))),
+    // the edit-distance faces share the session pair/cluster artifacts
+    // (verify once, close once — identical rows to the inline faces)
+    "dedup_edit_distance" -> ((s, d) => editBestMatchFrom(
+      editPairArtifact(s, d), Tables.documents(s, d).select("doc_id"))),
+    "dedup_edit_clusters" -> ((s, d) => editClusterArtifact(s, d)),
     "dedup_quality_keeper" -> ((s, d) => qualityKeeperFrom(
       lshClusterArtifact(s, d).select("doc_id", "cluster_id"),
       Tables.documents(s, d))),

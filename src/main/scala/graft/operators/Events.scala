@@ -99,13 +99,17 @@ object Events {
   def markovTransitions(events: DataFrame): DataFrame = {
     val prev = lag(col("ts"), 1).over(byUserTime)
     val isStart = prev.isNull || col("ts") > prev + lit(SessionGapMicros)
-    val pairs = events
+    // staged (r17): `pairs` feeds the per-from totals AND the probability
+    // join; as one lazy frame each reference re-runs the session windows
+    // over the raw stream (the captured markov plans carried the window
+    // pipeline twice per consumer)
+    val pairs = graft.engine.Staging.stage(events
       .withColumn("session_seq", sum(when(isStart, 1L).otherwise(0L)).over(byUserTime))
       .withColumn("next_type", lead(col("event_type"), 1).over(byUserTime))
       .withColumn("next_seq", lead(col("session_seq"), 1).over(byUserTime))
       .where(col("next_type").isNotNull && col("next_seq") === col("session_seq"))
       .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
-      .agg(count(lit(1)).as("n_transitions"))
+      .agg(count(lit(1)).as("n_transitions")))
     val totals = pairs.groupBy("from_type").agg(sum("n_transitions").as("n_from"))
     pairs.join(broadcast(totals), "from_type")
       .select(col("from_type"), col("to_type"), col("n_transitions"),
@@ -318,10 +322,14 @@ object Events {
     * shuffled twice. Day boundaries are exact integer division of
     * epoch-µs on both engines. */
   def retention(events: DataFrame): DataFrame = {
-    val days = events
+    // staged (r17): `days` feeds the cohort derivation AND the activity
+    // join; `cohort` feeds the sizes AND the same join — unstaged, the
+    // raw-stream distinct ran twice and the cohort rollup twice
+    val days = graft.engine.Staging.stage(events
       .select(col("user_id"), expr(s"ts div $UsPerDay").as("day"))
-      .distinct()
-    val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+      .distinct())
+    val cohort = graft.engine.Staging.stage(
+      days.groupBy("user_id").agg(min("day").as("cohort_day")))
     val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
     days.join(cohort, "user_id")
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
@@ -605,11 +613,16 @@ object Events {
   }
 
   def churnSegments(events: DataFrame): DataFrame =
-    segmentsOfLedger(events.groupBy("user_id").agg(
+    // staged (r17): segmentsOfLedger reads its ledger twice (anchor +
+    // segment rollup); the batch face materializes the per-user collapse
+    // once instead of re-aggregating the raw stream per reference. (The
+    // streaming face passes an already-materialized state ledger, which
+    // is why the staging sits HERE and not in segmentsOfLedger.)
+    segmentsOfLedger(graft.engine.Staging.stage(events.groupBy("user_id").agg(
       max("ts").as("last_ts"),
       count(lit(1)).as("n_events"),
       sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
-        .as("purchase_value")))
+        .as("purchase_value"))))
 
   /** Churn recovery probe: the synthetic stream's users are all active at
     * every sf (uniform event times → every last-seen lands within days of
@@ -659,8 +672,10 @@ object Events {
     * tiny-ledger exception to the no-global-window rule), two ordered
     * windows over that ledger, nothing else. Raw events never join. */
   def kaplanMeier(events: DataFrame): DataFrame = {
-    val perUser = events.groupBy("user_id")
-      .agg(min("ts").as("first_ts"), max("ts").as("last_ts"))
+    // staged (r17): perUser feeds the anchor AND the lifetime projection;
+    // unstaged, the raw-stream groupBy(user) ran once per reference
+    val perUser = graft.engine.Staging.stage(events.groupBy("user_id")
+      .agg(min("ts").as("first_ts"), max("ts").as("last_ts")))
     val anchor = perUser.agg(max("last_ts").as("corpus_last"))
     val lt = perUser.crossJoin(broadcast(anchor))
       .select(
@@ -674,9 +689,11 @@ object Events {
         when(col("recency_days") > ChurnAtRiskDays, col("observed_days"))
           .otherwise(col("window_days")).as("t"),
         (col("recency_days") > ChurnAtRiskDays).as("death"))
-    val ledger = lt.groupBy("t").agg(
+    // staged (r17): the ledger feeds the 1-row user total AND the
+    // survival windows
+    val ledger = graft.engine.Staging.stage(lt.groupBy("t").agg(
       sum(when(col("death"), 1L).otherwise(0L)).as("n_deaths"),
-      count(lit(1)).as("n_total"))
+      count(lit(1)).as("n_total")))
     val nUsers = ledger.agg(sum("n_total").as("n_users"))
     val before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     val upTo = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
@@ -1285,9 +1302,10 @@ object Events {
     * 100 TB shape: one map-side-combined (type, minute) count, a
     * per-type rollup, a 1-row span broadcast. */
   def dispersion(events: DataFrame): DataFrame = {
-    val mins = Tables.spread(events)
+    // staged (r17): the minute counts feed the span AND the rollup
+    val mins = graft.engine.Staging.stage(Tables.spread(events)
       .select(col("event_type"), expr(s"ts div $UsPerMinute").as("m"))
-      .groupBy("event_type", "m").agg(count(lit(1)).as("n"))
+      .groupBy("event_type", "m").agg(count(lit(1)).as("n")))
     val span = mins.agg(min("m").as("m0"), max("m").as("m1"))
     val nMin = col("m1") - col("m0") + 1
     mins.groupBy("event_type")
@@ -1319,9 +1337,11 @@ object Events {
     * so alarms compare bit-identical operands. */
   /** The zero-filled (event_type, day, n) daily grid [[cusum]] scores. */
   private def cusumFilled(events: DataFrame): DataFrame = {
-    val daily = Tables.spread(events)
+    // staged (r17): `daily` feeds the span, the type list and the grid
+    // join — one raw-stream aggregation instead of three
+    val daily = graft.engine.Staging.stage(Tables.spread(events)
       .select(col("event_type"), expr(s"ts div $UsPerDay").as("day"))
-      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n")))
     val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
     daily.select("event_type").distinct()
       .crossJoin(broadcast(span))
@@ -1346,7 +1366,9 @@ object Events {
     cusumStatsOf(cusumFilled(events))
 
   def cusum(events: DataFrame): DataFrame = {
-    val filled = cusumFilled(events)
+    // staged (r17): the filled grid feeds the moment rollup AND the
+    // scored windows
+    val filled = graft.engine.Staging.stage(cusumFilled(events))
     val stats = cusumStatsOf(filled)
     val wrun = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -110,6 +110,36 @@ object Similarity {
   private def topKPerQuery(scored: DataFrame): DataFrame =
     graft.functions.TopKByScore.perGroup(scored, TopK)
 
+  /** Ground-truth referee artifact — the exact top-[[TopK]] neighbor list
+    * of the standard query block, as (query_id, neighbor_id) id pairs
+    * (longs: round-trips parquet exactly). SEVEN registered recall/curve
+    * referees each recomputed this same exact ranking per run; it is a
+    * classic train-once table (the published "ground truth" file an ANN
+    * benchmark ships), so it follows the [[pairCosineArtifact]] durable
+    * convention: built at most once per corpus generation, reopened as a
+    * columnar scan by every referee. `kind` picks the metric the exact
+    * ranking uses — "cos" (cosine, [[cosineTopK]]'s ranking) or "l2"
+    * (negative squared L2, [[recallVsExact]]'s ranking). */
+  def exactRefereeArtifact(spark: SparkSession, sfDir: String,
+                           kind: String): DataFrame = {
+    require(kind == "cos" || kind == "l2", s"unknown referee kind '$kind'")
+    val path = graft.engine.Artifacts.durable(spark, s"simref-$kind", sfDir) { tmp =>
+      val vs = vectors(spark, sfDir)
+      val queries = vs.where(col("vec_id") < NumQueryVectors)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val score =
+        if (kind == "cos") dot(col("v"), col("qv")) / (col("nrm") * col("qn"))
+        else -dist2(col("v"), col("qv"))
+      topKPerQuery(vs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            score.as("cosine_sim")))
+        .select("query_id", "neighbor_id")
+        .write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.parquet(path)
+  }
+
   /** Hard-negative mining — the contrastive-training data op: for each
     * query vector, the [[TopK]] MOST similar corpus vectors carrying a
     * DIFFERENT label. These near-but-wrong neighbors are exactly the
@@ -372,17 +402,25 @@ object Similarity {
   }
 
   def embeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = pairCosineArtifact(spark, sfDir)
-      .where(col("cosine_sim") >= CosDupThreshold)
-      .select("a", "b")
-    val ids = Tables.embeddings(spark, sfDir).select(col("vec_id"))
-    val comp = ConnectedComponents.minLabel(edges).withColumnRenamed("id", "vec_id")
-    val labeled = ids.join(comp, Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        coalesce(col("component"), col("vec_id")).as("cluster_id"))
-    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
-    labeled.join(sizes, "cluster_id")
-      .select(col("vec_id"), col("cluster_id"), (col("sz") - 1).as("n_dups"))
+    // cluster once per corpus generation ([[graft.operators.Dedup
+    // .lshClusterArtifact]]'s convention, r17): the transitive closure is
+    // a multi-round distributed iteration, the most expensive piece every
+    // consumer of this table re-paid
+    val path = graft.engine.Artifacts.durable(spark, "embedclusters", sfDir) { tmp =>
+      val edges = pairCosineArtifact(spark, sfDir)
+        .where(col("cosine_sim") >= CosDupThreshold)
+        .select("a", "b")
+      val ids = Tables.embeddings(spark, sfDir).select(col("vec_id"))
+      val comp = ConnectedComponents.minLabel(edges).withColumnRenamed("id", "vec_id")
+      val labeled = ids.join(comp, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("cluster_id"))
+      val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      labeled.join(sizes, "cluster_id")
+        .select(col("vec_id"), col("cluster_id"), (col("sz") - 1).as("n_dups"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.parquet(path)
   }
 
   /** Similarity threshold for [[rangeSimJoin]] — deliberately looser than
@@ -467,7 +505,7 @@ object Similarity {
     * number instead of a docstring claim). One row per query:
     * (query_id, recall_at_k). */
   def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val exact = cosineTopK(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+    val exact = exactRefereeArtifact(spark, sfDir, "cos")
     val ann = annLshTopK(spark, sfDir).select(col("query_id"), col("neighbor_id"))
     val hits = exact.join(ann, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
@@ -504,11 +542,9 @@ object Similarity {
     * than scored — a NaN cosine orders differently across engines. */
   def matryoshkaRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val vs = Staging.stage(vectors(spark, sfDir))
-    val exactTk = Staging.stage(
-      exactCosineProbe(vs, vs.where(col("vec_id") < NumQueryVectors)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn")))
-        .select(col("query_id"), col("neighbor_id")))
+    // exact full-width leg = the shared referee artifact (identical rows
+    // to the inline exactCosineProbe it replaces — id pairs round-trip)
+    val exactTk = exactRefereeArtifact(spark, sfDir, "cos")
     MatryoshkaDims.map { d =>
       exactTk.join(prefixTk(vs, d), Seq("query_id", "neighbor_id"))
         .agg(coalesce(count(lit(1)), lit(0L)).as("n_hits"))
@@ -811,21 +847,37 @@ object Similarity {
       .join(broadcast(queries), "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("prank"),
         (-dist2(col("v"), col("qv"))).as("cosine_sim")))
-    val exactTk = Staging.stage(topKPerQuery(vs.join(broadcast(queries))
-        .where(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (-dist2(col("v"), col("qv"))).as("cosine_sim")))
-      .select(col("query_id"), col("neighbor_id")))
-    NprobeSweep.map { p =>
-      topKPerQuery(scored.where(col("prank") <= p)
-          .select("query_id", "neighbor_id", "cosine_sim"))
-        .select(col("query_id"), col("neighbor_id"))
-        .join(exactTk, Seq("query_id", "neighbor_id"))
-        .agg(count(lit(1)).as("hits"))
-        .select(lit(p).as("nprobe"),
-          round(col("hits").cast("double") / (NumQueryVectors * TopK), 6)
-            .as("mean_recall"))
-    }.reduce(_ unionAll _)
+    // exact L2 leg = the shared referee artifact; the sweep itself is ONE
+    // fused (nprobe, query) top-k aggregation over the staged scored
+    // relation instead of one sub-plan per sweep point (guide §1.2: same
+    // result, a quarter of the passes)
+    val exactTk = exactRefereeArtifact(spark, sfDir, "l2")
+    val fanned = scored.select(col("query_id"), col("neighbor_id"),
+      col("cosine_sim"),
+      explode(filter(array(NprobeSweep.map(lit): _*),
+        p => col("prank") <= p)).as("nprobe"))
+    sweepRecall(spark, fanned, "nprobe", NprobeSweep, exactTk, "mean_recall")
+  }
+
+  /** One-pass sweep-recall finisher shared by the tuning curves: `fanned`
+    * carries each scored candidate replicated into every sweep point it
+    * is visible at; ONE composite-key top-k aggregation + ONE referee
+    * join + ONE per-point count replace a filter→topk→join→agg sub-plan
+    * per point. A point with zero hits still reports (left join against
+    * the literal point list), exactly like the old per-point
+    * `agg(count)`. */
+  private def sweepRecall(spark: SparkSession, fanned: DataFrame,
+                          pointCol: String, points: Seq[Int],
+                          exactTk: DataFrame, recallName: String): DataFrame = {
+    import spark.implicits._
+    val tk = graft.functions.TopKByScore.perGroups(fanned, TopK,
+      Seq(pointCol, "query_id"))
+    val hits = tk.join(exactTk, Seq("query_id", "neighbor_id"))
+      .groupBy(pointCol).agg(count(lit(1)).as("_hits"))
+    points.toDF(pointCol).join(broadcast(hits), Seq(pointCol), "left")
+      .select(col(pointCol),
+        round(coalesce(col("_hits"), lit(0L)).cast("double")
+          / (NumQueryVectors * TopK), 6).as(recallName))
   }
 
   /** Per-dimension distribution audit — the collapsed/dead-dimension
@@ -887,18 +939,14 @@ object Similarity {
         (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine_sim"))
       .groupBy("query_id", "neighbor_id")
       .agg(min("band").as("min_band"), max("cosine_sim").as("cosine_sim")))
-    val exactTk = Staging.stage(
-      exactCosineProbe(vs, queries).select("query_id", "neighbor_id"))
-    LshBandsSweep.map { b =>
-      topKPerQuery(scored.where(col("min_band") < b)
-          .select("query_id", "neighbor_id", "cosine_sim"))
-        .select(col("query_id"), col("neighbor_id"))
-        .join(exactTk, Seq("query_id", "neighbor_id"))
-        .agg(count(lit(1)).as("hits"))
-        .select(lit(b).as("n_bands"),
-          round(col("hits").cast("double") / (NumQueryVectors * TopK), 6)
-            .as("mean_recall"))
-    }.reduce(_ unionAll _)
+    // exact leg = the shared referee artifact; sweep fused into one
+    // composite-key top-k pass ([[sweepRecall]]) — same rows per point
+    val exactTk = exactRefereeArtifact(spark, sfDir, "cos")
+    val fanned = scored.select(col("query_id"), col("neighbor_id"),
+      col("cosine_sim"),
+      explode(filter(array(LshBandsSweep.map(lit): _*),
+        b => col("min_band") < b)).as("n_bands"))
+    sweepRecall(spark, fanned, "n_bands", LshBandsSweep, exactTk, "mean_recall")
   }
 
   /** Shared recall finisher: exact L2 top-[[TopK]] reference (queries
@@ -906,14 +954,9 @@ object Similarity {
     * aggregator) vs any approximate (query_id, neighbor_id) list. */
   private def recallVsExact(spark: SparkSession, sfDir: String,
                             approxOf: (SparkSession, String) => DataFrame): DataFrame = {
-    val vs = Staging.stage(vectors(spark, sfDir).select(col("vec_id"), col("v")))
-    val queries = vs.where(col("vec_id") < NumQueryVectors)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val exact = topKPerQuery(vs.join(broadcast(queries))
-        .where(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (-dist2(col("v"), col("qv"))).as("cosine_sim")))
-      .select(col("query_id"), col("neighbor_id"))
+    // exact L2 leg = the shared referee artifact (same ranking the inline
+    // -dist2 topK produced; id pairs round-trip parquet exactly)
+    val exact = exactRefereeArtifact(spark, sfDir, "l2")
     val hits = exact.join(approxOf(spark, sfDir), Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
     exact.select("query_id").distinct()
@@ -1211,7 +1254,7 @@ object Similarity {
     * recall story for every compression/candidate-gen tier the engine
     * ships. Output: (query_id, recall_at_k). */
   def bqRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val exact = cosineTopK(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+    val exact = exactRefereeArtifact(spark, sfDir, "cos")
     val bq = hammingTopK(spark, sfDir).select(col("query_id"), col("neighbor_id"))
     val hits = exact.join(bq, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_hits"))

@@ -577,8 +577,11 @@ object TextAnalysis {
   def collocations(documents: DataFrame): DataFrame = {
     val docs = graft.sources.Tables.spread(documents)
     val t = toks(col("text"))
-    val uni = docs.select(explode(toks(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    // staged (r17): `uni` feeds the scalar total AND both word joins —
+    // unstaged, the tokenize+count pass over the corpus ran three times
+    val uni = graft.engine.Staging.stage(
+      docs.select(explode(toks(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n_w")))
     val totals = uni.agg(sum("n_w").as("n_tok"))
     val pairs = docs
       .select(explode(when(size(t) >= 2,
@@ -1133,12 +1136,15 @@ object TextAnalysis {
       .select(col("doc_id"), split(col("text"), " ").as("t"))
     val lens = docs.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
     val scalars = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = docs
+    // staged (r17): `tf` (tiny after the query-term filter) feeds the idf
+    // rollup AND the scoring join — unstaged, the corpus tokenize+explode
+    // ran once per reference
+    val tf = graft.engine.Staging.stage(docs
       .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
         explode(col("t")).as("term"))
       .where(col("term").isin(terms: _*))
       .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl")))
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(scalars))
       .select(col("term"),
@@ -1376,34 +1382,27 @@ object TextAnalysis {
           get(t, i).as("term")))).as("p"))
       .select(col("doc_id"), col("p.hist").as("hist"), col("p.term").as("term"))
     val hu = model.unigrams.select(col("term").as("hist"), col("uf").as("hf"))
-    // Attach order (guide §2.3 — shuffle fewer bytes): the old shape ran
-    // THREE token-grain shuffle joins (term, hist, (hist,term)); but
-    // uf(term) is only ever READ on the unigram-backoff branch — position
-    // 0 and unseen-history tokens. So join hist first, split on that
-    // branch predicate, and send ONLY the backoff rows (one per document
-    // plus OOV histories; on the closed corpus exactly one per document)
-    // through the term join. Two token-grain shuffles and one doc-grain
-    // one, same per-row formula on each branch, same rows out.
-    val withH = tk.join(hu, Seq("hist"), "left")
-    val backoff = withH.where(col("hist").isNull || col("hf").isNull)
-      .join(model.unigrams, Seq("term"), "left")
-      .select(col("doc_id"),
-        (lit(null).cast("double")).as("lhf"),
-        coalesce(col("uf"), lit(0L)).as("cnt"))
-    val cond = withH.where(col("hist").isNotNull && col("hf").isNotNull)
+    // Attach order, measured r17: a branch-split variant (join hist
+    // first, route only the backoff rows — position 0 / unseen history —
+    // through the term join) was tried to cut one token-grain shuffle
+    // join, and REVERTED: at bench scale the model tables broadcast, so
+    // the original chain is one map-only pipeline over a single tokenize
+    // pass, while the split recomputes the tokenize+history explode once
+    // per branch (text_bigram_surprisal 2.81 → 3.81 s). The chain below
+    // is optimal whenever the model broadcasts; when a real vocabulary
+    // forces shuffle joins, the three joins all key on model-side terms
+    // and partial-aggregate afterwards — the documented standard shape.
+    tk.join(model.unigrams, Seq("term"), "left")
+      .join(hu, Seq("hist"), "left")
       .join(model.bigrams, Seq("hist", "term"), "left")
-      .select(col("doc_id"),
-        col("hf").cast("double").as("lhf"),
-        coalesce(col("bf"), lit(0L)).as("cnt"))
-    backoff.unionAll(cond)
       .crossJoin(broadcast(model.total))
       .select(col("doc_id"),
-        when(col("lhf").isNull,
+        when(col("hist").isNull || col("hf").isNull,
           log(col("total").cast("double") + 0.5)
-            - log(col("cnt").cast("double") + 0.5))
+            - log(coalesce(col("uf"), lit(0L)).cast("double") + 0.5))
         .otherwise(
-          log(col("lhf") + 0.5)
-            - log(col("cnt").cast("double") + 0.5))
+          log(col("hf").cast("double") + 0.5)
+            - log(coalesce(col("bf"), lit(0L)).cast("double") + 0.5))
         .as("nll"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), avg("nll").as("cross_entropy"))

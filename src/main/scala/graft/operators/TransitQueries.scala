@@ -221,8 +221,20 @@ object TransitQueries {
     * (`MostOccupiedOperator.java:56-68`) exercised non-vacuously: lineitem
     * has ~30 rows per l_partkey, so "latest" genuinely differs from any
     * other pick. Total order per key: (ts, trip_id). */
-  def latestTripPerRoute(trips: DataFrame): DataFrame =
-    Upsert.latestPerKey(trips, Seq("route_id"), Seq("ts", "trip_id"))
+  def latestTripPerRoute(trips: DataFrame): DataFrame = {
+    // Narrow-scan guard (r17, guide §2.5): a single-row-group parquet scan
+    // runs the whole max_by partial aggregation in ONE task (measured:
+    // 1.5 s sorting 600k rows single-threaded at sf0.1). Repartition by
+    // the KEY — a hash exchange, which unlike keyless repartition(n) pays
+    // no determinism pre-sort — so the aggregation parallelizes and needs
+    // no second exchange. No-op whenever the scan is already at cluster
+    // width (the 100 TB case), preserving the shuffle-at-most-one-row-
+    // per-key-per-partition shape there.
+    val p = trips.sparkSession.sparkContext.defaultParallelism
+    val t = if (trips.queryExecution.toRdd.getNumPartitions < p)
+      trips.repartition(col("route_id")) else trips
+    Upsert.latestPerKey(t, Seq("route_id"), Seq("ts", "trip_id"))
+  }
 
   // ==== batch wrappers over the parquet views (driver contract) ============
 

@@ -191,13 +191,14 @@ object Tables {
   /** Trip fact view: one row = one passenger boarding
     * (`streamFunctions/AveragePassengersPerTransportType.java:36-39`). */
   def trips(spark: SparkSession, sfDir: String): DataFrame =
-    // spread BEFORE the projection: the sf0.1 lineitem parquet is one row
-    // group, so every trips consumer (the per-type/per-route aggregates,
-    // the latest-per-key upsert) otherwise runs its string concats AND its
-    // partial aggregation in a single task (measured: latest_per_key spent
-    // 1.5 s in a 1-task SortAggregate). At real scale the scan is already
-    // wider than the cluster and this is a no-op (Tables.spread's guard).
-    spread(lineitem(spark, sfDir)).select(
+    // NOT spread, measured r17: the sf0.1 lineitem scan is one row group,
+    // so the trips aggregates run single-task — but adding spread() here
+    // REGRESSED every trips consumer ~1 s (keyless repartition(n) pays a
+    // full local sort of its input for retry determinism — guide §2.5 —
+    // and the sort + exchange cost more than the 600k-row single-task
+    // aggregations they parallelize; latest_per_key went 1.52 → 2.02 s).
+    // At real scale the scan is already wide and the question is moot.
+    lineitem(spark, sfDir).select(
       concat(col("l_orderkey").cast("string"), lit("_"),
              col("l_linenumber").cast("string")).as("trip_id"),
       col("l_partkey").cast("string").as("route_id"),

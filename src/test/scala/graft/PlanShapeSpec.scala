@@ -937,17 +937,17 @@ class PlanShapeSpec extends SparkSpec {
     countOf(p, "Exchange hashpartitioning") should be <= 2
   }
 
-  test("events_markov_entropy: grid-sized tail — one user pass, then tiny aggregates") {
+  test("events_markov_entropy: grid-sized tail — one staged user pass, then tiny aggregates") {
     val p = planOf("events_markov_entropy")
     p should not include "Exchange rangepartitioning"
     p should not include "SortMergeJoin"
     p should not include "CartesianProduct"
-    // the transition grid and its rollups are ≤|types|² rows; the
-    // event-scale sessionizing pass is computed ONCE — its pair-count
-    // exchange is runtime-reused by the total branch (the plan PRINT
-    // duplicates the subtree, so assert the reuse, not node counts)
-    p should include("ReusedExchange")
-    countOf(p, "Exchange hashpartitioning\\(user_id") should be <= 2
+    // r17: the event-scale sessionizing pass is STAGED (one
+    // materialization instead of one run per pair-count reference), so
+    // the entropy plan reads the ≤|types|²-row grid as an RDD scan and
+    // never re-touches the raw stream
+    p should include("Scan ExistingRDD")
+    countOf(p, "Exchange hashpartitioning\\(user_id") shouldBe 0
   }
 
   test("sim_ivf_recall: both legs broadcast-driven — no vector SMJ, no cartesian blowup") {
@@ -972,10 +972,14 @@ class PlanShapeSpec extends SparkSpec {
     p should include("partial_count")
   }
 
-  test("events_cusum: raw stream touched once; windows run on the tiny filled grid") {
+  test("events_cusum: raw stream never re-read; windows run on the staged filled grid") {
+    // r17: the (type, day) count and the zero-filled grid are STAGED —
+    // the scored plan reads the ≤|types|·|days| grid as an RDD scan;
+    // the raw-stream aggregation ran exactly once, at staging time
     val p = planOf("events_cusum")
-    p should include("partial_count")           // (type, day) combine map-side
-    p should include("BroadcastNestedLoopJoin") // 1-row span attach
+    p should include("Scan ExistingRDD")
+    p should include("Window")
+    p should not include "Scan parquet"         // no raw re-read
     p should not include "Exchange rangepartitioning"
     p should not include "SortMergeJoin"
   }
@@ -1031,22 +1035,26 @@ class PlanShapeSpec extends SparkSpec {
       graft.operators.Similarity.MatryoshkaDims.size
   }
 
-  test("sim_ivf_nprobe_curve: one staged scored scan funds all sweep points") {
+  test("sim_ivf_nprobe_curve: ONE fused top-k pass funds all sweep points") {
+    // r17: the per-point filter→topk→join→agg sub-plans are fused into a
+    // single composite-key (nprobe, query) aggregation over the staged
+    // scored relation, plus the parquet referee artifact — exactly one
+    // bounded top-k aggregation pair (partial + final) in the whole plan
     val p = planOf("sim_ivf_nprobe_curve")
     p should not include "CartesianProduct"
-    p should include("ObjectHashAggregate")  // bounded top-k per sweep point
-    // every sweep point filters the SAME staged relation — the scored
-    // scan appears as a reused checkpoint, not one rescoring per point
-    countOf(p, "Scan ExistingRDD") should be >=
-      graft.operators.Similarity.NprobeSweep.size
+    // one fused topk = one partial/final pair (AQE may split a phase per
+    // query stage); the OLD shape planned a pair PER sweep point
+    countOf(p, "ObjectHashAggregate") should be <
+      graft.operators.Similarity.NprobeSweep.size * 2
+    p should include("Scan parquet")                 // the referee artifact
   }
 
-  test("sim_lsh_bands_curve: one banded join funds every sweep point") {
+  test("sim_lsh_bands_curve: ONE fused top-k pass funds every sweep point") {
     val p = planOf("sim_lsh_bands_curve")
     p should not include "CartesianProduct"
-    p should include("ObjectHashAggregate")  // bounded top-k per sweep point
-    countOf(p, "Scan ExistingRDD") should be >=
-      graft.operators.Similarity.LshBandsSweep.size
+    countOf(p, "ObjectHashAggregate") should be <
+      graft.operators.Similarity.LshBandsSweep.size * 2
+    p should include("Scan parquet")                 // the referee artifact
   }
 
   test("sim_pq_recall: referee joins ride id-pairs only — no vector SMJ, no cartesian") {
