@@ -1174,13 +1174,18 @@ object Corpus {
   /** Per-instance (doc_id, is_tgt, b) hashed-gram buckets of a document
     * frame — the DSIR feature projection (map-only). */
   private def dsirGramBuckets(documents: DataFrame, isTarget: Column): DataFrame = {
-    val t = split(lower(col("text")), " ")
+    // token array projected first: a lambda body that references a
+    // COMPUTED array re-evaluates it per element (HOFs are interpreted) —
+    // the [[TextAnalysis.collocations]] r17 lambda note
+    val t = col("_toks")
     val grams = concat(t, when(size(t) >= 2,
         transform(sequence(lit(0), size(t) - 2),
           i => concat_ws(" ", get(t, i), get(t, i + 1))))
       .otherwise(array().cast("array<string>")))
     documents
-      .select(col("doc_id"), isTarget.as("is_tgt"), explode(grams).as("gram"))
+      .select(col("doc_id"), isTarget.as("is_tgt"),
+        split(lower(col("text")), " ").as("_toks"))
+      .select(col("doc_id"), col("is_tgt"), explode(grams).as("gram"))
       .select(col("doc_id"), col("is_tgt"),
         pmod(Dedup.h32(col("gram")), lit(DsirBuckets.toLong)).as("b"))
   }

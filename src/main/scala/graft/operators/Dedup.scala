@@ -116,14 +116,22 @@ object Dedup {
   /** Parametric variant: [[Corpus.decontaminate]] uses longer shingles
     * (accidental k-gram collisions must be rarer than for near-dup
     * candidate generation). */
-  def wordShingles(text: Column, k: Int): Column = {
-    val toks = split(text, " ")
+  def wordShingles(text: Column, k: Int): Column =
+    wordShinglesOf(text, split(text, " "), k)
+
+  /** [[wordShingles]] over an already-PROJECTED token-array column — the
+    * form hot paths must use: a lambda body referencing a computed array
+    * re-evaluates it per element (HOFs are interpreted — the
+    * [[graft.operators.TextAnalysis.collocations]] r17 lambda note), so
+    * the k get()s per shingle re-split the text k times per position
+    * unless `toks` is an attribute. `text` must be the SAME string the
+    * tokens came from (the under-k fallback). */
+  def wordShinglesOf(text: Column, toks: Column, k: Int = ShingleSize): Column =
     when(size(toks) >= k,
       array_distinct(transform(
         sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", (0 until k).map(j => get(toks, i + j)): _*))))
       .otherwise(array(text))
-  }
 
   /** Exact dedup: group by sha256(text). Emits one row per distinct content
     * with the smallest doc_id as keeper. */

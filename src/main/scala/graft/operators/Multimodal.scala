@@ -139,8 +139,16 @@ object Multimodal {
   /** Per-record distinct block-hash set: the payload's hex splits into
     * fixed [[BlockHexChars]]-char blocks, each hashed with the portable
     * [[Dedup.h32]] family. */
-  def blockHashes(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val hx = hex(payload)
+  def blockHashes(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    blockHashesOfHex(hex(payload))
+
+  /** [[blockHashes]] over an already-PROJECTED hex column — the form hot
+    * paths must use: the block transform's lambda body substrings `hx`
+    * per block, and a lambda body referencing a COMPUTED column
+    * re-evaluates it per element (HOFs are interpreted — the
+    * [[graft.operators.TextAnalysis.collocations]] r17 lambda note), so
+    * the inline form re-hexed the whole payload once per block. */
+  def blockHashesOfHex(hx: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     // sorted: Dedup.bestMatchBySets intersects these by linear merge
     // (SortedIntersectCount) — order carries no information here.
     // Empty payloads carry NO blocks: unguarded, Spark's
@@ -165,7 +173,8 @@ object Multimodal {
   def blockDedup(documents: DataFrame): DataFrame =
     Dedup.bestMatchBySets(
       records(Tables.spread(documents))
-        .select(col("doc_id"), blockHashes(col("payload")).as("sh")))
+        .select(col("doc_id"), hex(col("payload")).as("_hx"))
+        .select(col("doc_id"), blockHashesOfHex(col("_hx")).as("sh")))
 
   /** A FROZEN block index — the distinct content-block hash set of the
     * resident binary store: the "100 TB side" of incremental binary
@@ -173,7 +182,8 @@ object Multimodal {
     * probed by any number of batch or streaming ingests. */
   def buildBlockIndex(corpus: DataFrame): DataFrame =
     Staging.stage(records(Tables.spread(corpus))
-      .select(explode(blockHashes(col("payload"))).as("bh")).distinct())
+      .select(hex(col("payload")).as("_hx"))
+      .select(explode(blockHashesOfHex(col("_hx"))).as("bh")).distinct())
 
   /** Persist a frozen block index as a BUCKETED table — the
     * [[Dedup.saveIndex]] convention at the binary-block grain (VERDICT
@@ -206,7 +216,8 @@ object Multimodal {
     * micro-batch). */
   def probeBlocks(index: DataFrame, incoming: DataFrame): DataFrame =
     records(Tables.spread(incoming))
-      .select(col("doc_id"), explode(blockHashes(col("payload"))).as("bh"))
+      .select(col("doc_id"), hex(col("payload")).as("_hx"))
+      .select(col("doc_id"), explode(blockHashesOfHex(col("_hx"))).as("bh"))
       .join(index.select(col("bh"), lit(true).as("seen")), Seq("bh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_blocks"),

@@ -461,10 +461,17 @@ object TextAnalysis {
     // spread: the per-shingle md5 chain below is the one text-analysis op
     // heavy enough that a single-row-group scan bottlenecks it (Tables.spread
     // is a no-op on an already-wide scan)
-    graft.sources.Tables.spread(documents).select(
+    // lowered text + token array projected first ([[collocations]]'
+    // lambda note): the shingle transform's body must reference
+    // attributes, not a per-element re-split
+    graft.sources.Tables.spread(documents)
+      .select(col("doc_id"), Dedup.h32(norm).as("content_fp"),
+        lower(col("text")).as("_lt"),
+        split(lower(col("text")), " ").as("_ltoks"))
+      .select(
       col("doc_id"),
-      Dedup.h32(norm).as("content_fp"),
-      array_min(transform(Dedup.wordShingles(lower(col("text"))),
+      col("content_fp"),
+      array_min(transform(Dedup.wordShinglesOf(col("_lt"), col("_ltoks")),
         s => Dedup.h32(s))).as("min_shingle_fp"))
   }
 
@@ -545,7 +552,10 @@ object TextAnalysis {
     * TakeOrderedAndProject (per-partition heap, no global sort). */
   def ngramFreq(documents: DataFrame): DataFrame =
     graft.sources.Tables.spread(documents)
-      .select(explode(Dedup.wordShingles(lower(col("text")))).as("ngram"))
+      .select(lower(col("text")).as("_lt"),
+        split(lower(col("text")), " ").as("_ltoks"))
+      .select(explode(
+        Dedup.wordShinglesOf(col("_lt"), col("_ltoks"))).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("ngram").asc)
       .limit(TopNgrams)
@@ -679,8 +689,10 @@ object TextAnalysis {
     * as TakeOrderedAndProject; the shuffle carries one row per distinct
     * pair per partition, never per instance. */
   def bpePairs(documents: DataFrame): DataFrame = {
-    val t = toks(col("text"))
+    // token array projected first — see [[collocations]]' lambda note
+    val t = col("_toks")
     graft.sources.Tables.spread(documents)
+      .select(toks(col("text")).as("_toks"))
       .select(explode(when(size(t) >= 2,
         transform(sequence(lit(0), size(t) - 2),
           i => concat_ws(" ", get(t, i), get(t, i + 1))))
@@ -711,8 +723,10 @@ object TextAnalysis {
   /** Corpus-wide adjacent-pair instance counts over wrapped streams —
     * [[bpePairs]]'s statistic, re-counted each merge round. */
   private def bpeAdjacentPairs(streams: DataFrame): DataFrame = {
-    val t = bpeStreamToks(col("s"))
-    streams.select(explode(when(size(t) >= 2,
+    // stream-token array projected first — see [[collocations]]' note
+    val t = col("_toks")
+    streams.select(bpeStreamToks(col("s")).as("_toks"))
+      .select(explode(when(size(t) >= 2,
         transform(sequence(lit(0), size(t) - 2),
           i => concat(get(t, i), lit(BpeSep), get(t, i + 1))))
       .otherwise(array().cast("array<string>"))).as("pair"))
@@ -1336,8 +1350,10 @@ object TextAnalysis {
     * pairing (no window, no self-join) into one map-side-combined
     * aggregation. */
   private def bigramCounts(src: DataFrame): DataFrame = {
-    val t = split(col("text"), " ")
-    src.select(explode(when(size(t) >= 2,
+    // token array projected first — see [[collocations]]' lambda note
+    val t = col("_toks")
+    src.select(split(col("text"), " ").as("_toks"))
+      .select(explode(when(size(t) >= 2,
           transform(sequence(lit(1), size(t) - 1),
             i => struct(get(t, i - 1).as("hist"), get(t, i).as("term"))))
         .otherwise(array().cast("array<struct<hist:string,term:string>>")))
@@ -1375,8 +1391,13 @@ object TextAnalysis {
     * is the standard shape); the 1-row total broadcasts; the per-doc
     * reduction map-side combines. O(batch) per probe. */
   def probeBigramSurprisal(model: BigramModel, incoming: DataFrame): DataFrame = {
-    val t = split(col("text"), " ")
-    val tk = incoming.select(col("doc_id"),
+    // token array projected first — see [[collocations]]' lambda note
+    // (measured here: the inline form re-split the text once per TOKEN;
+    // 2.8 s -> 0.33 s for the history pairing at sf0.1)
+    val t = col("_toks")
+    val tk = incoming
+      .select(col("doc_id"), split(col("text"), " ").as("_toks"))
+      .select(col("doc_id"),
       explode(transform(sequence(lit(0), size(t) - 1),
         i => struct(when(i > lit(0), get(t, i - 1)).as("hist"),
           get(t, i).as("term")))).as("p"))
@@ -1711,8 +1732,10 @@ object TextAnalysis {
     * (doc_id, text) frame — the one gram extraction behind [[novelty]],
     * [[buildGramIndex]] and [[probeNovelty]]. */
   private def gramCells(documents: DataFrame): DataFrame = {
-    val t = split(col("text"), " ")
+    // token array projected first — see [[collocations]]' lambda note
+    val t = col("_toks")
     Tables.spread(documents)
+      .select(col("doc_id"), split(col("text"), " ").as("_toks"))
       .where(size(t) >= NoveltyN)
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), size(t) - NoveltyN),
