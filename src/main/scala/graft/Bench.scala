@@ -67,6 +67,39 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Per-query EXECUTOR TASK TIME (VERDICT r17 #2a): at sf0.1 every
+    // per-query wall time sits on a fixed driver/AQE latency floor, so
+    // the driver's low-core/high-core wall ratio is structurally ≈1 and
+    // cannot show parallelism. The sum of task runtimes is the signal
+    // that scales with cores: it is emitted per query beside the wall
+    // time. Attribution is by the query being timed when the task-end
+    // event drains (queries run sequentially; the bus is drained between
+    // queries below), and the value recorded is from the LAST timed pass.
+    // single writer: custom listeners drain on the shared bus queue's one
+    // thread, so read-modify-write on the TrieMap is race-free
+    val taskTimeMs = new scala.collection.concurrent.TrieMap[String, Long]()
+    @volatile var currentQuery = ""
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val q = currentQuery
+          if (q.nonEmpty && te.taskMetrics != null)
+            taskTimeMs.put(q,
+              taskTimeMs.getOrElse(q, 0L) + te.taskMetrics.executorRunTime)
+        }
+      })
+    // listenerBus.waitUntilEmpty is private[spark]; reflection with a
+    // sleep fallback (attribution slop is then bounded by bus lag, ~ms)
+    def drainListenerBus(): Unit =
+      try {
+        val m = spark.sparkContext.getClass.getMethod("listenerBus")
+        val bus = m.invoke(spark.sparkContext)
+        bus.getClass.getMethods.find(x =>
+            x.getName == "waitUntilEmpty" && x.getParameterCount == 0)
+          .foreach(_.invoke(bus))
+      } catch { case _: Throwable => Thread.sleep(20) }
+
     // Box-load provenance (VERDICT r15 #5): bench totals are meaningless
     // without knowing whether the box was quiet — the r15 graded total
     // regressed 32% with a broad uniform per-query slowdown (the load
@@ -139,10 +172,18 @@ object Bench {
     // <1 s of pauses). The min reflects the plan, not the neighbor's noise.
     def timedPass(): Seq[(String, Double)] =
       names.filterNot(errors.contains).map { n =>
+        taskTimeMs.remove(n) // keep only the last pass's task time
+        currentQuery = n
         val t0 = System.nanoTime()
-        try { runOnce(SparkEntry.queries(n)); n -> (System.nanoTime() - t0) / 1e9
+        try {
+          runOnce(SparkEntry.queries(n))
+          val dt = (System.nanoTime() - t0) / 1e9
+          drainListenerBus()
+          currentQuery = ""
+          n -> dt
         }
         catch { case e: Throwable =>
+          currentQuery = ""
           errors :+= n
           System.err.println(s"[bench] timed $n FAILED: $e")
           n -> -1.0
@@ -163,8 +204,20 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = timed.collect { case (_, v) if v >= 0 => v }.sum
     def r3d(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // per-query executor task time (sum of task runtimes, last timed pass)
+    val taskJson = timed.map { case (k, _) =>
+      "\"" + k + "\":" + r3d(taskTimeMs.get(k).map(_.toDouble / 1e3)
+        .getOrElse(0.0))
+    }.mkString("{", ",", "}")
+    // durable-artifact build cost (runs in the untimed warmup: VERDICT
+    // r17 #2b — amortized builds must stay visible in the record)
+    val abuilds = graft.engine.Artifacts.buildsRun.get()
+    val abuildMap = graft.engine.Artifacts.buildSeconds.toSeq.sortBy(_._1)
+    val abuildJson = abuildMap.map { case (k, v) => "\"" + k + "\":" + r3d(v) }
+      .mkString("{", ",", "}")
+    val abuildTotal = abuildMap.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","ref_query_s_start":${r3d(refStart)},"ref_query_s_end":${r3d(refEnd)},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","ref_query_s_start":${r3d(refStart)},"ref_query_s_end":${r3d(refEnd)},"artifact_builds":$abuilds,"artifact_build_total_s":${r3d(abuildTotal)},"artifact_build_s":$abuildJson,"task_time_s":$taskJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
     catch { case _: Throwable => () }
@@ -186,8 +239,11 @@ object Bench {
       .mkString("{", ",", "}")
     val slowest = timed.filter(_._2 >= 0).sortBy(-_._2)
     val budget = 1500
+    val taskTotal = timed
+      .map { case (k, _) => taskTimeMs.get(k).map(_.toDouble / 1e3)
+        .getOrElse(0.0) }.sum
     val sb = new StringBuilder(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${timed.size},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","ref_query_s_start":${r3(refStart)},"ref_query_s_end":${r3(refEnd)},"families":$families,"errors":$errJson,"sf":"$sfDir","detail":"bench_out.json","queries_complete":false,"queries":{""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${timed.size},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","ref_query_s_start":${r3(refStart)},"ref_query_s_end":${r3(refEnd)},"task_time_total_s":${r3(taskTotal)},"artifact_builds":$abuilds,"artifact_build_total_s":${r3(abuildTotal)},"families":$families,"errors":$errJson,"sf":"$sfDir","detail":"bench_out.json","queries_complete":false,"queries":{""")
     var firstQ = true
     slowest.foreach { case (n, v) =>
       val entry = (if (firstQ) "" else ",") + "\"" + n + "\":" + r3(v)

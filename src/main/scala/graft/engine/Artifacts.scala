@@ -109,6 +109,14 @@ object Artifacts {
     * not rebuild. */
   private[graft] val buildsRun = new java.util.concurrent.atomic.AtomicLong
 
+  /** Wall seconds each durable builder kind spent building in this
+    * process (VERDICT r17 #2: artifact-backed queries amortize their
+    * build into the untimed warmup, so the bench must surface the build
+    * cost separately or it silently vanishes from the record). Keyed by
+    * artifact kind; written only under [[durable]]'s builder lock. */
+  private[graft] val buildSeconds =
+    new scala.collection.concurrent.TrieMap[String, Double]
+
   /** Corpus fingerprint for a data directory: a stable hash of the raw
     * dir string plus every file's (relative path, length, mtime) under
     * it, recursively.
@@ -187,7 +195,10 @@ object Artifacts {
       val tmp = new Path(root(s),
         s".graft-build-${s.sparkContext.applicationId}-${fin.getName}")
       fs.delete(tmp, true)
+      val t0 = System.nanoTime()
       build(tmp.toString)
+      buildSeconds.put(kind,
+        buildSeconds.getOrElse(kind, 0.0) + (System.nanoTime() - t0) / 1e9)
       fs.create(new Path(tmp, OkMarker)).close()
       if (fs.exists(ok)) fs.delete(tmp, true) // concurrent winner; it serves
       else {

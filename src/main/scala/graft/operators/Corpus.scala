@@ -546,12 +546,27 @@ object Corpus {
     * before that exchange, so text moves through exactly one shuffle and
     * no global sort exists anywhere. */
   def writeEpochShuffled(documents: DataFrame, epoch: Int,
-                         outDir: String): Unit =
-    epochShuffle(documents, epoch)
-      .join(documents, "doc_id")
-      .repartition(col("shard"))
-      .sortWithinPartitions("shard", "pos")
+                         outDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    // r18: the permutation is computed directly ON the payload rows —
+    // [[epochShuffle]]'s (h, shard, pos) derive from doc_id alone, so the
+    // former plan→payload self-join on doc_id (a second corpus scan plus
+    // a join) and the post-join repartition were re-deriving a
+    // partitioning the rank window already establishes. One corpus scan,
+    // ONE exchange (the window's hash-partition by shard), and the
+    // window's (shard | h, doc_id) sort IS (shard, pos) order, so the
+    // partitioned write needs no extra sort. Identical rows and layout:
+    // pos is the same row_number over the same key.
+    val docCols = documents.columns.filter(_ != "doc_id").map(col)
+    documents
+      .withColumn("h",
+        Dedup.h32(concat(lit(s"ep$epoch:"), col("doc_id").cast("string"))))
+      .withColumn("shard", col("h") % NumShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("h").asc, col("doc_id").asc)))
+      .select(Seq(col("doc_id"), col("shard"), col("pos")) ++ docCols: _*)
       .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+  }
 
   /** The epochs the registered apply face executes — two, so the
     * per-epoch salt independence is exercised by the oracle, not just
@@ -567,17 +582,33 @@ object Corpus {
     * assignment AND the document payload — a torn write, a lost shard
     * directory, or a mis-partitioned row all surface as a hash break. */
   def epochShuffleApply(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val base = new org.apache.hadoop.fs.Path(
       graft.engine.Artifacts.root(s), "graft-epochshuffle-apply").toString
-    ApplyEpochs.map { ep =>
-      writeEpochShuffled(docs, ep, s"$base/ep$ep")
-      s.read.parquet(s"$base/ep$ep")
-        .select(lit(ep).as("epoch"), col("doc_id"),
-          // the partition column reads back as int (inferred from the
-          // directory name); the plan face emits long — match it
-          col("shard").cast("long").as("shard"), col("pos"), col("n_chars"))
-    }.reduce(_ unionByName _)
+    // r18: BOTH epochs ride one pass — docs × epochs fan-out, the same
+    // per-epoch salted hash ("ep<epoch>:<doc_id>" byte-identical to the
+    // former per-epoch literal), ONE exchange funding the rank window
+    // and the epoch/shard-partitioned write, one read-back. Formerly two
+    // sequential write jobs each with its own corpus scan, plan→payload
+    // join and exchange.
+    val docCols = docs.columns.filter(_ != "doc_id").map(col)
+    docs
+      .withColumn("epoch", explode(typedLit(ApplyEpochs)))
+      .withColumn("h", Dedup.h32(concat(lit("ep"), col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string"))))
+      .withColumn("shard", col("h") % NumShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("epoch", "shard")
+          .orderBy(col("h").asc, col("doc_id").asc)))
+      .select(Seq(col("doc_id"), col("epoch"), col("shard"), col("pos")) ++
+        docCols: _*)
+      .write.partitionBy("epoch", "shard").mode("overwrite").parquet(base)
+    s.read.parquet(base)
+      // partition columns read back as int (inferred from the directory
+      // name); the plan face emits int epoch / long shard — match it
+      .select(col("epoch").cast("int").as("epoch"), col("doc_id"),
+        col("shard").cast("long").as("shard"), col("pos"), col("n_chars"))
   }
 
   /** Token budget for [[tokenBudget]] (a real run passes the training
@@ -1310,14 +1341,22 @@ object Corpus {
     val ordered = graft.engine.Staging.stage(cur.join(toks, "doc_id")
       .withColumn("pos", row_number().over(w).cast("long"))
       .withColumn("cum_before", coalesce(sum("n_tok").over(wPrev), lit(0L))))
-    val offsets = ordered.groupBy("phase").agg(count(lit(1)).as("n"))
-      .withColumn("offset", coalesce(sum("n").over(
-        Window.orderBy("phase").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select("phase", "offset")
-    ordered.join(broadcast(offsets), "phase")
+    // r18: the offset ledger is ≤[[CurriculumPhases]] rows (a constant) —
+    // collect the per-phase counts and inline the offsets as a literal
+    // map instead of paying two exchanges + a single-partition window +
+    // a broadcast build for a 4-row frame (the bounded-ledger precedent,
+    // driver-side this time; guide: driver round-trips vs fixed stages)
+    val counts = ordered.groupBy("phase").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var cum = 0L
+      counts.map { case (p, n) => val o = p -> cum; cum += n; o }.toMap
+    }
+    ordered
       .select(col("doc_id"), col("phase"), col("pos"),
-        (col("pos") + col("offset")).as("global_pos"),
+        (col("pos") +
+          coalesce(element_at(typedLit(offsets), col("phase")), lit(0L)))
+          .as("global_pos"),
         (col("cum_before") / SeqTokenBudget).cast("long").as("seq_id"))
   }
 

@@ -1332,49 +1332,81 @@ object Similarity {
     val scored = vs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine_sim"))
-    val cands = Staging.stage(
-      graft.functions.TopKByScore.perGroup(scored, MmrPool)
-        .select(col("query_id"), col("neighbor_id"),
-          col("cosine_sim").as("rel")))
-    val cvec = vs.join(broadcast(cands.select("neighbor_id").distinct()),
-        col("vec_id") === col("neighbor_id"))
-      .select(col("vec_id"), col("v"), col("nrm"))
-    val pairs = Staging.stage(
-      cands.select(col("query_id"), col("neighbor_id").as("a"))
-        .join(cands.select(col("query_id"), col("neighbor_id").as("b")),
-          Seq("query_id"))
-        .where(col("a") =!= col("b"))
-        .join(broadcast(cvec.select(col("vec_id").as("a"),
-          col("v").as("va"), col("nrm").as("na"))), Seq("a"))
-        .join(broadcast(cvec.select(col("vec_id").as("b"),
-          col("v").as("vb"), col("nrm").as("nb"))), Seq("b"))
-        .select(col("query_id").as("pq"), col("a"), col("b"),
-          (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("psim")))
-    // round 1: pure relevance argmax seeds the selection
-    var state = cands.groupBy("query_id")
-      .agg(max_by(col("neighbor_id"),
-        struct(col("rel"), (-col("neighbor_id")).as("nn"))).as("pick"))
-      .select(col("query_id"), array(col("pick")).as("sel"))
-    for (_ <- 2 to MmrK) {
-      val remaining = cands.join(broadcast(state), "query_id")
-        .where(!array_contains(col("sel"), col("neighbor_id")))
-      val ms = remaining.join(pairs,
-          col("query_id") === col("pq") && col("neighbor_id") === col("a") &&
-            array_contains(col("sel"), col("b")))
-        .groupBy(col("query_id"), col("neighbor_id"), col("rel"), col("sel"))
-        .agg(max(col("psim")).as("maxsim"))
-      state = ms
-        .withColumn("score",
-          lit(MmrLambda) * col("rel") - lit(MmrDiversity) * col("maxsim"))
-        .groupBy("query_id")
-        .agg(max_by(struct(col("neighbor_id").as("pick"), col("sel")),
-          struct(col("score"), (-col("neighbor_id")).as("nn"))).as("m"))
-        .select(col("query_id"),
-          concat(col("m.sel"), array(col("m.pick"))).as("sel"))
+    // The candidate pool is bounded by CONSTANTS — ≤ NumQueryVectors ×
+    // MmrPool = 200 rows at any corpus size — so the greedy re-rank runs
+    // on the driver over the collected pool (the BPE merge-table
+    // precedent: a k²-bounded collect is not a corpus collect). The r17
+    // plan unrolled MmrK−1 rounds of broadcast+join+two-aggregate
+    // sub-plans; each round cost fixed driver/AQE stage latency at small
+    // scale and serialized the same bounded work at any scale.
+    val cands = graft.functions.TopKByScore.perGroup(scored, MmrPool)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cosine_sim").as("rel"))
+      .collect()
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    if (cands.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    // one bounded vector fetch for the candidate set (pushdown-able id
+    // predicate; ≤ 200 ids) — pairwise cosines are computed on the
+    // driver with the SAME left-to-right dot-product fold as the
+    // DotProduct expression, so every psim is bit-identical
+    val candIds = cands.map(_.getLong(1)).distinct.sorted
+    val cvec = vs.where(col("vec_id").isin(candIds.map(Long.box): _*))
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Double](1).toArray, r.getDouble(2))))
+      .toMap
+    def psim(a: Long, b: Long): Double = {
+      val (va, na) = cvec(a); val (vb, nb) = cvec(b)
+      var s = 0.0; var i = 0
+      while (i < va.length) { s += va(i) * vb(i); i += 1 }
+      s / (na * nb)
     }
-    state.select(col("query_id"), posexplode(col("sel")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col").as("neighbor_id"))
+    // Spark/DuckDB comparison semantics for the argmax: NaN greatest,
+    // -0.0 == 0.0 (normalized before compare)
+    def cmp(x: Double, y: Double): Int =
+      java.lang.Double.compare(if (x == 0.0) 0.0 else x,
+        if (y == 0.0) 0.0 else y)
+    val byQuery = cands.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    byQuery.toSeq.sortBy(_._1).foreach { case (qid, pool) =>
+      // round 1: pure relevance argmax seeds the selection
+      var sel = Vector(pool.minBy(c => (c._3, c._2))(
+        Ordering.Tuple2(Ordering.fromLessThan[Double]((a, b) => cmp(a, b) > 0),
+          Ordering.Long))._2)
+      var alive = true
+      for (_ <- 2 to MmrK if alive) {
+        val remaining = pool.filterNot(c => sel.contains(c._2))
+        if (remaining.isEmpty) alive = false // mirrors the plan form: a
+          // query with no remaining candidates drops out of the state
+        else {
+          var bestId = -1L; var bestScore = 0.0; var first = true
+          remaining.sortBy(_._2).foreach { case (_, nid, rel) =>
+            val maxsim = sel.map(s => psim(nid, s))
+              .reduce((a, b) => if (cmp(a, b) >= 0) a else b)
+            val score = MmrLambda * rel - MmrDiversity * maxsim
+            if (first || cmp(score, bestScore) > 0) {
+              bestId = nid; bestScore = score; first = false
+            }
+          }
+          sel :+= bestId
+        }
+      }
+      if (alive) sel.zipWithIndex.foreach { case (nid, i) =>
+        out += org.apache.spark.sql.Row(qid, i + 1, nid)
+      }
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out.toSeq).asJava),
+      outSchema)
   }
 
   /** |robust z|-flag threshold for [[embeddingAudit]] (3.5 is the

@@ -1145,33 +1145,69 @@ object TextAnalysis {
     * ≤|Q|-row idf table and the 1-row (N, avgdl) scalar broadcast, and
     * the final per-doc sum is a map-side-combined aggregation over
     * ≤ |Q| rows per doc. Nothing corpus-wide is materialized per term. */
-  def bm25Search(documents: DataFrame, terms: Seq[String]): DataFrame = {
-    val docs = Tables.spread(documents)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-    val lens = docs.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
-    val scalars = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    // staged (r17): `tf` (tiny after the query-term filter) feeds the idf
-    // rollup AND the scoring join — unstaged, the corpus tokenize+explode
-    // ran once per reference
-    val tf = graft.engine.Staging.stage(docs
-      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
-        explode(col("t")).as("term"))
-      .where(col("term").isin(terms: _*))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), max("dl").as("dl")))
-    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(scalars))
-      .select(col("term"),
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0).as("idf"),
-        col("avgdl"))
-    tf.join(broadcast(idf), "term")
+  def bm25Search(documents: DataFrame, terms: Seq[String]): DataFrame =
+    bm25From(lexStats(documents, terms), terms)
+
+  /** ONE tokenize pass per corpus serving every lexical-retrieval
+    * consumer (r18; guide §2.4): per document its token count, the
+    * per-query-term counts (a bounded array — NO full-token explode and
+    * no (doc, term) shuffle), and the distinct-token Jaccard inputs the
+    * [[rrfFusion]] second leg needs. Staged because [[bm25From]] reads
+    * it twice (corpus scalars + tf rows) and the fusion adds a third
+    * reader — as one lazy frame each consumer would re-split the corpus
+    * text. The staged frame is corpus-cardinality but ~40 B/row (ids and
+    * small ints), the classic lightweight-proxy shape (guide §8).
+    * Token arrays are projected to attributes BEFORE the counting
+    * select: a HOF lambda over an inline computed array re-evaluates
+    * the array per element (the r17 interpreted-lambda class). */
+  private def lexStats(documents: DataFrame, terms: Seq[String]): DataFrame =
+    graft.engine.Staging.stage(Tables.spread(documents)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("tk"), array_distinct(col("tk")).as("dt"))
       .select(col("doc_id"),
-        (col("idf") * (col("tf") * lit(Bm25K1 + 1)) /
-          (col("tf") + lit(Bm25K1) *
-            (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
-          .as("s"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_matched_terms"), sum(col("s")).as("bm25_score"))
+        size(col("tk")).cast("long").as("dl"),
+        array(terms.map(tm =>
+          size(filter(col("tk"), x => x === lit(tm))).cast("long")): _*).as("tfs"),
+        size(col("dt")).as("nt"),
+        size(array_intersect(col("dt"),
+          array(terms.map(lit): _*))).as("inter")))
+
+  /** BM25 core over a staged [[lexStats]] frame: identical arithmetic to
+    * the r17 exploded form — tf values are the same integer counts (a
+    * term's count in the token array == its exploded-row count), df is
+    * the same per-term document count, and idf/score are unchanged
+    * expressions over identical operands.
+    *
+    * Plan shape (r18): ONE 1-row aggregate carries every corpus
+    * statistic BM25 needs — n_docs, avgdl, AND the per-term document
+    * frequencies (formerly a (doc, term) shuffle for df, a second
+    * corpus-scalars pass, and a cross join: three exchanges). The ≤|Q|
+    * idf values broadcast back as an array and the per-document score is
+    * MAP-ONLY — no token explode, no per-doc aggregation exchange. At
+    * any scale the corpus shuffles nothing: one tokenize pass, one 1-row
+    * reduce, one broadcast. */
+  private def bm25From(stats: DataFrame, terms: Seq[String]): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")) ++
+      terms.indices.map(i =>
+        sum(when(col("tfs")(i) > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val model = stats.agg(aggs.head, aggs.tail: _*)
+      .select(col("avgdl"), array(terms.indices.map(i =>
+          log((col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5)
+            + 1.0)): _*)
+        .as("idfs"))
+    stats.crossJoin(broadcast(model))
+      .where(exists(col("tfs"), t => t > lit(0L)))
+      .select(col("doc_id"),
+        size(filter(col("tfs"), t => t > lit(0L))).cast("long")
+          .as("n_matched_terms"),
+        aggregate(
+          zip_with(col("tfs"), col("idfs"), (tf, idf) =>
+            when(tf > lit(0L),
+              idf * (tf * lit(Bm25K1 + 1)) /
+                (tf + lit(Bm25K1) *
+                  (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+              .otherwise(lit(0.0))),
+          lit(0.0), (acc, x) => acc + x).as("bm25_score"))
   }
 
   // ---- Hybrid retrieval: reciprocal-rank fusion ---------------------------
@@ -1212,24 +1248,34 @@ object TextAnalysis {
     * [[bm25Search]]'s per-term aggregates. */
   def rrfFusion(documents: DataFrame, terms: Seq[String] = Bm25Query): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qArr = array(terms.map(lit): _*)
-    val lex = bm25Search(documents, terms)
+    // r18: both retrieval legs ride ONE staged tokenize pass ([[lexStats]]
+    // carries the Jaccard inputs beside the BM25 counts) — previously the
+    // corpus text was split three times per run (tf build, corpus
+    // scalars, Jaccard leg)
+    val stats = lexStats(documents, terms)
+    val lex = bm25From(stats, terms)
       .select(col("doc_id"), round(col("bm25_score"), 6).as("s"))
       .orderBy(col("s").desc, col("doc_id").asc).limit(RrfDepth)
       .withColumn("bm25_rank",
         row_number().over(Window.orderBy(col("s").desc, col("doc_id").asc)).cast("long"))
-    val jac = documents
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("t"))
-      .select(col("doc_id"),
-        size(array_intersect(col("t"), qArr)).as("inter"), size(col("t")).as("nt"))
+    val jac = stats
       .where(col("inter") > 0)
       .select(col("doc_id"), (col("inter").cast("double") /
         (col("nt") + lit(terms.size) - col("inter"))).as("j"))
       .orderBy(col("j").desc, col("doc_id").asc).limit(RrfDepth)
       .withColumn("jaccard_rank",
         row_number().over(Window.orderBy(col("j").desc, col("doc_id").asc)).cast("long"))
-    lex.select("doc_id", "bm25_rank")
-      .join(jac.select("doc_id", "jaccard_rank"), Seq("doc_id"), "full_outer")
+    // full-outer over two ≤RrfDepth lists as union + per-doc max (each
+    // doc contributes ≤1 non-null rank per leg, so max IS the outer
+    // join's coalesce) — one tiny aggregation instead of a sort-merge
+    // full-outer join's two sort legs (r18)
+    lex.select(col("doc_id"), col("bm25_rank"),
+        lit(null).cast("long").as("jaccard_rank"))
+      .unionByName(jac.select(col("doc_id"),
+        lit(null).cast("long").as("bm25_rank"), col("jaccard_rank")))
+      .groupBy("doc_id")
+      .agg(max("bm25_rank").as("bm25_rank"),
+        max("jaccard_rank").as("jaccard_rank"))
       .select(col("doc_id"),
         (coalesce(lit(1.0) / (col("bm25_rank") + RrfK), lit(0.0)) +
           coalesce(lit(1.0) / (col("jaccard_rank") + RrfK), lit(0.0))).as("rrf_score"),

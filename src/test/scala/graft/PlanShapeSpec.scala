@@ -305,12 +305,18 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
   }
 
-  test("text_bm25_search: idf table broadcasts, sums two-phase, no corpus SMJ") {
+  test("text_bm25_search: one 1-row stats reduce broadcasts back, scoring map-only") {
     val p = planOf("text_bm25_search")
-    p should include("BroadcastHashJoin")  // the <=|Q|-row idf side
-    p should include("partial_count")      // tf and per-doc sums map-side combined
+    // r18: n_docs/avgdl/per-term dfs ride ONE single-row aggregate (two
+    // phases, map-side combined); the ≤|Q| idf array broadcasts back as
+    // a 1-row cross build and the per-doc score is computed map-only —
+    // no token explode, no (doc,term) shuffle, no per-doc aggregation
+    p should include("partial_count")      // the stats reduce is two-phase
+    p should include("BroadcastNestedLoopJoin") // 1-row model attach
+    countOf(p, "Exchange hashpartitioning") shouldBe 0
     p should not include "SortMergeJoin"
     p should not include "Window"
+    p should not include "Generate" // no explode anywhere
   }
 
   test("events_attribution: co-located user-keyed join, no cartesian, no global sort") {
@@ -796,13 +802,17 @@ class PlanShapeSpec extends SparkSpec {
     countOf(p, "Scan parquet") should be <= 2
   }
 
-  test("sim_mmr_topk: pool-sized greedy — broadcast state each round, no window, no cartesian") {
+  test("sim_mmr_topk: bounded-pool greedy runs on the driver — result is a local relation") {
     val p = planOf("sim_mmr_topk")
-    p should not include "CartesianProduct"
-    p should not include "SortMergeJoin"
-    p should not include "Exchange rangepartitioning"
-    p should not include "Window" // every argmax is a max_by aggregate
-    p should include("BroadcastHashJoin") // selection state rides broadcasts
+    // r18: the ≤(NumQueryVectors×MmrPool)-row pool is collected and the
+    // MmrK-round greedy runs driver-side (constant-bounded rows, the BPE
+    // merge-table precedent); the visible plan is the 50-row result — the
+    // pool scan and the candidate-vector fetch execute as two bounded
+    // jobs at query-construction time, still inside the timed region
+    p should include("LocalTableScan")
+    p should not include "Exchange"
+    p should not include "Join"
+    p should not include "Window"
   }
 
   test("text_hash_embedding: (doc,dim) two-phase agg, window norm, no join") {

@@ -15,7 +15,8 @@ class EpochShuffleApplySpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private lazy val applied = Corpus.epochShuffleApply(spark, sf).cache()
   private def ep1Dir = new org.apache.hadoop.fs.Path(
-    graft.engine.Artifacts.root(spark), "graft-epochshuffle-apply/ep1").toString
+    graft.engine.Artifacts.root(spark),
+    "graft-epochshuffle-apply/epoch=1").toString
 
   test("apply round-trips the plan: epoch-1 read-back equals epochShuffle " +
     "plus the document payload") {
