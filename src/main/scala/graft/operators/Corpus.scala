@@ -1197,10 +1197,23 @@ object Corpus {
     dsirWeightsBy(documents, pmod(col("doc_id"), lit(DsirProbeMod)) === 0)
 
   private[operators] def dsirWeightsBy(documents: DataFrame, isTarget: Column): DataFrame = {
-    val f = graft.engine.Staging.stage(
-      dsirGramBuckets(Tables.spread(documents), isTarget))
-    dsirScoreFrom(f, graft.engine.Staging.stage(dsirModelFrom(f)))
+    // r18: the staged frame is the PRE-AGGREGATED (doc, bucket) count
+    // table, not the raw per-gram-instance explode — ≤[[DsirBuckets]]
+    // rows per document instead of one per token/bigram. The instance
+    // counts collapse map-side in the staging pass; both bucket models
+    // become sums over it and the scorer consumes `c` directly (its
+    // former groupBy over the full instance frame is gone).
+    val fc = graft.engine.Staging.stage(
+      dsirDocBuckets(dsirGramBuckets(Tables.spread(documents), isTarget)))
+    dsirScoreFrom(fc.select("doc_id", "b", "c"),
+      graft.engine.Staging.stage(dsirModelFrom(fc)))
   }
+
+  /** Per-(doc, bucket) instance counts of a gram-bucket frame (is_tgt is
+    * constant per document, so keying on it adds nothing to the shuffle
+    * and keeps it available to the target model). */
+  private def dsirDocBuckets(gramBuckets: DataFrame): DataFrame =
+    gramBuckets.groupBy("doc_id", "is_tgt", "b").agg(count(lit(1)).as("c"))
 
   /** Per-instance (doc_id, is_tgt, b) hashed-gram buckets of a document
     * frame — the DSIR feature projection (map-only). */
@@ -1221,19 +1234,22 @@ object Corpus {
         pmod(Dedup.h32(col("gram")), lit(DsirBuckets.toLong)).as("b"))
   }
 
-  /** The [[DsirBuckets]]-row bucket model (b, rc, tc) from a feature
-    * table — raw instance counts and target-slice instance counts. */
-  private def dsirModelFrom(f: DataFrame): DataFrame = {
-    val raw = f.groupBy("b").agg(count(lit(1)).as("rc"))
-    val tgt = f.where(col("is_tgt")).groupBy("b").agg(count(lit(1)).as("tc"))
+  /** The [[DsirBuckets]]-row bucket model (b, rc, tc) from a
+    * per-(doc, bucket) count table — raw instance counts and
+    * target-slice instance counts (sums of `c` == the former counts over
+    * raw instances, exactly). */
+  private def dsirModelFrom(fc: DataFrame): DataFrame = {
+    val raw = fc.groupBy("b").agg(sum("c").as("rc"))
+    val tgt = fc.where(col("is_tgt")).groupBy("b").agg(sum("c").as("tc"))
     raw.join(tgt, Seq("b"), "left")
       .select(col("b"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc"))
   }
 
-  /** Score a feature table against a (possibly frozen) bucket model. The
-    * model attach is a LEFT broadcast join with zero-coalesce, so a
-    * serving-time bucket the training corpus never produced scores as an
-    * unseen feature (both counts 0) instead of silently dropping. */
+  /** Score a per-(doc, bucket) count table (doc_id, b, c) against a
+    * (possibly frozen) bucket model. The model attach is a LEFT
+    * broadcast join with zero-coalesce, so a serving-time bucket the
+    * training corpus never produced scores as an unseen feature (both
+    * counts 0) instead of silently dropping. */
   private def dsirScoreFrom(fb: DataFrame, model: DataFrame): DataFrame = {
     val totals = model.agg(sum("rc").cast("double").as("rn"),
       sum("tc").cast("double").as("tn"))
@@ -1242,8 +1258,7 @@ object Corpus {
         log(col("tn") + half)) -
       (log(coalesce(col("rc"), lit(0L)).cast("double") + 0.5) -
         log(col("rn") + half))
-    fb.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-      .join(broadcast(model), Seq("b"), "left")
+    fb.join(broadcast(model), Seq("b"), "left")
       .crossJoin(broadcast(totals))
       .select(col("doc_id"), col("c"), (col("c").cast("double") * lw).as("w"))
       .groupBy("doc_id")
@@ -1254,14 +1269,17 @@ object Corpus {
     * of the train-once / score-online split
     * ([[graft.streaming.StreamingDsir]] is the online half). */
   def dsirModel(documents: DataFrame, isTarget: Column): DataFrame =
-    dsirModelFrom(graft.engine.Staging.stage(
-      dsirGramBuckets(Tables.spread(documents), isTarget)))
+    dsirModelFrom(graft.engine.Staging.stage(dsirDocBuckets(
+      dsirGramBuckets(Tables.spread(documents), isTarget))))
 
   /** Score incoming documents against a FROZEN bucket model — identical
     * arithmetic to the registered query, so a streamed document gets
     * exactly the batch weight (`StreamingDsirSpec`). */
   def dsirScore(model: DataFrame, incoming: DataFrame): DataFrame =
-    dsirScoreFrom(dsirGramBuckets(incoming, lit(false)).drop("is_tgt"), model)
+    dsirScoreFrom(
+      dsirDocBuckets(dsirGramBuckets(incoming, lit(false)))
+        .select("doc_id", "b", "c"),
+      model)
 
   /** Persist / reload the bucket model: [[DsirBuckets]] rows of
     * (b, rc, tc) as plain parquet — broadcast-sized at any corpus scale,

@@ -36,23 +36,33 @@ object Events {
   /** Gap-based sessionization: one row per event with its (user-local)
     * session number and whether it opened the session. Deterministic
     * ordering tiebreak on event_id. */
-  def sessionize(events: DataFrame): DataFrame = {
+  /** The raw stream with its session columns attached — ONE window pass
+    * carrying every payload column through (r18): the former shape
+    * returned only ids from [[sessionize]] and each consumer joined the
+    * raw stream back on event_id to recover ts/event_type/value — a
+    * second scan plus a join per consumer for columns the window pass
+    * already had in hand. */
+  private def withSessions(events: DataFrame): DataFrame = {
     val prev = lag(col("ts"), 1).over(byUserTime)
     val isStart = prev.isNull || col("ts") > prev + lit(SessionGapMicros)
     events
       .withColumn("is_session_start", isStart)
       .withColumn("session_seq",
         sum(col("is_session_start").cast("long")).over(byUserTime))
+  }
+
+  /** Gap-based sessionization: one row per event with its (user-local)
+    * session number and whether it opened the session. Deterministic
+    * ordering tiebreak on event_id. */
+  def sessionize(events: DataFrame): DataFrame =
+    withSessions(events)
       .select(col("event_id"), col("user_id"), col("session_seq"),
         col("is_session_start"))
-  }
 
   /** Per-session rollup over [[sessionize]]: event count, error count,
     * value mass, duration in (fractional) seconds. */
   def sessionStats(events: DataFrame): DataFrame =
-    sessionize(events)
-      .join(events.select("event_id", "ts", "event_type", "value"),
-        "event_id")
+    withSessions(events)
       .groupBy("user_id", "session_seq")
       .agg(
         count(lit(1)).as("n_events"),
@@ -74,8 +84,7 @@ object Events {
     * aggregate state is a session's events, never a partition's — the
     * same boundedness argument as the session-window streaming state. */
   def sessionSequences(events: DataFrame): DataFrame =
-    sessionize(events)
-      .join(events.select("event_id", "ts", "event_type"), "event_id")
+    withSessions(events)
       .groupBy("user_id", "session_seq")
       .agg(
         concat_ws(" ", transform(
@@ -96,25 +105,33 @@ object Events {
     * sort, so the raw stream pays one Exchange + one partition-local
     * sort for all of them; the transition frame is ≤ |types|² rows,
     * its row totals broadcast back. */
-  def markovTransitions(events: DataFrame): DataFrame = {
+  /** The staged ≤|types|² within-session transition-count frame
+    * (from_type, to_type, n_transitions) — the one raw-stream pass every
+    * markov face starts from. Staged (r17): it feeds the per-from totals
+    * AND the probability join; as one lazy frame each reference re-runs
+    * the session windows over the raw stream. */
+  private def transitionPairs(events: DataFrame): DataFrame = {
     val prev = lag(col("ts"), 1).over(byUserTime)
     val isStart = prev.isNull || col("ts") > prev + lit(SessionGapMicros)
-    // staged (r17): `pairs` feeds the per-from totals AND the probability
-    // join; as one lazy frame each reference re-runs the session windows
-    // over the raw stream (the captured markov plans carried the window
-    // pipeline twice per consumer)
-    val pairs = graft.engine.Staging.stage(events
+    graft.engine.Staging.stage(events
       .withColumn("session_seq", sum(when(isStart, 1L).otherwise(0L)).over(byUserTime))
       .withColumn("next_type", lead(col("event_type"), 1).over(byUserTime))
       .withColumn("next_seq", lead(col("session_seq"), 1).over(byUserTime))
       .where(col("next_type").isNotNull && col("next_seq") === col("session_seq"))
       .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n_transitions")))
+  }
+
+  /** [[markovTransitions]] core over an already-staged pair frame. */
+  private def markovTransitionsFrom(pairs: DataFrame): DataFrame = {
     val totals = pairs.groupBy("from_type").agg(sum("n_transitions").as("n_from"))
     pairs.join(broadcast(totals), "from_type")
       .select(col("from_type"), col("to_type"), col("n_transitions"),
         (col("n_transitions").cast("double") / col("n_from")).as("p"))
   }
+
+  def markovTransitions(events: DataFrame): DataFrame =
+    markovTransitionsFrom(transitionPairs(events))
 
   /** Top journeys for [[topJourneys]]. */
   val TopJourneysK = 20
@@ -194,8 +211,7 @@ object Events {
     * session to ≤|stages| timestamps map-side, and the stage dimension
     * is a 4-row broadcast. */
   def sessionFunnel(events: DataFrame): DataFrame = {
-    val withSess = sessionize(events)
-      .join(events.select("event_id", "ts", "event_type"), "event_id")
+    val withSess = withSessions(events)
     val firsts = withSess
       .groupBy("user_id", "session_seq")
       .agg(stageFirsts.head, stageFirsts.tail: _*)
@@ -322,16 +338,20 @@ object Events {
     * shuffled twice. Day boundaries are exact integer division of
     * epoch-µs on both engines. */
   def retention(events: DataFrame): DataFrame = {
-    // staged (r17): `days` feeds the cohort derivation AND the activity
-    // join; `cohort` feeds the sizes AND the same join — unstaged, the
-    // raw-stream distinct ran twice and the cohort rollup twice
-    val days = graft.engine.Staging.stage(events
+    // r18: the cohort day rides the SAME hash(user) pass as the distinct
+    // (a per-user min window over the distinct frame) — the former
+    // separate cohort staging and the days⋈cohort join are gone; ONE
+    // staged activity frame feeds the sizes rollup and the activity
+    // matrix. A user's cohort row is exactly the row with
+    // day == cohort_day, so sizes come off the same frame.
+    val activity = graft.engine.Staging.stage(events
       .select(col("user_id"), expr(s"ts div $UsPerDay").as("day"))
-      .distinct())
-    val cohort = graft.engine.Staging.stage(
-      days.groupBy("user_id").agg(min("day").as("cohort_day")))
-    val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
-    days.join(cohort, "user_id")
+      .distinct()
+      .withColumn("cohort_day",
+        min("day").over(Window.partitionBy("user_id"))))
+    val sizes = activity.where(col("day") === col("cohort_day"))
+      .groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
+    activity
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(count_distinct(col("user_id")).as("n_active"))
       .join(broadcast(sizes), "cohort_day")
@@ -563,7 +583,9 @@ object Events {
     * pass) plus a |types|²-row rollup — nothing new touches the
     * corpus. */
   def markovEval(events: DataFrame): DataFrame =
-    markovTransitions(events)
+    // r18: reads the staged pair counts directly — the probability join
+    // contributes no column here (p was pruned but its join was not)
+    transitionPairs(events)
       .groupBy("from_type")
       .agg(sum("n_transitions").as("n_pairs"),
         // min over (-count, to_type): modal target, ties to smaller type
@@ -1277,8 +1299,13 @@ object Events {
     * single user-keyed pass operates on the ≤|types|² transition grid —
     * one tiny aggregation plus a 1-row total broadcast. */
   def markovEntropy(events: DataFrame): DataFrame = {
-    val t = markovTransitions(events)
-    val total = t.agg(sum("n_transitions").as("n_total"))
+    // r18: the scalar total comes straight off the staged pair frame —
+    // as a reference to the transitions VIEW it re-expanded the
+    // totals-join subtree (same value: the probability join is 1:1 on
+    // from_type by construction)
+    val pairs = transitionPairs(events)
+    val t = markovTransitionsFrom(pairs)
+    val total = pairs.agg(sum("n_transitions").as("n_total"))
     t.groupBy("from_type")
       .agg(sum("n_transitions").as("n_from"),
         sum(-col("p") * log(col("p"))).as("h"))
@@ -1399,8 +1426,7 @@ object Events {
     * durations are exact integer µs→s divisions and the rollup is
     * ≤64 rows. */
   def sessionDurationHist(events: DataFrame): DataFrame =
-    sessionize(events)
-      .join(events.select("event_id", "ts"), "event_id")
+    withSessions(events)
       .groupBy("user_id", "session_seq")
       .agg(expr("(max(ts) - min(ts)) div 1000000").as("dur_s"),
         count(lit(1)).as("n_ev"))

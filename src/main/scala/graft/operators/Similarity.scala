@@ -1526,19 +1526,18 @@ object Similarity {
       .select(col("vec_id").cast("int").as("code"), col("v").as("cv"))
 
   /** Per-subspace squared-L2 to every codeword of a (code, cv) frame:
-    * one row per (row of `left`, code, m) with the residual in `col`. */
-  private def pqSubDists(left: DataFrame, cents: DataFrame): DataFrame = {
-    val subDists = array((0 until PqSubspaces).map { m =>
-      val a = slice(col("v"), m * PqSubDim + 1, PqSubDim)
-      val b = slice(col("cv"), m * PqSubDim + 1, PqSubDim)
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, d) => acc + d)
-    }: _*)
+    * one row per (row of `left`, code, m) with the residual in `col`.
+    * r18: the per-subspace fold is the native codegen'd
+    * [[graft.functions.SubspaceSqDists]] (one pass over the 64 dims per
+    * pair) instead of 8 interpreted slice+zip_with+aggregate chains —
+    * bit-identical left-to-right IEEE folds. */
+  private def pqSubDists(left: DataFrame, cents: DataFrame): DataFrame =
     left.join(broadcast(cents))
       .select((left.columns.filter(_ != "v").map(col) :+
-        col("code") :+ posexplode(subDists)).toIndexedSeq: _*)
+        col("code") :+ posexplode(
+          graft.functions.SubspaceSqDists.of(col("v"), col("cv"), PqSubDim)))
+        .toIndexedSeq: _*)
       .withColumnRenamed("pos", "m").withColumnRenamed("col", "dist")
-  }
 
   /** Nearest codeword per (vector, subspace): (vec_id, m, b(code, dist)),
     * argmin squared-L2, tiebreak min code. */
@@ -1571,9 +1570,8 @@ object Similarity {
   def pqAdcTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val vs = vectors(spark, sfDir).select(col("vec_id"), col("v"))
     val cents = pqCodebook(vs)
-    val codes = pqAssign(vs, cents)
-      .select(col("vec_id"), col("m"), col("b.code").as("code"))
-    val pairs = codes.join(broadcast(pqQueryTables(vs, cents)), Seq("m", "code"))
+    val pairs = pqCodeArrays(vs, cents)
+      .crossJoin(broadcast(pqQueryTabArrays(vs, cents)))
       .where(col("vec_id") =!= col("query_id"))
     adcTopK(pairs)
   }
@@ -1587,17 +1585,41 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("v")),
       cents).select(col("query_id"), col("m"), col("code"), col("dist").as("qdist"))
 
-  /** The ADC finisher shared by [[pqAdcTopK]] and [[ivfPqTopK]]: fold each
-    * pair's table entries in subspace order (sorted collect, sequential
-    * fold — a plain SUM is order-nondeterministic exactly where exact
-    * duplicates tie), then the bounded top-k. `pairs` needs columns
-    * (query_id, vec_id, m, qdist). */
+  /** Per-vector code ARRAY (codes[m] = nearest codeword in subspace m) —
+    * r18: the ADC scorer consumes the whole assignment as one row per
+    * vector, so the per-(query, vector, subspace) join fan-out and the
+    * per-pair collect_list shuffle are gone from the search path. */
+  private def pqCodeArrays(vs: DataFrame, cents: DataFrame): DataFrame =
+    pqAssign(vs, cents)
+      .groupBy("vec_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("b.code").as("code")))),
+        x => x.getField("code")).as("codes"))
+
+  /** Per-query FLATTENED ADC table (qtab[m·K + code] = qdist; m-major,
+    * code ascending — every (m, code) cell exists because the table is
+    * the full query×codebook distance grid). Broadcast size at any
+    * corpus scale. */
+  private def pqQueryTabArrays(vs: DataFrame, cents: DataFrame): DataFrame =
+    pqQueryTables(vs, cents)
+      .groupBy("query_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("code"), col("qdist")))),
+        x => x.getField("qdist")).as("qtab"))
+
+  /** The ADC finisher shared by [[pqAdcTopK]] and [[ivfPqTopK]]: each
+    * pair's distance folds the 8 table entries its code array selects,
+    * in subspace order (sequential fold over m ascending — IEEE-identical
+    * to the former sorted-collect fold, and the association the oracle
+    * mirrors), then the bounded top-k. `pairs` needs columns
+    * (query_id, vec_id, codes, qtab) — the fold is MAP-ONLY; no per-pair
+    * shuffle exists anymore. */
   private def adcTopK(pairs: DataFrame): DataFrame = {
     val adc = pairs
-      .groupBy("query_id", "vec_id")
-      .agg(sort_array(collect_list(struct(col("m"), col("qdist")))).as("l"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        aggregate(col("l"), lit(0.0), (acc, x) => acc + x.getField("qdist"))
+        aggregate(sequence(lit(0), lit(PqSubspaces - 1)), lit(0.0),
+          (acc, m) => acc + element_at(col("qtab"),
+            m * PqCodebookSize + element_at(col("codes"), m + 1) + 1))
           .as("adc"))
     graft.functions.TopKByScore
       .perGroup(adc.select(col("query_id"), col("neighbor_id"),
@@ -1623,12 +1645,11 @@ object Similarity {
     val full = Staging.stage(vectors(spark, sfDir))
     val vs = full.select(col("vec_id"), col("v"))
     val cands = coarseCandidates(coarseScored(full))
-    // ADC over the candidate set only: stored codes + broadcast tables
+    // ADC over the candidate set only: stored code arrays + broadcast
+    // flattened tables (r18 — the scorer is map-only per candidate)
     val pqCents = pqCodebook(vs)
-    val codes = pqAssign(vs, pqCents)
-      .select(col("vec_id"), col("m"), col("b.code").as("code"))
-    val pairs = cands.join(codes, "vec_id")
-      .join(broadcast(pqQueryTables(vs, pqCents)), Seq("query_id", "m", "code"))
+    val pairs = cands.join(pqCodeArrays(vs, pqCents), "vec_id")
+      .join(broadcast(pqQueryTabArrays(vs, pqCents)), Seq("query_id"))
     adcTopK(pairs)
   }
 

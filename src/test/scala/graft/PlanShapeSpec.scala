@@ -548,7 +548,10 @@ class PlanShapeSpec extends SparkSpec {
     p should include("Scan ExistingRDD")
     p should include("BroadcastHashJoin")
     p should include("BroadcastNestedLoopJoin")
-    p should include("partial_count")
+    // r18: the staged frame is the pre-aggregated (doc, bucket) count
+    // table, so the scorer consumes `c` directly and the rollups are
+    // map-side-combined SUMS over it
+    p should include("partial_sum")
     p should not include "SortMergeJoin"
     p should not include "Window"
     p should not include "Exchange rangepartitioning"
