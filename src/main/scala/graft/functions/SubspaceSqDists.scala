@@ -82,7 +82,7 @@ case class SubspaceSqDists(left: Expression, right: Expression, subDim: Int)
          |  }
          |  $out[$m] = $s;
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($out);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
          |""".stripMargin
     })
 

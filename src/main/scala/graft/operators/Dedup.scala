@@ -877,9 +877,13 @@ object Dedup {
       .join(withSig.withColumnRenamed("doc_id", "rep"), "rep")
       .select(col("doc_id"), col("sh"), col("sig"), col("bandkeys")))
     val bands = bandsOf(ws)
-    val ok = Staging.stage(
-      bands.groupBy("band", "bkey").agg(count(lit(1)).as("n"))
-        .where(col("n") <= MaxBandBucket).select("band", "bkey"))
+    // ok deliberately UNSTAGED here (r18): a subset index serves exactly
+    // one probe per query invocation, so the bucket-cap set has a single
+    // consumer and staging it only added an action — [[buildIndex]]'s
+    // stays staged because a streaming session probes ITS index once per
+    // micro-batch.
+    val ok = bands.groupBy("band", "bkey").agg(count(lit(1)).as("n"))
+      .where(col("n") <= MaxBandBucket).select("band", "bkey")
     MinHashIndex(ws, bands, ok)
   }
 

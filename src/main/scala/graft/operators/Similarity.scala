@@ -541,17 +541,46 @@ object Similarity {
     * (possible for sparse embeddings) are excluded on both sides rather
     * than scored — a NaN cosine orders differently across engines. */
   def matryoshkaRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val vs = Staging.stage(vectors(spark, sfDir))
-    // exact full-width leg = the shared referee artifact (identical rows
-    // to the inline exactCosineProbe it replaces — id pairs round-trip)
+    // r18 fused sweep (the r17 sweepRecall discipline applied here): all
+    // prefix widths ride ONE corpus pass — the native
+    // [[graft.functions.PrefixDots]] emits every width's dot in a single
+    // left-to-right pass (a left fold's prefix IS its partial sum, so
+    // each width's cosine is bit-identical to the former per-width
+    // slice+dot sub-plan), one composite-key top-k aggregation replaces
+    // one filter→topk→join→agg sub-plan per width.
+    val dims = MatryoshkaDims
+    val base = Staging.stage(vectors(spark, sfDir)
+      .select(col("vec_id"), col("v"),
+        graft.functions.PrefixDots.of(col("v"), col("v"), dims).as("nn")))
     val exactTk = exactRefereeArtifact(spark, sfDir, "cos")
-    MatryoshkaDims.map { d =>
-      exactTk.join(prefixTk(vs, d), Seq("query_id", "neighbor_id"))
-        .agg(coalesce(count(lit(1)), lit(0L)).as("n_hits"))
-        .select(lit(d.toLong).as("dim"), col("n_hits"),
-          (col("n_hits").cast("double")
-            / lit((TopK * NumQueryVectors).toDouble)).as("mean_recall_at_k"))
-    }.reduce(_ unionByName _)
+    val queries = base.where(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nn").as("qnn"))
+    val dimArr = array(dims.map(d => lit(d.toLong)): _*)
+    val sims = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("nn"), col("qnn"),
+        posexplode(graft.functions.PrefixDots.of(col("v"), col("qv"), dims)))
+      .select(col("query_id"), col("neighbor_id"),
+        element_at(dimArr, col("pos") + 1).as("dim"),
+        sqrt(element_at(col("nn"), col("pos") + 1)).as("nrm"),
+        sqrt(element_at(col("qnn"), col("pos") + 1)).as("qn"),
+        col("col").as("dd"))
+      // the per-width zero-prefix-norm guards, applied per pair side
+      .where(col("nrm") > 0 && col("qn") > 0)
+      .select(col("dim"), col("query_id"), col("neighbor_id"),
+        (col("dd") / (col("nrm") * col("qn"))).as("cosine_sim"))
+    val hits = exactTk
+      .join(graft.functions.TopKByScore.perGroups(sims, TopK,
+        Seq("dim", "query_id")), Seq("query_id", "neighbor_id"))
+      .groupBy("dim").agg(count(lit(1)).as("n_hits"))
+    val sp = spark
+    import sp.implicits._
+    dims.map(_.toLong).toDF("dim")
+      .join(hits, Seq("dim"), "left")
+      .select(col("dim"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double")
+          / lit((TopK * NumQueryVectors).toDouble)).as("mean_recall_at_k"))
   }
 
   /** Exact cosine top-k over the FIRST d embedding dimensions — one
@@ -1515,9 +1544,16 @@ object Similarity {
     * vectors. */
   def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
     val vs = vectors(spark, sfDir).select(col("vec_id"), col("v"))
-    pqAssign(vs, pqCodebook(vs)).groupBy("vec_id").agg(
-      sum(expr("shiftleft(cast(b.code as bigint), 4 * m)")).as("pq_code"),
-      sum(col("b.dist")).as("recon_err"))
+    // r18: map-only packed assignment — code packing and the residual sum
+    // are per-row folds over the 8-element assignment arrays (subspace
+    // ascending; the former per-(vec, m) SUMs arrived in shuffle order,
+    // which the oracle already compares under float tolerance)
+    pqAssigned(vs, pqCodebook(vs)).select(col("vec_id"),
+      (0 until PqSubspaces).map(m =>
+        shiftleft(element_at(col("a.codes"), m + 1).cast("bigint"), 4 * m))
+        .reduce(_ + _).as("pq_code"),
+      (0 until PqSubspaces).map(m => element_at(col("a.dists"), m + 1))
+        .reduce(_ + _).as("recon_err"))
   }
 
   /** The deterministic PQ codebook (see [[pqCodes]]). */
@@ -1539,13 +1575,25 @@ object Similarity {
         .toIndexedSeq: _*)
       .withColumnRenamed("pos", "m").withColumnRenamed("col", "dist")
 
-  /** Nearest codeword per (vector, subspace): (vec_id, m, b(code, dist)),
-    * argmin squared-L2, tiebreak min code. */
-  private def pqAssign(vs: DataFrame, cents: DataFrame): DataFrame =
-    pqSubDists(vs, cents)
-      .groupBy("vec_id", "m")
-      .agg(min_by(struct(col("code"), col("dist")),
-        struct(col("dist"), col("code"))).as("b"))
+  /** Nearest codeword per (vector, subspace) as ONE row per vector:
+    * (vec_id, a(codes array<int>, dists array<double>)), argmin
+    * squared-L2, tiebreak min code — the native map-only
+    * [[graft.functions.PqAssign]] over the packed broadcast codebook
+    * (r18: the former explode + min_by(struct) planned as SortAggregate —
+    * two full sorts and an exchange of the corpus×K×subspaces frame, per
+    * PQ consumer; assignment now never enters an Exchange, the
+    * [[kmeansAssign]] discipline). */
+  private def pqAssigned(vs: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents
+      .agg(sort_array(collect_list(struct(col("code"), col("cv")))).as("l"))
+      .select(flatten(transform(col("l"), x => x.getField("cv"))).as("cf"))
+    vs.crossJoin(broadcast(packed))
+      // an EMPTY codebook must yield no assignments (the former join
+      // semantics), not all-(-1) codes from the 1-row cross
+      .where(size(col("cf")) > 0)
+      .select(col("vec_id"),
+        graft.functions.PqAssign.of(col("v"), col("cf"), PqSubDim).as("a"))
+  }
 
   /** ADC (asymmetric distance computation) top-k over PQ codes — the
     * search half of product quantization: each query precomputes its
@@ -1588,13 +1636,10 @@ object Similarity {
   /** Per-vector code ARRAY (codes[m] = nearest codeword in subspace m) —
     * r18: the ADC scorer consumes the whole assignment as one row per
     * vector, so the per-(query, vector, subspace) join fan-out and the
-    * per-pair collect_list shuffle are gone from the search path. */
+    * per-pair collect_list shuffle are gone from the search path; the
+    * assignment itself is the map-only [[pqAssigned]]. */
   private def pqCodeArrays(vs: DataFrame, cents: DataFrame): DataFrame =
-    pqAssign(vs, cents)
-      .groupBy("vec_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("m"), col("b.code").as("code")))),
-        x => x.getField("code")).as("codes"))
+    pqAssigned(vs, cents).select(col("vec_id"), col("a.codes").as("codes"))
 
   /** Per-query FLATTENED ADC table (qtab[m·K + code] = qdist; m-major,
     * code ascending — every (m, code) cell exists because the table is
@@ -1708,8 +1753,9 @@ object Similarity {
     val full = Staging.stage(vectors(spark, sfDir))
     val vs = full.select(col("vec_id"), col("v"))
     val assign = coarseAssign(coarseScored(full))
-    pqAssign(vs, pqCodebook(vs))
-      .select(col("vec_id"), col("m"), col("b.code").as("code"))
+    pqAssigned(vs, pqCodebook(vs))
+      .select(col("vec_id"), posexplode(col("a.codes")))
+      .select(col("vec_id"), col("pos").as("m"), col("col").as("code"))
       .join(assign, "vec_id")
       .repartition(col("cent_id"))
       .write.partitionBy("cent_id").mode("overwrite").parquet(outDir)

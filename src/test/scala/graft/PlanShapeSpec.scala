@@ -177,12 +177,17 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Window"
   }
 
-  test("sim_pq: codebook broadcasts; assignment argmin partially aggregates before the shuffle") {
+  test("sim_pq: packed codebook broadcasts; assignment is map-only — no exchange at all") {
     val p = planOf("sim_pq")
-    p should include("BroadcastExchange") // the K x dim codebook
-    p should include("partial_min_by")    // map-side argmin per (vec, subspace)
+    // r18: the K×dim codebook packs into ONE broadcast row and the
+    // native graft_pq_assign expression assigns per row — the former
+    // explode + min_by(struct) argmin planned as SortAggregate (two full
+    // sorts + an exchange of the corpus×K×subspaces frame)
+    p should include("BroadcastExchange") // the packed codebook row
+    p should include("graft_pq_assign")
+    countOf(p, "Exchange hashpartitioning") shouldBe 0
+    p should not include "SortAggregate"
     p should not include "SortMergeJoin"
-    p should not include "CartesianProduct"
   }
 
   test("events_wau: corpus collapses to distinct (user, day) with partial agg before the explode") {
@@ -1036,16 +1041,17 @@ class PlanShapeSpec extends SparkSpec {
     countOf(p, "Exchange SinglePartition") should be <= 2 // the final sums only
   }
 
-  test("sim_matryoshka_recall: staged corpus re-scored per prefix width, vectors never shuffle-join") {
+  test("sim_matryoshka_recall: ONE fused prefix pass funds all sweep widths") {
+    // r18: every width's cosine comes out of one graft_prefix_dots pass
+    // over one staged corpus scan (a left fold's prefix IS its partial
+    // sum), one composite-key (dim, query) top-k aggregation pair — the
+    // former plan ran one filter→topk→join→agg sub-plan per width
     val p = planOf("sim_matryoshka_recall")
     p should not include "CartesianProduct"
     p should not include "SortMergeJoin"            // vectors never shuffle
-    p should include("ObjectHashAggregate")         // bounded top-k finisher
-    // every sweep point scores the SAME staged vector frame (+ the staged
-    // reference ranking) — prefix scans reuse checkpointed blocks, the
-    // raw embeddings parquet is not re-read per dim
-    countOf(p, "Scan ExistingRDD") should be >=
-      graft.operators.Similarity.MatryoshkaDims.size
+    p should include("graft_prefix_dots")
+    countOf(p, "ObjectHashAggregate") shouldBe 2    // ONE partial+final top-k
+    countOf(p, "Scan ExistingRDD") should be <= 2   // staged corpus + queries
   }
 
   test("sim_ivf_nprobe_curve: ONE fused top-k pass funds all sweep points") {
