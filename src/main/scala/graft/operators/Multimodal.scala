@@ -331,16 +331,23 @@ object Multimodal {
     * like all referees. Output: (query_id, recall_at_k). */
   def crossmodalRecall(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.Similarity
-    val vs = Similarity.annCorpus(spark, sfDir)
-    val modality = element_at(array(Modalities.map(lit): _*),
-      pmod(col("vec_id"), lit(3)).cast("int") + 1)
-    val corpus = vs.where(modality === "image")
+    // r18: ONE staged vector scan feeds both retrieval legs (the former
+    // shape loaded/normed the embeddings once for the exact leg and once
+    // more inside crossmodalTopK), and the exact id-pair ranking is
+    // staged because the recall join AND the query-list left join both
+    // read it — unstaged, each reference re-ran the whole exact probe.
+    val vs = Staging.stage(Similarity.annCorpus(spark, sfDir)
+      .withColumn("modality", element_at(array(Modalities.map(lit): _*),
+        pmod(col("vec_id"), lit(3)).cast("int") + 1)))
+    val corpus = vs.where(col("modality") === "image").drop("modality")
     val queries = vs
-      .where(modality === "video" && col("vec_id") < CrossmodalQueryBound)
+      .where(col("modality") === "video" &&
+        col("vec_id") < CrossmodalQueryBound)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val exact = Similarity.exactCosineProbe(corpus, queries)
+    val exact = Staging.stage(Similarity.exactCosineProbe(corpus, queries)
+      .select("query_id", "neighbor_id"))
+    val ann = Similarity.annProbe(corpus, queries)
       .select("query_id", "neighbor_id")
-    val ann = crossmodalTopK(spark, sfDir).select("query_id", "neighbor_id")
     val hits = exact.join(ann, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
     exact.select("query_id").distinct()

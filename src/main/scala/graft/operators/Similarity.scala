@@ -611,7 +611,7 @@ object Similarity {
     * join prunes to nprobe/nlist of the data per query batch. */
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val vs = Staging.stage(vectors(spark, sfDir))
-    val cands = coarseCandidates(coarseScored(vs))
+    val cands = coarseCandidates(vs)
     val rescored = cands
       .join(vs.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
       .join(broadcast(vs.where(col("vec_id") < NumQueryVectors)
@@ -626,32 +626,51 @@ object Similarity {
   // (one implementation so a tiebreak or threshold change cannot drift the
   // assignment between the searches and the persisted code table) ----------
 
-  /** Cosine of every vector against the broadcast centroid set:
-    * (vec_id, cent_id, cs). */
-  private def coarseScored(full: DataFrame): DataFrame = {
-    val cents = full.where(col("vec_id") < NumCentroids)
+  /** The (cent_id, cv, cn) coarse centroid set. */
+  private def coarseCents(full: DataFrame): DataFrame =
+    full.where(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    full.join(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cs"))
-  }
 
-  /** Corpus → nearest centroid (max cosine, tiebreak min centroid id). */
-  private def coarseAssign(scored: DataFrame): DataFrame =
-    scored.groupBy("vec_id")
-      .agg(max_by(col("cent_id"),
-        struct(col("cs"), (-col("cent_id")).as("nc"))).as("cent_id"))
+  /** Corpus → nearest centroid (max cosine, tiebreak min centroid id) —
+    * r18 MAP-ONLY: the K centroids pack into one broadcast row and the
+    * argmax is a per-row fold over that array (the [[kmeansAssign]]
+    * discipline). The former corpus×K explode + max_by(struct) groupBy
+    * planned as SortAggregate — two full sorts and an exchange of the
+    * exploded frame per IVF consumer. Fold equivalence: cents sorted
+    * cent_id ascending, strict `>` keeps the first maximum — exactly
+    * max_by's (cs desc, cent_id asc) order on the finite cosines the
+    * zero-norm corpus guard guarantees. */
+  private def coarseAssign(full: DataFrame): DataFrame = {
+    val packed = coarseCents(full)
+      .agg(array_sort(collect_list(
+        struct(col("cent_id"), col("cv"), col("cn")))).as("cents"))
+    full.crossJoin(broadcast(packed))
+      .withColumn("best", aggregate(col("cents"),
+        struct(lit(-1L).as("cent_id"), lit(Double.NegativeInfinity).as("cs")),
+        (acc, c) => {
+          val cs = dot(col("v"), c.getField("cv")) /
+            (col("nrm") * c.getField("cn"))
+          when(cs > acc.getField("cs"),
+            struct(c.getField("cent_id").as("cent_id"), cs.as("cs")))
+            .otherwise(acc)
+        }))
+      .select(col("vec_id"), col("best.cent_id").as("cent_id"))
+  }
 
   /** Candidate (query_id, vec_id) pairs: each query probes its [[NProbe]]
     * best centroid lists (the probe set is tiny — queries × centroids —
-    * and broadcast). */
-  private def coarseCandidates(scored: DataFrame): DataFrame = {
+    * and broadcast; the probe ranking scores ONLY the query block, the
+    * corpus side rides the map-only [[coarseAssign]]). */
+  private def coarseCandidates(full: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
       .orderBy(col("cs").desc, col("cent_id").asc)
-    val probes = scored.where(col("vec_id") < NumQueryVectors)
+    val probes = full.where(col("vec_id") < NumQueryVectors)
+      .join(broadcast(coarseCents(full)))
+      .select(col("vec_id"), col("cent_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cs"))
       .withColumn("rn", row_number().over(w)).where(col("rn") <= NProbe)
       .select(col("vec_id").as("query_id"), col("cent_id"))
-    coarseAssign(scored).join(broadcast(probes), Seq("cent_id"))
+    coarseAssign(full).join(broadcast(probes), Seq("cent_id"))
       .where(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()
   }
@@ -1172,7 +1191,10 @@ object Similarity {
     * are only read back for the ≤depth×|queries| rerank rows — the
     * corpus never shuffles vectors, same as every other ANN face. */
   def hammingTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val vs = vectors(spark, sfDir)
+    // staged (r18): vs feeds the packed index build, the rerank store and
+    // the query block — unstaged, the scan+norm pipeline ran three times
+    // (the ivfTopK convention)
+    val vs = Staging.stage(vectors(spark, sfDir))
     probeHamming(buildBqIndex(vs), queryBlock(vs))
   }
 
@@ -1272,7 +1294,7 @@ object Similarity {
     * ([[graft.streaming.StreamingHammingProbe]] probes the same index per
     * micro-batch), so the DuckDB oracle checks both. */
   def bqProbe(spark: SparkSession, sfDir: String): DataFrame = {
-    val vs = vectors(spark, sfDir)
+    val vs = Staging.stage(vectors(spark, sfDir)) // see [[hammingTopK]]
     probeHamming(buildBqIndex(vs.where(col("vec_id") >= NumQueryVectors)),
       queryBlock(vs))
   }
@@ -1689,7 +1711,7 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val full = Staging.stage(vectors(spark, sfDir))
     val vs = full.select(col("vec_id"), col("v"))
-    val cands = coarseCandidates(coarseScored(full))
+    val cands = coarseCandidates(full)
     // ADC over the candidate set only: stored code arrays + broadcast
     // flattened tables (r18 — the scorer is map-only per candidate)
     val pqCents = pqCodebook(vs)
@@ -1718,7 +1740,7 @@ object Similarity {
     * never shuffles vectors through any stage. */
   def ivfBqTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val full = Staging.stage(vectors(spark, sfDir))
-    val cands = coarseCandidates(coarseScored(full))
+    val cands = coarseCandidates(full)
     val packed = full.select(col("vec_id"),
       bqWord(col("v"), 0).as("lo"), bqWord(col("v"), 1).as("hi"))
     val qp = packed.where(col("vec_id") < NumQueryVectors)
@@ -1752,7 +1774,7 @@ object Similarity {
   def writeCodeTable(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val full = Staging.stage(vectors(spark, sfDir))
     val vs = full.select(col("vec_id"), col("v"))
-    val assign = coarseAssign(coarseScored(full))
+    val assign = coarseAssign(full)
     pqAssigned(vs, pqCodebook(vs))
       .select(col("vec_id"), posexplode(col("a.codes")))
       .select(col("vec_id"), col("pos").as("m"), col("col").as("code"))
