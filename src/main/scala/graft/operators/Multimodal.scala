@@ -331,14 +331,14 @@ object Multimodal {
     * like all referees. Output: (query_id, recall_at_k). */
   def crossmodalRecall(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.Similarity
-    // r18: ONE staged vector scan feeds both retrieval legs (the former
-    // shape loaded/normed the embeddings once for the exact leg and once
-    // more inside crossmodalTopK), and the exact id-pair ranking is
-    // staged because the recall join AND the query-list left join both
-    // read it — unstaged, each reference re-ran the whole exact probe.
-    val vs = Staging.stage(Similarity.annCorpus(spark, sfDir)
+    // r18: one vector load feeds both retrieval legs (the former shape
+    // re-called crossmodalTopK, loading/norming the embeddings once per
+    // leg), and the exact id-pair ranking is staged because the recall
+    // join AND the query-list left join both read it — unstaged, each
+    // reference re-ran the whole exact probe.
+    val vs = Similarity.annCorpus(spark, sfDir)
       .withColumn("modality", element_at(array(Modalities.map(lit): _*),
-        pmod(col("vec_id"), lit(3)).cast("int") + 1)))
+        pmod(col("vec_id"), lit(3)).cast("int") + 1))
     val corpus = vs.where(col("modality") === "image").drop("modality")
     val queries = vs
       .where(col("modality") === "video" &&

@@ -271,9 +271,12 @@ object TextAnalysis {
                   terms: Seq[String] = Bm25Query): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (qraw, ssq) = denseQueryRaw(terms)
-    val sp = documents.sparkSession
-    import sp.implicits._
-    val qdf = qraw.toDF("dim", "qraw")
+    // r18: the query's signed bucket weights are CONSTANTS — attach them
+    // as a literal map lookup so the per-doc norm (over all dims) and
+    // the query dot (over query dims) come out of ONE aggregation; the
+    // former shape paid a per-doc window (second exchange + sort) plus a
+    // dim join plus a second per-doc aggregation for the same numbers.
+    val qmap = typedLit(qraw.toMap)
     val signed = Tables.spread(documents)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .select(col("doc_id"),
@@ -281,12 +284,14 @@ object TextAnalysis {
         when(Dedup.h32(concat(lit("hsgn:"), col("term"))) % 2 === 0, 1L)
           .otherwise(-1L).as("sgn"))
     signed.groupBy("doc_id", "dim").agg(sum("sgn").as("raw"))
-      .withColumn("ssd", sum(col("raw") * col("raw"))
-        .over(Window.partitionBy("doc_id")))
-      .join(broadcast(qdf), "dim")
+      .withColumn("qraw", element_at(qmap, col("dim")))
       .groupBy("doc_id")
-      .agg(sum(col("raw") * col("qraw")).as("intdot"), first("ssd").as("ssd"))
-      .where(col("ssd") > 0)
+      .agg(sum(col("raw") * col("raw")).as("ssd"),
+        sum(col("raw") * coalesce(col("qraw"), lit(0L))).as("intdot"),
+        // the former inner dim-join kept only documents carrying ≥1
+        // query-dim bucket row — replicated exactly
+        sum(when(col("qraw").isNotNull, 1L).otherwise(0L)).as("nq"))
+      .where(col("nq") > 0 && col("ssd") > 0)
       .select(col("doc_id"), (col("intdot").cast("double") /
         (sqrt(col("ssd").cast("double")) * math.sqrt(ssq.toDouble)))
         .as("dense_score"))
@@ -593,10 +598,15 @@ object TextAnalysis {
       docs.select(explode(toks(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("n_w")))
     val totals = uni.agg(sum("n_w").as("n_tok"))
+    // token array projected to an attribute FIRST (r18): the transform
+    // lambda body references it via get(), and a lambda body referencing
+    // a computed array re-evaluates it per element — this site re-split
+    // the text once per bigram slot
     val pairs = docs
-      .select(explode(when(size(t) >= 2,
-        transform(sequence(lit(0), size(t) - 2),
-          i => concat_ws(" ", get(t, i), get(t, i + 1))))
+      .select(t.as("_tk"))
+      .select(explode(when(size(col("_tk")) >= 2,
+        transform(sequence(lit(0), size(col("_tk")) - 2),
+          i => concat_ws(" ", get(col("_tk"), i), get(col("_tk"), i + 1))))
         .otherwise(array().cast("array<string>"))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n_xy"))
       .where(col("n_xy") >= CollocMinCount)
@@ -1717,9 +1727,11 @@ object TextAnalysis {
     * no global sort. N_docs is a 1-row broadcast. */
   def tfidfKeywords(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = Tables.spread(documents)
+    // staged (r18): tf feeds the df rollup AND the scoring join — as one
+    // lazy frame each reference re-ran the corpus tokenize+explode+count
+    val tf = graft.engine.Staging.stage(Tables.spread(documents)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = documents.agg(count(lit(1)).as("n_docs"))
     tf.join(df, "term")

@@ -841,11 +841,14 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
   }
 
-  test("text_dense_search: broadcast query vector, TakeOrdered head, no global sort") {
+  test("text_dense_search: literal query map, one per-doc aggregation, TakeOrdered head") {
     val p = planOf("text_dense_search")
+    // r18: the constant query weights attach as a literal map lookup, so
+    // norm + query dot ride ONE per-doc aggregation — no query-vector
+    // join, no per-doc window, no second per-doc aggregation
     p should include("TakeOrderedAndProject")
-    p should include("BroadcastHashJoin") // the ≤|terms|-row query vector
-    p should not include "SortMergeJoin"
+    p should not include "Join"
+    countOf(p, "Window") shouldBe 1 // only the rank over the bounded head
     p should not include "Exchange rangepartitioning"
   }
 
