@@ -55,9 +55,14 @@ object Corpus {
   def clean(documents: DataFrame, learnedGate: Boolean): DataFrame = {
     // one digest convention, one implementation: Dedup's (doc_id, rep) map
     val dr = Dedup.docReps(documents)
-    val q = TextAnalysis.quality(documents).select(col("doc_id"), col("quality_score"))
-    val rep = TextAnalysis.repetition(documents).select(col("doc_id"), col("repetitive"))
-    val base = dr.join(rep, "doc_id").join(q, "doc_id")
+    // r18: quality and repetition are MAP-ONLY per-doc signals — ONE
+    // projection over one scan (identical single-expression faces:
+    // [[TextAnalysis.qualityScoreCol]] / [[TextAnalysis.repetitiveCol]])
+    // instead of two scans re-joined on doc_id
+    val sig = Tables.spread(documents).select(col("doc_id"),
+      TextAnalysis.qualityScoreCol.as("quality_score"),
+      TextAnalysis.repetitiveCol.as("repetitive"))
+    val base = dr.join(sig, "doc_id")
     val (joined, clfKeep) =
       if (!learnedGate) (base, lit(true))
       else (base.join(TextAnalysis.qualityClassifier(documents)
@@ -92,11 +97,14 @@ object Corpus {
     * second pass over the corpus per gate, no driver-side anything. */
   def filterAblation(documents: DataFrame): DataFrame = {
     val dr = Dedup.docReps(documents)
-    val q = TextAnalysis.quality(documents).select(col("doc_id"), col("quality_score"))
-    val rep = TextAnalysis.repetition(documents).select(col("doc_id"), col("repetitive"))
     val nTok = size(split(col("text"), " ")).cast("long")
-    val base = documents.select(col("doc_id"), nTok.as("n_tok"))
-      .join(dr, "doc_id").join(rep, "doc_id").join(q, "doc_id")
+    // r18: token count + quality + repetition ride ONE projection (see
+    // [[clean]]); only the digest map needs a join
+    val base = Tables.spread(documents)
+      .select(col("doc_id"), nTok.as("n_tok"),
+        TextAnalysis.qualityScoreCol.as("quality_score"),
+        TextAnalysis.repetitiveCol.as("repetitive"))
+      .join(dr, "doc_id")
       .select(col("n_tok"),
         (col("doc_id") =!= col("rep")).as("is_dup"),
         col("repetitive").as("is_rep"),
