@@ -72,3 +72,54 @@ object MisraGries {
   def of(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new MisraGries(k))
 }
+
+/** [[MisraGries]] over PRE-AGGREGATED (item, weight) cells — r18: the
+  * heavy-hitter pass consumes per-document term counts (a cell per
+  * distinct term per document) instead of one row per token instance.
+  *
+  * The weighted reduce IS the mergeable-summaries merge with a singleton
+  * {item → weight} sketch: when the item is held (or capacity remains)
+  * it adds the weight; when full, the (k+1)-th largest of the k+1 values
+  * is min(weight, min counter) — subtract it everywhere, keep strictly
+  * positive. A weighted stream's sketch is therefore a tree of merges
+  * over singletons, so the Agarwal et al. bound holds verbatim with
+  * N = Σ weights (= token instances): every estimate undercounts by at
+  * most N/(k+1), no false negatives above that bar, and the exact
+  * recount downstream makes the final answer identical to the
+  * instance-stream sketch's — deterministically, although intermediate
+  * states differ. */
+class MisraGriesWeighted(k: Int)
+    extends Aggregator[(String, Long), Map[String, Long], Seq[MgCounter]] {
+  require(k >= 1, s"capacity must be positive, got $k")
+
+  private val inner = new MisraGries(k)
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(m: Map[String, Long], xw: (String, Long)): Map[String, Long] = {
+    val (x, w) = xw
+    m.get(x) match {
+      case Some(c)            => m.updated(x, c + w)
+      case None if m.size < k => m.updated(x, w)
+      case None => // singleton merge: cut = (k+1)-th largest of k+1 values
+        val cut = math.min(w, m.values.min)
+        val out = m.flatMap { case (i, c) =>
+          if (c > cut) Some(i -> (c - cut)) else None }
+        if (w > cut) out.updated(x, w - cut) else out
+    }
+  }
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    inner.merge(a, b)
+
+  override def finish(m: Map[String, Long]): Seq[MgCounter] = inner.finish(m)
+
+  override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[MgCounter]] = ExpressionEncoder()
+}
+
+object MisraGriesWeighted {
+  /** The weighted sketch as an aggregation over (item, weight) columns. */
+  def of(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new MisraGriesWeighted(k))
+}

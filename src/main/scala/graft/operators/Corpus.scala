@@ -1009,9 +1009,13 @@ object Corpus {
     * by BROADCAST; everything after the count runs at ≤ #sources·V rows. */
   /** The (source, word) count grain every KL face opens with. */
   private def klCountsOf(documents: DataFrame): DataFrame =
+    // r18: per-doc cells via native GramCounts — the (source, word)
+    // rollup sums cells, never instances (identical exact counts)
     documents
-      .select(col("source"), explode(split(lower(col("text")), " ")).as("word"))
-      .groupBy("source", "word").agg(count(lit(1)).as("cnt_sw"))
+      .select(col("source"), explode(
+        graft.functions.GramCounts.of(lower(col("text")), 1)).as("tc"))
+      .groupBy(col("source"), col("tc.gram").as("word"))
+      .agg(sum(col("tc.cnt")).as("cnt_sw"))
 
   /** The batch entry: spread the parquet scan first (micro-batches skip
     * this — see [[klScoreAgainst]]). */
@@ -1212,35 +1216,26 @@ object Corpus {
     // become sums over it and the scorer consumes `c` directly (its
     // former groupBy over the full instance frame is gone).
     val fc = graft.engine.Staging.stage(
-      dsirDocBuckets(dsirGramBuckets(Tables.spread(documents), isTarget)))
+      dsirDocBuckets(Tables.spread(documents), isTarget))
     dsirScoreFrom(fc.select("doc_id", "b", "c"),
       graft.engine.Staging.stage(dsirModelFrom(fc)))
   }
 
-  /** Per-(doc, bucket) instance counts of a gram-bucket frame (is_tgt is
-    * constant per document, so keying on it adds nothing to the shuffle
-    * and keeps it available to the target model). */
-  private def dsirDocBuckets(gramBuckets: DataFrame): DataFrame =
-    gramBuckets.groupBy("doc_id", "is_tgt", "b").agg(count(lit(1)).as("c"))
-
-  /** Per-instance (doc_id, is_tgt, b) hashed-gram buckets of a document
-    * frame — the DSIR feature projection (map-only). */
-  private def dsirGramBuckets(documents: DataFrame, isTarget: Column): DataFrame = {
-    // token array projected first: a lambda body that references a
-    // COMPUTED array re-evaluates it per element (HOFs are interpreted) —
-    // the [[TextAnalysis.collocations]] r17 lambda note
-    val t = col("_toks")
-    val grams = concat(t, when(size(t) >= 2,
-        transform(sequence(lit(0), size(t) - 2),
-          i => concat_ws(" ", get(t, i), get(t, i + 1))))
-      .otherwise(array().cast("array<string>")))
+  /** Per-(doc, bucket) feature counts of a document frame — r18: one
+    * native [[graft.functions.DsirBucketCounts]] pass per row (unigram +
+    * bigram hashing over byte ranges; identical exact counts, see its
+    * equivalence note) instead of the per-instance gram explode +
+    * groupBy(doc_id, is_tgt, b): the instance-level hash aggregate and
+    * its Exchange are gone at any scale — the feature table is born
+    * pre-aggregated map-side. is_tgt is constant per document and rides
+    * the same projection. */
+  private def dsirDocBuckets(documents: DataFrame, isTarget: Column): DataFrame =
     documents
       .select(col("doc_id"), isTarget.as("is_tgt"),
-        split(lower(col("text")), " ").as("_toks"))
-      .select(col("doc_id"), col("is_tgt"), explode(grams).as("gram"))
+        explode(graft.functions.DsirBucketCounts.of(
+          lower(col("text")), DsirBuckets)).as("bc"))
       .select(col("doc_id"), col("is_tgt"),
-        pmod(Dedup.h32(col("gram")), lit(DsirBuckets.toLong)).as("b"))
-  }
+        col("bc.b").as("b"), col("bc.c").as("c"))
 
   /** The [[DsirBuckets]]-row bucket model (b, rc, tc) from a
     * per-(doc, bucket) count table — raw instance counts and
@@ -1277,15 +1272,15 @@ object Corpus {
     * of the train-once / score-online split
     * ([[graft.streaming.StreamingDsir]] is the online half). */
   def dsirModel(documents: DataFrame, isTarget: Column): DataFrame =
-    dsirModelFrom(graft.engine.Staging.stage(dsirDocBuckets(
-      dsirGramBuckets(Tables.spread(documents), isTarget))))
+    dsirModelFrom(graft.engine.Staging.stage(
+      dsirDocBuckets(Tables.spread(documents), isTarget)))
 
   /** Score incoming documents against a FROZEN bucket model — identical
     * arithmetic to the registered query, so a streamed document gets
     * exactly the batch weight (`StreamingDsirSpec`). */
   def dsirScore(model: DataFrame, incoming: DataFrame): DataFrame =
     dsirScoreFrom(
-      dsirDocBuckets(dsirGramBuckets(incoming, lit(false)))
+      dsirDocBuckets(incoming, lit(false))
         .select("doc_id", "b", "c"),
       model)
 

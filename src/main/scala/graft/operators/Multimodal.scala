@@ -140,7 +140,13 @@ object Multimodal {
     * fixed [[BlockHexChars]]-char blocks, each hashed with the portable
     * [[Dedup.h32]] family. */
   def blockHashes(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    blockHashesOfHex(hex(payload))
+    // r18: one native codegen'd pass over the payload bytes
+    // ([[graft.functions.BlockHashes]]) — per block, its hex chars encode
+    // into a reusable buffer and md5 directly; the 2×-payload hex string,
+    // the interpreted per-block substr+h32 transform and the
+    // array_distinct/sort_array HOFs are gone. Same sorted-distinct value
+    // set (identical md5 inputs), so every oracle is unchanged.
+    graft.functions.BlockHashes.of(payload, BlockHexChars, Dedup.P)
 
   /** [[blockHashes]] over an already-PROJECTED hex column — the form hot
     * paths must use: the block transform's lambda body substrings `hx`
@@ -173,8 +179,7 @@ object Multimodal {
   def blockDedup(documents: DataFrame): DataFrame =
     Dedup.bestMatchBySets(
       records(Tables.spread(documents))
-        .select(col("doc_id"), hex(col("payload")).as("_hx"))
-        .select(col("doc_id"), blockHashesOfHex(col("_hx")).as("sh")))
+        .select(col("doc_id"), blockHashes(col("payload")).as("sh")))
 
   /** A FROZEN block index — the distinct content-block hash set of the
     * resident binary store: the "100 TB side" of incremental binary
@@ -182,8 +187,7 @@ object Multimodal {
     * probed by any number of batch or streaming ingests. */
   def buildBlockIndex(corpus: DataFrame): DataFrame =
     Staging.stage(records(Tables.spread(corpus))
-      .select(hex(col("payload")).as("_hx"))
-      .select(explode(blockHashesOfHex(col("_hx"))).as("bh")).distinct())
+      .select(explode(blockHashes(col("payload"))).as("bh")).distinct())
 
   /** Persist a frozen block index as a BUCKETED table — the
     * [[Dedup.saveIndex]] convention at the binary-block grain (VERDICT
@@ -216,8 +220,7 @@ object Multimodal {
     * micro-batch). */
   def probeBlocks(index: DataFrame, incoming: DataFrame): DataFrame =
     records(Tables.spread(incoming))
-      .select(col("doc_id"), hex(col("payload")).as("_hx"))
-      .select(col("doc_id"), explode(blockHashesOfHex(col("_hx"))).as("bh"))
+      .select(col("doc_id"), explode(blockHashes(col("payload"))).as("bh"))
       .join(index.select(col("bh"), lit(true).as("seen")), Seq("bh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_blocks"),

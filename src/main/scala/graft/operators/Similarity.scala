@@ -1684,9 +1684,11 @@ object Similarity {
   private def adcTopK(pairs: DataFrame): DataFrame = {
     val adc = pairs
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        aggregate(sequence(lit(0), lit(PqSubspaces - 1)), lit(0.0),
-          (acc, m) => acc + element_at(col("qtab"),
-            m * PqCodebookSize + element_at(col("codes"), m + 1) + 1))
+        // r18: native codegen'd fold (graft.functions.AdcDist) — the
+        // interpreted aggregate(sequence(...)) HOF ran once per
+        // (query, vector) pair, the innermost loop of the PQ search;
+        // identical strict left-to-right IEEE fold in subspace order
+        graft.functions.AdcDist.of(col("codes"), col("qtab"), PqCodebookSize)
           .as("adc"))
     graft.functions.TopKByScore
       .perGroup(adc.select(col("query_id"), col("neighbor_id"),

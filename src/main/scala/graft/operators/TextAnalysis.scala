@@ -232,19 +232,23 @@ object TextAnalysis {
     * surviving rows per doc — two exchanges total (the second carries
     * post-aggregation rows only), no join anywhere. */
   def hashEmbedding(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val signed = Tables.spread(documents)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    // r18: the whole signed histogram is the native per-row HashEmbed
+    // (identical exact integers, touched-dim rows included) and the
+    // per-doc norm folds the ≤[[HashEmbDim]]-entry ATTRIBUTE array — the
+    // former explode + groupBy(doc_id, dim) exchange AND the per-doc
+    // window exchange are both gone: the embedding is map-only at any
+    // corpus size
+    val e = col("_e")
+    Tables.spread(documents)
       .select(col("doc_id"),
-        (Dedup.h32(concat(lit("hemb:"), col("term"))) % HashEmbDim).as("dim"),
-        when(Dedup.h32(concat(lit("hsgn:"), col("term"))) % 2 === 0, 1L)
-          .otherwise(-1L).as("sgn"))
-    signed.groupBy("doc_id", "dim").agg(sum("sgn").as("weight_raw"))
-      .withColumn("ss", sum(col("weight_raw") * col("weight_raw"))
-        .over(Window.partitionBy("doc_id")))
-      .select(col("doc_id"), col("dim"), col("weight_raw"),
+        graft.functions.HashEmbed.of(col("text"), HashEmbDim).as("_e"))
+      .select(col("doc_id"), col("_e"), aggregate(e, lit(0L),
+        (a, x) => a + x.getField("raw") * x.getField("raw")).as("ss"))
+      .select(col("doc_id"), explode(col("_e")).as("p"), col("ss"))
+      .select(col("doc_id"), col("p.dim").as("dim"),
+        col("p.raw").as("weight_raw"),
         when(col("ss") === 0, lit(0.0))
-          .otherwise(col("weight_raw").cast("double") /
+          .otherwise(col("p.raw").cast("double") /
             sqrt(col("ss").cast("double"))).as("weight"))
   }
 
@@ -277,20 +281,25 @@ object TextAnalysis {
     // former shape paid a per-doc window (second exchange + sort) plus a
     // dim join plus a second per-doc aggregation for the same numbers.
     val qmap = typedLit(qraw.toMap)
-    val signed = Tables.spread(documents)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    // r18 batch 2: the signed histogram is the native per-row HashEmbed
+    // and the three per-doc sums fold its ≤[[HashEmbDim]]-entry
+    // ATTRIBUTE array (exact integers, any order) — the (doc, dim)
+    // aggregation exchange AND the per-doc aggregation exchange are
+    // gone: scoring is MAP-ONLY into the bounded top-k head
+    val e = col("_e")
+    Tables.spread(documents)
       .select(col("doc_id"),
-        (Dedup.h32(concat(lit("hemb:"), col("term"))) % HashEmbDim).as("dim"),
-        when(Dedup.h32(concat(lit("hsgn:"), col("term"))) % 2 === 0, 1L)
-          .otherwise(-1L).as("sgn"))
-    signed.groupBy("doc_id", "dim").agg(sum("sgn").as("raw"))
-      .withColumn("qraw", element_at(qmap, col("dim")))
-      .groupBy("doc_id")
-      .agg(sum(col("raw") * col("raw")).as("ssd"),
-        sum(col("raw") * coalesce(col("qraw"), lit(0L))).as("intdot"),
+        graft.functions.HashEmbed.of(col("text"), HashEmbDim).as("_e"))
+      .select(col("doc_id"),
+        aggregate(e, lit(0L),
+          (a, x) => a + x.getField("raw") * x.getField("raw")).as("ssd"),
+        aggregate(e, lit(0L), (a, x) => a + x.getField("raw") *
+          coalesce(element_at(qmap, x.getField("dim")), lit(0L))).as("intdot"),
         // the former inner dim-join kept only documents carrying ≥1
         // query-dim bucket row — replicated exactly
-        sum(when(col("qraw").isNotNull, 1L).otherwise(0L)).as("nq"))
+        aggregate(e, lit(0L), (a, x) => a +
+          when(element_at(qmap, x.getField("dim")).isNotNull, 1L)
+            .otherwise(0L)).as("nq"))
       .where(col("nq") > 0 && col("ssd") > 0)
       .select(col("doc_id"), (col("intdot").cast("double") /
         (sqrt(col("ssd").cast("double")) * math.sqrt(ssq.toDouble)))
@@ -434,19 +443,17 @@ object TextAnalysis {
     * constant division, which is one identical IEEE op per engine.
     *
     * 100 TB shape: map-only hash + weight lookup against a literal array
-    * (no model table, no join), then one map-side-combined per-doc mean —
-    * the cheapest possible serving plan for a linear gate. */
+    * (no model table, no join, and — r18 — no exchange: the per-doc token
+    * count and weight sum are one native [[graft.functions.ClfStats]]
+    * pass per row instead of explode + groupBy(doc_id), identical exact
+    * integers) — the cheapest possible serving plan for a linear gate. */
   def qualityClassifier(documents: DataFrame): DataFrame = {
-    val w = typedLit(ClfWeightTenths)
     Tables.spread(documents)
       .select(col("doc_id"),
-        explode(split(lower(col("text")), " ")).as("term"))
-      .select(col("doc_id"),
-        element_at(w, (Dedup.h32(col("term")) % ClfDim).cast("int") + 1).as("twi"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        (lit(50000L) * (lit(3L) * count(lit(1))
-          + lit(2L) * sum(col("twi")))).as("a"))
+        graft.functions.ClfStats.of(lower(col("text")), ClfWeightTenths).as("cs"))
+      .select(col("doc_id"), col("cs.n_tokens").as("n_tokens"),
+        (lit(50000L) * (lit(3L) * col("cs.n_tokens")
+          + lit(2L) * col("cs.sum_twi"))).as("a"))
       .withColumn("micro", when(col("a") >= 0,
           expr("(2*a + n_tokens) DIV (2*n_tokens)"))
         .otherwise(-expr("(-2*a + n_tokens) DIV (2*n_tokens)")))
@@ -591,24 +598,21 @@ object TextAnalysis {
     * under ~3e9; past that, flip the doc'd cast-first variant. */
   def collocations(documents: DataFrame): DataFrame = {
     val docs = graft.sources.Tables.spread(documents)
-    val t = toks(col("text"))
     // staged (r17): `uni` feeds the scalar total AND both word joins —
-    // unstaged, the tokenize+count pass over the corpus ran three times
+    // unstaged, the tokenize+count pass over the corpus ran three times.
+    // r18: both legs pre-aggregate per doc through the native GramCounts
+    // (1-grams ≡ tokens, 2-grams ≡ adjacent pairs joined by one space —
+    // identical strings, see its equivalence note), so the corpus-grain
+    // rollups consume cell rows, never instance rows
     val uni = graft.engine.Staging.stage(
-      docs.select(explode(toks(col("text"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("n_w")))
+      docs.select(explode(
+          graft.functions.GramCounts.of(lower(col("text")), 1)).as("tc"))
+        .groupBy(col("tc.gram").as("w")).agg(sum(col("tc.cnt")).as("n_w")))
     val totals = uni.agg(sum("n_w").as("n_tok"))
-    // token array projected to an attribute FIRST (r18): the transform
-    // lambda body references it via get(), and a lambda body referencing
-    // a computed array re-evaluates it per element — this site re-split
-    // the text once per bigram slot
     val pairs = docs
-      .select(t.as("_tk"))
-      .select(explode(when(size(col("_tk")) >= 2,
-        transform(sequence(lit(0), size(col("_tk")) - 2),
-          i => concat_ws(" ", get(col("_tk"), i), get(col("_tk"), i + 1))))
-        .otherwise(array().cast("array<string>"))).as("pair"))
-      .groupBy("pair").agg(count(lit(1)).as("n_xy"))
+      .select(explode(
+        graft.functions.GramCounts.of(lower(col("text")), 2)).as("pc"))
+      .groupBy(col("pc.gram").as("pair")).agg(sum(col("pc.cnt")).as("n_xy"))
       .where(col("n_xy") >= CollocMinCount)
       .select(element_at(split(col("pair"), " "), 1).as("w1"),
         element_at(split(col("pair"), " "), 2).as("w2"), col("n_xy"))
@@ -652,16 +656,26 @@ object TextAnalysis {
                                           capacity: Int, denom: Int): DataFrame = {
     require(capacity + 1 >= denom,
       s"capacity $capacity cannot guarantee heavy hitters at 1/$denom")
-    val toksDf = graft.engine.Staging.stage(
+    // r18: the staged frame is the per-doc TERM-CELL table (native
+    // GramCounts(lower, 1) — map-only), not one row per token instance:
+    // cell rows are the distinct-terms-per-doc count, a strict subset of
+    // the instance rows, and everything downstream is exact over them —
+    // the sketch through the weighted reduce (a singleton merge: same
+    // mergeable-summaries superset guarantee over N = Σ cnt), the
+    // recount and N as integer sums
+    val cells = graft.engine.Staging.stage(
       graft.sources.Tables.spread(docsText)
-        .select(explode(toks(col("text"))).as("term")))
-    val cand = toksDf
-      .agg(graft.functions.MisraGries.of(capacity)(col("term")).as("cands"))
+        .select(explode(
+          graft.functions.GramCounts.of(lower(col("text")), 1)).as("tc"))
+        .select(col("tc.gram").as("term"), col("tc.cnt").as("cnt")))
+    val cand = cells
+      .agg(graft.functions.MisraGriesWeighted.of(capacity)(
+        col("term"), col("cnt")).as("cands"))
       .select(explode(col("cands")).as("c"))
       .select(col("c.item").as("term"))
-    val counts = toksDf.join(broadcast(cand), "term")
-      .groupBy("term").agg(count(lit(1)).as("freq"))
-    val n = toksDf.agg(count(lit(1)).as("n_tok"))
+    val counts = cells.join(broadcast(cand), "term")
+      .groupBy("term").agg(sum("cnt").as("freq"))
+    val n = cells.agg(sum("cnt").as("n_tok"))
     counts.crossJoin(broadcast(n))
       .where(col("freq") * denom > col("n_tok"))
       .select(col("term"), col("freq"), col("n_tok"))
@@ -698,19 +712,16 @@ object TextAnalysis {
     * 100 TB shape: explode → two-phase count (map-side partial agg), top-N
     * as TakeOrderedAndProject; the shuffle carries one row per distinct
     * pair per partition, never per instance. */
-  def bpePairs(documents: DataFrame): DataFrame = {
-    // token array projected first — see [[collocations]]' lambda note
-    val t = col("_toks")
+  def bpePairs(documents: DataFrame): DataFrame =
+    // r18: per-doc pair counts via the native GramCounts(lower, 2) (an
+    // adjacent lowercase pair IS the 2-gram substring — identical
+    // strings/counts); the corpus rollup sums cells, never instances
     graft.sources.Tables.spread(documents)
-      .select(toks(col("text")).as("_toks"))
-      .select(explode(when(size(t) >= 2,
-        transform(sequence(lit(0), size(t) - 2),
-          i => concat_ws(" ", get(t, i), get(t, i + 1))))
-        .otherwise(array().cast("array<string>"))).as("pair"))
-      .groupBy("pair").agg(count(lit(1)).as("freq"))
+      .select(explode(
+        graft.functions.GramCounts.of(lower(col("text")), 2)).as("pc"))
+      .groupBy(col("pc.gram").as("pair")).agg(sum(col("pc.cnt")).as("freq"))
       .orderBy(col("freq").desc, col("pair").asc)
       .limit(TopPairs)
-  }
 
   /** Merge rounds for [[bpeMerges]] — enough that merged tokens themselves
     * get re-merged on the synthetic corpus (the loop's whole point). */
@@ -957,8 +968,9 @@ object TextAnalysis {
     * [[bpeStreamToks]]), without re-running training. Same two-phase
     * count shape. */
   def bpeVocabOf(encoded: DataFrame): DataFrame =
-    encoded.select(explode(split(col("encoded"), " ")).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("freq"))
+    encoded.select(explode(
+        graft.functions.GramCounts.of(col("encoded"), 1)).as("tc"))
+      .groupBy(col("tc.gram").as("token")).agg(sum(col("tc.cnt")).as("freq"))
       .select(col("token"), col("freq"),
         (length(col("token")) - length(replace(col("token"), lit("_"), lit("")))
           + 1).as("n_words"))
@@ -1032,9 +1044,14 @@ object TextAnalysis {
   def topTerms(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.spread(documents)
+    // r18: per-doc term counts are a per-row pure function — native
+    // GramCounts(text, 1) (1-grams ≡ tokens) instead of explode +
+    // groupBy(doc_id, term): the instance-level hash aggregate and its
+    // Exchange are gone (identical exact counts, see GramCounts)
     val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"),
+        explode(graft.functions.GramCounts.of(col("text"), 1)).as("tc"))
+      .select(col("doc_id"), col("tc.gram").as("term"), col("tc.cnt").as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
@@ -1068,9 +1085,11 @@ object TextAnalysis {
     * compares within float tolerance. */
   def zipf(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r18: per-doc cells via native GramCounts — the term rollup sums
+    // cells, never instances (identical exact counts)
     val tf = Tables.spread(documents)
-      .select(explode(split(col("text"), " ")).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .select(explode(graft.functions.GramCounts.of(col("text"), 1)).as("tc"))
+      .groupBy(col("tc.gram").as("term")).agg(sum(col("tc.cnt")).as("freq"))
     val top = tf.orderBy(col("freq").desc, col("term").asc).limit(ZipfTerms)
     val ranked = top.select(col("freq"),
       row_number().over(Window.orderBy(col("freq").desc, col("term").asc))
@@ -1111,15 +1130,20 @@ object TextAnalysis {
     * aggregation over the exploded scan joined map-side against the
     * broadcast vocabulary — the corpus shuffles only (doc_id, counts). */
   def vocabCoverage(documents: DataFrame): DataFrame = {
+    // r18: both legs ride per-doc cells (native GramCounts) — the vocab
+    // rollup and the OOV join/count consume cell rows, never instances
+    // (identical exact counts: n_tokens = Σ cnt, n_oov = Σ cnt over OOV)
     val tk = Tables.spread(documents)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val vocab = tk.groupBy("term").agg(count(lit(1)).as("freq"))
+      .select(col("doc_id"),
+        explode(graft.functions.GramCounts.of(col("text"), 1)).as("tc"))
+      .select(col("doc_id"), col("tc.gram").as("term"), col("tc.cnt").as("cnt"))
+    val vocab = tk.groupBy("term").agg(sum("cnt").as("freq"))
       .orderBy(col("freq").desc, col("term").asc).limit(VocabSize)
       .select(col("term"), lit(1).as("in_vocab"))
     tk.join(broadcast(vocab), Seq("term"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .agg(sum("cnt").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("cnt")).otherwise(0L)).as("n_oov"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
         (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
   }
@@ -1312,8 +1336,8 @@ object TextAnalysis {
   def unigramSurprisal(documents: DataFrame): DataFrame =
     unigramSurprisalFrom(
       Tables.spread(documents)
-        .select(explode(split(col("text"), " ")).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("freq")),
+        .select(explode(graft.functions.GramCounts.of(col("text"), 1)).as("tc"))
+        .groupBy(col("tc.gram").as("term")).agg(sum(col("tc.cnt")).as("freq")),
       documents)
 
   /** [[unigramSurprisal]] core over a PREBUILT (term, freq) table — the
@@ -1343,9 +1367,11 @@ object TextAnalysis {
   final case class UnigramModel(termFreqs: DataFrame, total: DataFrame)
 
   def buildUnigramModel(documents: DataFrame): UnigramModel = {
+    // r18: the model rollup sums per-doc cells (native GramCounts) —
+    // identical exact counts, instance rows never shuffle
     val tf = graft.engine.Staging.stage(Tables.spread(documents)
-      .select(explode(split(col("text"), " ")).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("freq")))
+      .select(explode(graft.functions.GramCounts.of(col("text"), 1)).as("tc"))
+      .groupBy(col("tc.gram").as("term")).agg(sum(col("tc.cnt")).as("freq")))
     UnigramModel(tf, tf.agg(sum("freq").as("total")))
   }
 
@@ -1399,24 +1425,19 @@ object TextAnalysis {
   /** Raw unigram counts (term, uf) — shared by the in-session
     * [[buildBigramModel]] and the parquet artifact writer. */
   private def unigramCounts(src: DataFrame): DataFrame =
-    src.select(explode(split(col("text"), " ")).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("uf"))
+    src.select(explode(graft.functions.GramCounts.of(col("text"), 1)).as("tc"))
+      .groupBy(col("tc.gram").as("term")).agg(sum(col("tc.cnt")).as("uf"))
 
-  /** Raw bigram counts (hist, term, bf) — map-only per-row history
-    * pairing (no window, no self-join) into one map-side-combined
-    * aggregation. */
-  private def bigramCounts(src: DataFrame): DataFrame = {
-    // token array projected first — see [[collocations]]' lambda note
-    val t = col("_toks")
-    src.select(split(col("text"), " ").as("_toks"))
-      .select(explode(when(size(t) >= 2,
-          transform(sequence(lit(1), size(t) - 1),
-            i => struct(get(t, i - 1).as("hist"), get(t, i).as("term"))))
-        .otherwise(array().cast("array<struct<hist:string,term:string>>")))
-        .as("p"))
-      .select(col("p.hist").as("hist"), col("p.term").as("term"))
-      .groupBy("hist", "term").agg(count(lit(1)).as("bf"))
-  }
+  /** Raw bigram counts (hist, term, bf) — r18: per-doc 2-gram cells via
+    * native GramCounts (a 2-gram IS the "hist term" pair joined by one
+    * space, and tokens contain no spaces, so gram ↔ (hist, term) is a
+    * bijection split back once per DISTINCT pair after the rollup —
+    * identical exact counts). */
+  private def bigramCounts(src: DataFrame): DataFrame =
+    src.select(explode(graft.functions.GramCounts.of(col("text"), 2)).as("pc"))
+      .groupBy(col("pc.gram").as("g")).agg(sum(col("pc.cnt")).as("bf"))
+      .select(element_at(split(col("g"), " "), 1).as("hist"),
+        element_at(split(col("g"), " "), 2).as("term"), col("bf"))
 
   def buildBigramModel(documents: DataFrame): BigramModel = {
     val src = Tables.spread(documents)
@@ -1688,9 +1709,12 @@ object TextAnalysis {
     * 100 TB shape: one (doc, term) count (map-side combined), one term
     * rollup, a 1-row broadcast N, TakeOrderedAndProject top-N. */
   def termBurstiness(documents: DataFrame): DataFrame = {
+    // r18: map-only per-doc term counts via native GramCounts(lower, 1)
+    // — the former explode + groupBy(doc_id, term) exchange is gone
     val cells = Tables.spread(documents)
-      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"),
+        explode(graft.functions.GramCounts.of(lower(col("text")), 1)).as("tc"))
+      .select(col("doc_id"), col("tc.gram").as("term"), col("tc.cnt").as("c"))
     val n = documents.agg(count(lit(1)).as("n_docs"))
     cells.groupBy("term").agg(
         count(lit(1)).as("n_docs_containing"),
@@ -1728,10 +1752,13 @@ object TextAnalysis {
   def tfidfKeywords(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // staged (r18): tf feeds the df rollup AND the scoring join — as one
-    // lazy frame each reference re-ran the corpus tokenize+explode+count
+    // lazy frame each reference re-ran the corpus tokenize+count. The
+    // cells themselves are the map-only native GramCounts(text, 1) (the
+    // former explode + groupBy(doc_id, term) exchange is gone).
     val tf = graft.engine.Staging.stage(Tables.spread(documents)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+      .select(col("doc_id"),
+        explode(graft.functions.GramCounts.of(col("text"), 1)).as("tc"))
+      .select(col("doc_id"), col("tc.gram").as("term"), col("tc.cnt").as("tf")))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = documents.agg(count(lit(1)).as("n_docs"))
     tf.join(df, "term")
@@ -1789,17 +1816,19 @@ object TextAnalysis {
   /** The (doc_id, gram, cnt) [[NoveltyN]]-gram multiplicity cells of a
     * (doc_id, text) frame — the one gram extraction behind [[novelty]],
     * [[buildGramIndex]] and [[probeNovelty]]. */
-  private def gramCells(documents: DataFrame): DataFrame = {
-    // token array projected first — see [[collocations]]' lambda note
-    val t = col("_toks")
+  private def gramCells(documents: DataFrame): DataFrame =
+    // r18: the per-(doc, gram) multiplicity is a per-row pure function —
+    // one native [[graft.functions.GramCounts]] pass (grams emitted as
+    // substrings of the text; identical values, see its equivalence note)
+    // instead of explode + groupBy(doc_id, gram): the gram-instance hash
+    // aggregate and its Exchange are gone at any scale, so the first
+    // shuffle the novelty family pays is the gram-grain rollup of
+    // already-counted cells. Docs under NoveltyN tokens yield the empty
+    // array ≡ the former `where(size(toks) >= NoveltyN)` filter.
     Tables.spread(documents)
-      .select(col("doc_id"), split(col("text"), " ").as("_toks"))
-      .where(size(t) >= NoveltyN)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(t) - NoveltyN),
-        i => concat_ws(" ", slice(t, i + 1, lit(NoveltyN))))).as("gram"))
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
-  }
+      .select(col("doc_id"),
+        explode(graft.functions.GramCounts.of(col("text"), NoveltyN)).as("gc"))
+      .select(col("doc_id"), col("gc.gram").as("gram"), col("gc.cnt").as("cnt"))
 
   /** Frozen gram index of a base corpus — the DISTINCT [[NoveltyN]]-grams
     * (at scale, a persisted bucketed table; here the train-offline side

@@ -259,7 +259,7 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf("text_vocab_coverage")
     p should include("TakeOrderedAndProject") // the vocab head
     p should include("BroadcastHashJoin")     // vocab joins map-side
-    p should include("partial_count")
+    p should include("partial_sum")           // cell rollup (native GramCounts)
     p should not include "SortMergeJoin"
   }
 
@@ -345,7 +345,7 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf("text_zipf")
     p should include("TakeOrderedAndProject")
     p should not include "Exchange rangepartitioning" // no full-corpus sort
-    p should include("partial_count") // term counts map-side combined
+    p should include("partial_sum") // cell rollup (native GramCounts) combines map-side
   }
 
   test("sample_holdout_split: pure map — no exchange, no aggregate, no join") {
@@ -366,7 +366,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("text_bpe_pairs: two-phase count, top-N as TakeOrderedAndProject") {
     val p = planOf("text_bpe_pairs")
-    p should include("partial_count")
+    p should include("partial_sum") // per-doc 2-gram cells (native GramCounts)
     p should include("TakeOrderedAndProject")
     p should not include "Exchange rangepartitioning"
   }
@@ -381,14 +381,19 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Exchange rangepartitioning"
   }
 
-  test("text_quality_classifier: pure map + one partial agg — no join of any kind") {
-    // the weight lookup is a literal-array element_at against the hashed
-    // token: no model table exists, so the plan must contain NO join
-    // operator at all, no window, and a map-side-combined per-doc mean
+  test("text_quality_classifier: map-only — native ClfStats, zero exchanges, no join") {
+    // r18: the per-doc token count and weight sum are one native
+    // ClfStats pass per row (the weights live inside the expression), so
+    // the whole serving plan is scan → project: no join, no window, no
+    // aggregate, no exchange at ANY corpus size
+    // (the only exchange allowed is Tables.spread's round-robin
+    // scan-width guard — never a key shuffle or an aggregate)
     val p = planOf("text_quality_classifier")
     p should not include "Join"
     p should not include "Window"
-    p should include("partial_count")
+    p should not include "Exchange hashpartitioning"
+    p should not include "Exchange rangepartitioning"
+    p should not include "HashAggregate"
   }
 
   test("text_char_entropy: map-only — native histogram, zero exchanges, no join") {
@@ -517,7 +522,7 @@ class PlanShapeSpec extends SparkSpec {
   test("text_bpe_vocab: two-phase token count over the map-only encode") {
     val p = planOf("text_bpe_vocab")
     p should include("BroadcastNestedLoopJoin") // the encode leg, as above
-    p should include("partial_count")           // map-side combined token count
+    p should include("partial_sum")             // cell rollup (native GramCounts)
     p should not include "SortMergeJoin"
     p should not include "Window"
   }
@@ -657,7 +662,7 @@ class PlanShapeSpec extends SparkSpec {
   test("text_collocations: top-N is TakeOrderedAndProject; thresholded pair relation joins the vocab") {
     val p = planOf("text_collocations")
     p should include("TakeOrderedAndProject") // never a global sort of all pairs
-    p should include("partial_count")         // map-side combine on both grains
+    p should include("partial_sum")           // cell rollups (native GramCounts) on both grains
     p should not include "CartesianProduct"
   }
 
@@ -823,12 +828,15 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "Window"
   }
 
-  test("text_hash_embedding: (doc,dim) two-phase agg, window norm, no join") {
+  test("text_hash_embedding: map-only — native HashEmbed, zero key exchanges, no window") {
+    // r18: the signed histogram is the per-row native HashEmbed and the
+    // norm folds its attribute array — no (doc, dim) exchange, no
+    // per-doc window, no join, at ANY corpus size
     val p = planOf("text_hash_embedding")
-    // the explode feeds the (doc, dim) exchange; the doc-keyed window
-    // exchange moves only post-aggregation rows (≤64 per doc)
-    countOf(p, "Exchange hashpartitioning") shouldBe 2
-    p should not include "Join" // normalization is a window, not a join-back
+    countOf(p, "Exchange hashpartitioning") shouldBe 0
+    p should include("graft_hash_embed")
+    p should not include "Join"
+    p should not include "Window"
     p should not include "Exchange rangepartitioning"
   }
 
