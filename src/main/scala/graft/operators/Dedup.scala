@@ -1244,18 +1244,18 @@ object Dedup {
   /** (doc_id, pos, gh) positional [[MinSpanTokens]]-gram hash projection —
     * shared by [[spanExact]], the span index builder, and the probe.
     * Map-only; docs under the grain emit nothing. */
-  private def spanGrams(documents: DataFrame): DataFrame = {
-    val k = MinSpanTokens
-    val toks = split(col("text"), " ")
+  private def spanGrams(documents: DataFrame): DataFrame =
+    // r18: one native codegen'd pass per row
+    // ([[graft.functions.SpanGramHashes]]): a positional gram is exactly
+    // the byte range spanning its k tokens, md5'd directly — the
+    // interpreted per-slot slice + concat_ws + hex-md5 chain is gone.
+    // Same hashes in the same positions; docs under the grain emit the
+    // empty array ≡ the former n_tok filter.
     Tables.spread(documents)
-      .select(col("doc_id"), toks.as("t"), size(toks).cast("long").as("n_tok"))
-      .where(col("n_tok") >= k)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0L), col("n_tok") - k),
-          i => h32(concat_ws(" ", slice(col("t"), (i + 1).cast("int"), lit(k)))))))
+      .select(col("doc_id"), posexplode(
+        graft.functions.SpanGramHashes.of(col("text"), MinSpanTokens)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("gh"))
-  }
 
   /** Covered positions grouped into maximal runs: appends the
     * gaps-and-islands group key (pos − per-doc row_number — constant

@@ -476,15 +476,20 @@ object TextAnalysis {
     // lowered text + token array projected first ([[collocations]]'
     // lambda note): the shingle transform's body must reference
     // attributes, not a per-element re-split
+    // r18: the min shingle hash rides the native positional gram hashes
+    // (distinctness is irrelevant under min; same h32 values), with the
+    // under-k whole-text fallback preserved
     graft.sources.Tables.spread(documents)
       .select(col("doc_id"), Dedup.h32(norm).as("content_fp"),
-        lower(col("text")).as("_lt"),
-        split(lower(col("text")), " ").as("_ltoks"))
+        lower(col("text")).as("_lt"))
+      .select(col("doc_id"), col("content_fp"), col("_lt"),
+        graft.functions.SpanGramHashes.of(col("_lt"), Dedup.ShingleSize)
+          .as("_sgh"))
       .select(
       col("doc_id"),
       col("content_fp"),
-      array_min(transform(Dedup.wordShinglesOf(col("_lt"), col("_ltoks")),
-        s => Dedup.h32(s))).as("min_shingle_fp"))
+      when(size(col("_sgh")) > 0, array_min(col("_sgh")))
+        .otherwise(Dedup.h32(col("_lt"))).as("min_shingle_fp"))
   }
 
   // ---- PII detection / redaction -------------------------------------------
@@ -563,11 +568,18 @@ object TextAnalysis {
     * (shuffle carries one row per distinct gram per partition), top-N as
     * TakeOrderedAndProject (per-partition heap, no global sort). */
   def ngramFreq(documents: DataFrame): DataFrame =
+    // r18: per-doc DISTINCT shingles come from the native GramCounts keys
+    // (identical string set — first-occurrence distinct over the same
+    // single-space grams); the under-k whole-text fallback is preserved.
+    // _gc is an ATTRIBUTE, so the gram-field transform runs once per
+    // element (the collocations lambda note).
     graft.sources.Tables.spread(documents)
-      .select(lower(col("text")).as("_lt"),
-        split(lower(col("text")), " ").as("_ltoks"))
-      .select(explode(
-        Dedup.wordShinglesOf(col("_lt"), col("_ltoks"))).as("ngram"))
+      .select(lower(col("text")).as("_lt"))
+      .select(col("_lt"),
+        graft.functions.GramCounts.of(col("_lt"), Dedup.ShingleSize).as("_gc"))
+      .select(explode(when(size(col("_gc")) > 0,
+          transform(col("_gc"), x => x.getField("gram")))
+        .otherwise(array(col("_lt")))).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("ngram").asc)
       .limit(TopNgrams)

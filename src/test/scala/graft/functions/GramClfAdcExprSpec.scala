@@ -166,6 +166,25 @@ class GramClfAdcExprSpec extends SparkSpec {
     answer shouldBe truth
   }
 
+  test("SpanGramHashes matches the positional slice + concat_ws + h32 transform exactly") {
+    val sp = spark; import sp.implicits._
+    val k = 5
+    val df = texts().toDF("doc_id", "text")
+    val t = col("_tk")
+    val expected = df
+      .select(col("doc_id"), split(col("text"), " ").as("_tk"))
+      .where(org.apache.spark.sql.functions.size(t) >= lit(k))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), org.apache.spark.sql.functions.size(t) - lit(k)),
+        i => graft.operators.Dedup.h32(
+          concat_ws(" ", slice(t, i + 1, lit(k)))))))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val got = df
+      .select(col("doc_id"), posexplode(SpanGramHashes.of(col("text"), k)))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    got shouldBe expected
+  }
+
   test("BlockHashes matches the hex-substr transform + distinct + sort exactly") {
     val sp = spark; import sp.implicits._
     val rows = (0 until 80).map { i =>
