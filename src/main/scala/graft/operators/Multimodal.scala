@@ -339,6 +339,11 @@ object Multimodal {
     // leg), and the exact id-pair ranking is staged because the recall
     // join AND the query-list left join both read it — unstaged, each
     // reference re-ran the whole exact probe.
+    // session 2 note: this query's sf0.1 wall regressed ~0.3 s against
+    // the round-start shape — measured to be the staged referee's one
+    // extra EAGER job (fixed stage latency), not extra compute; the
+    // staging halves the exact-probe corpus scans, which is the 100 TB
+    // term, so it stays (unstaging was tried and rejected: local-only).
     val vs = Similarity.annCorpus(spark, sfDir)
       .withColumn("modality", element_at(array(Modalities.map(lit): _*),
         pmod(col("vec_id"), lit(3)).cast("int") + 1))
