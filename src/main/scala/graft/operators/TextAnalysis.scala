@@ -755,16 +755,17 @@ object TextAnalysis {
 
   /** Corpus-wide adjacent-pair instance counts over wrapped streams —
     * [[bpePairs]]'s statistic, re-counted each merge round. */
-  private def bpeAdjacentPairs(streams: DataFrame): DataFrame = {
-    // stream-token array projected first — see [[collocations]]' note
-    val t = col("_toks")
-    streams.select(bpeStreamToks(col("s")).as("_toks"))
-      .select(explode(when(size(t) >= 2,
-        transform(sequence(lit(0), size(t) - 2),
-          i => concat(get(t, i), lit(BpeSep), get(t, i + 1))))
-      .otherwise(array().cast("array<string>"))).as("pair"))
-      .groupBy("pair").agg(count(lit(1)).as("freq"))
-  }
+  private def bpeAdjacentPairs(streams: DataFrame): DataFrame =
+    // r18 session 2: per-stream pair counts via the separator-parametric
+    // native GramCounts — a sentinel-joined adjacent pair IS the 2-gram
+    // byte range of the inner stream (tokens never contain the sentinel
+    // bytes), so the per-round recount consumes pre-counted cells, never
+    // one row per pair instance, and the interpreted per-slot concat is
+    // gone from the merge loop. Identical strings and counts.
+    streams
+      .select(explode(graft.functions.GramCounts.of(
+        col("s").substr(lit(2), length(col("s")) - 2), 2, BpeSep)).as("pc"))
+      .groupBy(col("pc.gram").as("pair")).agg(sum(col("pc.cnt")).as("freq"))
 
   /** The actual BPE training loop ([[bpePairs]] is its round 0): `rounds`
     * iterations of count-pairs → pick the top pair (freq desc, pair asc —

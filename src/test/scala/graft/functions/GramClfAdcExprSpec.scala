@@ -166,6 +166,36 @@ class GramClfAdcExprSpec extends SparkSpec {
     answer shouldBe truth
   }
 
+  test("GramCounts with a multi-byte separator matches the sentinel pair explode exactly") {
+    val sp = spark; import sp.implicits._
+    val sep = "\u0002\u0001"
+    // sentinel-wrapped streams, tokens free of sentinel bytes (the BPE
+    // contract), incl. 1-token and empty-token streams and merged tokens
+    val streams = Seq("a", "a,b", "a,b,a,b,c", "x_y,z", "", "t")
+      .zipWithIndex.map { case (toks, i) =>
+        (i.toLong,
+          toks.split(",", -1).map(t => "\u0001" + t + "\u0002").mkString) }
+    val df = streams.toDF("sid", "s")
+    val inner = col("s").substr(lit(2),
+      org.apache.spark.sql.functions.length(col("s")) - 2)
+    val t = col("_tk")
+    val expected = df
+      .select(col("sid"), split(inner, sep).as("_tk"))
+      .select(col("sid"), explode(when(
+        org.apache.spark.sql.functions.size(t) >= 2,
+        transform(sequence(lit(0),
+            org.apache.spark.sql.functions.size(t) - 2),
+          i => concat(get(t, i), lit(sep), get(t, i + 1))))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy("sid", "pair").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = df
+      .select(col("sid"), explode(GramCounts.of(inner, 2, sep)).as("pc"))
+      .select(col("sid"), col("pc.gram").as("pair"), col("pc.cnt").as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    got shouldBe expected
+  }
+
   test("SpanGramHashes matches the positional slice + concat_ws + h32 transform exactly") {
     val sp = spark; import sp.implicits._
     val k = 5
